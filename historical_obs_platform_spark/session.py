@@ -1,0 +1,68 @@
+"""SparkSession construction tuned for this engine.
+
+Local mode is the test bed; the configuration is written for a real
+multi-executor cluster (AQE on, skew-join handling, broadcast
+thresholds) so the same code scales to ~100 TB by changing only
+``master`` and memory/executor sizing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable options applied defensively to *any* session handed
+# to us (the driver harness owns its own SparkSession). These are the
+# options correctness and scale depend on.
+RUNTIME_CONF = {
+    # UTC everywhere: the reference pins UTC timestamps
+    # (scripts/2_clean_data/VALLEYWATER_clean.py:105); DuckDB oracle
+    # timestamps are naive-UTC.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime coalescing + skew-join splitting replaces the
+    # reference's hand-rolled file-size bin packing
+    # (scripts/3_qaqc_data/QAQC_pipeline.py:218-250).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for the few pandas-UDF islands (Butterworth filter etc.).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The driver's events.parquet stores TIMESTAMP(NANOS), which the
+    # vectorized parquet reader rejects; read as long and convert in
+    # tables.load (DuckDB-equivalent truncation to microseconds).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable tuning to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf may be static
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "historical_obs_platform_spark") -> SparkSession:
+    """Build (or reuse) a session.
+
+    Honors ``SPARK_GRAFT_CPUS`` for local parallelism. On a real
+    cluster, replace ``master`` and add executor sizing; nothing else
+    in the engine changes.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4)))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

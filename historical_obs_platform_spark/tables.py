@@ -1,0 +1,40 @@
+"""Test-table access for the driver's synthetic data (TESTDATA.md).
+
+``load(spark, sf_dir, name)`` reads one parquet table. Readers go
+through here so scans stay uniform (schema-on-read parquet => Catalyst
+gets pushdown + pruning for free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast unconditionally at any SF.
+BROADCASTABLE = {"region", "nation", "customer", "supplier", "part"}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # TIMESTAMP(NANOS) read as long via
+        # spark.sql.legacy.parquet.nanosAsLong; truncate to micros the
+        # same way DuckDB narrows ns -> us (floor, positive epochs).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
