@@ -1,0 +1,212 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all shuffle-disciplined for 100 TB corpora:
+
+- **exact**: normalize → content fingerprint → hash-groupBy. One
+  shuffle on the fingerprint; the canonical row per group is chosen
+  deterministically (min id), so re-runs are stable.
+- **MinHash + LSH**: shingle → K min-hashes → band → bucket-join.
+  Candidate pairs are generated only within LSH buckets (band
+  equality), never all-pairs; the exact Jaccard confirm runs on the
+  candidate set.
+- **n-gram Jaccard**: inverted-index join on shingles — pairs sharing
+  ≥1 shingle — then |∩| / (|A|+|B|−|∩|). Quadratic only within
+  shingle posting lists, not the corpus.
+- **SimHash**: per-token hash bits summed (±1) per bit position; the
+  sign vector packs into an integer; near-dups collide or differ in
+  few bits.
+
+Hashing is md5-based (hex-string domain) rather than engine-native
+hash functions so every operator has a cross-engine-reproducible
+definition (the DuckDB oracle computes the identical values).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+HEX = "0123456789abcdef"
+
+
+def normalize_text(col) -> Column:
+    """Canonical text form: lowercase, trim, collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def fingerprint(col) -> Column:
+    """Exact content fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row per distinct normalized text — the minimum id
+    (deterministic). Adds ``fingerprint``; drops the other copies."""
+    fp = df.withColumn("fingerprint", fingerprint(text_col))
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    return (
+        fp.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    toked = df.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("__toks")
+    )
+    if n == 1:
+        sh = F.col("__toks")
+    else:
+        sh = F.when(
+            F.size("__toks") >= n,
+            F.expr(
+                f"transform(sequence(1, size(__toks) - {n - 1}),"
+                f" i -> concat_ws(' ', slice(__toks, i, {n})))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    return (
+        toked.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str, n_hashes: int = 8
+) -> DataFrame:
+    """K min-hashes per document: h_i = min over shingles of
+    md5('<i>:' || shingle) — the minimum of a keyed hash in the
+    hex-string domain (lexicographic min ≡ numeric min of the 128-bit
+    value). One aggregation computes all K."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(
+            f"minhash_{i}"
+        )
+        for i in range(n_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_buckets(
+    signatures: DataFrame, id_col: str, n_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """LSH banding: signature split into ``bands`` bands of
+    ``n_hashes/bands`` rows; band key = md5 of the band's
+    concatenated min-hashes. Returns (id, band, bucket)."""
+    rows = n_hashes // bands
+    parts = []
+    for b in range(bands):
+        cols = [F.col(f"minhash_{b * rows + r}") for r in range(rows)]
+        parts.append(
+            signatures.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def lsh_candidate_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing any LSH bucket —
+    the self-join is on (band, bucket), so only collisions pair up."""
+    a = buckets.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("a")
+    )
+    b = buckets.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("b")
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    id_col: str,
+    min_jaccard: float = 0.0,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for document pairs.
+
+    Pairs come from the shingle inverted index (documents sharing at
+    least one shingle); pass ``candidates`` (a, b) to restrict to an
+    LSH candidate set instead. |A| and |B| are per-doc shingle counts
+    broadcast back; |∩| is the pair-join row count.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = shingles.select(F.col(id_col).alias("a"), "shingle")
+    b = shingles.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["a", "b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                6,
+            ),
+        )
+    )
+    return out.where(F.col("jaccard") >= min_jaccard).select(
+        "a", "b", "n_common", "sz_a", "sz_b", "jaccard"
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """SimHash over word tokens (frequency-weighted): for each bit b
+    of the token's md5 prefix, sum ±1 across tokens; positive sums set
+    the bit. Bits are read from the md5 hex characters (4 bits per
+    char) so the definition is engine-portable. Returns (id, simhash).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    h = toks.withColumn("__h", F.md5(F.col("tok")))
+    aggs = []
+    for b in range(bits):
+        char_idx = b // 4 + 1  # 1-based substring index
+        bit_in_char = b % 4
+        digit = F.expr(f"instr('{HEX}', substring(__h, {char_idx}, 1)) - 1")
+        bit = F.floor(digit / F.lit(2**bit_in_char)) % 2
+        aggs.append(F.sum(bit * 2 - 1).alias(f"__s{b}"))
+    sums = h.groupBy(id_col).agg(*aggs)
+    value = None
+    for b in range(bits):
+        term = F.when(F.col(f"__s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        value = term if value is None else value + term
+    return sums.select(F.col(id_col), value.cast("long").alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column, bits: int = 32) -> Column:
+    """Popcount of XOR — near-dup distance between simhashes."""
+    x = a.bitwiseXOR(b)
+    total = None
+    for b_ in range(bits):
+        t = F.shiftright(x, b_) % 2
+        total = t if total is None else total + t
+    return total

@@ -1,0 +1,160 @@
+"""Multimodal column plumbing — image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched ``mapInPandas``
+operators.
+
+The pattern for a 100 TB multimodal corpus:
+
+- media bytes live in a ``binary`` column (or a pointer column to an
+  object store) next to a typed metadata struct (mime, width, height,
+  duration_ms, sample_rate, ...);
+- decode / feature-extract / resize / frame-sample run as
+  ``mapInPandas`` stages: Arrow ships the binary batches to Python
+  once, the worker processes a whole batch, and the output schema is
+  declared up front so Catalyst can plan around the stage;
+- partitioning is by content id — media rows never shuffle for the
+  decode itself (map-only), only for downstream joins/groupings.
+
+The actual codecs (PIL / libav / ffmpeg) are NOT in this container, so
+``decode_image`` raises ``NotImplementedError`` unless a decoder is
+injected; ``FakeDecoder`` is the deterministic stand-in used by tests
+— the Spark-side plumbing (schema, batching, UDF signatures) is real
+and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, n_bytes int, crc32 long, sha1 string, "
+    "width int, height int, feature array<float>"
+)
+
+
+class FakeDecoder:
+    """Deterministic stand-in for an image decoder: 'decodes' bytes to
+    a fixed-length feature vector derived from content hashes. Replace
+    with a real codec-backed decoder in production."""
+
+    feature_dim = 8
+
+    def decode_batch(self, contents: pd.Series) -> pd.DataFrame:
+        feats, widths, heights = [], [], []
+        for raw in contents:
+            if raw is None:
+                feats.append(None)
+                widths.append(None)
+                heights.append(None)
+                continue
+            digest = hashlib.sha256(bytes(raw)).digest()
+            feats.append(
+                [b / 255.0 for b in digest[: self.feature_dim]]
+            )
+            widths.append(int.from_bytes(digest[8:10], "big") % 4096)
+            heights.append(int.from_bytes(digest[10:12], "big") % 4096)
+        return pd.DataFrame(
+            {"feature": feats, "width": widths, "height": heights}
+        )
+
+
+def decode_image(*_args, **_kwargs):
+    """Real image decode — requires an image library not present in
+    this environment. Inject a decoder into ``extract_features``
+    instead (tests use ``FakeDecoder``)."""
+    raise NotImplementedError(
+        "no image codec in this environment; pass decoder=FakeDecoder() "
+        "or a codec-backed implementation to extract_features()"
+    )
+
+
+def extract_features(
+    media: DataFrame,
+    decoder: Callable | None = None,
+    batch_hint: int = 256,
+) -> DataFrame:
+    """mapInPandas feature-extraction stage over a media table with
+    (media_id, content binary, meta struct).
+
+    Emits per-item: byte size, crc32, sha1, decoded width/height and a
+    feature vector. Map-only — no shuffle; Arrow batches bound worker
+    memory regardless of per-item size.
+    """
+    dec = decoder if decoder is not None else decode_image()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = dec.decode_batch(pdf["content"])
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "n_bytes": [
+                        len(bytes(c)) if c is not None else None
+                        for c in pdf["content"]
+                    ],
+                    "crc32": [
+                        zlib.crc32(bytes(c)) if c is not None else None
+                        for c in pdf["content"]
+                    ],
+                    "sha1": [
+                        hashlib.sha1(bytes(c)).hexdigest()
+                        if c is not None
+                        else None
+                        for c in pdf["content"]
+                    ],
+                    "width": decoded["width"].values,
+                    "height": decoded["height"].values,
+                    "feature": decoded["feature"].values,
+                }
+            )
+            yield out
+
+    return media.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(
+    media: DataFrame, every_ms: int = 1000
+) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled frame
+    timestamp (media_id, frame_ms) — the pure-Spark half of frame
+    extraction (sequence + explode on the metadata; the decode of each
+    frame would be another mapInPandas stage)."""
+    return media.select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.coalesce(F.col("meta.duration_ms"), F.lit(0))
+                    - F.lit(1),
+                    F.lit(0),
+                ),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ms"),
+    )

@@ -1,0 +1,173 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- **Brute-force cosine top-k** — the correctness baseline: broadcast
+  the (small) query set against the corpus, dot/norm via ``aggregate``
+  / ``zip_with`` (JVM-side higher-order functions, no Python), rank
+  with a per-query window. One pass over the corpus regardless of
+  query count.
+- **LSH-bucketed ANN** — the scale path: deterministic random
+  hyperplanes (md5-derived, engine-portable), sign bits form a bucket
+  key; candidates come only from the query's bucket. Probing more
+  buckets trades recall for cost. At 100 TB the corpus never
+  self-joins: it is hashed once (one shuffle on bucket) and queries
+  broadcast into buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+HEX = "0123456789abcdef"
+
+
+def as_double_array(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double dot product (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    ``queries`` is broadcast (it is the small side by construction);
+    the corpus streams through one stage — scan, score, per-query
+    window top-k. Self-matches are excluded.
+    Returns (query_id, neighbor_id, cosine_sim, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec_col).alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("__cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine_sim",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), round_to),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def _hyperplane(dim: int, plane: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component d is the
+    centered value of md5('p<plane>:d<d>')'s first hex digit — fully
+    reproducible across engines and runs, no RNG state."""
+    comps = [
+        F.expr(f"instr('{HEX}', substring(md5('p{plane}:d{d}'), 1, 1)) - 8.5")
+        for d in range(dim)
+    ]
+    return F.array(*comps)
+
+
+def lsh_bucket_expr(
+    vec: Column, dim: int, n_planes: int = 4, table_idx: int = 0
+) -> Column:
+    """Sign-bit bucket key for one hash table: bit p =
+    (vec · hyperplane_{table·planes+p}) > 0."""
+    bits = []
+    for p in range(n_planes):
+        plane = table_idx * n_planes + p
+        bits.append(
+            F.when(dot(vec, _hyperplane(dim, plane)) > 0, F.lit("1"))
+            .otherwise(F.lit("0"))
+        )
+    return F.concat(F.lit(f"t{table_idx}:"), *bits)
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k: score only candidates sharing an LSH bucket
+    with the query in ANY of ``n_tables`` hash tables (multi-table
+    OR-amplification: more tables → higher recall, more candidates).
+
+    Recall < 1 by design; the bucket joins replace the full cross
+    product. The 100 TB plan: the corpus is hashed once per table
+    (map-only), shuffled once on bucket, and queries broadcast — the
+    corpus never self-joins.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("__cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec_col).alias("__qv"),
+    )
+    cand = None
+    for t in range(n_tables):
+        cb = c.select(
+            "neighbor_id",
+            lsh_bucket_expr(F.col("__cv"), dim, n_planes, t).alias("__b"),
+        )
+        qb = q.select(
+            "query_id",
+            lsh_bucket_expr(F.col("__qv"), dim, n_planes, t).alias("__b"),
+        )
+        pairs = cb.join(F.broadcast(qb), "__b").select(
+            "query_id", "neighbor_id"
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.where(F.col("query_id") != F.col("neighbor_id")).distinct()
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cosine_sim",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), round_to),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

@@ -1,0 +1,336 @@
+"""Training-data pipeline queries over ``documents`` / ``embeddings``:
+text analysis, deduplication (exact / MinHash-LSH / n-gram Jaccard /
+SimHash), and embedding similarity search — each backed by a DuckDB
+oracle computing the identical md5-based definitions.
+
+The dedup queries plant near-duplicates (a perturbed copy of every
+document, id + 1,000,000) so the checks prove the operators *find*
+duplicates, not just run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import textfns as TX
+from ..operators import dedup as DD
+from ..operators import similarity as SIM
+from ..registry import query
+from .common import table
+
+# DuckDB equivalent of normalize_text(text) — NB DuckDB regexp_replace
+# needs the 'g' flag (Spark replaces all occurrences by default).
+NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+TOKS = f"string_split({NORM}, ' ')"
+HEX = DD.HEX
+
+
+# --------------------------------------------------------------------
+# Text analysis: token stats.
+# --------------------------------------------------------------------
+TSTATS_ORACLE = f"""
+SELECT doc_id,
+       len({TOKS}) AS n_tokens,
+       length({NORM}) AS n_chars_norm,
+       round(list_aggregate(list_transform({TOKS}, w -> length(w)), 'sum')
+             / greatest(len({TOKS}), 1), 6) AS mean_word_len,
+       round(len(list_filter({TOKS},
+             w -> w IN ('the','a','of','and','to','in','is','it')))
+             / greatest(len({TOKS}), 1), 6) AS stopword_ratio
+FROM documents
+"""
+
+
+@query("t_token_stats", TSTATS_ORACLE)
+def t_token_stats(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        F.length(DD.normalize_text("text")).alias("n_chars_norm"),
+        TX.mean_word_length("text").alias("mean_word_len"),
+        TX.stopword_ratio("text").alias("stopword_ratio"),
+    )
+
+
+# --------------------------------------------------------------------
+# Text analysis: composite quality score.
+# --------------------------------------------------------------------
+_SW = "('the','a','of','and','to','in','is','it')"
+QUALITY_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id,
+    len({TOKS}) AS n,
+    round(list_aggregate(list_transform({TOKS}, w -> length(w)), 'sum')
+          / greatest(len({TOKS}), 1), 6) AS wl,
+    round(len(list_filter({TOKS}, w -> w IN {_SW}))
+          / greatest(len({TOKS}), 1), 6) AS swr,
+    round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+          / greatest(length(text), 1), 6) AS pr
+  FROM documents
+)
+SELECT doc_id,
+  round(0.4 * least(n / 100.0, 1.0)
+      + 0.2 * (CASE WHEN wl >= 3.0 AND wl <= 8.0 THEN 1.0 ELSE 0.5 END)
+      + 0.2 * least(swr * 4.0, 1.0)
+      + 0.2 * (1.0 - least(pr * 5.0, 1.0)), 6) AS quality
+FROM m
+"""
+
+
+@query("t_quality_score", QUALITY_ORACLE)
+def t_quality_score(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.quality_score("text").alias("quality")
+    )
+
+
+# --------------------------------------------------------------------
+# Text analysis: language-ID heuristic (marker-lexicon argmax with
+# fixed tie-break priority).
+# --------------------------------------------------------------------
+def _langid_oracle() -> str:
+    score = {
+        lang: (
+            f"len(list_filter({TOKS}, w -> w IN "
+            f"({', '.join(repr(w) for w in words)})))"
+        )
+        for lang, words in TX.LANG_MARKERS.items()
+    }
+    cases = []
+    for i, lang in enumerate(TX.LANG_PRIORITY):
+        conds = [f"{score[lang]} > 0"]
+        for j, other in enumerate(TX.LANG_PRIORITY):
+            if i == j:
+                continue
+            op = ">" if j < i else ">="
+            conds.append(f"{score[lang]} {op} {score[other]}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return (
+        "SELECT doc_id, lang, CASE "
+        + " ".join(cases)
+        + " ELSE 'unknown' END AS detected_lang FROM documents"
+    )
+
+
+@query("t_lang_id", _langid_oracle())
+def t_lang_id(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", TX.lang_id("text").alias("detected_lang")
+    )
+
+
+# --------------------------------------------------------------------
+# Exact dedup on a corpus with planted duplicates.
+# --------------------------------------------------------------------
+DEDUP_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+), fp AS (
+  SELECT doc_id, md5({NORM}) AS fingerprint,
+         row_number() OVER (PARTITION BY md5({NORM}) ORDER BY doc_id) AS rn
+  FROM corpus
+)
+SELECT doc_id, fingerprint FROM fp WHERE rn = 1
+"""
+
+
+@query("d_exact_dedup", DEDUP_ORACLE)
+def d_exact_dedup(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return DD.exact_dedup(corpus, "doc_id", "text").select(
+        "doc_id", "fingerprint"
+    )
+
+
+# --------------------------------------------------------------------
+# MinHash + LSH candidate pairs on planted near-duplicates (the copy
+# has one appended token, so shingle sets differ slightly; banded
+# min-hash still collides).
+# --------------------------------------------------------------------
+_NEAR_CORPUS = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' zzextra' FROM documents
+"""
+
+
+def _shingle_cte(n: int = 2) -> str:
+    # distinct word bigrams per doc over the planted corpus
+    return f"""
+corpus AS ({_NEAR_CORPUS}),
+toks AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)),
+         '\\s+', ' ', 'g'), ' ') AS t
+  FROM corpus
+), shingles AS (
+  SELECT DISTINCT doc_id,
+         t[i] || ' ' || t[i+1] AS shingle
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+)
+"""
+
+
+def _minhash_cte(n_hashes: int = 8) -> str:
+    cols = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS minhash_{i}" for i in range(n_hashes)
+    )
+    return f"sigs AS (SELECT doc_id, {cols} FROM shingles GROUP BY doc_id)"
+
+
+def _lsh_pairs_oracle(n_hashes: int = 8, bands: int = 4) -> str:
+    rows = n_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        cat = " || '|' || ".join(
+            f"minhash_{b * rows + r}" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cat}) AS bucket FROM sigs"
+        )
+    buckets = " UNION ALL ".join(band_selects)
+    return f"""
+WITH {_shingle_cte()}, {_minhash_cte(n_hashes)},
+buckets AS ({buckets})
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM buckets x JOIN buckets y
+  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+"""
+
+
+def _near_corpus_spark(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzextra")).alias("text"),
+        )
+    )
+
+
+@query("d_minhash_lsh_pairs", _lsh_pairs_oracle())
+def d_minhash_lsh_pairs(spark, sf_dir):
+    corpus = _near_corpus_spark(spark, sf_dir)
+    shingles = DD.word_shingles(corpus, "doc_id", "text", n=2)
+    sigs = DD.minhash_signatures(shingles, "doc_id", n_hashes=8)
+    buckets = DD.lsh_buckets(sigs, "doc_id", n_hashes=8, bands=4)
+    return DD.lsh_candidate_pairs(buckets, "doc_id")
+
+
+# --------------------------------------------------------------------
+# Exact n-gram Jaccard over the shingle inverted index (pairs sharing
+# ≥1 shingle; threshold keeps the planted near-dups).
+# --------------------------------------------------------------------
+JACCARD_ORACLE = f"""
+WITH {_shingle_cte()},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+  FROM shingles x JOIN shingles y
+    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b, n_common, sa.sz AS sz_a, sb.sz AS sz_b,
+       round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.a = sa.doc_id
+JOIN sizes sb ON inter.b = sb.doc_id
+WHERE round(n_common / (sa.sz + sb.sz - n_common), 6) >= 0.5
+"""
+
+
+@query("d_ngram_jaccard_pairs", JACCARD_ORACLE)
+def d_ngram_jaccard_pairs(spark, sf_dir):
+    corpus = _near_corpus_spark(spark, sf_dir)
+    shingles = DD.word_shingles(corpus, "doc_id", "text", n=2)
+    return DD.jaccard_pairs(shingles, "doc_id", min_jaccard=0.5)
+
+
+# --------------------------------------------------------------------
+# SimHash (32-bit, frequency-weighted, md5-hex-derived bits).
+# --------------------------------------------------------------------
+def _simhash_oracle(bits: int = 32) -> str:
+    sums = []
+    for b in range(bits):
+        ci = b // 4 + 1
+        p = 2 ** (b % 4)
+        bit = (
+            f"CAST(floor((instr('{HEX}', substring(h, {ci}, 1)) - 1)"
+            f" / {p}) AS BIGINT) % 2"
+        )
+        sums.append(f"sum({bit} * 2 - 1) AS s{b}")
+    value = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({NORM}, ' ')) AS tok FROM documents
+), h AS (
+  SELECT doc_id, md5(tok) AS h FROM toks WHERE tok <> ''
+), s AS (
+  SELECT doc_id, {', '.join(sums)} FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({value} AS BIGINT) AS simhash FROM s
+"""
+
+
+@query("d_simhash", _simhash_oracle())
+def d_simhash(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return DD.simhash(docs, "doc_id", "text", bits=32)
+
+
+# --------------------------------------------------------------------
+# Brute-force cosine top-k (exact ANN baseline). Queries = vec_id<10.
+# --------------------------------------------------------------------
+_DOT = (
+    "list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)),"
+    " list_transform({b}, x -> CAST(x AS DOUBLE)))"
+)
+COSINE_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round({_DOT.format(a='q.qe', b='c.embedding')}
+               / (sqrt({_DOT.format(a='q.qe', b='q.qe')})
+                  * sqrt({_DOT.format(a='c.embedding', b='c.embedding')})),
+               6) AS cosine_sim
+  FROM embeddings c, q WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine_sim,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@query("s_cosine_topk", COSINE_ORACLE)
+def s_cosine_topk(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return SIM.cosine_topk(emb, queries, k=5)
+
+
+# --------------------------------------------------------------------
+# LSH-bucketed approximate top-k — the 100 TB scale path. Approximate
+# by design => no SQL oracle; the driver records a rows-only check and
+# tests/test_textops.py checks recall against the exact baseline.
+# --------------------------------------------------------------------
+@query("s_lsh_ann_topk")
+def s_lsh_ann_topk(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return SIM.lsh_ann_topk(emb, queries, dim=64, k=5, n_planes=4, n_tables=3)

@@ -1,0 +1,125 @@
+"""Text/dedup/similarity operator suite vs DuckDB oracle + semantic
+checks (planted duplicates found; ANN recall vs exact baseline)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from historical_obs_platform_spark import registry
+
+registry.load_all()
+
+from .conftest import SF_DIR, assert_matches_oracle
+
+NAMES = [
+    "t_token_stats",
+    "t_quality_score",
+    "t_lang_id",
+    "d_exact_dedup",
+    "d_minhash_lsh_pairs",
+    "d_ngram_jaccard_pairs",
+    "d_simhash",
+    "s_cosine_topk",
+]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_matches_oracle(spark, oracle_con, name):
+    assert_matches_oracle(spark, oracle_con, name)
+
+
+def test_exact_dedup_removes_planted_dupes(spark):
+    from historical_obs_platform_spark.registry import QUERIES
+
+    out = QUERIES["d_exact_dedup"](spark, SF_DIR)
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert out.count() == n_docs  # every planted copy removed
+    assert out.where(F.col("doc_id") >= 1000000).count() == 0  # min id kept
+
+
+def test_minhash_lsh_finds_planted_near_dupes(spark):
+    from historical_obs_platform_spark.registry import QUERIES
+
+    pairs = QUERIES["d_minhash_lsh_pairs"](spark, SF_DIR).toPandas()
+    planted = pairs[pairs["b"] == pairs["a"] + 1000000]
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    # banding is probabilistic; expect the vast majority of plants found
+    assert len(planted) > 0.8 * n_docs, f"found {len(planted)}/{n_docs}"
+
+
+def test_jaccard_pairs_rank_planted_highest(spark):
+    from historical_obs_platform_spark.registry import QUERIES
+
+    pairs = QUERIES["d_ngram_jaccard_pairs"](spark, SF_DIR).toPandas()
+    planted = pairs[pairs["b"] == pairs["a"] + 1000000]
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(planted) == n_docs  # every planted pair ≥ 0.5 jaccard
+    assert (planted["jaccard"] > 0.8).all()
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    """A perturbed copy must land within a few bits of the original;
+    random pairs must not."""
+    from historical_obs_platform_spark.operators.dedup import (
+        hamming_distance,
+        simhash,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    orig = simhash(docs, "doc_id", "text")
+    pert = simhash(
+        docs.select(
+            "doc_id", F.concat("text", F.lit(" zzextra")).alias("text")
+        ),
+        "doc_id",
+        "text",
+    ).withColumnRenamed("simhash", "simhash_p")
+    joined = orig.join(pert, "doc_id").select(
+        hamming_distance(F.col("simhash"), F.col("simhash_p")).alias("d")
+    )
+    dists = [r["d"] for r in joined.collect()]
+    assert max(dists) <= 6
+    # cross-document distances should be large on average
+    cross = (
+        orig.alias("x")
+        .join(orig.alias("y"), F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            hamming_distance(
+                F.col("x.simhash"), F.col("y.simhash")
+            ).alias("d")
+        )
+    )
+    avg_cross = cross.agg(F.avg("d")).collect()[0][0]
+    assert avg_cross > 8
+
+
+def test_lsh_ann_recall_vs_exact(spark):
+    """The approximate path must agree with the exact baseline on a
+    decent fraction of (query, neighbor) hits at k=5."""
+    from historical_obs_platform_spark.registry import QUERIES
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["s_cosine_topk"](spark, SF_DIR).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["s_lsh_ann_topk"](spark, SF_DIR).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"recall {recall:.2f}"
+
+
+def test_winnow_fingerprint_order_insensitive_prefix(spark):
+    """Same text → same fingerprint; different text → different."""
+    from historical_obs_platform_spark.functions.textfns import (
+        winnow_fingerprint,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "a different doc")],
+        "id int, text string",
+    )
+    rows = df.select("id", winnow_fingerprint("text").alias("fp")).collect()
+    fps = {r.id: r.fp for r in rows}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
