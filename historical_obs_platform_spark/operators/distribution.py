@@ -1,0 +1,676 @@
+"""Distribution-based QA/QC tests — unusual gaps, frequent values,
+climatological outliers, precipitation dailies, streak variants
+(reference ``qaqc_unusual_gaps.py`` / ``qaqc_frequent.py`` /
+``qaqc_climatological_outlier.py`` / ``qaqc_unusual_streaks.py``).
+
+Everything except the low-pass island is grouped aggregates + window
+passes; the Butterworth filter (W9) runs per-station inside
+``applyInPandas`` with a self-contained numpy IIR (scipy is not
+available in this environment; an order-1 Butterworth is two biquad
+coefficients from the bilinear transform — public signal-processing
+math).
+
+Deviations from the reference are intent-preserving and documented
+inline (the reference's part-1 gap check computes its bounds over the
+whole record rather than the month slice — a known quirk; this engine
+evaluates each calendar month against its own climatology, which is
+the documented intent and what FIXTURES.md D11 expects).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import qaqc as Q
+from .windows import ordered_window, sessionize
+
+# Histogram bin widths per variable family (qaqc_utils.py:59-71):
+# 1 K temperatures, 100 Pa pressures, 0.1 mm precip, 50 W/m²
+# radiation; 0.25 IQR-units for standardized series.
+BIN_WIDTHS = {
+    "tas": 1.0,
+    "tdps": 1.0,
+    "tdps_derived": 1.0,
+    "ps": 100.0,
+    "psl": 100.0,
+    "ps_altimeter": 100.0,
+    "ps_derived": 100.0,
+    "pr": 0.1,
+    "pr_5min": 0.1,
+    "pr_15min": 0.1,
+    "pr_1h": 0.1,
+    "pr_24h": 0.1,
+    "pr_localmid": 0.1,
+    "rsds": 50.0,
+    "sfcWind": 0.5,
+    "sfcWind_dir": 10.0,
+    "hurs": 1.0,
+}
+
+FLAG_GAP_MONTH = 21
+FLAG_GAP_DISTRIBUTION = 22
+FLAG_FREQ_ANNUAL = 24
+FLAG_FREQ_SEASONAL = 25
+FLAG_CLIM_OUTLIER = 26
+FLAG_STREAK_HOUR = 27
+FLAG_STREAK_DAY = 29
+FLAG_PR_FREQUENT = 31
+FLAG_PR_CLIM = 32
+FLAG_PR_GAP = 33
+
+
+def _moy(time_col: str = "time") -> Column:
+    return F.month(time_col)
+
+
+# ------------------------------------------------------------ yellow flags
+def record_length_bypass(
+    df: DataFrame, var: str, min_years: int = 5
+) -> DataFrame:
+    """Flags 19/20 (qaqc_utils.py:203-323): a (station, calendar
+    month) with fewer than ``min_years`` distinct years of valid data
+    is too short for distribution tests — yellow-flag it (20) so the
+    distribution checks skip it but plain checks still run."""
+    if var not in df.columns:
+        return df
+    years = (
+        df.where(F.col(var).isNotNull() & Q.valid_mask(var))
+        .groupBy("station", _moy().alias("__moy"))
+        .agg(F.countDistinct(F.year("time")).alias("__n_years"))
+    )
+    short = years.where(F.col("__n_years") < min_years).select(
+        "station", "__moy", F.lit(True).alias("__too_short")
+    )
+    out = (
+        df.withColumn("__moy", _moy())
+        .join(F.broadcast(short), ["station", "__moy"], "left")
+    )
+    out = Q.write_flag(
+        out,
+        var,
+        F.col("__too_short").isNotNull() & F.col(var).isNotNull(),
+        Q.FLAG_YELLOW_VARIABLE,
+    )
+    return out.drop("__moy", "__too_short")
+
+
+# --------------------------------------------------- flag 21: monthly gap
+def monthly_median_gap_check(
+    df: DataFrame, var: str, iqr_thresh: float = 5.0
+) -> DataFrame:
+    """Flag 21 (qaqc_dist_gap_part1, qaqc_unusual_gaps.py:113-212): a
+    (year, calendar-month) whose monthly median falls outside the
+    month's climatological median ± iqr_thresh × IQR gets the whole
+    month flagged.
+
+    Per calendar month m: clim = median(var | month=m), IQR over the
+    same slice (standardized_median_bounds, qaqc_plot.py:1464-1499);
+    monthly medians per (year, m) compared against the bounds.
+    """
+    if var not in df.columns:
+        return df
+    valid = df.where(Q.valid_mask(var, keep_yellow=False) & F.col(var).isNotNull())
+    clim = valid.groupBy("station", _moy().alias("__moy")).agg(
+        F.expr(f"percentile({var}, 0.5)").alias("__clim"),
+        (
+            F.expr(f"percentile({var}, 0.75)")
+            - F.expr(f"percentile({var}, 0.25)")
+        ).alias("__iqr"),
+    )
+    yearly = valid.groupBy(
+        "station", F.year("time").alias("__yr"), _moy().alias("__moy")
+    ).agg(F.expr(f"percentile({var}, 0.5)").alias("__med"))
+    bad_months = (
+        yearly.join(clim, ["station", "__moy"])
+        .where(
+            (F.col("__med") < F.col("__clim") - iqr_thresh * F.col("__iqr"))
+            | (F.col("__med") > F.col("__clim") + iqr_thresh * F.col("__iqr"))
+        )
+        .select("station", "__yr", "__moy", F.lit(True).alias("__bad_month"))
+    )
+    out = (
+        df.withColumn("__yr", F.year("time"))
+        .withColumn("__moy", _moy())
+        .join(F.broadcast(bad_months), ["station", "__yr", "__moy"], "left")
+    )
+    out = Q.write_flag(
+        out, var, F.col("__bad_month").isNotNull(), FLAG_GAP_MONTH
+    )
+    return out.drop("__yr", "__moy", "__bad_month")
+
+
+# ---------------------------------------------- flag 22: distribution gap
+def distribution_gap_check(
+    df: DataFrame, var: str, pdf_floor: float = 0.1, min_gap_bins: int = 2
+) -> DataFrame:
+    """Flag 22 (qaqc_dist_gap_part2, qaqc_unusual_gaps.py:215-344):
+    per (station, calendar month), observations standardized by the
+    month's median/IQR; a normal fit gives tail bounds where the
+    fitted pdf drops below ``pdf_floor``; occupied histogram bins
+    beyond the bounds AND separated from the body by ≥ ``min_gap_bins``
+    empty bins are flagged.
+
+    pdf(x) = 0.1 solved exactly for the fitted normal:
+    |x−μ| > σ·sqrt(−2·ln(0.1·σ·√(2π))) (no bound when σ is large
+    enough that the pdf never reaches 0.1). Bin width 0.25 IQR-units
+    (qaqc_utils.py:59-71).
+    """
+    if var not in df.columns:
+        return df
+    valid = df.where(
+        Q.valid_mask(var, keep_yellow=False) & F.col(var).isNotNull()
+    )
+    stats = valid.groupBy("station", _moy().alias("__moy")).agg(
+        F.expr(f"percentile({var}, 0.5)").alias("__med"),
+        F.greatest(
+            F.expr(f"percentile({var}, 0.75) - percentile({var}, 0.25)"),
+            F.lit(1e-9),
+        ).alias("__iqr"),
+    )
+    std = (
+        valid.withColumn("__moy", _moy())
+        .join(stats, ["station", "__moy"])
+        .withColumn("__s", (F.col(var) - F.col("__med")) / F.col("__iqr"))
+        .withColumn("__bin", F.floor(F.col("__s") / F.lit(0.25)))
+    )
+    moments = std.groupBy("station", "__moy").agg(
+        F.avg("__s").alias("__mu"),
+        F.coalesce(F.stddev_pop("__s"), F.lit(0.0)).alias("__sigma"),
+    )
+    hist = std.groupBy("station", "__moy", "__bin").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    # bins sorted; a bin "starts a tail island" if the previous
+    # occupied bin is ≥ min_gap_bins+1 away from it (on that side of
+    # the bound)
+    w_up = Window.partitionBy("station", "__moy").orderBy("__bin")
+    w_dn = Window.partitionBy("station", "__moy").orderBy(F.desc("__bin"))
+    hist2 = (
+        hist.join(moments, ["station", "__moy"])
+        .withColumn(
+            "__z",
+            F.when(
+                F.lit(0.1) * F.col("__sigma") * F.lit(math.sqrt(2 * math.pi))
+                < 1.0,
+                F.col("__sigma")
+                * F.sqrt(
+                    F.lit(-2.0)
+                    * F.log(
+                        F.lit(0.1)
+                        * F.col("__sigma")
+                        * F.lit(math.sqrt(2 * math.pi))
+                    )
+                ),
+            ),
+        )
+        .withColumn("__gap_up", F.col("__bin") - F.lag("__bin").over(w_up))
+        .withColumn("__gap_dn", F.lag("__bin").over(w_dn) - F.col("__bin"))
+    )
+    # island start: gap from previous occupied bin > min_gap_bins;
+    # islands propagate outward (everything beyond a detached start on
+    # the same side is also detached)
+    hi_bound = (F.col("__mu") + F.col("__z")) / 0.25
+    lo_bound = (F.col("__mu") - F.col("__z")) / 0.25
+    detached_hi = F.max(
+        F.when(
+            (F.col("__bin") > hi_bound) & (F.col("__gap_up") > min_gap_bins),
+            F.col("__bin"),
+        )
+    ).over(
+        Window.partitionBy("station", "__moy")
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    detached_lo = F.min(
+        F.when(
+            (F.col("__bin") < lo_bound) & (F.col("__gap_dn") > min_gap_bins),
+            F.col("__bin"),
+        )
+    ).over(
+        Window.partitionBy("station", "__moy")
+        .orderBy("__bin")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    bad_bins = (
+        hist2.withColumn("__dhi", detached_hi)
+        .withColumn("__dlo", detached_lo)
+        .where(
+            F.col("__z").isNotNull()
+            & (
+                (F.col("__dhi").isNotNull() & (F.col("__bin") >= F.col("__dhi")))
+                | (F.col("__dlo").isNotNull() & (F.col("__bin") <= F.col("__dlo")))
+            )
+        )
+        .select("station", "__moy", "__bin", F.lit(True).alias("__bad_bin"))
+    )
+    flagged = std.join(
+        F.broadcast(bad_bins), ["station", "__moy", "__bin"], "left_semi"
+    ).select("station", "time", F.lit(True).alias("__bad_obs"))
+    out = df.join(flagged, ["station", "time"], "left")
+    out = Q.write_flag(
+        out, var, F.col("__bad_obs").isNotNull(), FLAG_GAP_DISTRIBUTION
+    )
+    return out.drop("__bad_obs")
+
+
+# ------------------------------------------- flags 24/25: frequent values
+def frequent_values_check(
+    df: DataFrame,
+    var: str,
+    annual_min_count: int = 30,
+    seasonal_min_count: int = 20,
+    dominance: float = 0.5,
+    neighborhood: int = 3,
+) -> DataFrame:
+    """Flags 24 (whole-record) / 25 (seasonal) (qaqc_frequent.py:
+    223-563): a histogram bin holding > ``dominance`` of its ±3-bin
+    block with enough observations marks all its values as suspiciously
+    frequent. Seasons are DJF/MAM/JJA/SON over the whole record.
+    tas ↔ tdps are synergistically flagged by the caller (L10)."""
+    if var not in df.columns:
+        return df
+    width = BIN_WIDTHS.get(var, 1.0)
+    valid = df.where(Q.valid_mask(var) & F.col(var).isNotNull()).withColumn(
+        "__bin", F.floor(F.col(var) / F.lit(width))
+    )
+
+    season = (
+        F.when(F.month("time").isin(12, 1, 2), "DJF")
+        .when(F.month("time").isin(3, 4, 5), "MAM")
+        .when(F.month("time").isin(6, 7, 8), "JJA")
+        .otherwise("SON")
+    )
+
+    def bad_bins(grouped: DataFrame, keys: list[str], min_count: int):
+        w = (
+            Window.partitionBy("station", *keys)
+            .orderBy("__bin")
+            .rangeBetween(-neighborhood, neighborhood)
+        )
+        return (
+            grouped.withColumn("__block", F.sum("__n").over(w))
+            .where(
+                (F.col("__n") > F.col("__block") * dominance)
+                & (F.col("__n") > min_count)
+            )
+            .select("station", *keys, "__bin")
+        )
+
+    annual_hist = valid.groupBy("station", "__bin").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    annual_bad = bad_bins(annual_hist, [], annual_min_count)
+
+    seasonal_hist = valid.withColumn("__season", season).groupBy(
+        "station", "__season", "__bin"
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    seasonal_bad = bad_bins(seasonal_hist, ["__season"], seasonal_min_count)
+
+    out = df.withColumn("__bin", F.floor(F.col(var) / F.lit(width)))
+    out = out.join(
+        F.broadcast(annual_bad.withColumn("__freq_a", F.lit(True))),
+        ["station", "__bin"],
+        "left",
+    )
+    out = Q.write_flag(
+        out, var, F.col("__freq_a").isNotNull(), FLAG_FREQ_ANNUAL
+    )
+    out = out.withColumn("__season", season).join(
+        F.broadcast(seasonal_bad.withColumn("__freq_s", F.lit(True))),
+        ["station", "__season", "__bin"],
+        "left",
+    )
+    out = Q.write_flag(
+        out, var, F.col("__freq_s").isNotNull(), FLAG_FREQ_SEASONAL
+    )
+    return out.drop("__bin", "__season", "__freq_a", "__freq_s")
+
+
+def synergistic_flag_copy(
+    df: DataFrame, var_a: str = "tas", var_b: str = "tdps"
+) -> DataFrame:
+    """L10 (qaqc_frequent.py:467-500): frequent-value flags on tas are
+    copied to tdps at the same rows and vice versa (24/25)."""
+    if var_a not in df.columns or var_b not in df.columns:
+        return df
+    out = df
+    for src, dst in ((var_a, var_b), (var_b, var_a)):
+        for flag in (FLAG_FREQ_ANNUAL, FLAG_FREQ_SEASONAL):
+            out = out.withColumn(
+                Q.eraqc(dst),
+                F.when(
+                    (F.col(Q.eraqc(src)) == flag)
+                    & F.col(Q.eraqc(dst)).isNull(),
+                    F.lit(float(flag)),
+                ).otherwise(F.col(Q.eraqc(dst))),
+            )
+    return out
+
+
+# --------------------------------------------- daily precip preparations
+def _daily_precip(df: DataFrame, var: str) -> DataFrame:
+    valid = df.where(Q.valid_mask(var) & F.col(var).isNotNull())
+    return valid.groupBy(
+        "station", F.to_date("time").alias("__day")
+    ).agg(F.sum(var).alias("__daily"))
+
+
+def _flag_days(
+    df: DataFrame, var: str, bad_days: DataFrame, flag: int
+) -> DataFrame:
+    """Back-flag all native rows belonging to flagged days."""
+    out = df.withColumn("__day", F.to_date("time")).join(
+        F.broadcast(bad_days.select("station", "__day").withColumn("__bad_day", F.lit(True))),
+        ["station", "__day"],
+        "left",
+    )
+    out = Q.write_flag(out, var, F.col("__bad_day").isNotNull(), flag)
+    return out.drop("__day", "__bad_day")
+
+
+# ----------------------------------------------- flag 31: frequent precip
+def precip_frequent_check(
+    df: DataFrame,
+    var: str = "pr",
+    moderate_mm: float = 18.0,
+    min_run_days: int = 5,
+) -> DataFrame:
+    """Flag 31 (qaqc_frequent.py:566-645): ≥ ``min_run_days``
+    consecutive days with identical daily totals above
+    ``moderate_mm`` indicate a stuck gauge; all obs of those days are
+    flagged."""
+    if var not in df.columns:
+        return df
+    daily = _daily_precip(df, var)
+    runs = sessionize(
+        daily,
+        "station",
+        "__day",
+        (F.col("__daily") != F.lag("__daily").over(ordered_window("station", "__day")))
+        | (
+            F.datediff(
+                F.col("__day"),
+                F.lag("__day").over(ordered_window("station", "__day")),
+            )
+            > 1
+        ),
+        out="__run",
+    )
+    w_run = Window.partitionBy("station", "__run")
+    bad_days = (
+        runs.withColumn("__len", F.count(F.lit(1)).over(w_run))
+        .where(
+            (F.col("__len") >= min_run_days)
+            & (F.col("__daily") > moderate_mm)
+        )
+        .select("station", "__day")
+    )
+    return _flag_days(df, var, bad_days, FLAG_PR_FREQUENT)
+
+
+# -------------------------------------------- flag 32: precip clim outlier
+def precip_clim_outlier_check(
+    df: DataFrame,
+    var: str = "pr",
+    factor: float = 9.0,
+    record_cap_mm: float = 442.0,
+) -> DataFrame:
+    """Flag 32 (qaqc_climatological_outlier.py:463-588): a daily total
+    above ``factor`` × the calendar month's p95 of non-zero daily
+    totals (or above the 442 mm CA record when p95 is 0) flags the
+    day's native observations."""
+    if var not in df.columns:
+        return df
+    daily = _daily_precip(df, var).withColumn("__moy", F.month("__day"))
+    p95 = (
+        daily.where(F.col("__daily") > 0)
+        .groupBy("station", "__moy")
+        .agg(F.expr("percentile(__daily, 0.95)").alias("__p95"))
+    )
+    joined = daily.join(p95, ["station", "__moy"], "left")
+    bad_days = joined.where(
+        F.when(
+            F.col("__p95").isNull() | (F.col("__p95") == 0),
+            F.col("__daily") > record_cap_mm,
+        ).otherwise(
+            (F.col("__daily") > factor * F.col("__p95"))
+            | (F.col("__daily") > record_cap_mm)
+        )
+    ).select("station", "__day")
+    return _flag_days(df, var, bad_days, FLAG_PR_CLIM)
+
+
+# ------------------------------------------------- flag 33: precip gap
+def precip_gap_check(
+    df: DataFrame, var: str = "pr", threshold_mm: float = 200.0
+) -> DataFrame:
+    """Flag 33 (qaqc_unusual_gaps_precip, qaqc_unusual_gaps.py:
+    449-554): a daily total whose distance from EVERY other daily
+    total in the same (station, calendar month) exceeds the threshold.
+
+    Rewritten from the reference's O(n²) pairwise matrix to a sorted
+    neighbor scan: min distance to any other value = min distance to a
+    sorted neighbor (SURVEY.md J6).
+    """
+    if var not in df.columns:
+        return df
+    daily = _daily_precip(df, var).withColumn(
+        "__month", F.date_trunc("month", F.col("__day"))
+    )
+    w = Window.partitionBy("station", "__month").orderBy(
+        "__daily", "__day"
+    )
+    gaps = daily.select(
+        "station",
+        "__month",
+        "__day",
+        "__daily",
+        (F.col("__daily") - F.lag("__daily").over(w)).alias("__lo"),
+        (F.lead("__daily").over(w) - F.col("__daily")).alias("__hi"),
+    )
+    nn = F.least(
+        F.coalesce(F.col("__lo"), F.lit(float("inf"))),
+        F.coalesce(F.col("__hi"), F.lit(float("inf"))),
+    )
+    # a lone day in a month has no neighbor — reference does not flag it
+    bad_days = gaps.where(
+        (nn > threshold_mm)
+        & ~(F.col("__lo").isNull() & F.col("__hi").isNull())
+    ).select("station", "__day")
+    return _flag_days(df, var, bad_days, FLAG_PR_GAP)
+
+
+# ------------------------------------------------- flag 27: hourly streaks
+def same_hour_streak_check(
+    df: DataFrame, var: str, min_days: int = 15
+) -> DataFrame:
+    """Flag 27 (hourly_repeats, qaqc_unusual_streaks.py:474-570): for a
+    given hour-of-day, the same value repeating on > ``min_days``
+    consecutive days (gap ≤ 1 day) is instrument failure."""
+    if var not in df.columns:
+        return df
+    valid = df.where(Q.valid_mask(var) & F.col(var).isNotNull()).select(
+        "station",
+        "time",
+        F.hour("time").alias("__hh"),
+        F.to_date("time").alias("__day"),
+        F.col(var).alias("__v"),
+    )
+    w = Window.partitionBy("station", "__hh", "__v").orderBy("__day")
+    clustered = sessionize(
+        valid.withColumn(
+            "__gap", F.datediff(F.col("__day"), F.lag("__day").over(w))
+        ),
+        ["station", "__hh", "__v"],
+        "__day",
+        F.col("__gap") > 1,
+        out="__cluster",
+    )
+    w_c = Window.partitionBy("station", "__hh", "__v", "__cluster")
+    bad = (
+        clustered.withColumn("__sz", F.count(F.lit(1)).over(w_c))
+        .where(F.col("__sz") > min_days)
+        .select("station", "time")
+        .withColumn("__bad_hour_row", F.lit(True))
+    )
+    out = df.join(F.broadcast(bad), ["station", "time"], "left")
+    out = Q.write_flag(
+        out, var, F.col("__bad_hour_row").isNotNull(), FLAG_STREAK_HOUR
+    )
+    return out.drop("__bad_hour_row")
+
+
+# ----------------------------------------------- flag 29: whole-day repeats
+def whole_day_streak_check(
+    df: DataFrame, var: str, min_days: int = 5, round_digits: int = 1
+) -> DataFrame:
+    """Flag 29 (full_day_compare, qaqc_unusual_streaks.py:697-818): a
+    run of > ``min_days`` consecutive days whose full rounded daily
+    value-vector is identical to the previous day's."""
+    if var not in df.columns:
+        return df
+    valid = df.where(Q.valid_mask(var) & F.col(var).isNotNull())
+    days = valid.groupBy(
+        "station", F.to_date("time").alias("__day")
+    ).agg(
+        F.sort_array(
+            F.collect_list(F.round(F.col(var), round_digits))
+        ).alias("__vec")
+    )
+    w = ordered_window("station", "__day")
+    same = days.withColumn(
+        "__same",
+        (F.col("__vec") == F.lag("__vec").over(w))
+        & (F.datediff(F.col("__day"), F.lag("__day").over(w)) == 1),
+    )
+    runs = sessionize(same, "station", "__day", ~F.col("__same"), out="__run")
+    w_run = Window.partitionBy("station", "__run")
+    bad_days = (
+        runs.withColumn("__len", F.count(F.lit(1)).over(w_run))
+        # a run of equal days of length L covers L+1 calendar days; the
+        # reference counts repeats, we count rows with __same=true plus
+        # the anchor — flag when strictly more than min_days repeats
+        .where(F.col("__same") & (F.col("__len") >= min_days))
+        .select("station", "__day")
+    )
+    return _flag_days(df, var, bad_days, FLAG_STREAK_DAY)
+
+
+# ------------------------------------- flag 26: climatological outlier
+def _butter_lowpass_order1(x: np.ndarray, cutoff_frac: float) -> np.ndarray:
+    """Order-1 Butterworth low-pass via bilinear transform, forward
+    pass (numpy-only; scipy absent in this environment).
+    cutoff_frac = f_c / f_nyquist ∈ (0, 1)."""
+    c = 1.0 / math.tan(math.pi * cutoff_frac / 2.0)
+    b0 = 1.0 / (1.0 + c)
+    b1 = b0
+    a1 = (1.0 - c) / (1.0 + c)
+    y = np.empty_like(x, dtype=float)
+    prev_x = x[0]
+    prev_y = x[0]
+    for i, xi in enumerate(x):
+        yi = b0 * xi + b1 * prev_x - a1 * prev_y
+        y[i] = yi
+        prev_x, prev_y = xi, yi
+    return y
+
+
+def climatological_outlier_check(
+    df: DataFrame,
+    var: str,
+    pdf_floor: float = 0.1,
+    winsor: tuple[float, float] = (0.05, 0.95),
+    iqr_floor: float = 1.5,
+) -> DataFrame:
+    """Flag 26 (qaqc_climatological_outlier.py:33-247): per station —
+
+    1. anomaly vs the (month, hour) winsorized-mean climatology (A5);
+    2. standardized by the month's IQR (floored at 1.5);
+    3. low-passed with an order-1 Butterworth (1-month cutoff) after
+       linear interpolation (W9/W10); the smooth component is removed
+       so synoptic signal doesn't mask point outliers;
+    4. residuals fitted with a normal per month; values beyond the
+       pdf=0.1 bounds are flagged.
+
+    The per-station sequential part (filter) runs in ``applyInPandas``
+    — the group is one station (the reference's unit of work), so the
+    pandas island is bounded by the same ≈4.4 M-row invariant.
+    """
+    if var not in df.columns:
+        return df
+
+    flag_col = Q.eraqc(var)
+    schema = df.schema
+
+    lo_q, hi_q = winsor
+
+    def per_station(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("time").reset_index(drop=True)
+        mask = pdf[flag_col].isnull() & pdf[var].notna()
+        if mask.sum() < 20:
+            return pdf
+        sub = pdf.loc[mask, ["time", var]].copy()
+        month = sub["time"].dt.month
+        hour = sub["time"].dt.hour
+
+        # (month, hour) winsorized-mean climatology
+        def clim(group: pd.Series) -> float:
+            lo, hi = group.quantile(lo_q), group.quantile(hi_q)
+            return group.clip(lo, hi).mean()
+
+        key = month * 100 + hour
+        clim_map = sub[var].groupby(key).apply(clim)
+        anom = sub[var].values - clim_map.loc[key].values
+
+        # standardize by month IQR (floored)
+        iqr_map = (
+            pd.Series(anom, index=month.values)
+            .groupby(level=0)
+            .apply(lambda g: max(g.quantile(0.75) - g.quantile(0.25), iqr_floor))
+        )
+        std = anom / iqr_map.loc[month.values].values
+
+        # interpolate + low-pass (cutoff ≈ 1 month of samples)
+        s = pd.Series(std).interpolate(limit_direction="both").to_numpy()
+        cadence = (
+            sub["time"].diff().dt.total_seconds().dropna().mode().iloc[0]
+            if len(sub) > 1
+            else 3600.0
+        )
+        samples_per_month = max((30 * 86400) / max(cadence, 1.0), 4.0)
+        smooth = _butter_lowpass_order1(s, min(2.0 / samples_per_month, 0.5))
+        resid = s - smooth
+
+        # per-month normal fit + pdf-floor bounds
+        rm = pd.DataFrame({"m": month.values, "r": resid})
+        flags = np.zeros(len(rm), dtype=bool)
+        for m, g in rm.groupby("m"):
+            mu, sigma = g["r"].mean(), g["r"].std(ddof=0)
+            if sigma <= 0:
+                continue
+            arg = pdf_floor * sigma * math.sqrt(2 * math.pi)
+            # pdf-floor bound, floored at 5σ: the reference only flags
+            # tail bins separated from the body by a histogram gap
+            # (gap_search); the 5σ floor is the simplified stand-in
+            # for that isolation requirement.
+            z = (
+                sigma * math.sqrt(-2.0 * math.log(arg))
+                if arg < 1
+                else float("inf")
+            )
+            z = max(z, 5.0 * sigma)
+            flags[g.index.values] = np.abs(g["r"].values - mu) > z
+        out_flags = pdf[flag_col].copy()
+        out_flags.iloc[np.flatnonzero(mask.values)[flags]] = float(
+            FLAG_CLIM_OUTLIER
+        )
+        pdf[flag_col] = out_flags
+        return pdf
+
+    return df.groupBy("station").applyInPandas(per_station, schema=schema)

@@ -37,7 +37,7 @@ def spike_check(
         return df
     w = Window.partitionBy("station").orderBy("time")
     d = df.withColumn("__d", F.col(var) - F.lag(var).over(w)).withColumn(
-        "__month", F.month("time")
+        "__month", F.date_trunc("month", F.col("time"))
     )
     crit = (
         d.where(F.col("__d").isNotNull())
@@ -148,16 +148,38 @@ def run_qaqc(
     sentinels: dict[str, list[str]] | None = None,
     spike_vars=("tas", "tdps", "ps", "psl"),
     streak_vars=("tas", "tdps", "sfcWind"),
+    dist_vars=("tas", "tdps"),
+    with_distribution: bool = True,
+    truncate_lineage: bool = True,
 ) -> DataFrame:
     """The full chain in reference order (QAQC_pipeline.py:579-965):
 
     sentinels → station gates → elevation consistency → pressure-units
     fix → de-accumulation → world records → cross-variable logic →
-    spikes → streaks.
+    [record-length bypass] → frequent values (+precip) → unusual gaps
+    (monthly, distribution, precip) → climatological outlier
+    (+precip) → streaks (hourly / consecutive / whole-day) → jumps.
+
+    The order is data semantics, not an optimization: earlier flags
+    exclude rows from later checks (QAQC_pipeline.py:830).
 
     Returns the flagged observations table (rejected stations removed,
     all other rows kept with ``<var>_eraqc`` populated).
     """
+    from ..operators import distribution as D
+
+    def cut(d: DataFrame) -> DataFrame:
+        # Lineage truncation between check groups: each check layers
+        # joins/windows on the full prior plan, and Catalyst
+        # analysis/optimization time grows superlinearly with plan
+        # depth (~30 self-referencing stages by the end of the chain).
+        # localCheckpoint materializes the intermediate (the reference
+        # re-reads from disk between stages for the same reason); on a
+        # cluster, swap for reliable checkpoints or a staging table.
+        if not truncate_lineage:
+            return d
+        return d.localCheckpoint(eager=False)
+
     out = Q.ensure_flag_columns(df)
     if sentinels:
         out = Q.normalize_sentinels(out, sentinels)
@@ -172,8 +194,35 @@ def run_qaqc(
     out = Q.negative_precip_check(out)
     out = Q.precip_accum_ordering_check(out)
     out = Q.calm_wind_dir_check(out)
-    for v in spike_vars:
-        out = spike_check(out, v)
+    out = cut(out)
+    if with_distribution:
+        for v in dist_vars:
+            out = D.record_length_bypass(out, v)
+        out = cut(out)
+        for v in dist_vars:
+            out = D.frequent_values_check(out, v)
+        out = D.synergistic_flag_copy(out, "tas", "tdps")
+        out = D.precip_frequent_check(out, "pr")
+        out = cut(out)
+        for v in dist_vars:
+            out = D.monthly_median_gap_check(out, v)
+        out = D.precip_gap_check(out, "pr")
+        out = cut(out)
+        for v in dist_vars:
+            out = D.distribution_gap_check(out, v)
+        out = cut(out)
+        for v in dist_vars:
+            out = D.climatological_outlier_check(out, v)
+        out = D.precip_clim_outlier_check(out, "pr")
+        out = cut(out)
+        for v in streak_vars:
+            out = D.same_hour_streak_check(out, v)
     for v in streak_vars:
         out = consecutive_streak_check(out, v)
+    out = cut(out)
+    if with_distribution:
+        for v in streak_vars:
+            out = D.whole_day_streak_check(out, v)
+    for v in spike_vars:
+        out = spike_check(out, v)
     return out
