@@ -1,0 +1,100 @@
+"""Geospatial operators (P4/P6): bounding-box prefilter and
+point-in-polygon containment.
+
+The reference tests each station's (lon, lat) against WECC
+terrestrial/marine shapefiles with shapely
+(``qaqc_wholestation.py:231-267``). Neither shapely nor Sedona is in
+this environment, so containment is a self-contained ray-casting
+test (public computational-geometry algorithm) run as an Arrow-batched
+pandas UDF over the DISTINCT station coordinates — cardinality is
+stations (15k), not observations (billions), so the Python island is
+negligible at any scale; the result is broadcast-joined back."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+
+def _ray_cast(lon: float, lat: float, poly: list[tuple[float, float]]) -> bool:
+    """Even-odd rule point-in-polygon; poly = [(lon, lat), ...]."""
+    inside = False
+    n = len(poly)
+    j = n - 1
+    for i in range(n):
+        xi, yi = poly[i]
+        xj, yj = poly[j]
+        if (yi > lat) != (yj > lat):
+            x_cross = (xj - xi) * (lat - yi) / (yj - yi) + xi
+            if lon < x_cross:
+                inside = not inside
+        j = i
+    return inside
+
+
+def bbox_filter(
+    df: DataFrame,
+    latmin: float,
+    latmax: float,
+    lonmin: float,
+    lonmax: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """P6: plain predicate — pushed to the scan by Catalyst."""
+    return df.where(
+        F.col(lat_col).between(latmin, latmax)
+        & F.col(lon_col).between(lonmin, lonmax)
+    )
+
+
+def within_polygon(
+    df: DataFrame,
+    polygons: list[list[tuple[float, float]]],
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    out: str = "in_region",
+) -> DataFrame:
+    """P4: containment in the union of ``polygons``, evaluated once
+    per distinct coordinate and broadcast back (the reference checks
+    per station; same cost model, distributed).
+    """
+    polys = [list(p) for p in polygons]
+
+    @F.pandas_udf(BooleanType())
+    def _contains(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        out_ = np.zeros(len(lon), dtype=bool)
+        for i, (x, y) in enumerate(zip(lon.values, lat.values)):
+            if x is None or y is None or np.isnan(x) or np.isnan(y):
+                continue
+            out_[i] = any(_ray_cast(float(x), float(y), p) for p in polys)
+        return pd.Series(out_)
+
+    coords = (
+        df.select(lat_col, lon_col)
+        .distinct()
+        .withColumn(out, _contains(F.col(lon_col), F.col(lat_col)))
+    )
+    return df.join(F.broadcast(coords), [lat_col, lon_col], "left")
+
+
+def station_region_gate(
+    df: DataFrame,
+    polygons: list[list[tuple[float, float]]],
+    station_col: str = "station",
+) -> DataFrame:
+    """Whole-station region gate (qaqc_within_wecc): stations whose
+    representative coordinate falls outside every polygon are listed
+    for rejection."""
+    reps = (
+        df.groupBy(station_col)
+        .agg(F.first("lat", ignorenulls=True).alias("lat"),
+             F.first("lon", ignorenulls=True).alias("lon"))
+    )
+    checked = within_polygon(reps, polygons)
+    return checked.where(~F.coalesce(F.col("in_region"), F.lit(False))).select(
+        station_col, F.lit("outside_region").alias("reject_reason")
+    )

@@ -1,0 +1,148 @@
+"""Geospatial gate, co-location concat, buoy rules, elevation infill."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from historical_obs_platform_spark.operators import concat as C
+from historical_obs_platform_spark.operators import geo as G
+from historical_obs_platform_spark.operators import qaqc as Q
+
+# a simple square "region": lon -125..-115, lat 35..45
+SQUARE = [[(-125.0, 35.0), (-115.0, 35.0), (-115.0, 45.0), (-125.0, 45.0)]]
+
+
+def test_point_in_polygon(spark):
+    df = spark.createDataFrame(
+        [
+            ("IN", 40.0, -120.0),
+            ("OUT_E", 40.0, -110.0),
+            ("OUT_N", 50.0, -120.0),
+            ("NULL", None, None),
+        ],
+        "station string, lat double, lon double",
+    )
+    out = G.within_polygon(df, SQUARE).toPandas().set_index("station")
+    assert out.loc["IN", "in_region"]
+    assert not out.loc["OUT_E", "in_region"]
+    assert not out.loc["OUT_N", "in_region"]
+    assert not bool(out.loc["NULL", "in_region"])
+
+
+def test_station_region_gate(spark):
+    df = spark.createDataFrame(
+        [("A", 40.0, -120.0), ("B", 10.0, -120.0)],
+        "station string, lat double, lon double",
+    )
+    rejects = G.station_region_gate(df, SQUARE).toPandas()
+    assert rejects["station"].tolist() == ["B"]
+
+
+def test_bbox_filter_pushdown(spark):
+    df = spark.createDataFrame(
+        [("A", 40.0, -120.0), ("B", 10.0, -10.0)],
+        "station string, lat double, lon double",
+    )
+    out = G.bbox_filter(df, 26, 60, -140, -100)
+    assert [r.station for r in out.collect()] == ["A"]
+
+
+def test_colocation_and_keep_newer_concat(spark):
+    stations = spark.createDataFrame(
+        [("OLD", 40.0, -120.0), ("NEW", 40.0, -120.0), ("LONER", 41.0, -121.0)],
+        "station string, latitude double, longitude double",
+    )
+    groups = C.colocation_groups(stations)
+    g = groups.toPandas().set_index("station")
+    assert g.loc["OLD", "colocation_group"] == g.loc["NEW", "colocation_group"]
+    assert g.loc["LONER", "n_colocated"] == 1
+
+    times = pd.date_range("2020-01-01", periods=6, freq="h")
+    obs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "station": ["OLD"] * 4 + ["NEW"] * 3,
+                "time": list(times[:4]) + list(times[2:5]),
+                "tas": [280.0, 281.0, 282.0, 283.0, 982.0, 983.0, 984.0],
+            }
+        )
+    )
+    priority = spark.createDataFrame(
+        [("OLD", 1), ("NEW", 2)], "station string, priority int"
+    )
+    merged = (
+        C.concat_colocated(obs, groups, priority)
+        .toPandas()
+        .sort_values("time", ignore_index=True)
+    )
+    # hours 0-1 from OLD, 2-4 from NEW (newer wins overlap), renamed NEW
+    assert (merged["station"] == "NEW").all()
+    assert merged["tas"].tolist() == [280.0, 281.0, 982.0, 983.0, 984.0]
+
+
+def test_buoy_blacklist(spark):
+    times = pd.date_range("2020-01-01", periods=48, freq="h")
+    obs = Q.ensure_flag_columns(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "station": ["BUOY_1"] * 48,
+                    "time": times,
+                    "sfcWind": 5.0,
+                    "tas": 285.0,
+                }
+            )
+        )
+    )
+    rules = spark.createDataFrame(
+        [
+            # disestablished after Jan 1 23:00 -> flag 2 on all vars
+            ("BUOY_1", None, "2020-01-02 00:00:00", None, 2, None, None),
+            # daytime wind suspicious -> flag 1 on sfcWind 6-20h
+            ("BUOY_1", "sfcWind", None, "2020-01-01 23:59:59", 1, 6, 20),
+        ],
+        "station string, variable string, window_start string, "
+        "window_end string, flag int, hour_start int, hour_end int",
+    )
+    out = C.buoy_blacklist_check(obs, rules).toPandas()
+    day2 = out[out["time"] >= "2020-01-02"]
+    assert (day2["tas_eraqc"] == 2).all()
+    assert (day2["sfcWind_eraqc"] == 2).all()
+    day1_daytime = out[
+        (out["time"] < "2020-01-02")
+        & (out["time"].dt.hour >= 6)
+        & (out["time"].dt.hour <= 20)
+    ]
+    assert (day1_daytime["sfcWind_eraqc"] == 1).all()
+    assert day1_daytime["tas_eraqc"].isna().all()
+
+
+def test_elevation_infill(spark):
+    times = pd.date_range("2020-01-01", periods=4, freq="h")
+    rows = []
+    for st, elevs, lat, lon in [
+        ("ALLNULL_DEM", [None] * 4, 40.0, -120.0),   # DEM hit -> 3
+        ("ALLNULL_SEA", [None] * 4, 30.0, -130.0),   # no DEM -> 0.0, 5
+        ("PARTIAL", [100.0, None, 100.0, None], 41.0, -121.0),  # 4
+    ]:
+        for t, e in zip(times, elevs):
+            rows.append((st, t, lat, lon, e))
+    obs = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["station", "time", "lat", "lon", "elevation"]
+        )
+    )
+    dem = spark.createDataFrame(
+        [(40.0, -120.0, 1234.0)], "lat double, lon double, dem_elevation double"
+    )
+    out = C.elevation_infill(obs, dem).toPandas()
+    g = out.groupby("station")
+    dem_rows = g.get_group("ALLNULL_DEM")
+    assert (dem_rows["elevation"] == 1234.0).all()
+    assert (dem_rows["elevation_eraqc"] == 3).all()
+    sea = g.get_group("ALLNULL_SEA")
+    assert (sea["elevation"] == 0.0).all()
+    assert (sea["elevation_eraqc"] == 5).all()
+    part = g.get_group("PARTIAL").sort_values("time")
+    assert part["elevation"].tolist() == [100.0] * 4
+    assert part["elevation_eraqc"].fillna(0).tolist() == [0, 4, 0, 4]

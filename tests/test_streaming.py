@@ -1,0 +1,97 @@
+"""Structured Streaming tests: parquet source → memory sink, driven
+synchronously with processAllAvailable (guide pattern)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from historical_obs_platform_spark.streaming.hourly import (
+    dedup_keep_first_stream,
+    hourly_standardize_stream,
+    logic_checks_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def obs_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream_src") / "obs")
+    times = pd.date_range("2020-01-01", periods=200, freq="17min")
+    rng = np.random.RandomState(3)
+    pdf = pd.DataFrame(
+        {
+            "station": ["S1"] * 100 + ["S2"] * 100,
+            "time": list(times[:100]) * 2,
+            "tas": 285.0 + rng.normal(0, 1, 200),
+            "pr": np.round(rng.uniform(0, 1, 200), 2),
+        }
+    )
+    # plant a world-record violation and a duplicate delivery
+    pdf.loc[10, "tas"] = 340.0
+    pdf = pd.concat([pdf, pdf.iloc[[20]]], ignore_index=True)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _schema(spark, path):
+    return spark.read.parquet(path).schema
+
+
+def _run(stream_df, name, mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_hourly_standardize_stream(spark, obs_dir):
+    src = spark.readStream.schema(_schema(spark, obs_dir)).parquet(obs_dir)
+    agg = hourly_standardize_stream(
+        src, first_cols=["tas"], sum_cols=["pr"]
+    )
+    _run(agg, "hourly_out", "complete")
+    got = spark.sql("SELECT * FROM hourly_out").toPandas()
+    # batch equivalent
+    want = (
+        spark.read.parquet(obs_dir)
+        .groupBy("station", F.date_trunc("hour", "time").alias("hour"))
+        .agg(
+            F.min_by("tas", "time").alias("tas_first"),
+            F.sum("pr").alias("pr_sum"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .toPandas()
+    )
+    g = got.sort_values(["station", "hour"], ignore_index=True)
+    w = want.sort_values(["station", "hour"], ignore_index=True)
+    assert len(g) == len(w)
+    assert (g["n_obs"] == w["n_obs"]).all()
+    assert np.allclose(g["pr_sum"].astype(float), w["pr_sum"].astype(float))
+    assert np.allclose(
+        g["tas_first"].astype(float), w["tas_first"].astype(float)
+    )
+
+
+def test_dedup_stream(spark, obs_dir):
+    src = spark.readStream.schema(_schema(spark, obs_dir)).parquet(obs_dir)
+    dd = dedup_keep_first_stream(src)
+    _run(dd, "dedup_out", "append")
+    got = spark.sql("SELECT * FROM dedup_out")
+    n_src = spark.read.parquet(obs_dir).count()
+    n_distinct = (
+        spark.read.parquet(obs_dir).dropDuplicates(["station", "time"]).count()
+    )
+    assert got.count() == n_distinct == n_src - 1
+
+
+def test_logic_checks_stream(spark, obs_dir):
+    src = spark.readStream.schema(_schema(spark, obs_dir)).parquet(obs_dir)
+    flagged = logic_checks_stream(src)
+    _run(flagged, "logic_out", "append")
+    out = spark.sql("SELECT * FROM logic_out").toPandas()
+    assert (out["tas_eraqc"] == 11).sum() == 1
+    assert out.loc[out["tas_eraqc"] == 11, "tas"].iloc[0] == 340.0
