@@ -139,22 +139,32 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for document pairs.
 
-    Pairs come from the shingle inverted index (documents sharing at
-    least one shingle); pass ``candidates`` (a, b) to restrict to an
-    LSH candidate set instead. |A| and |B| are per-doc shingle counts
-    broadcast back; |∩| is the pair-join row count.
+    Without ``candidates``, pairs come from the shingle inverted index
+    (documents sharing ≥1 shingle) — correct but quadratic in posting-
+    list length, so ONLY for small/diverse corpora. With ``candidates``
+    (a, b) — normally the LSH bucket collisions — the intersection is
+    computed per candidate pair (candidates ⋈ A-shingles ⋈ B-shingles),
+    which bounds work by |candidates| × shingles-per-doc regardless of
+    posting-list density. That is the 100 TB path: band-bucket join
+    prunes, exact Jaccard confirms.
     """
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = shingles.select(F.col(id_col).alias("a"), "shingle")
     b = shingles.select(F.col(id_col).alias("b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["a", "b"], "left_semi")
+        inter = (
+            candidates.join(a, "a")
+            .join(b, ["b", "shingle"])
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        inter = (
+            a.join(b, "shingle")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
     out = (
@@ -186,13 +196,22 @@ def simhash(
         F.col(id_col),
         F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
     ).where(F.col("tok") != "")
-    h = toks.withColumn("__h", F.md5(F.col("tok")))
+    n_chars = bits // 4
+    # evaluate each hex digit once per row (instr is the expensive
+    # part), then derive its 4 bits arithmetically
+    h = toks.select(
+        F.col(id_col),
+        *[
+            F.expr(
+                f"instr('{HEX}', substring(md5(tok), {ci + 1}, 1)) - 1"
+            ).alias(f"__d{ci}")
+            for ci in range(n_chars)
+        ],
+    )
     aggs = []
     for b in range(bits):
-        char_idx = b // 4 + 1  # 1-based substring index
-        bit_in_char = b % 4
-        digit = F.expr(f"instr('{HEX}', substring(__h, {char_idx}, 1)) - 1")
-        bit = F.floor(digit / F.lit(2**bit_in_char)) % 2
+        digit = F.col(f"__d{b // 4}")
+        bit = F.floor(digit / F.lit(2 ** (b % 4))) % 2
         aggs.append(F.sum(bit * 2 - 1).alias(f"__s{b}"))
     sums = h.groupBy(id_col).agg(*aggs)
     value = None

@@ -226,17 +226,38 @@ def d_minhash_lsh_pairs(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
-# Exact n-gram Jaccard over the shingle inverted index (pairs sharing
-# ≥1 shingle; threshold keeps the planted near-dups).
+# Exact n-gram Jaccard confirm over the LSH candidate set — the scale
+# path (band-bucket join prunes, exact Jaccard confirms). The dense
+# synthetic vocabulary makes the raw inverted-index join quadratic
+# (~100 M intermediate pairs at sf0.1), exactly the blowup LSH
+# candidate pruning exists to avoid.
 # --------------------------------------------------------------------
-JACCARD_ORACLE = f"""
-WITH {_shingle_cte()},
+def _jaccard_oracle(n_hashes: int = 8, bands: int = 4) -> str:
+    rows = n_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        cat = " || '|' || ".join(
+            f"minhash_{b * rows + r}" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cat}) AS bucket FROM sigs"
+        )
+    buckets = " UNION ALL ".join(band_selects)
+    return f"""
+WITH {_shingle_cte()}, {_minhash_cte(n_hashes)},
+buckets AS ({buckets}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM buckets x JOIN buckets y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
 sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
 inter AS (
-  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
-  FROM shingles x JOIN shingles y
-    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-  GROUP BY x.doc_id, y.doc_id
+  SELECT c.a, c.b, count(*) AS n_common
+  FROM cand c
+  JOIN shingles x ON x.doc_id = c.a
+  JOIN shingles y ON y.doc_id = c.b AND y.shingle = x.shingle
+  GROUP BY c.a, c.b
 )
 SELECT a, b, n_common, sa.sz AS sz_a, sb.sz AS sz_b,
        round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
@@ -247,11 +268,21 @@ WHERE round(n_common / (sa.sz + sb.sz - n_common), 6) >= 0.5
 """
 
 
-@query("d_ngram_jaccard_pairs", JACCARD_ORACLE)
+@query("d_ngram_jaccard_pairs", _jaccard_oracle())
 def d_ngram_jaccard_pairs(spark, sf_dir):
     corpus = _near_corpus_spark(spark, sf_dir)
-    shingles = DD.word_shingles(corpus, "doc_id", "text", n=2)
-    return DD.jaccard_pairs(shingles, "doc_id", min_jaccard=0.5)
+    # the shingle table feeds four plan branches (signatures, sizes,
+    # both intersection sides); Catalyst doesn't CSE across branches,
+    # so materialize it once instead of re-parsing the corpus 4x
+    shingles = DD.word_shingles(corpus, "doc_id", "text", n=2).localCheckpoint(
+        eager=False
+    )
+    sigs = DD.minhash_signatures(shingles, "doc_id", n_hashes=8)
+    buckets = DD.lsh_buckets(sigs, "doc_id", n_hashes=8, bands=4)
+    cand = DD.lsh_candidate_pairs(buckets, "doc_id")
+    return DD.jaccard_pairs(
+        shingles, "doc_id", min_jaccard=0.5, candidates=cand
+    )
 
 
 # --------------------------------------------------------------------

@@ -52,7 +52,9 @@ def test_jaccard_pairs_rank_planted_highest(spark):
     pairs = QUERIES["d_ngram_jaccard_pairs"](spark, SF_DIR).toPandas()
     planted = pairs[pairs["b"] == pairs["a"] + 1000000]
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
-    assert len(planted) == n_docs  # every planted pair ≥ 0.5 jaccard
+    # candidate set comes from LSH banding (probabilistic recall); the
+    # confirm step must keep only true near-dups at high jaccard
+    assert len(planted) > 0.8 * n_docs
     assert (planted["jaccard"] > 0.8).all()
 
 
