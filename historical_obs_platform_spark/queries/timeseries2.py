@@ -1,0 +1,140 @@
+"""Second time-series wave: whole-day replication (W5), p95 daily
+outliers (A10), record-length gates (A11) — driver-checked with
+planted defects where the organic data can't trigger the operator."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.windows import ordered_window
+from ..registry import query
+from .common import dsum, table
+
+
+# --------------------------------------------------------------------
+# W5: whole-day replication — a day whose full sorted value-vector
+# equals the previous day's (qaqc_unusual_streaks.py:697-818). The
+# organic events never repeat a day, so two copies of one day are
+# planted on empty future dates.
+# --------------------------------------------------------------------
+W5_ORACLE = """
+WITH copy_src AS (
+  SELECT user_id, ts, value FROM events
+  WHERE user_id = 1 AND date_trunc('day', ts) = TIMESTAMP '2024-01-05'
+), corpus AS (
+  SELECT user_id, ts, value FROM events
+  UNION ALL SELECT user_id, ts + INTERVAL 40 DAY, value FROM copy_src
+  UNION ALL SELECT user_id, ts + INTERVAL 41 DAY, value FROM copy_src
+), days AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         list_sort(list(value)) AS vec
+  FROM corpus GROUP BY 1, 2
+)
+SELECT user_id, day
+FROM (
+  SELECT user_id, day,
+         (vec = lag(vec) OVER w
+          AND date_diff('day', lag(day) OVER w, day) = 1) AS rep
+  FROM days WINDOW w AS (PARTITION BY user_id ORDER BY day)
+) WHERE rep
+"""
+
+
+@query("w5_day_vector_repeats", W5_ORACLE)
+def w5_day_vector_repeats(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    src = ev.where(
+        (F.col("user_id") == 1)
+        & (
+            F.date_trunc("day", F.col("ts"))
+            == F.lit("2024-01-05").cast("timestamp")
+        )
+    )
+    corpus = (
+        ev.unionByName(
+            src.select(
+                "user_id", F.expr("ts + INTERVAL 40 DAYS").alias("ts"), "value"
+            )
+        )
+        .unionByName(
+            src.select(
+                "user_id", F.expr("ts + INTERVAL 41 DAYS").alias("ts"), "value"
+            )
+        )
+    )
+    days = corpus.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sort_array(F.collect_list("value")).alias("vec"))
+    w = ordered_window("user_id", "day")
+    rep = (F.col("vec") == F.lag("vec").over(w)) & (
+        F.datediff(F.col("day"), F.lag("day").over(w)) == 1
+    )
+    return (
+        days.withColumn("rep", rep)
+        .where(F.col("rep"))
+        .select("user_id", "day")
+    )
+
+
+# --------------------------------------------------------------------
+# A10: daily totals above a multiple of the key's p95 of positive
+# dailies (qaqc_climatological_outlier.py:463-588 shape).
+# --------------------------------------------------------------------
+A10_ORACLE = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS daily_sum
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT user_id, round(quantile_cont(daily_sum, 0.95), 6) AS p95
+  FROM daily WHERE daily_sum > 0 GROUP BY user_id
+)
+SELECT d.user_id, d.day, d.daily_sum, p.p95
+FROM daily d JOIN p ON d.user_id = p.user_id
+WHERE d.daily_sum > 1.2 * p.p95
+"""
+
+
+@query("a10_p95_daily_outliers", A10_ORACLE)
+def a10_p95_daily_outliers(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(dsum("value").alias("daily_sum"))
+    p95 = (
+        daily.where(F.col("daily_sum") > 0)
+        .groupBy("user_id")
+        .agg(
+            F.round(F.expr("percentile(daily_sum, 0.95)"), 6).alias("p95")
+        )
+    )
+    return (
+        daily.join(p95, "user_id")
+        .where(F.col("daily_sum") > 1.2 * F.col("p95"))
+        .select("user_id", "day", "daily_sum", "p95")
+    )
+
+
+# --------------------------------------------------------------------
+# A11: record-length gate — keys with too few distinct observation
+# days to assess (qaqc_utils.py:203-323 shape).
+# --------------------------------------------------------------------
+A11_ORACLE = """
+SELECT user_id, count(DISTINCT date_trunc('day', ts)) AS n_days
+FROM events
+GROUP BY user_id
+HAVING count(DISTINCT date_trunc('day', ts)) < 28
+"""
+
+
+@query("a11_record_length_gate", A11_ORACLE)
+def a11_record_length_gate(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.countDistinct(F.date_trunc("day", F.col("ts"))).alias("n_days")
+        )
+        .where(F.col("n_days") < 28)
+    )

@@ -33,4 +33,11 @@ def query(name: str, oracle: str | None = None):
 
 def load_all() -> None:
     """Import every query module so registration side-effects run."""
-    from .queries import relational, timeseries, qaqc_demo, textops  # noqa: F401
+    from .queries import (  # noqa: F401
+        qaqc_demo,
+        relational,
+        relational2,
+        textops,
+        timeseries,
+        timeseries2,
+    )
