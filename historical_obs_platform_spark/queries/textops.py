@@ -365,3 +365,69 @@ def s_lsh_ann_topk(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return SIM.lsh_ann_topk(emb, queries, dim=64, k=5, n_planes=4, n_tables=3)
+
+
+# --------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs with IVF-style blocking: the
+# label column acts as the coarse-quantizer cell, so candidate pairs
+# come only from within a cell (the corpus never cross-joins
+# globally). Exact copies are planted (vec_id + 1,000,000) since the
+# organic corpus has no near-dups (max within-label cosine ≈ 0.47).
+# --------------------------------------------------------------------
+_D = "list_transform({v}, x -> CAST(x AS DOUBLE))"
+_DOT2 = f"list_dot_product({_D.format(v='{a}')}, {_D.format(v='{b}')})"
+NEARDUP_ORACLE = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding, label FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         round({_DOT2.format(a='a.embedding', b='b.embedding')}
+           / (sqrt({_DOT2.format(a='a.embedding', b='a.embedding')})
+              * sqrt({_DOT2.format(a='b.embedding', b='b.embedding')})),
+           6) AS cosine_sim
+  FROM corpus a JOIN corpus b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT a, b, cosine_sim FROM scored WHERE cosine_sim >= 0.9
+"""
+
+
+@query("d_embedding_cosine_neardup", NEARDUP_ORACLE)
+def d_embedding_cosine_neardup(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = emb.unionByName(
+        emb.withColumn("vec_id", F.col("vec_id") + 1000000)
+    )
+    prepped = corpus.select(
+        "vec_id",
+        "label",
+        SIM.as_double_array("embedding").alias("__v"),
+    ).withColumn("__n", SIM.norm(F.col("__v")))
+    a = prepped.select(
+        F.col("vec_id").alias("a"),
+        "label",
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = prepped.select(
+        F.col("vec_id").alias("b"),
+        "label",
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    return (
+        a.join(b, "label")
+        .where(F.col("a") < F.col("b"))
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                SIM.dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ),
+        )
+        .where(F.col("cosine_sim") >= 0.9)
+        .select("a", "b", "cosine_sim")
+    )
