@@ -34,6 +34,7 @@ def query(name: str, oracle: str | None = None):
 def load_all() -> None:
     """Import every query module so registration side-effects run."""
     from .queries import (  # noqa: F401
+        chain_demo,
         qaqc_demo,
         relational,
         relational2,
