@@ -179,9 +179,14 @@ def distribution_gap_check(
         .withColumn("__s", (F.col(var) - F.col("__med")) / F.col("__iqr"))
         .withColumn("__bin", F.floor(F.col("__s") / F.lit(0.25)))
     )
+    # rounded to 9dp: distributed avg/stddev are shuffle-order
+    # sensitive in the last ulps, which can flip borderline threshold
+    # comparisons between runs; rounding makes the bound reproducible
     moments = std.groupBy("station", "__moy").agg(
-        F.avg("__s").alias("__mu"),
-        F.coalesce(F.stddev_pop("__s"), F.lit(0.0)).alias("__sigma"),
+        F.round(F.avg("__s"), 9).alias("__mu"),
+        F.round(F.coalesce(F.stddev_pop("__s"), F.lit(0.0)), 9).alias(
+            "__sigma"
+        ),
     )
     hist = std.groupBy("station", "__moy", "__bin").agg(
         F.count(F.lit(1)).alias("__n")
@@ -606,15 +611,17 @@ def climatological_outlier_check(
         return df
 
     flag_col = Q.eraqc(var)
-    schema = df.schema
-
     lo_q, hi_q = winsor
 
     def per_station(pdf: pd.DataFrame) -> pd.DataFrame:
+        # input is the skinny projection (station, time, var, flag);
+        # output is just the flagged keys — Arrow traffic stays ~10×
+        # smaller than shipping the full observation schema per station
         pdf = pdf.sort_values("time").reset_index(drop=True)
         mask = pdf[flag_col].isnull() & pdf[var].notna()
+        empty = pdf.iloc[0:0][["station", "time"]]
         if mask.sum() < 20:
-            return pdf
+            return empty
         sub = pdf.loc[mask, ["time", var]].copy()
         month = sub["time"].dt.month
         hour = sub["time"].dt.hour
@@ -666,11 +673,25 @@ def climatological_outlier_check(
             )
             z = max(z, 5.0 * sigma)
             flags[g.index.values] = np.abs(g["r"].values - mu) > z
-        out_flags = pdf[flag_col].copy()
-        out_flags.iloc[np.flatnonzero(mask.values)[flags]] = float(
-            FLAG_CLIM_OUTLIER
-        )
-        pdf[flag_col] = out_flags
-        return pdf
+        if not flags.any():
+            return empty
+        hit = pdf.iloc[np.flatnonzero(mask.values)[flags]]
+        return hit[["station", "time"]]
 
-    return df.groupBy("station").applyInPandas(per_station, schema=schema)
+    skinny = df.select("station", "time", var, flag_col)
+    bad_keys = skinny.groupBy("station").applyInPandas(
+        per_station, schema="station string, time timestamp"
+    )
+    out = df.join(
+        bad_keys.withColumn("__clim_bad", F.lit(True)),
+        ["station", "time"],
+        "left",
+    )
+    out = out.withColumn(
+        flag_col,
+        F.when(
+            F.col("__clim_bad").isNotNull() & F.col(flag_col).isNull(),
+            F.lit(float(FLAG_CLIM_OUTLIER)),
+        ).otherwise(F.col(flag_col)),
+    )
+    return out.drop("__clim_bad")

@@ -198,19 +198,16 @@ def run_qaqc(
     if with_distribution:
         for v in dist_vars:
             out = D.record_length_bypass(out, v)
-        out = cut(out)
         for v in dist_vars:
             out = D.frequent_values_check(out, v)
         out = D.synergistic_flag_copy(out, "tas", "tdps")
         out = D.precip_frequent_check(out, "pr")
-        out = cut(out)
         for v in dist_vars:
             out = D.monthly_median_gap_check(out, v)
         out = D.precip_gap_check(out, "pr")
         out = cut(out)
         for v in dist_vars:
             out = D.distribution_gap_check(out, v)
-        out = cut(out)
         for v in dist_vars:
             out = D.climatological_outlier_check(out, v)
         out = D.precip_clim_outlier_check(out, "pr")
