@@ -1,0 +1,46 @@
+"""Incremental update merge (O7) — the reference's update pulls
+re-download a tail window keyed on the last stored date and resolve
+the overlap keep-newest (``update_pull.py:58-95`` +
+``qaqc_concatenate_stations.py:206-239``).
+
+Without a transactional table format in this environment the batch
+equivalent is append + window dedup; with Delta/Iceberg on the
+cluster, ``upsert()`` maps 1:1 onto ``MERGE INTO`` on
+(station, time).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def last_stored_time(existing: DataFrame, key: str = "station") -> DataFrame:
+    """Per-key high-water mark — what an incremental pull re-reads
+    from (get_last_date, update_pull.py:58-95)."""
+    return existing.groupBy(key).agg(F.max("time").alias("last_time"))
+
+
+def upsert(
+    existing: DataFrame,
+    incoming: DataFrame,
+    keys=("station", "time"),
+    version_col: str = "__ingest_version",
+) -> DataFrame:
+    """Keep-newest upsert on ``keys``: incoming rows replace existing
+    rows with the same key; everything else unions through.
+    Deterministic via an explicit version column (incoming=1 wins over
+    existing=0). Delta equivalent: MERGE INTO ... WHEN MATCHED THEN
+    UPDATE WHEN NOT MATCHED THEN INSERT.
+    """
+    tagged = existing.withColumn(version_col, F.lit(0)).unionByName(
+        incoming.withColumn(version_col, F.lit(1)),
+        allowMissingColumns=True,
+    )
+    w = Window.partitionBy(*keys).orderBy(F.desc(version_col))
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", version_col)
+    )

@@ -156,6 +156,43 @@ def flag_counts(df: DataFrame) -> DataFrame:
     )
 
 
+# Public output vocabulary (merge_clean_vars.py:21-97): the merged
+# product carries only the standard variables, their hourly flag
+# strings, constants, and the infill marker.
+PUBLIC_COLUMNS = (
+    ["station", "time", "lat", "lon", "elevation", "standardized_infill"]
+    + Q.OBS_VARS
+    + [Q.eraqc(v) for v in Q.OBS_VARS]
+)
+
+
+def select_public_columns(df: DataFrame) -> DataFrame:
+    """Merge part 4: filter to the public vocabulary, dropping raw-QC
+    and intermediate helper columns (merge_clean_vars.py:46-89)."""
+    keep = [c for c in df.columns if c in PUBLIC_COLUMNS]
+    return df.select(*keep)
+
+
+def network_flag_rates(counts: DataFrame) -> DataFrame:
+    """A6 roll-ups (qaqc_generate_flag_rates.py:96-231 /
+    qaqc_success_report_tables.py:150-311): station-level flag counts
+    rolled up per (network, variable, flag) and per (variable, flag)
+    — sequential grouped sums, network derived from the station id."""
+    with_net = counts.withColumn(
+        "network", F.split(F.col("station"), "_").getItem(0)
+    )
+    per_network = with_net.groupBy("network", "variable", "flag").agg(
+        F.sum("n").alias("n")
+    )
+    total = (
+        with_net.groupBy("variable", "flag")
+        .agg(F.sum("n").alias("n"))
+        .withColumn("network", F.lit("ALL"))
+    )
+    return per_network.unionByName(total.select("network", "variable", "flag", "n"))
+
+
 def run_merge(df: DataFrame) -> DataFrame:
-    """Full merge stage: derive missing → hourly standardization."""
-    return hourly_standardize(derive_missing(df))
+    """Full merge stage: derive missing → hourly standardization →
+    public-vocabulary column filter."""
+    return select_public_columns(hourly_standardize(derive_missing(df)))
