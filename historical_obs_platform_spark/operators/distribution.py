@@ -307,6 +307,12 @@ def frequent_values_check(
             .select("station", *keys, "__bin")
         )
 
+    # winter (DJF) belongs to the year of its Jan/Feb: December is
+    # attributed to the FOLLOWING winter-year (qaqc_frequent.py:407-462)
+    season_year = F.year("time") + F.when(
+        F.month("time") == 12, F.lit(1)
+    ).otherwise(F.lit(0))
+
     annual_hist = valid.groupBy("station", "__bin").agg(
         F.count(F.lit(1)).alias("__n")
     )
@@ -316,6 +322,15 @@ def frequent_values_check(
         "station", "__season", "__bin"
     ).agg(F.count(F.lit(1)).alias("__n"))
     seasonal_bad = bad_bins(seasonal_hist, ["__season"], seasonal_min_count)
+
+    # per-year-per-season pass (threshold 15, qaqc_frequent.py:223-464)
+    yearly_hist = (
+        valid.withColumn("__season", season)
+        .withColumn("__syear", season_year)
+        .groupBy("station", "__season", "__syear", "__bin")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    yearly_bad = bad_bins(yearly_hist, ["__season", "__syear"], 15)
 
     out = df.withColumn("__bin", F.floor(F.col(var) / F.lit(width)))
     out = out.join(
@@ -334,7 +349,17 @@ def frequent_values_check(
     out = Q.write_flag(
         out, var, F.col("__freq_s").isNotNull(), FLAG_FREQ_SEASONAL
     )
-    return out.drop("__bin", "__season", "__freq_a", "__freq_s")
+    out = out.withColumn("__syear", season_year).join(
+        F.broadcast(yearly_bad.withColumn("__freq_y", F.lit(True))),
+        ["station", "__season", "__syear", "__bin"],
+        "left",
+    )
+    out = Q.write_flag(
+        out, var, F.col("__freq_y").isNotNull(), FLAG_FREQ_SEASONAL
+    )
+    return out.drop(
+        "__bin", "__season", "__syear", "__freq_a", "__freq_s", "__freq_y"
+    )
 
 
 def synergistic_flag_copy(

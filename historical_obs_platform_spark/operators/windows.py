@@ -174,6 +174,69 @@ def detect_spikes(
     return df.withColumn(out, F.coalesce(spike, F.lit(False)))
 
 
+def detect_spikes_multi(
+    df: DataFrame,
+    key,
+    time_col: str,
+    col: str,
+    crit: Column,
+    max_gap_seconds: int = 12 * 3600,
+    max_len: int = 3,
+    out: str = "is_spike",
+) -> DataFrame:
+    """W6 full form: 1-to-``max_len``-point spikes
+    (qaqc_unusual_large_jumps.py:128-216): the jump into the first
+    spike point exceeds ``crit``; diffs between spike points stay
+    below crit/2 (the excursion holds level); the exit jump exceeds
+    ``crit`` with the opposite sign; all neighbor gaps ≤ 12 h. Every
+    row inside the excursion is marked."""
+    w = ordered_window(key, time_col)
+    v = F.col(col)
+    t = F.unix_timestamp(time_col)
+
+    def dv(i):  # diff between offset i and i-1 (0 = entry jump)
+        a = F.lead(v, i).over(w) if i > 0 else v
+        b = F.lead(v, i - 1).over(w) if i > 1 else (v if i == 1 else F.lag(v).over(w))
+        return a - b
+
+    def gap(i):  # seconds between offset i and i-1
+        a = F.lead(t, i).over(w) if i > 0 else t
+        b = F.lead(t, i - 1).over(w) if i > 1 else (t if i == 1 else F.lag(t).over(w))
+        return a - b
+
+    d_in = dv(0)
+    starts = []
+    for L in range(1, max_len + 1):
+        cond = (F.abs(d_in) > crit) & (gap(0) <= max_gap_seconds)
+        for j in range(1, L):
+            cond = (
+                cond
+                & (F.abs(dv(j)) <= crit / 2)
+                & (gap(j) <= max_gap_seconds)
+            )
+        d_out = dv(L)
+        cond = (
+            cond
+            & (F.abs(d_out) > crit)
+            & ((d_in > 0) != (d_out > 0))
+            & (gap(L) <= max_gap_seconds)
+        )
+        # exclude shorter patterns being re-detected inside longer
+        # ones is unnecessary: marks are OR'd row-wise below
+        starts.append(cond.alias(f"__sp{L}"))
+
+    marked = df.select("*", *starts)
+    flag = F.lit(False)
+    for L in range(1, max_len + 1):
+        for o in range(L):
+            flag = flag | F.coalesce(
+                F.lag(F.col(f"__sp{L}"), o).over(w), F.lit(False)
+            )
+    return marked.withColumn(out, flag).drop(
+        *[f"__sp{L}" for L in range(1, max_len + 1)]
+    )
+
+
 def deaccumulate(
     df: DataFrame,
     key,

@@ -19,7 +19,72 @@ from pyspark.sql.window import Window
 
 from ..operators import qaqc as Q
 from ..operators.aggregates import group_iqr
-from ..operators.windows import detect_spikes, sessionize_runs
+from ..operators.windows import (
+    detect_spikes,
+    detect_spikes_multi,
+    sessionize_runs,
+)
+
+# Straight-repeat streak thresholds keyed by inferred value resolution
+# (qaqc_unusual_streaks.py:44-122): (max_count, max_days) — a run
+# longer than either is flagged. Coarser-resolution instruments repeat
+# legitimately, so their thresholds are looser.
+STRAIGHT_REPEAT_THRESHOLDS: dict[str, dict[float, tuple[int, int]]] = {
+    "tas": {1.0: (40, 14), 0.5: (30, 10), 0.1: (24, 7)},
+    "tdps": {1.0: (80, 14), 0.5: (60, 10), 0.1: (48, 7)},
+    "psl": {1.0: (120, 28), 0.5: (100, 21), 0.1: (72, 14)},
+    "sfcWind": {1.0: (40, 14), 0.5: (30, 10), 0.1: (24, 7)},
+}
+for _alias, _src in (
+    ("tdps_derived", "tdps"),
+    ("ps", "psl"),
+    ("ps_derived", "psl"),
+    ("ps_altimeter", "psl"),
+    ("pr", "tas"),
+    ("pr_5min", "tas"),
+    ("pr_15min", "tas"),
+    ("pr_1h", "tas"),
+    ("pr_24h", "tas"),
+    ("pr_localmid", "tas"),
+):
+    STRAIGHT_REPEAT_THRESHOLDS[_alias] = STRAIGHT_REPEAT_THRESHOLDS[_src]
+
+
+def value_resolution(df: DataFrame, var: str) -> DataFrame:
+    """A12: per-station reported value resolution — the mode of the
+    rounded successive differences of the sorted distinct values
+    (infere_res_var, qaqc_unusual_streaks.py:143-255). Returns
+    (station, resolution_tier) with tier ∈ {1.0, 0.5, 0.1}."""
+    distinct_vals = (
+        df.where(F.col(var).isNotNull())
+        .select("station", F.col(var).alias("__v"))
+        .distinct()
+    )
+    w = Window.partitionBy("station").orderBy("__v")
+    diffs = (
+        distinct_vals.withColumn(
+            "__d", F.round(F.col("__v") - F.lag("__v").over(w), 3)
+        )
+        .where(F.col("__d") > 0)
+    )
+    counts = diffs.groupBy("station", "__d").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    pick = Window.partitionBy("station").orderBy(
+        F.desc("__n"), F.asc("__d")
+    )
+    res = (
+        counts.withColumn("__rk", F.row_number().over(pick))
+        .where(F.col("__rk") == 1)
+        .select(
+            "station",
+            F.when(F.col("__d") >= 1.0, F.lit(1.0))
+            .when(F.col("__d") >= 0.5, F.lit(0.5))
+            .otherwise(F.lit(0.1))
+            .alias("resolution_tier"),
+        )
+    )
+    return res
 
 
 def spike_check(
@@ -56,13 +121,14 @@ def spike_check(
         )
     )
     joined = d.join(crit, ["station", "__month"], "left")
-    flagged = detect_spikes(
+    flagged = detect_spikes_multi(
         joined,
         "station",
         "time",
         var,
         crit=F.col("__crit"),
         max_gap_seconds=max_gap_hours * 3600,
+        max_len=3,
         out="__spike",
     )
     out = Q.write_flag(
@@ -79,15 +145,61 @@ def consecutive_streak_check(
     var: str,
     min_count: int = 20,
     min_span_days: float | None = 2.0,
+    use_resolution_thresholds: bool = False,
 ) -> DataFrame:
     """Flag 28: straight repeated-value streaks — runs of consecutive
-    identical non-null values longer than ``min_count`` observations OR
-    spanning more than ``min_span_days``
-    (qaqc_unusual_streaks.py:573-694; per-variable/resolution threshold
-    tables at :44-122 collapse to the two knobs here)."""
+    identical non-null values longer than the count threshold OR
+    spanning more than the day threshold
+    (qaqc_unusual_streaks.py:573-694).
+
+    With ``use_resolution_thresholds`` the per-variable table keyed by
+    the station's inferred value resolution picks the knobs
+    (:44-122 via ``value_resolution``); otherwise the explicit
+    ``min_count``/``min_span_days`` apply to all stations.
+    """
     if var not in df.columns:
         return df
-    runs = sessionize_runs(df, "station", "time", var, out="__run")
+    if use_resolution_thresholds and var in STRAIGHT_REPEAT_THRESHOLDS:
+        table = STRAIGHT_REPEAT_THRESHOLDS[var]
+        res = value_resolution(df, var)
+        thresh = res.select(
+            "station",
+            *[
+                F.when(
+                    F.col("resolution_tier") == tier,
+                    F.lit(cnt),
+                ).alias(f"__c_{i}")
+                for i, (tier, (cnt, _d)) in enumerate(table.items())
+            ],
+            *[
+                F.when(
+                    F.col("resolution_tier") == tier,
+                    F.lit(days),
+                ).alias(f"__d_{i}")
+                for i, (tier, (_c, days)) in enumerate(table.items())
+            ],
+        ).select(
+            "station",
+            F.coalesce(
+                *[F.col(f"__c_{i}") for i in range(len(table))]
+            ).alias("__max_count"),
+            F.coalesce(
+                *[F.col(f"__d_{i}") for i in range(len(table))]
+            ).alias("__max_days"),
+        )
+        work = df.join(F.broadcast(thresh), "station", "left")
+        count_lim = F.coalesce(F.col("__max_count"), F.lit(min_count))
+        days_lim = F.coalesce(
+            F.col("__max_days"),
+            F.lit(min_span_days if min_span_days is not None else 1e9),
+        )
+    else:
+        work = df
+        count_lim = F.lit(min_count)
+        days_lim = F.lit(
+            min_span_days if min_span_days is not None else 1e9
+        )
+    runs = sessionize_runs(work, "station", "time", var, out="__run")
     w_run = Window.partitionBy("station", "__run")
     spans = (
         runs.withColumn("__run_len", F.count(F.lit(1)).over(w_run))
@@ -101,15 +213,14 @@ def consecutive_streak_check(
         )
     )
     bad = F.col(var).isNotNull() & (
-        (F.col("__run_len") > min_count)
-        | (
-            F.lit(min_span_days is not None)
-            & (F.col("__run_days") > F.lit(min_span_days or 0.0))
-            & (F.col("__run_len") > 1)
-        )
+        (F.col("__run_len") > count_lim)
+        | ((F.col("__run_days") > days_lim) & (F.col("__run_len") > 1))
     )
     out = Q.write_flag(spans, var, bad, Q.FLAG_STREAK_CONSECUTIVE)
-    return out.drop("__run", "__run_len", "__run_days")
+    drop = ["__run", "__run_len", "__run_days"]
+    if use_resolution_thresholds and var in STRAIGHT_REPEAT_THRESHOLDS:
+        drop += ["__max_count", "__max_days"]
+    return out.drop(*drop)
 
 
 def deaccumulate_precip(df: DataFrame) -> DataFrame:
@@ -215,7 +326,7 @@ def run_qaqc(
         for v in streak_vars:
             out = D.same_hour_streak_check(out, v)
     for v in streak_vars:
-        out = consecutive_streak_check(out, v)
+        out = consecutive_streak_check(out, v, use_resolution_thresholds=True)
     out = cut(out)
     if with_distribution:
         for v in streak_vars:
