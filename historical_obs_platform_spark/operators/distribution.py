@@ -522,19 +522,24 @@ def same_hour_streak_check(
 ) -> DataFrame:
     """Flag 27 (hourly_repeats, qaqc_unusual_streaks.py:474-570): for a
     given hour-of-day, the same value repeating on > ``min_days``
-    consecutive days (gap ≤ 1 day) is instrument failure."""
+    consecutive days (gap ≤ 1 day) is instrument failure.
+
+    Clusters are runs of distinct *days* (find_date_clusters scans the
+    sorted unique dates, :474-511); clustering distinct days rather
+    than rows both matches the reference's day-count threshold and
+    keeps the window sort free of same-day ties (deterministic)."""
     if var not in df.columns:
         return df
     valid = df.where(Q.valid_mask(var) & F.col(var).isNotNull()).select(
         "station",
-        "time",
         F.hour("time").alias("__hh"),
         F.to_date("time").alias("__day"),
         F.col(var).alias("__v"),
     )
+    days = valid.distinct()
     w = Window.partitionBy("station", "__hh", "__v").orderBy("__day")
     clustered = sessionize(
-        valid.withColumn(
+        days.withColumn(
             "__gap", F.datediff(F.col("__day"), F.lag("__day").over(w))
         ),
         ["station", "__hh", "__v"],
@@ -544,16 +549,25 @@ def same_hour_streak_check(
     )
     w_c = Window.partitionBy("station", "__hh", "__v", "__cluster")
     bad = (
-        clustered.withColumn("__sz", F.count(F.lit(1)).over(w_c))
-        .where(F.col("__sz") > min_days)
-        .select("station", "time")
-        .withColumn("__bad_hour_row", F.lit(True))
+        clustered.withColumn("__n_days", F.count(F.lit(1)).over(w_c))
+        .where(F.col("__n_days") > min_days)
+        .select("station", "__hh", "__v", "__day")
+        .withColumn("__bad_hour_day", F.lit(True))
     )
-    out = df.join(F.broadcast(bad), ["station", "time"], "left")
+    out = (
+        df.withColumn("__hh", F.hour("time"))
+        .withColumn("__day", F.to_date("time"))
+        .withColumn("__v", F.col(var))
+        .join(
+            F.broadcast(bad),
+            ["station", "__hh", "__v", "__day"],
+            "left",
+        )
+    )
     out = Q.write_flag(
-        out, var, F.col("__bad_hour_row").isNotNull(), FLAG_STREAK_HOUR
+        out, var, F.col("__bad_hour_day").isNotNull(), FLAG_STREAK_HOUR
     )
-    return out.drop("__bad_hour_row")
+    return out.drop("__bad_hour_day", "__hh", "__day", "__v")
 
 
 # ----------------------------------------------- flag 29: whole-day repeats

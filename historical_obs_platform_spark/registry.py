@@ -36,6 +36,7 @@ def load_all() -> None:
     from .queries import (  # noqa: F401
         chain_demo,
         qaqc_demo,
+        qaqc_parity,
         relational,
         relational2,
         textops,

@@ -3,6 +3,8 @@ defects (FIXTURES.md D10-D16 + streak variants D9/27/29) — expected
 flag sets known exactly; precedence between tests follows the
 reference chain order."""
 
+import zlib
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -16,7 +18,9 @@ HOURS = YEARS * 365 * 24
 
 def _station(name, amp=8.0, noise=0.3, pr=False, seed=None):
     times = pd.date_range("2015-01-01", periods=HOURS, freq="h")
-    rng = np.random.RandomState((seed or hash(name)) % 2**31)
+    # NB zlib.crc32, not hash(): Python's str hash is salted per
+    # process, which made fixture data differ between pytest runs
+    rng = np.random.RandomState((seed or zlib.crc32(name.encode())) % 2**31)
     tas = (
         285.0
         + amp * np.sin(np.arange(HOURS) * 2 * np.pi / 24)

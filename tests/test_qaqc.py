@@ -1,6 +1,8 @@
 """End-to-end QA/QC chain tests with planted defects (FIXTURES.md):
 synthetic stations where the expected flag set is known exactly."""
 
+import zlib
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -19,7 +21,8 @@ HOURS = 24 * 40  # 40 days
 
 def _station(name, t0="2020-01-01", hours=HOURS, lat=40.0, lon=-120.0, elev=100.0):
     times = pd.date_range(t0, periods=hours, freq="h")
-    rng = np.random.RandomState(hash(name) % 2**31)
+    # stable seed (process-salted hash() made fixtures nondeterministic)
+    rng = np.random.RandomState(zlib.crc32(name.encode()) % 2**31)
     tas = 285.0 + 8 * np.sin(np.arange(hours) * 2 * np.pi / 24) + rng.normal(0, 0.3, hours)
     return pd.DataFrame(
         {
