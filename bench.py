@@ -38,6 +38,8 @@ def main() -> None:
     # engine, not first-call JIT.
     registry.QUERIES["q1_pricing_summary"](spark, sf_dir).count()
 
+    import gc
+
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
     for name in sorted(registry.QUERIES):
@@ -49,6 +51,11 @@ def main() -> None:
         except Exception as exc:  # pragma: no cover
             timings[name] = -1.0
             print(f"# {name} FAILED: {exc}", file=sys.stderr)
+        # drop cached/localCheckpoint blocks so earlier queries'
+        # state doesn't slow later ones (measured: ~2× drift across
+        # a 68-query session without this)
+        spark.catalog.clearCache()
+        gc.collect()
     total = round(time.perf_counter() - t_all, 4)
 
     print(

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.textfns import winnow_fingerprint
+from ..functions.textfns import fingerprint_docs
 from ..operators import distribution as D
 from ..operators import multimodal as MM
 from ..operators import qaqc as Q
@@ -430,9 +430,7 @@ def t_fingerprint(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull()
     )
-    return docs.select(
-        "doc_id", winnow_fingerprint("text", k=8).alias("fp")
-    )
+    return fingerprint_docs(docs, "doc_id", "text", k=8)
 
 
 # --------------------------------------------------------------------

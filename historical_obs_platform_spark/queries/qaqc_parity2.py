@@ -1,0 +1,256 @@
+"""Fourth query wave: rule-table flagging (L7), elevation infill (L9),
+geospatial region gate (P4), Gaussian pdf-floor bounds (A7), and the
+climatological-outlier pandas-UDF island (W13, rows-only).
+
+Rules/DEM/polygon inputs are tiny driver-built broadcast tables, as in
+the reference (broadcast lookup joins, SURVEY.md §2.3 J7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..operators import distribution as D
+from ..operators import qaqc as Q
+from ..operators.concat import buoy_blacklist_check, elevation_infill
+from ..operators.geo import station_region_gate
+from ..registry import query
+from .common import dec, table
+
+
+def _obs(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("user_id").cast("string").alias("station"),
+        F.col("ts").alias("time"),
+        F.col("user_id"),
+        F.col("value"),
+    )
+
+
+# --------------------------------------------------------------------
+# L7: buoy blacklist — broadcast rules table; data past a
+# disestablishment date (flag 2), daytime wind at a known-bad buoy
+# (flag 1) (qaqc_buoy_check.py:24-164). First matching rule wins:
+# write_flag never overwrites a non-null flag.
+# --------------------------------------------------------------------
+L7_ORACLE = """
+SELECT CAST(user_id AS VARCHAR) AS station, ts AS time,
+       5.0 + (value % 20.0) AS sfcWind,
+       CASE WHEN CAST(user_id AS VARCHAR) = '3'
+                 AND ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 2.0
+            WHEN CAST(user_id AS VARCHAR) = '7'
+                 AND hour(ts) BETWEEN 6 AND 20 THEN 1.0
+       END AS sfcWind_eraqc
+FROM events
+"""
+
+
+@query("l7_buoy_blacklist", L7_ORACLE)
+def l7_buoy_blacklist(spark, sf_dir):
+    obs = _obs(spark, sf_dir).select(
+        "station",
+        "time",
+        (F.lit(5.0) + F.col("value") % 20.0).alias("sfcWind"),
+    )
+    obs = Q.ensure_flag_columns(obs, ["sfcWind"])
+    rules_schema = StructType(
+        [
+            StructField("station", StringType()),
+            StructField("variable", StringType()),
+            StructField("window_start", TimestampType()),
+            StructField("window_end", TimestampType()),
+            StructField("flag", IntegerType()),
+            StructField("hour_start", IntegerType()),
+            StructField("hour_end", IntegerType()),
+        ]
+    )
+    import datetime as dt
+
+    rules = spark.createDataFrame(
+        [
+            ("3", None, dt.datetime(2024, 1, 15), None, 2, None, None),
+            ("7", "sfcWind", None, None, 1, 6, 20),
+        ],
+        schema=rules_schema,
+    )
+    out = buoy_blacklist_check(obs, rules)
+    return out.select("station", "time", "sfcWind", "sfcWind_eraqc")
+
+
+# --------------------------------------------------------------------
+# L9: elevation infill — all-null stations fill from a DEM lookup
+# (flag 3) or 0.0 offshore default (flag 5); partially-null stations
+# fill from the station constant (flag 4)
+# (qaqc_wholestation.py:270-534, DEM replaced by a broadcast table).
+# --------------------------------------------------------------------
+L9_ORACLE = """
+WITH obs AS (
+  SELECT CAST(user_id AS VARCHAR) AS station, ts AS time, user_id,
+         CAST(user_id % 3 AS DOUBLE) AS lat,
+         CAST(-(user_id % 3) AS DOUBLE) AS lon,
+         CASE WHEN user_id % 4 = 0 THEN NULL
+              WHEN user_id % 4 = 1 AND value < 5 THEN NULL
+              WHEN user_id % 4 = 1 THEN 150.0
+              ELSE 120.0 END AS elevation
+  FROM events
+), dem AS (
+  SELECT CAST(k AS DOUBLE) AS lat, CAST(-k AS DOUBLE) AS lon,
+         500.0 + k AS dem_elevation
+  FROM (SELECT UNNEST([0, 1]) AS k)
+), stats AS (
+  SELECT station, COUNT(elevation) AS n_elev,
+         MAX(elevation) AS stn_elev,
+         MAX(lat) AS slat, MAX(lon) AS slon
+  FROM obs GROUP BY station
+), j AS (
+  SELECT s.*, d.dem_elevation AS dem
+  FROM stats s LEFT JOIN dem d ON s.slat = d.lat AND s.slon = d.lon
+)
+SELECT o.station, o.time,
+  CASE WHEN o.elevation IS NULL THEN
+         CASE WHEN j.n_elev > 0 THEN j.stn_elev
+              WHEN j.dem IS NOT NULL THEN j.dem
+              ELSE 0.0 END
+       ELSE o.elevation END AS elevation,
+  CASE WHEN o.elevation IS NULL THEN
+         CASE WHEN j.n_elev > 0 THEN 4.0
+              WHEN j.dem IS NOT NULL THEN 3.0
+              ELSE 5.0 END
+  END AS elevation_eraqc
+FROM obs o JOIN j USING (station)
+"""
+
+
+@query("l9_elevation_infill", L9_ORACLE)
+def l9_elevation_infill(spark, sf_dir):
+    obs = _obs(spark, sf_dir).select(
+        "station",
+        "time",
+        (F.col("user_id") % 3).cast("double").alias("lat"),
+        (-(F.col("user_id") % 3)).cast("double").alias("lon"),
+        F.when(F.col("user_id") % 4 == 0, F.lit(None).cast("double"))
+        .when(
+            (F.col("user_id") % 4 == 1) & (F.col("value") < 5),
+            F.lit(None).cast("double"),
+        )
+        .when(F.col("user_id") % 4 == 1, F.lit(150.0))
+        .otherwise(F.lit(120.0))
+        .alias("elevation"),
+    )
+    dem = spark.createDataFrame(
+        [(0.0, -0.0, 500.0), (1.0, -1.0, 501.0)],
+        schema="lat double, lon double, dem_elevation double",
+    )
+    out = elevation_infill(obs, dem)
+    return out.select("station", "time", "elevation", "elevation_eraqc")
+
+
+# --------------------------------------------------------------------
+# P4: region gate — stations whose representative coordinate falls
+# outside the region polygon are listed for rejection
+# (qaqc_within_wecc, qaqc_wholestation.py:231-267; ray-cast over a
+# broadcast polygon evaluated per distinct coordinate).
+# --------------------------------------------------------------------
+P4_ORACLE = """
+SELECT DISTINCT CAST(user_id AS VARCHAR) AS station,
+       'outside_region' AS reject_reason
+FROM events
+WHERE (user_id % 10) + 0.5 NOT BETWEEN 1 AND 5
+   OR -((user_id % 10) + 0.5) NOT BETWEEN -5 AND -1
+"""
+
+_POLY = [(-5.0, 1.0), (-1.0, 1.0), (-1.0, 5.0), (-5.0, 5.0)]
+
+
+@query("p4_region_gate", P4_ORACLE)
+def p4_region_gate(spark, sf_dir):
+    obs = _obs(spark, sf_dir).select(
+        "station",
+        "time",
+        ((F.col("user_id") % 10) + 0.5).cast("double").alias("lat"),
+        (-((F.col("user_id") % 10) + 0.5)).cast("double").alias("lon"),
+    )
+    return station_region_gate(obs, [_POLY])
+
+
+# --------------------------------------------------------------------
+# A7: Gaussian fit + pdf-floor bounds — per station, fit N(mu, sigma)
+# and solve pdf(x) = 0.1 for the left/right flag bounds
+# (fit_normal/pdf_bounds, qaqc_climatological_outlier.py:323-460,
+# qaqc_utils.py:146-200). Moments from decimal-exact sums so both
+# engines see identical doubles.
+# --------------------------------------------------------------------
+A7_ORACLE = """
+WITH m AS (
+  SELECT CAST(user_id AS VARCHAR) AS station,
+         COUNT(value) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))
+                  * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ss
+  FROM events GROUP BY station
+), f AS (
+  SELECT station, n, s / n AS mu,
+         sqrt(ss / n - (s / n) * (s / n)) AS sigma
+  FROM m
+)
+SELECT station,
+  round(mu, 6) AS mu, round(sigma, 6) AS sigma,
+  CASE WHEN 0.1 * sigma * sqrt(2 * pi()) < 1 THEN
+    round(mu - sigma * sqrt(-2 * ln(0.1 * sigma * sqrt(2 * pi()))), 6)
+  END AS lo,
+  CASE WHEN 0.1 * sigma * sqrt(2 * pi()) < 1 THEN
+    round(mu + sigma * sqrt(-2 * ln(0.1 * sigma * sqrt(2 * pi()))), 6)
+  END AS hi
+FROM f
+"""
+
+
+@query("a7_pdf_bounds", A7_ORACLE)
+def a7_pdf_bounds(spark, sf_dir):
+    import math
+
+    ev = _obs(spark, sf_dir)
+    m = ev.groupBy("station").agg(
+        F.count("value").alias("n"),
+        F.sum(dec("value")).cast("double").alias("s"),
+        F.sum(dec("value") * dec("value")).cast("double").alias("ss"),
+    )
+    mu = F.col("s") / F.col("n")
+    sigma = F.sqrt(F.col("ss") / F.col("n") - mu * mu)
+    arg = F.lit(0.1) * sigma * F.lit(math.sqrt(2 * math.pi))
+    z = sigma * F.sqrt(F.lit(-2.0) * F.log(arg))
+    return m.select(
+        "station",
+        F.round(mu, 6).alias("mu"),
+        F.round(sigma, 6).alias("sigma"),
+        F.when(arg < 1, F.round(mu - z, 6)).alias("lo"),
+        F.when(arg < 1, F.round(mu + z, 6)).alias("hi"),
+    )
+
+
+# --------------------------------------------------------------------
+# W13 (+W9/W10): climatological outlier — winsorized (month, hour)
+# climatology, IQR standardization, Butterworth low-pass, per-month
+# normal fit with pdf-floor bounds, all inside a per-station
+# applyInPandas island. Iterative/stateful → rows-only check.
+# --------------------------------------------------------------------
+@query("w13_clim_outlier")
+def w13_clim_outlier(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    obs = ev.select(
+        (F.col("user_id") % 8).cast("string").alias("station"),
+        F.col("ts").alias("time"),
+        (F.lit(285.0) + F.col("value") / 4).alias("tas"),
+    )
+    obs = Q.ensure_flag_columns(obs, ["tas"])
+    out = D.climatological_outlier_check(obs, "tas")
+    return out.select("station", "time", "tas", "tas_eraqc")

@@ -37,6 +37,7 @@ def load_all() -> None:
         chain_demo,
         qaqc_demo,
         qaqc_parity,
+        qaqc_parity2,
         relational,
         relational2,
         textops,

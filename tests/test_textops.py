@@ -125,3 +125,29 @@ def test_winnow_fingerprint_order_insensitive_prefix(spark):
     fps = {r.id: r.fp for r in rows}
     assert fps[1] == fps[2]
     assert fps[1] != fps[3]
+
+
+def test_fingerprint_docs_matches_column_form(spark):
+    """The codegen explode+min-agg plan computes the identical
+    fingerprint as the higher-order-lambda column form."""
+    from historical_obs_platform_spark.functions.textfns import (
+        fingerprint_docs,
+        winnow_fingerprint,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "The Quick  brown fox jumps over the lazy dog"),
+            (2, "short"),
+            (3, "a different doc entirely, with punctuation! and MORE"),
+        ],
+        "id int, text string",
+    )
+    want = {
+        r.id: r.fp
+        for r in df.select(
+            "id", winnow_fingerprint("text").alias("fp")
+        ).collect()
+    }
+    got = {r.id: r.fp for r in fingerprint_docs(df, "id", "text").collect()}
+    assert got == want
