@@ -368,6 +368,18 @@ def s_lsh_ann_topk(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
+# IVF approximate top-k — coarse-quantizer cells (deterministic seeds
+# + one Lloyd step), nprobe-cell probing. Approximate => rows-only;
+# tests/test_textops.py checks recall against the exact baseline.
+# --------------------------------------------------------------------
+@query("s_ivf_ann_topk")
+def s_ivf_ann_topk(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return SIM.ivf_ann_topk(emb, queries, k=5, n_cells=16, nprobe=4)
+
+
+# --------------------------------------------------------------------
 # Embedding-cosine near-duplicate pairs with IVF-style blocking: the
 # label column acts as the coarse-quantizer cell, so candidate pairs
 # come only from within a cell (the corpus never cross-joins

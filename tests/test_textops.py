@@ -151,3 +151,19 @@ def test_fingerprint_docs_matches_column_form(spark):
     }
     got = {r.id: r.fp for r in fingerprint_docs(df, "id", "text").collect()}
     assert got == want
+
+
+def test_ivf_ann_recall_vs_exact(spark):
+    """IVF probing must recover a decent fraction of the exact top-k."""
+    from historical_obs_platform_spark.registry import QUERIES
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["s_cosine_topk"](spark, SF_DIR).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["s_ivf_ann_topk"](spark, SF_DIR).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"recall {recall:.2f}"
