@@ -77,3 +77,28 @@ def write_station_list_csv(stations: DataFrame, path: str) -> None:
     stations.coalesce(1).write.mode("overwrite").option(
         "header", True
     ).csv(path)
+
+
+def write_bucketed_stage(
+    df: DataFrame,
+    table_name: str,
+    path: str | None = None,
+    n_buckets: int = 64,
+    sort_col: str = "time",
+) -> None:
+    """Bucketed stage table (the 100 TB layout): every station's rows
+    land in one bucket file, sorted by time — station-keyed groupBy /
+    window / self-join plans then contain NO Exchange (bucket-local),
+    the distributed analog of the reference's one-zarr-per-station
+    locality (MERGE_pipeline.py:380-410). Size ``n_buckets`` so a
+    bucket is a few file-split units at the target corpus (e.g. 4096
+    buckets for 15k stations × 40 yr)."""
+    w = (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, "station")
+        .sortBy("station", sort_col)
+        .format("parquet")
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
