@@ -254,3 +254,39 @@ def w13_clim_outlier(spark, sf_dir):
     obs = Q.ensure_flag_columns(obs, ["tas"])
     out = D.climatological_outlier_check(obs, "tas")
     return out.select("station", "time", "tas", "tas_eraqc")
+
+
+# --------------------------------------------------------------------
+# Pressure-units heuristic fix — a station whose mean pressure is
+# < 10000 is reporting hPa, not Pa; the whole column is rescaled ×100
+# (qaqc_logic_checks.py:376-414). The hPa/Pa means differ by 100× so
+# the float-mean comparison has an enormous margin on both engines.
+# --------------------------------------------------------------------
+PUNITS_ORACLE = """
+WITH obs AS (
+  SELECT CAST(user_id AS VARCHAR) AS station, ts AS time,
+         CASE WHEN user_id % 3 = 0 THEN 900.0 + value / 10
+              ELSE 90000.0 + value END AS ps
+  FROM events
+), m AS (
+  SELECT station, AVG(ps) AS mean_ps FROM obs GROUP BY station
+)
+SELECT o.station, o.time,
+       CASE WHEN m.mean_ps < 10000 THEN o.ps * 100.0 ELSE o.ps END AS ps
+FROM obs o JOIN m USING (station)
+"""
+
+
+@query("f_pressure_units_fix", PUNITS_ORACLE)
+def f_pressure_units_fix(spark, sf_dir):
+    obs = _obs(spark, sf_dir).select(
+        "station",
+        "time",
+        F.when(
+            F.col("user_id") % 3 == 0, F.lit(900.0) + F.col("value") / 10
+        )
+        .otherwise(F.lit(90000.0) + F.col("value"))
+        .alias("ps"),
+    )
+    out = Q.pressure_units_fix(obs)
+    return out.select("station", "time", "ps")
