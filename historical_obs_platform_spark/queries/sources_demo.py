@@ -85,3 +85,54 @@ def s4_isd_roundtrip(spark, sf_dir):
         "sfcWind_dir", "sfcWind", "tas", "tdps", "psl",
         "pr", "pr_duration_h",
     )
+
+
+# --------------------------------------------------------------------
+# S5: CSV observation cleaner round-trip — Spark renders a MADIS-style
+# CSV prefix (sensor-suffix column names, 'M' sentinels), the real
+# source scans it back (rename map, sentinel → null, try_cast,
+# timeout-row drop), and the oracle computes the expected frame
+# directly from the source numbers (MADIS_clean.py:113-392).
+# --------------------------------------------------------------------
+S5_ORACLE = """
+SELECT 'ST' || CAST(user_id AS VARCHAR) AS station,
+       date_trunc('second', ts) AS time,
+       CASE WHEN value % 17.0 < 1 THEN NULL ELSE value END AS tas,
+       value % 100.0 AS hurs
+FROM events
+"""
+
+
+@query("s5_csv_obs_roundtrip", S5_ORACLE)
+def s5_csv_obs_roundtrip(spark, sf_dir):
+    import os
+
+    from ..sources.csv_obs import read_csv_obs
+
+    ev = table(spark, sf_dir, "events")
+    rendered = ev.select(
+        F.concat(F.lit("ST"), F.col("user_id").cast("string")).alias(
+            "station"
+        ),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("time"),
+        F.when(F.col("value") % 17.0 < 1, F.lit("M"))
+        .otherwise(F.col("value").cast("string"))
+        .alias("air_temp_set_1"),
+        (F.col("value") % 100.0).cast("string").alias(
+            "relative_humidity_set_1"
+        ),
+    )
+    path = os.path.join(
+        "/tmp", f"spark_graft_s5_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    rendered.coalesce(4).write.mode("overwrite").option(
+        "header", True
+    ).csv(path)
+    out = read_csv_obs(
+        spark,
+        path,
+        schema="station string, time string, "
+        "air_temp_set_1 string, relative_humidity_set_1 string",
+        period=None,
+    )
+    return out.select("station", "time", "tas", "hurs")
