@@ -276,8 +276,18 @@ def frequent_values_check(
     """Flags 24 (whole-record) / 25 (seasonal) (qaqc_frequent.py:
     223-563): a histogram bin holding > ``dominance`` of its ±3-bin
     block with enough observations marks all its values as suspiciously
-    frequent. Seasons are DJF/MAM/JJA/SON over the whole record.
-    tas ↔ tdps are synergistically flagged by the caller (L10)."""
+    frequent. Three granularities run: whole-record (threshold 30),
+    per-season over the record (20), and per-season-per-year (15, with
+    December attributed to the following winter-year). Seasons are
+    DJF/MAM/JJA/SON. tas ↔ tdps are synergistically flagged by the
+    caller (L10).
+
+    DELIBERATE DEVIATION (SURVEY.md §7): the reference stages a
+    provisional flag 100 from the whole-record pass and lets the
+    per-year passes confirm or clear it (qaqc_frequent.py:126-185);
+    here each granularity flags directly — a bin dominant over the
+    whole record is flagged even if no single year confirms it
+    (strictly more conservative, order-independent)."""
     if var not in df.columns:
         return df
     width = BIN_WIDTHS.get(var, 1.0)

@@ -290,3 +290,60 @@ def f_pressure_units_fix(spark, sf_dir):
     )
     out = Q.pressure_units_fix(obs)
     return out.select("station", "time", "ps")
+
+
+# --------------------------------------------------------------------
+# A6 hourly split-stack + roll-up: comma-joined hourly flag strings
+# exploded back to codes (merge_eraqc_counts.py:87-157, split-stack at
+# :127-129), counted per station, then rolled up per network and ALL
+# (qaqc_generate_flag_rates.py:96-231).
+# --------------------------------------------------------------------
+A6H_ORACLE = """
+WITH obs AS (
+  SELECT 'NET' || CAST(user_id % 3 AS VARCHAR) || '_'
+           || CAST(user_id AS VARCHAR) AS station,
+         CASE WHEN value % 10.0 < 1 THEN '11.0'
+              WHEN value % 10.0 < 3 THEN '11.0,23.0'
+              WHEN value % 10.0 < 4 THEN '23.0,28.0,11.0'
+         END AS fl
+  FROM events
+), e AS (
+  SELECT station,
+         CAST(CAST(UNNEST(string_split(fl, ',')) AS DOUBLE) AS INTEGER)
+           AS flag
+  FROM obs WHERE fl IS NOT NULL
+), counts AS (
+  SELECT station, 'tas' AS variable, flag, COUNT(*) AS n
+  FROM e GROUP BY station, flag
+), with_net AS (
+  SELECT string_split(station, '_')[1] AS network, variable, flag, n
+  FROM counts
+)
+SELECT network, variable, flag, CAST(SUM(n) AS BIGINT) AS n
+FROM with_net GROUP BY network, variable, flag
+UNION ALL
+SELECT 'ALL' AS network, variable, flag, CAST(SUM(n) AS BIGINT) AS n
+FROM with_net GROUP BY variable, flag
+"""
+
+
+@query("a6_hourly_flag_rollup", A6H_ORACLE)
+def a6_hourly_flag_rollup(spark, sf_dir):
+    from ..plans.merge import flag_counts, network_flag_rates
+
+    obs = _obs(spark, sf_dir).select(
+        F.concat(
+            F.lit("NET"),
+            (F.col("user_id") % 3).cast("string"),
+            F.lit("_"),
+            F.col("user_id").cast("string"),
+        ).alias("station"),
+        F.when(F.col("value") % 10.0 < 1, F.lit("11.0"))
+        .when(F.col("value") % 10.0 < 3, F.lit("11.0,23.0"))
+        .when(F.col("value") % 10.0 < 4, F.lit("23.0,28.0,11.0"))
+        .alias("tas_eraqc"),
+    )
+    counts = flag_counts(obs)
+    return network_flag_rates(counts).select(
+        "network", "variable", "flag", "n"
+    )
