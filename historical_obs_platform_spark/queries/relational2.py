@@ -172,3 +172,113 @@ def q18_large_orders(spark, sf_dir):
             F.col("__sum_dec").cast("double").alias("sum_qty"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q4 shape: EXISTS decorrelated to a left-semi join — orders in
+# a quarter with at least one deep-discount line, counted by priority.
+# --------------------------------------------------------------------
+Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@query("q4_priority_with_discount", Q4_ORACLE)
+def q4_priority_with_discount(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    disc = table(spark, sf_dir, "lineitem").where(F.col("l_discount") > 0.05)
+    hit = orders.join(
+        disc, orders.o_orderkey == disc.l_orderkey, "left_semi"
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q12 shape: conditional (CASE) aggregation — late-year
+# shipments per linestatus split into urgent / non-urgent order counts.
+# --------------------------------------------------------------------
+Q12_ORACLE = """
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+GROUP BY l.l_linestatus
+"""
+
+
+@query("q12_priority_shipments", Q12_ORACLE)
+def q12_priority_shipments(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= "1995-01-01"
+    )
+    orders = table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive multi-clause predicate over a
+# part-lineitem join — each OR-block combines brand, size, and
+# quantity bounds (predicate simplification + broadcast join).
+# --------------------------------------------------------------------
+Q19_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       count(*) AS n_rows
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 35)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 50)
+"""
+
+
+@query("q19_discounted_revenue", Q19_ORACLE)
+def q19_discounted_revenue(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    blk = lambda b, s0, s1, q0, q1: (  # noqa: E731
+        (F.col("p_brand") == b)
+        & F.col("p_size").between(s0, s1)
+        & F.col("l_quantity").between(q0, q1)
+    )
+    cond = (
+        blk("Brand#1", 1, 15, 1, 20)
+        | blk("Brand#2", 10, 30, 10, 35)
+        | blk("Brand#3", 20, 50, 20, 50)
+    )
+    return j.where(cond).agg(
+        F.sum(
+            dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
