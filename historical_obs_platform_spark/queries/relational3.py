@@ -1,0 +1,720 @@
+"""Third relational wave — the remaining TPC-H query shapes, adapted
+to the driver schema (which has no ``partsupp``: the part-supplier
+bridge is derived from ``lineitem``). Each query exercises a distinct
+planner shape the first two waves didn't:
+
+- correlated scalar subqueries decorrelated to window-min / agg-join
+  (Q2, Q15, Q17)
+- global-scalar HAVING (Q11)
+- left-outer join + double aggregation (Q13)
+- multi-way nation joins with disjunctive pair predicates (Q7, Q8, Q9)
+- nested semi-join chains (Q20)
+- EXISTS + NOT EXISTS on the same fact table (Q21)
+- anti-join against facts with a scalar-subquery predicate (Q22)
+- ROLLUP / CUBE grouping sets
+- time-range window frames (rolling 24 h sum)
+
+All aggregates follow the decimal-exact oracle rules in ``common.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from .common import dec, dsum, table
+
+
+# --------------------------------------------------------------------
+# TPC-H Q2 shape: min-cost supplier per part. The correlated scalar
+# subquery (min cost over suppliers of the part in the region)
+# decorrelates to a window-min over the partition — no self-join.
+# --------------------------------------------------------------------
+Q2_ORACLE = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), eu AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+), j AS (
+  SELECT p.p_partkey, p.p_type, eu.s_suppkey, eu.s_name, eu.s_acctbal,
+         eu.n_name, ps.cost,
+         min(ps.cost) OVER (PARTITION BY p.p_partkey) AS min_cost
+  FROM ps
+  JOIN eu ON ps.l_suppkey = eu.s_suppkey
+  JOIN part p ON ps.l_partkey = p.p_partkey
+  WHERE p.p_size BETWEEN 10 AND 12 AND p.p_type = 'STANDARD'
+)
+SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name,
+       round(cost, 6) AS unit_cost
+FROM j WHERE cost = min_cost
+"""
+
+
+@query("q2_min_cost_supplier", Q2_ORACLE)
+def q2_min_cost_supplier(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region")
+    part = table(spark, sf_dir, "part")
+
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    eu = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(
+            F.broadcast(reg.where(F.col("r_name") == "EUROPE")),
+            nat.n_regionkey == reg.r_regionkey,
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pf = part.where(
+        F.col("p_size").between(10, 12) & (F.col("p_type") == "STANDARD")
+    )
+    j = ps.join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey).join(
+        F.broadcast(pf), ps.l_partkey == pf.p_partkey
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        j.withColumn("min_cost", F.min("cost").over(w))
+        .where(F.col("cost") == F.col("min_cost"))
+        .select(
+            "p_partkey",
+            "s_suppkey",
+            "s_name",
+            "s_acctbal",
+            "n_name",
+            F.round("cost", 6).alias("unit_cost"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q7 shape: volume shipping between two nations, both
+# directions, by year — two nation joins with a disjunctive pair
+# predicate.
+# --------------------------------------------------------------------
+Q7_ORACLE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+"""
+
+
+@query("q7_volume_shipping", Q7_ORACLE)
+def q7_volume_shipping(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    sup = table(spark, sf_dir, "supplier")
+    cust = table(spark, sf_dir, "customer")
+    nat = table(spark, sf_dir, "nation")
+
+    n1 = nat.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), sup.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q8 shape: market share of one supplier-nation within a
+# customer region, per year — ratio of conditional decimal sums.
+# --------------------------------------------------------------------
+Q8_ORACLE = """
+SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       round(
+         CAST(COALESCE(sum(CASE WHEN n1.n_name = 'NATION_3'
+               THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2))) END), 0)
+              AS DOUBLE)
+         / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+         6) AS mkt_share
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+JOIN region r   ON n2.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+GROUP BY year(o.o_orderdate)
+"""
+
+
+@query("q8_market_share", Q8_ORACLE)
+def q8_market_share(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    part = table(spark, sf_dir, "part")
+    sup = table(spark, sf_dir, "supplier")
+    cust = table(spark, sf_dir, "customer")
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region")
+
+    n1 = nat.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    amer = (
+        cust.join(
+            F.broadcast(
+                nat.select("n_nationkey", "n_regionkey")
+            ),
+            cust.c_nationkey == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(reg.where(F.col("r_name") == "AMERICA")),
+            F.col("n_regionkey") == reg.r_regionkey,
+        )
+        .select("c_custkey")
+    )
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    nation_rev = F.when(F.col("supp_nation") == "NATION_3", revenue)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(part.where(F.col("p_type") == "ECONOMY")),
+            li.l_partkey == part.p_partkey,
+        )
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), sup.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(amer), orders.o_custkey == amer.c_custkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.coalesce(F.sum(nation_rev), F.lit(0)).cast("double")
+                / F.sum(revenue).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q9 shape: profit by supplier nation and year. No
+# ps_supplycost in this schema — p_retailprice * quantity stands in as
+# the cost term (same expression shape: sum of a two-product decimal
+# difference).
+# --------------------------------------------------------------------
+Q9_ORACLE = """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+              - CAST(p.p_retailprice AS DECIMAL(18,2))
+                * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_profit
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY n.n_name, year(o.o_orderdate)
+"""
+
+
+@query("q9_product_profit", Q9_ORACLE)
+def q9_product_profit(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    part = table(spark, sf_dir, "part")
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+
+    profit = dec("l_extendedprice") * (F.lit(1) - dec("l_discount")) - dec(
+        "p_retailprice"
+    ) * dec("l_quantity")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(part.where(F.col("p_name").like("%red%"))),
+            li.l_partkey == part.p_partkey,
+        )
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q11 shape: value concentration — grouped sum filtered by a
+# global-scalar threshold (HAVING sum > frac * total). The scalar is
+# an agg broadcast-crossed back, not a collect().
+# --------------------------------------------------------------------
+Q11_ORACLE = """
+WITH v AS (
+  SELECT l.l_partkey,
+         sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS val
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name IN ('NATION_0', 'NATION_5')
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+FROM v
+WHERE CAST(val AS DOUBLE) > 0.002 * (SELECT CAST(sum(val) AS DOUBLE) FROM v)
+"""
+
+
+@query("q11_value_concentration", Q11_ORACLE)
+def q11_value_concentration(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+
+    nkeys = nat.where(F.col("n_name").isin("NATION_0", "NATION_5"))
+    v = (
+        li.join(
+            F.broadcast(
+                sup.join(
+                    F.broadcast(nkeys), sup.s_nationkey == nkeys.n_nationkey
+                ).select("s_suppkey")
+            ),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(dec("l_extendedprice")).alias("val"))
+    )
+    total = v.agg(F.sum("val").cast("double").alias("total"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .where(F.col("val").cast("double") > 0.002 * F.col("total"))
+        .select("l_partkey", F.col("val").cast("double").alias("part_value"))
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q13 shape: customer order-count distribution — left outer
+# join (zero-order customers kept) then a second aggregation over the
+# first's result (count of counts).
+# --------------------------------------------------------------------
+Q13_ORACLE = """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count
+"""
+
+
+@query("q13_order_count_distribution", Q13_ORACLE)
+def q13_order_count_distribution(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------
+# TPC-H Q15 shape: top supplier — grouped revenue equal to the global
+# max (scalar subquery -> agg + broadcast cross join; decimal sums
+# make the equality exact on both engines).
+# --------------------------------------------------------------------
+Q15_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total AS DOUBLE) AS total_revenue
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total = (SELECT max(total) FROM rev)
+"""
+
+
+@query("q15_top_supplier", Q15_ORACLE)
+def q15_top_supplier(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(revenue).alias("total"))
+    )
+    mx = rev.agg(F.max("total").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total") == F.col("mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("total").cast("double").alias("total_revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q17 shape: small-quantity lines — per-part correlated AVG
+# subquery decorrelated to a grouped agg joined back.
+# --------------------------------------------------------------------
+Q17_ORACLE = """
+WITH pa AS (
+  SELECT l_partkey,
+         0.5 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                / count(l_quantity)) AS qty_threshold
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            / 7.0 AS DOUBLE) AS avg_yearly,
+       count(*) AS n_rows
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1' AND l.l_quantity < pa.qty_threshold
+"""
+
+
+@query("q17_small_quantity_revenue", Q17_ORACLE)
+def q17_small_quantity_revenue(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (
+            F.lit(0.5)
+            * (
+                F.sum(dec("l_quantity")).cast("double")
+                / F.count("l_quantity")
+            )
+        ).alias("qty_threshold")
+    )
+    return (
+        li.join(
+            F.broadcast(part.where(F.col("p_brand") == "Brand#1")),
+            li.l_partkey == part.p_partkey,
+        )
+        .join(pa, li.l_partkey == pa.pa_partkey)
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q20 shape: nested semi-join chain — suppliers in a nation who
+# shipped a meaningful quantity of a named part family in one year.
+# --------------------------------------------------------------------
+Q20_ORACLE = """
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_4'
+  AND s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l
+    WHERE l.l_partkey IN
+          (SELECT p_partkey FROM part WHERE p_name LIKE '%blue%')
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_suppkey, l.l_partkey
+    HAVING sum(CAST(l.l_quantity AS DECIMAL(18,2))) > 40
+  )
+"""
+
+
+@query("q20_part_shippers", Q20_ORACLE)
+def q20_part_shippers(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+
+    blue = part.where(F.col("p_name").like("%blue%")).select("p_partkey")
+    shippers = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(blue), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
+        .where(F.col("qty") > 40)
+        .select("l_suppkey")
+        .distinct()
+    )
+    n4 = nat.where(F.col("n_name") == "NATION_4")
+    return (
+        sup.join(F.broadcast(n4), sup.s_nationkey == n4.n_nationkey, "left_semi")
+        .join(F.broadcast(shippers), sup.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q21 shape: EXISTS + NOT EXISTS on the same fact table — the
+# sole supplier whose line was returned in a multi-supplier order.
+# --------------------------------------------------------------------
+Q21_ORACLE = """
+SELECT s.s_suppkey, s.s_name,
+       count(DISTINCT l1.l_orderkey) AS numwait
+FROM lineitem l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s.s_suppkey, s.s_name
+"""
+
+
+@query("q21_sole_returner", Q21_ORACLE)
+def q21_sole_returner(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+
+    rl = li.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    ).distinct()
+    allp = li.select(
+        F.col("l_orderkey").alias("b_orderkey"),
+        F.col("l_suppkey").alias("b_suppkey"),
+    ).distinct()
+    rother = rl.select(
+        F.col("l_orderkey").alias("c_orderkey"),
+        F.col("l_suppkey").alias("c_suppkey"),
+    )
+    multi = rl.join(
+        allp,
+        (rl.l_orderkey == F.col("b_orderkey"))
+        & (rl.l_suppkey != F.col("b_suppkey")),
+        "left_semi",
+    )
+    sole = multi.join(
+        rother,
+        (multi.l_orderkey == F.col("c_orderkey"))
+        & (multi.l_suppkey != F.col("c_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q22 shape: dormant high-balance customers — scalar AVG
+# subquery in the predicate + anti join against the fact table.
+# --------------------------------------------------------------------
+Q22_ORACLE = """
+WITH avg_bal AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         / count(c_acctbal) AS a
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_mktsegment,
+       count(*) AS numcust,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT a FROM avg_bal)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_mktsegment
+"""
+
+
+@query("q22_dormant_customers", Q22_ORACLE)
+def q22_dormant_customers(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(dec("c_acctbal")).cast("double") / F.count("c_acctbal")
+        ).alias("a")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(
+            orders.where(F.col("o_orderpriority") == "1-URGENT"),
+            cust.c_custkey == orders.o_custkey,
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# ROLLUP grouping sets: revenue at (flag, status), (flag), and ()
+# levels in one pass — partial-agg friendly, NULL levels made explicit
+# with sentinel values so the hash is unambiguous.
+# --------------------------------------------------------------------
+ROLLUP_ORACLE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@query("rollup_revenue_levels", ROLLUP_ORACLE)
+def rollup_revenue_levels(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_extendedprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_rows",
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# CUBE grouping sets: order counts across every (year, priority)
+# combination including both marginals.
+# --------------------------------------------------------------------
+CUBE_ORACLE = """
+SELECT COALESCE(CAST(year(o_orderdate) AS INTEGER), -1) AS o_year,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price
+FROM orders
+GROUP BY CUBE (year(o_orderdate), o_orderpriority)
+"""
+
+
+@query("cube_order_stats", CUBE_ORACLE)
+def cube_order_stats(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    return (
+        orders.cube("o_year", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_year", F.lit(-1)).alias("o_year"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Time-range window frame: rolling 24 h sum/count per user over the
+# events stream (RANGE frame on floor-epoch seconds — ties share the
+# frame, so the result is order-insensitive and exact in decimal).
+# --------------------------------------------------------------------
+ROLLING_ORACLE = """
+SELECT event_id, user_id, ts,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         AS rolling_sum_24h,
+       CAST(count(*) OVER w AS BIGINT) AS rolling_n_24h
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id
+  ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+  RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@query("w_rolling_24h", ROLLING_ORACLE)
+def w_rolling_24h(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-86400, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(dec("value")).over(w).cast("double").alias("rolling_sum_24h"),
+        F.count(F.lit(1)).over(w).alias("rolling_n_24h"),
+    )

@@ -40,6 +40,7 @@ def load_all() -> None:
         qaqc_parity2,
         relational,
         relational2,
+        relational3,
         sources_demo,
         streaming_demo,
         textops,
