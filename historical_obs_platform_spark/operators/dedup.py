@@ -229,3 +229,76 @@ def hamming_distance(a: Column, b: Column, bits: int = 32) -> Column:
         t = F.shiftright(x, b_) % 2
         total = t if total is None else total + t
     return total
+
+
+def connected_components(
+    pairs: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge set by min-label
+    propagation: every node's label converges to the minimum node id
+    reachable from it. Returns ``(node, component)``.
+
+    Near-dup graphs are unions of small dense clusters, so the
+    diameter — and the iteration count — is tiny; each iteration is
+    one shuffle on the node id (no quadratic closure is materialized,
+    unlike the oracle's recursive CTE). Lineage is truncated per
+    iteration so the loop doesn't accumulate a deep Catalyst plan.
+    """
+    # pairs feeds both union branches; without the checkpoint Catalyst
+    # recomputes its whole upstream lineage once per branch
+    pairs = pairs.localCheckpoint(eager=False)
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        # candidate label for each node: the min label among neighbors
+        nbr = (
+            edges.join(
+                labels.withColumnRenamed("node", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "component", F.coalesce("nbr_min", "component")
+                ).alias("component"),
+                (
+                    F.coalesce("nbr_min", "component") < F.col("component")
+                ).alias("__chg"),
+            )
+        ).localCheckpoint()
+        n_changed = updated.where(F.col("__chg")).count()
+        labels = updated.drop("__chg")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def dup_cluster_summary(
+    pairs: DataFrame, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """Cluster near-dup pairs into components and summarize each:
+    ``(cluster_id, n_members)`` where ``cluster_id`` is the minimum
+    doc id of the component — the canonical document a dedup pass
+    would keep."""
+    comp = connected_components(pairs, a, b)
+    return comp.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )

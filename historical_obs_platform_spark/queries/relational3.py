@@ -534,35 +534,29 @@ GROUP BY s.s_suppkey, s.s_name
 
 @query("q21_sole_returner", Q21_ORACLE)
 def q21_sole_returner(spark, sf_dir):
+    # The EXISTS / NOT EXISTS pair decorrelates to per-order counts:
+    # an order qualifies iff it has >1 distinct suppliers and exactly
+    # one distinct supplier with an 'R' line — and that supplier (the
+    # max over a one-element set) is the one charged. One shuffle on
+    # l_orderkey + one on l_suppkey replaces two distinct() passes
+    # plus a semi and an anti join over the fact table.
     li = table(spark, sf_dir, "lineitem")
     sup = table(spark, sf_dir, "supplier")
 
-    rl = li.where(F.col("l_returnflag") == "R").select(
-        "l_orderkey", "l_suppkey"
-    ).distinct()
-    allp = li.select(
-        F.col("l_orderkey").alias("b_orderkey"),
-        F.col("l_suppkey").alias("b_suppkey"),
-    ).distinct()
-    rother = rl.select(
-        F.col("l_orderkey").alias("c_orderkey"),
-        F.col("l_suppkey").alias("c_suppkey"),
+    per_pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r")
     )
-    multi = rl.join(
-        allp,
-        (rl.l_orderkey == F.col("b_orderkey"))
-        & (rl.l_suppkey != F.col("b_suppkey")),
-        "left_semi",
+    stats = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("ns"),
+        F.sum("has_r").alias("nrs"),
+        F.max(F.when(F.col("has_r") == 1, F.col("l_suppkey"))).alias(
+            "l_suppkey"
+        ),
     )
-    sole = multi.join(
-        rother,
-        (multi.l_orderkey == F.col("c_orderkey"))
-        & (multi.l_suppkey != F.col("c_suppkey")),
-        "left_anti",
-    )
+    sole = stats.where((F.col("ns") > 1) & (F.col("nrs") == 1))
     return (
         sole.groupBy("l_suppkey")
-        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .agg(F.count("l_orderkey").alias("numwait"))
         .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
         .select("s_suppkey", "s_name", "numwait")
     )

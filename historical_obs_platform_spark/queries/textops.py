@@ -443,3 +443,80 @@ def d_embedding_cosine_neardup(spark, sf_dir):
         .where(F.col("cosine_sim") >= 0.9)
         .select("a", "b", "cosine_sim")
     )
+
+
+# --------------------------------------------------------------------
+# Near-dup cluster summary: jaccard-confirmed pairs -> connected
+# components (min-label propagation, one shuffle per iteration) ->
+# one row per cluster with its canonical keep-doc. The oracle builds
+# the same graph and closes it with a recursive CTE — quadratic
+# closure is fine for DuckDB at oracle scale, while the Spark side
+# stays linear per iteration for corpus scale.
+# --------------------------------------------------------------------
+def _dup_clusters_oracle(n_hashes: int = 8, bands: int = 4) -> str:
+    rows = n_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        cat = " || '|' || ".join(
+            f"minhash_{b * rows + r}" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cat}) AS bucket FROM sigs"
+        )
+    buckets = " UNION ALL ".join(band_selects)
+    return f"""
+WITH RECURSIVE {_shingle_cte()}, {_minhash_cte(n_hashes)},
+buckets AS ({buckets}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM buckets x JOIN buckets y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS n_common
+  FROM cand c
+  JOIN shingles x ON x.doc_id = c.a
+  JOIN shingles y ON y.doc_id = c.b AND y.shingle = x.shingle
+  GROUP BY c.a, c.b
+),
+pairs AS (
+  SELECT a, b
+  FROM inter
+  JOIN sizes sa ON inter.a = sa.doc_id
+  JOIN sizes sb ON inter.b = sb.doc_id
+  WHERE round(n_common / (sa.sz + sb.sz - n_common), 6) >= 0.5
+),
+edges AS (
+  SELECT a AS u, b AS v FROM pairs
+  UNION
+  SELECT b AS u, a AS v FROM pairs
+),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+  WHERE e.v <> r.u
+),
+comp AS (
+  SELECT u AS node, least(u, min(v)) AS component
+  FROM reach GROUP BY u
+)
+SELECT component AS cluster_id, count(*) AS n_members
+FROM comp GROUP BY component
+"""
+
+
+@query("d_dup_clusters", _dup_clusters_oracle())
+def d_dup_clusters(spark, sf_dir):
+    corpus = _near_corpus_spark(spark, sf_dir)
+    shingles = DD.word_shingles(corpus, "doc_id", "text", n=2).localCheckpoint(
+        eager=False
+    )
+    sigs = DD.minhash_signatures(shingles, "doc_id", n_hashes=8)
+    buckets = DD.lsh_buckets(sigs, "doc_id", n_hashes=8, bands=4)
+    cand = DD.lsh_candidate_pairs(buckets, "doc_id")
+    pairs = DD.jaccard_pairs(
+        shingles, "doc_id", min_jaccard=0.5, candidates=cand
+    ).select("a", "b")
+    return DD.dup_cluster_summary(pairs)

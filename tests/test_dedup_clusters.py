@@ -1,0 +1,50 @@
+"""Connected-components dedup clustering: unit graph cases + the
+driver query vs its recursive-CTE oracle."""
+
+from historical_obs_platform_spark import registry
+
+registry.load_all()
+
+from .conftest import assert_matches_oracle
+
+
+def test_connected_components_merges_chains(spark):
+    from historical_obs_platform_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # two chains and one isolated pair:
+    # {1-2-3-4}, {10-11}, {20-21-22} (third chain given out of order)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 22), (20, 21)],
+        ["a", "b"],
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    want = {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+    assert got == want
+
+
+def test_dup_cluster_summary_counts(spark):
+    from historical_obs_platform_spark.operators.dedup import (
+        dup_cluster_summary,
+    )
+
+    pairs = spark.createDataFrame(
+        [(5, 6), (6, 7), (30, 31)], ["a", "b"]
+    )
+    got = {
+        (r["cluster_id"], r["n_members"])
+        for r in dup_cluster_summary(pairs).collect()
+    }
+    assert got == {(5, 3), (30, 2)}
+
+
+def test_d_dup_clusters_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "d_dup_clusters")
