@@ -1,0 +1,167 @@
+"""Command-line entry points — the analogs of the reference's run
+scripts (``QAQC_run_for_single_station.py``,
+``MERGE_run_for_single_station.py``, ``<NETWORK>_clean.py``;
+SURVEY.md §3), reshaped for Spark: one job processes *all* stations
+(stations are partitions, not processes), and ``--station`` is an
+optional pushed-down filter rather than the unit of work.
+
+    python -m historical_obs_platform_spark qaqc  --input obs/ --output out/
+    python -m historical_obs_platform_spark merge --input out/ --output hourly/
+    python -m historical_obs_platform_spark clean-isd --input raw/ --output clean/
+    python -m historical_obs_platform_spark query --name q1_pricing_summary
+    python -m historical_obs_platform_spark list-queries
+
+All subcommands accept parquet directories. ``main()`` takes an
+optional SparkSession so tests can drive it in-process.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _read(spark: SparkSession, path: str, station: str | None):
+    df = spark.read.parquet(path)
+    if station:
+        # predicate pushdown makes this the per-station run of the
+        # reference: only that station's row groups are read
+        df = df.where(F.col("station") == station)
+    return df
+
+
+def _ensure_network(df):
+    if "network" not in df.columns:
+        df = df.withColumn(
+            "network",
+            F.coalesce(
+                F.split(F.col("station"), "_").getItem(0), F.lit("UNKNOWN")
+            ),
+        )
+    return df
+
+
+def cmd_qaqc(spark, args) -> int:
+    from .plans.clean import write_stage
+    from .plans.qaqc_chain import run_qaqc
+
+    obs = _read(spark, args.input, args.station)
+    flagged = run_qaqc(obs, with_distribution=not args.no_distribution)
+    write_stage(_ensure_network(flagged), args.output)
+    return 0
+
+
+def cmd_merge(spark, args) -> int:
+    from .plans.clean import write_stage, write_station_list_csv
+    from .plans.merge import flag_counts, run_merge
+
+    obs = _read(spark, args.input, args.station)
+    merged = run_merge(obs)
+    write_stage(_ensure_network(merged), args.output)
+    if args.flag_counts:
+        write_station_list_csv(flag_counts(obs), args.flag_counts)
+    return 0
+
+
+def cmd_clean_isd(spark, args) -> int:
+    from .plans.clean import clean_isd, station_list, write_stage
+    from .plans.clean import write_station_list_csv
+
+    bbox = tuple(args.bbox) if args.bbox else None
+    obs = clean_isd(spark, args.input, bbox=bbox)
+    write_stage(_ensure_network(obs), args.output)
+    if args.station_list:
+        write_station_list_csv(station_list(obs), args.station_list)
+    return 0
+
+
+def cmd_query(spark, args) -> int:
+    from . import registry
+
+    registry.load_all()
+    if args.name not in registry.QUERIES:
+        print(f"unknown query {args.name!r}", file=sys.stderr)
+        return 2
+    df = registry.QUERIES[args.name](spark, args.sf_dir)
+    if args.output:
+        df.write.mode("overwrite").parquet(args.output)
+    else:
+        df.show(args.show, truncate=False)
+    return 0
+
+
+def cmd_list_queries(spark, args) -> int:
+    from . import registry
+
+    registry.load_all()
+    for name in sorted(registry.QUERIES):
+        oracle = "oracle" if name in registry.ORACLES else "rows-only"
+        print(f"{name}\t{oracle}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="historical_obs_platform_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    q = sub.add_parser("qaqc", help="run the QA/QC flag battery")
+    q.add_argument("--input", required=True)
+    q.add_argument("--output", required=True)
+    q.add_argument("--station", default=None)
+    q.add_argument(
+        "--no-distribution",
+        action="store_true",
+        help="skip the distribution tests (short records)",
+    )
+    q.set_defaults(fn=cmd_qaqc)
+
+    m = sub.add_parser("merge", help="derive + hourly-standardize")
+    m.add_argument("--input", required=True)
+    m.add_argument("--output", required=True)
+    m.add_argument("--station", default=None)
+    m.add_argument("--flag-counts", default=None)
+    m.set_defaults(fn=cmd_merge)
+
+    c = sub.add_parser("clean-isd", help="parse NOAA ISD fixed-width")
+    c.add_argument("--input", required=True)
+    c.add_argument("--output", required=True)
+    c.add_argument(
+        "--bbox",
+        nargs=4,
+        type=float,
+        default=None,
+        metavar=("MINLON", "MINLAT", "MAXLON", "MAXLAT"),
+    )
+    c.add_argument("--station-list", default=None)
+    c.set_defaults(fn=cmd_clean_isd)
+
+    r = sub.add_parser("query", help="run a registered query")
+    r.add_argument("--name", required=True)
+    r.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    r.add_argument("--output", default=None)
+    r.add_argument("--show", type=int, default=20)
+    r.set_defaults(fn=cmd_query)
+
+    ls = sub.add_parser("list-queries", help="list registered queries")
+    ls.set_defaults(fn=cmd_list_queries)
+    return p
+
+
+def main(argv=None, spark: SparkSession | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if spark is None:
+        from .session import get_spark
+
+        spark = get_spark("hop-spark-cli")
+    else:
+        from .session import tune
+
+        tune(spark)
+    return args.fn(spark, args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,102 @@
+"""CLI entry points driven in-process (the reference's run scripts,
+SURVEY.md §3, reshaped to all-stations Spark jobs)."""
+
+import numpy as np
+import pandas as pd
+
+from historical_obs_platform_spark.cli import main
+
+
+def _obs_parquet(spark, path):
+    times = pd.date_range("2020-01-01", periods=300, freq="30min")
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame(
+        {
+            "station": ["NET1_A"] * 300 + ["NET1_B"] * 300,
+            "time": list(times) * 2,
+            "lat": 40.0,
+            "lon": -120.0,
+            "elevation": 100.0,
+            "tas": 285.0 + rng.normal(0, 2, 600),
+            "pr": np.round(rng.uniform(0, 2, 600), 2),
+        }
+    )
+    # dewpoint strictly below tas so the planted violation is unique
+    pdf["tdps"] = pdf["tas"] - 5.0 - np.abs(rng.normal(0, 1, 600))
+    pdf.loc[5, "tas"] = 350.0  # world record violation
+    pdf.loc[7, "tdps"] = pdf.loc[7, "tas"] + 1.0  # supersaturation
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(path)
+
+
+def test_cli_qaqc_then_merge(spark, tmp_path):
+    src = str(tmp_path / "obs")
+    flagged_dir = str(tmp_path / "flagged")
+    hourly_dir = str(tmp_path / "hourly")
+    counts_dir = str(tmp_path / "counts")
+    _obs_parquet(spark, src)
+
+    rc = main(
+        [
+            "qaqc",
+            "--input", src,
+            "--output", flagged_dir,
+            "--no-distribution",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    flagged = spark.read.parquet(flagged_dir)
+    assert "tas_eraqc" in flagged.columns
+    assert "network" in flagged.columns
+    assert flagged.where("tas_eraqc = 11").count() == 1  # world record
+    assert flagged.where("tdps_eraqc = 12").count() == 1  # supersat
+
+    rc = main(
+        [
+            "merge",
+            "--input", flagged_dir,
+            "--output", hourly_dir,
+            "--flag-counts", counts_dir,
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    hourly = spark.read.parquet(hourly_dir)
+    # 300 half-hourly obs -> 150 hours per station
+    assert hourly.groupBy("station").count().collect()[0]["count"] == 150
+    counts = spark.read.option("header", True).csv(counts_dir)
+    assert counts.count() > 0
+
+
+def test_cli_station_filter(spark, tmp_path):
+    src = str(tmp_path / "obs2")
+    out = str(tmp_path / "flagged2")
+    _obs_parquet(spark, src)
+    rc = main(
+        [
+            "qaqc",
+            "--input", src,
+            "--output", out,
+            "--station", "NET1_A",
+            "--no-distribution",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert got.select("station").distinct().collect()[0]["station"] == "NET1_A"
+
+
+def test_cli_query_and_listing(spark, tmp_path, capsys):
+    rc = main(
+        ["query", "--name", "q6_forecast_revenue", "--show", "3"],
+        spark=spark,
+    )
+    assert rc == 0
+    rc = main(["list-queries"], spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "q6_forecast_revenue\toracle" in out
+    assert "chain_qaqc_merge_events\trows-only" in out
+    rc = main(["query", "--name", "nope"], spark=spark)
+    assert rc == 2
