@@ -520,3 +520,78 @@ def d_dup_clusters(spark, sf_dir):
         shingles, "doc_id", min_jaccard=0.5, candidates=cand
     ).select("a", "b")
     return DD.dup_cluster_summary(pairs)
+
+
+# --------------------------------------------------------------------
+# TF-IDF top terms per document (keyword extraction — a training-data
+# quality/feature op). tf and df are exact integers; idf uses the
+# smoothed ln((N+1)/(df+1)) + 1 form. Ranking uses the ROUNDED score
+# on both engines so the row_number cutoff can't disagree on sub-1e-6
+# float noise; ties break on the term itself.
+# --------------------------------------------------------------------
+TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS}) AS tok FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.tok, t.tf, d.df,
+         round(t.tf * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0), 6)
+           AS tfidf
+  FROM tf t JOIN dfreq d USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok AS term, tf, df, tfidf,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+@query("t_tfidf_topterms", TFIDF_ORACLE)
+def t_tfidf_topterms(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(DD.normalize_text("text"), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("tok").alias("term"),
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0))
+                        / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+    )

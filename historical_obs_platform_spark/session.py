@@ -57,7 +57,10 @@ def get_spark(app_name: str = "historical_obs_platform_spark") -> SparkSession:
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # local mode runs executors inside the driver JVM: size the
+        # heap for 32 concurrent tasks + checkpoint/broadcast blocks
+        # across a long query session, not for a thin driver
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

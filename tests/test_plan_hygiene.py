@@ -37,3 +37,42 @@ def test_q5_all_dims_broadcast(spark):
 def test_q10_selective_filter_reaches_scan(spark):
     plan = _formatted(registry.QUERIES["q10_returned_revenue"](spark, SF_DIR))
     assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_q7_nation_pair_joins_broadcast(spark):
+    plan = _formatted(registry.QUERIES["q7_volume_shipping"](spark, SF_DIR))
+    # orders-lineitem is the only big-big join; every dim side
+    # broadcasts and nothing falls back to a sort-merge join
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q21_single_fact_scan(spark):
+    plan = _formatted(registry.QUERIES["q21_sole_returner"](spark, SF_DIR))
+    # the EXISTS/NOT-EXISTS rewrite must not re-scan lineitem
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q2_min_cost_no_self_join(spark):
+    plan = _formatted(
+        registry.QUERIES["q2_min_cost_supplier"](spark, SF_DIR)
+    )
+    # correlated-min decorrelates to a window, not a lineitem self-join
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+
+
+def test_rolling_24h_single_exchange(spark):
+    import re
+
+    plan = _formatted(registry.QUERIES["w_rolling_24h"](spark, SF_DIR))
+    # one hash partitioning on user_id feeds the range-frame window;
+    # no second shuffle appears downstream
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_tfidf_scalar_broadcast(spark):
+    plan = _formatted(registry.QUERIES["t_tfidf_topterms"](spark, SF_DIR))
+    # the N-docs scalar must cross in as a broadcast, never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -11,6 +11,7 @@ registry.load_all()
 from .conftest import SF_DIR, assert_matches_oracle
 
 NAMES = [
+    "t_tfidf_topterms",
     "t_token_stats",
     "t_quality_score",
     "t_lang_id",
