@@ -138,3 +138,55 @@ def a11_record_length_gate(spark, sf_dir):
         )
         .where(F.col("n_days") < 28)
     )
+
+
+# --------------------------------------------------------------------
+# Session-window aggregation: Spark's native session_window groups
+# events into inactivity-bounded sessions (gap >= 30 min starts a new
+# one) — the dynamic-window counterpart of the fixed hourly resample
+# (SURVEY.md §2.9). The oracle sessionizes with the standard
+# gap-flag running-sum idiom; both sides compare gaps on floored
+# epoch microseconds, and only min/max/count/sum aggregates are
+# emitted so the window struct itself never has to match.
+# --------------------------------------------------------------------
+SESSION_ORACLE = """
+WITH t AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM t
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+@query("w_session_agg", SESSION_ORACLE)
+def w_session_agg(spark, sf_dir):
+    from .common import dec
+
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", "30 minutes").alias("sw"),
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("session_value"),
+        )
+        .drop("sw")
+    )

@@ -17,6 +17,7 @@ NAMES = [
     "w5_day_vector_repeats",
     "a10_p95_daily_outliers",
     "a11_record_length_gate",
+    "w_session_agg",
 ]
 
 
