@@ -158,13 +158,20 @@ HAVING sum(CAST(l.l_quantity AS DECIMAL(18,2))) > 250
 
 @query("q18_large_orders", Q18_ORACLE)
 def q18_large_orders(spark, sf_dir):
+    # Aggregate lineitem by orderkey BEFORE touching orders: the
+    # HAVING filter leaves a handful of keys, so the orders join is a
+    # broadcast of the aggregate instead of a fact-vs-fact shuffle.
+    # (o_orderkey is unique in orders, so grouping after the join by
+    # the orders columns is equivalent to grouping lineitem alone.)
     orders = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+    big = (
+        li.groupBy("l_orderkey")
         .agg(F.sum(dec("l_quantity")).alias("__sum_dec"))
         .where(F.col("__sum_dec") > 250)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
         .select(
             "o_orderkey",
             "o_orderdate",

@@ -1,0 +1,118 @@
+"""Deterministic sampling / packing queries over the documents table.
+
+Training-data pipeline operators (north-star brief; no reference
+counterpart — the closest reference ops are the subset selections in
+SURVEY.md §2.6). All randomness is md5-derived (see
+``operators/sampling.py``) so every query has an exact DuckDB oracle:
+the identical hash → fraction → threshold arithmetic runs on both
+engines and matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import sampling as S
+from ..registry import query
+from .common import table
+
+HEX = S.HEX
+
+
+def _frac_sql(md5_expr: str, digits: int = 4) -> str:
+    """DuckDB fragment mirroring ``sampling.hash_frac`` term-for-term."""
+    terms = [
+        f"(strpos('{HEX}', substring({md5_expr}, {i}, 1)) - 1) / {float(16 ** i)}"
+        for i in range(1, digits + 1)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_DOC_FRAC = _frac_sql("md5(CAST(doc_id AS VARCHAR))")
+
+
+# --------------------------------------------------------------------
+# Uniform Bernoulli sample — a pure filter, no shuffle; the sampled
+# fraction of a 100 TB corpus never leaves the scan stage.
+# --------------------------------------------------------------------
+UNIFORM_ORACLE = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {_DOC_FRAC} < 0.25
+"""
+
+
+@query("p_uniform_sample", UNIFORM_ORACLE)
+def p_uniform_sample(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return S.uniform_sample(docs, "doc_id", 0.25).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+# --------------------------------------------------------------------
+# Stratified quota sample — k smallest md5(key) per language.
+# --------------------------------------------------------------------
+STRATIFIED_ORACLE = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+WHERE rn <= 25
+"""
+
+
+@query("p_stratified_sample", STRATIFIED_ORACLE)
+def p_stratified_sample(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return S.stratified_sample(docs, "lang", "doc_id", 25).select(
+        "doc_id", "lang"
+    )
+
+
+# --------------------------------------------------------------------
+# Domain-mixture rebalance — down-sample over-represented languages to
+# the uniform mixture. Rates are a strata-sized broadcast table.
+# --------------------------------------------------------------------
+MIXTURE_ORACLE = f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+     t AS (SELECT CAST(sum(n) AS DOUBLE) / count(*) AS target FROM c),
+     r AS (SELECT c.lang, LEAST(1.0, t.target / c.n) AS rate FROM c, t)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE {_DOC_FRAC.replace('doc_id', 'd.doc_id')} < r.rate
+"""
+
+
+@query("p_mixture_sample", MIXTURE_ORACLE)
+def p_mixture_sample(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return S.mixture_sample(docs, "lang", "doc_id").select("doc_id", "lang")
+
+
+# --------------------------------------------------------------------
+# Concat-and-chunk sequence packing — deterministic order within each
+# source shard, boundary every 4000 chars; a document belongs to the
+# sequence containing its first character.
+# --------------------------------------------------------------------
+PACK_ORACLE = """
+WITH o AS (
+  SELECT doc_id, source, n_chars,
+         CAST(COALESCE(SUM(n_chars) OVER (
+             PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS begin_off
+  FROM documents)
+SELECT doc_id, source, n_chars, begin_off,
+       CAST(FLOOR(begin_off / 4000.0) AS BIGINT) AS bin_id
+FROM o
+"""
+
+
+@query("p_pack_sequences", PACK_ORACLE)
+def p_pack_sequences(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return S.pack_sequences(docs, "source", "doc_id", "n_chars", 4000)

@@ -41,6 +41,7 @@ def load_all() -> None:
         relational,
         relational2,
         relational3,
+        sampling,
         sources_demo,
         streaming_demo,
         textops,
