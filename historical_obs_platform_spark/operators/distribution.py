@@ -635,22 +635,86 @@ def _butter_lowpass_order1(x: np.ndarray, cutoff_frac: float) -> np.ndarray:
     return y
 
 
+def _grid_gap_bounds(
+    r: np.ndarray, bin_size: float = 0.25
+) -> tuple[float | None, float | None]:
+    """Histogram-grid outlier cutoffs with gap isolation — the
+    fit_normal + gap_search machinery
+    (qaqc_climatological_outlier.py:330-410 and :413-460).
+
+    Builds the reference's symmetric bin grid, fits a normal
+    (mean / population std, like ``stats.norm.fit``), scales the pdf
+    by the histogram area, and finds the rising/falling grid indices
+    where the scaled pdf crosses 0.1 ("expected count per bin" ≤ 0.1),
+    with the reference's fallbacks (1 / len-2). Then scans outward
+    from each crossing for the first *empty* bin: only tails separated
+    from the body by such a gap are flagged (the "red" tier). Returns
+    per-side value cutoffs, or None when no gap isolates that tail.
+    """
+    b_min = math.floor(np.nanmin(r))
+    b_max = math.ceil(np.nanmax(r)) + bin_size
+    bins0 = np.arange(b_min, b_max, bin_size)
+    m = np.abs(bins0).max() if len(bins0) else bin_size
+    bins = np.arange(-m - bin_size, m + 2 * bin_size, bin_size)
+    freq, bins = np.histogram(r, bins=bins)
+    area = (np.diff(bins) * freq).sum()
+    mu, std = float(r.mean()), float(r.std())
+    if std <= 0 or np.isclose(std, 0):
+        return None, None
+    p = (
+        np.exp(-0.5 * ((bins - mu) / std) ** 2)
+        / (std * math.sqrt(2 * math.pi))
+        * area
+    )
+    g = np.gradient(p)
+    il = np.where((g > 0) & (p <= 0.1))[0]
+    left = int(il[-1]) if len(il) else 1
+    ir = np.where((g < 0) & (p <= 0.1))[0]
+    right = int(ir[0]) if len(ir) else len(bins) - 2
+    cut_lo: float | None = None
+    cut_hi: float | None = None
+    for i in range(min(left, len(freq)) - 1, -1, -1):  # innermost→out
+        if freq[i] < 0.1:
+            cut_lo = float(bins[i + 1])
+            break
+    for j in range(right + 1, len(freq)):  # innermost→outward
+        if freq[j] < 0.1:
+            cut_hi = float(bins[j])
+            break
+    return cut_lo, cut_hi
+
+
 def climatological_outlier_check(
     df: DataFrame,
     var: str,
-    pdf_floor: float = 0.1,
-    winsor: tuple[float, float] = (0.05, 0.95),
+    winsor_limits: tuple[float, float] = (0.05, 0.05),
     iqr_floor: float = 1.5,
+    bin_size: float = 0.25,
 ) -> DataFrame:
     """Flag 26 (qaqc_climatological_outlier.py:33-247): per station —
 
-    1. anomaly vs the (month, hour) winsorized-mean climatology (A5);
-    2. standardized by the month's IQR (floored at 1.5);
-    3. low-passed with an order-1 Butterworth (1-month cutoff) after
-       linear interpolation (W9/W10); the smooth component is removed
-       so synoptic signal doesn't mask point outliers;
-    4. residuals fitted with a normal per month; values beyond the
-       pdf=0.1 bounds are flagged.
+    1. anomaly vs the (month, hour) winsorized-mean climatology (A5;
+       rank-based winsorization like ``stats.mstats.winsorize`` with
+       limits (0.05, 0.05));
+    2. standardized by the (month, hour) IQR (floored at 1.5);
+    3. low-passed with an order-1 Butterworth (the reference's
+       1 051 200 s cut period) after linear interpolation (W9/W10);
+    4. per (month, hour) group (> 5 values): histogram-grid normal-fit
+       thresholds where the scaled pdf crosses 0.1, gap-isolated tails
+       flagged (``_grid_gap_bounds``).
+
+    Documented deviations (intent-preserving; SURVEY.md §7 "reference
+    bugs to adjudicate"): (a) we flag outliers of the *residual*
+    (std − low-pass) rather than of the low-passed series itself —
+    the reference assigns ``df_valid[var] = filtered`` and so flags
+    the smooth component, which suppresses exactly the point outliers
+    the check documents (qaqc_climatological_outlier.py:177-183);
+    (b) only gap-isolated ("red") tails flag — the reference's
+    no-gap "yellow" tier also collapses into flag 26
+    (flag_clim_outliers :297-320), which would flag every beyond-3σ
+    value in ordinary noise; (c) the right-side red cutoff mirrors the
+    left (the reference compares against ``right_bad_bins.max()``,
+    flagging only the outermost bin — :289-294).
 
     The per-station sequential part (filter) runs in ``applyInPandas``
     — the group is one station (the reference's unit of work), so the
@@ -660,7 +724,8 @@ def climatological_outlier_check(
         return df
 
     flag_col = Q.eraqc(var)
-    lo_q, hi_q = winsor
+    lo_lim, hi_lim = winsor_limits
+    cut_period_s = 3600.0 * 24 * 365 / 30  # reference cut_freq inverse
 
     def per_station(pdf: pd.DataFrame) -> pd.DataFrame:
         # input is the skinny projection (station, time, var, flag);
@@ -674,54 +739,57 @@ def climatological_outlier_check(
         sub = pdf.loc[mask, ["time", var]].copy()
         month = sub["time"].dt.month
         hour = sub["time"].dt.hour
-
-        # (month, hour) winsorized-mean climatology
-        def clim(group: pd.Series) -> float:
-            lo, hi = group.quantile(lo_q), group.quantile(hi_q)
-            return group.clip(lo, hi).mean()
-
         key = month * 100 + hour
+
+        # (month, hour) winsorized-mean climatology (rank-based, like
+        # stats.mstats.winsorize)
+        def clim(group: pd.Series) -> float:
+            a = np.sort(group.to_numpy())
+            n = len(a)
+            lo, hi = int(lo_lim * n), int(hi_lim * n)
+            if lo:
+                a[:lo] = a[lo]
+            if hi:
+                a[n - hi :] = a[n - hi - 1]
+            return float(a.mean())
+
         clim_map = sub[var].groupby(key).apply(clim)
         anom = sub[var].values - clim_map.loc[key].values
 
-        # standardize by month IQR (floored)
+        # standardize by (month, hour) IQR (floored)
         iqr_map = (
-            pd.Series(anom, index=month.values)
+            pd.Series(anom, index=key.values)
             .groupby(level=0)
             .apply(lambda g: max(g.quantile(0.75) - g.quantile(0.25), iqr_floor))
         )
-        std = anom / iqr_map.loc[month.values].values
+        std = anom / iqr_map.loc[key.values].values
 
-        # interpolate + low-pass (cutoff ≈ 1 month of samples)
+        # interpolate + low-pass at the reference's cut period
         s = pd.Series(std).interpolate(limit_direction="both").to_numpy()
         cadence = (
             sub["time"].diff().dt.total_seconds().dropna().mode().iloc[0]
             if len(sub) > 1
             else 3600.0
         )
-        samples_per_month = max((30 * 86400) / max(cadence, 1.0), 4.0)
-        smooth = _butter_lowpass_order1(s, min(2.0 / samples_per_month, 0.5))
+        cutoff_frac = 2.0 * max(cadence, 1.0) / cut_period_s
+        if cutoff_frac >= 1.0:  # reference bypass: cut_freq ≥ Nyquist
+            return empty
+        smooth = _butter_lowpass_order1(s, cutoff_frac)
         resid = s - smooth
 
-        # per-month normal fit + pdf-floor bounds
-        rm = pd.DataFrame({"m": month.values, "r": resid})
-        flags = np.zeros(len(rm), dtype=bool)
-        for m, g in rm.groupby("m"):
-            mu, sigma = g["r"].mean(), g["r"].std(ddof=0)
-            if sigma <= 0:
+        # per (month, hour): grid-fit thresholds + gap isolation
+        rmh = pd.DataFrame({"k": key.values, "r": resid})
+        flags = np.zeros(len(rmh), dtype=bool)
+        for _, g in rmh.groupby("k"):
+            if len(g) <= 5:  # reference small-group bypass
                 continue
-            arg = pdf_floor * sigma * math.sqrt(2 * math.pi)
-            # pdf-floor bound, floored at 5σ: the reference only flags
-            # tail bins separated from the body by a histogram gap
-            # (gap_search); the 5σ floor is the simplified stand-in
-            # for that isolation requirement.
-            z = (
-                sigma * math.sqrt(-2.0 * math.log(arg))
-                if arg < 1
-                else float("inf")
-            )
-            z = max(z, 5.0 * sigma)
-            flags[g.index.values] = np.abs(g["r"].values - mu) > z
+            cut_lo, cut_hi = _grid_gap_bounds(g["r"].to_numpy(), bin_size)
+            gm = np.zeros(len(g), dtype=bool)
+            if cut_lo is not None:
+                gm |= g["r"].to_numpy() <= cut_lo
+            if cut_hi is not None:
+                gm |= g["r"].to_numpy() >= cut_hi
+            flags[g.index.to_numpy()] = gm
         if not flags.any():
             return empty
         hit = pdf.iloc[np.flatnonzero(mask.values)[flags]]
