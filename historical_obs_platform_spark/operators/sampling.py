@@ -139,3 +139,21 @@ def pack_sequences(
         begin.alias("begin_off"),
         F.floor(begin / F.lit(float(budget))).cast("long").alias("bin_id"),
     )
+
+
+def corpus_shuffle(df: DataFrame, key: str, shard_hex_digits: int = 2) -> DataFrame:
+    """Reproducible global shuffle for training order without a global
+    sort: rows are bucketed by an md5-prefix shard (16^digits buckets)
+    and ranked within the shard by the full hash. Reading shards in
+    order (shard, shard_rank) yields a deterministic pseudo-random
+    permutation of the corpus; the window is per-shard, so the sort
+    parallelizes across buckets instead of funneling 100 TB through
+    one range sort."""
+    h = md5_key(key)
+    shard = F.substring(h, 1, shard_hex_digits)
+    w = Window.partitionBy(shard).orderBy(h, F.col(key))
+    return df.select(
+        F.col(key),
+        shard.alias("shard"),
+        F.row_number().over(w).alias("shard_rank"),
+    )

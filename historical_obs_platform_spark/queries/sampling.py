@@ -116,3 +116,103 @@ FROM o
 def p_pack_sequences(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     return S.pack_sequences(docs, "source", "doc_id", "n_chars", 4000)
+
+
+# --------------------------------------------------------------------
+# Flagship curation chain — the training-data analog of the QAQC
+# chain: plant duplicates → exact dedup → quality filter → domain-
+# mixture rebalance → sequence packing, as ONE DataFrame chain whose
+# every step also composes in the single-CTE oracle. Each stage is
+# one shuffle at most (dedup: fingerprint; mixture: two tiny aggs +
+# broadcast; packing: shard window) — the chain stays a single DAG
+# with no driver-side materialization between stages.
+# --------------------------------------------------------------------
+def _curation_oracle() -> str:
+    from .textops import NORM, TOKS
+
+    sw = "('the','a','of','and','to','in','is','it')"
+    quality = f"""
+    round(0.4 * least(len({TOKS}) / 100.0, 1.0)
+        + 0.2 * (CASE WHEN
+              round(list_aggregate(list_transform({TOKS}, w -> length(w)), 'sum')
+                    / greatest(len({TOKS}), 1), 6) BETWEEN 3.0 AND 8.0
+              THEN 1.0 ELSE 0.5 END)
+        + 0.2 * least(round(len(list_filter({TOKS}, w -> w IN {sw}))
+                    / greatest(len({TOKS}), 1), 6) * 4.0, 1.0)
+        + 0.2 * (1.0 - least(
+              round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                    / greatest(length(text), 1), 6) * 5.0, 1.0)), 6)
+    """
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, source, n_chars FROM documents
+), fp AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY md5({NORM}) ORDER BY doc_id) AS rn
+  FROM corpus
+), kept AS (
+  SELECT doc_id, text, lang, source, n_chars FROM fp WHERE rn = 1
+), q AS (
+  SELECT * FROM kept WHERE {quality} >= 0.5
+), c AS (SELECT lang, count(*) AS n FROM q GROUP BY lang),
+   t AS (SELECT CAST(sum(n) AS DOUBLE) / count(*) AS target FROM c),
+   r AS (SELECT c.lang, LEAST(1.0, t.target / c.n) AS rate FROM c, t),
+   mx AS (
+  SELECT q.* FROM q JOIN r ON q.lang = r.lang
+  WHERE {_frac_sql("md5(CAST(q.doc_id AS VARCHAR))")} < r.rate
+), o AS (
+  SELECT doc_id, lang, source, n_chars,
+         CAST(COALESCE(SUM(n_chars) OVER (
+             PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS begin_off
+  FROM mx)
+SELECT doc_id, lang, source, n_chars, begin_off,
+       CAST(FLOOR(begin_off / 4000.0) AS BIGINT) AS bin_id
+FROM o
+"""
+
+
+@query("chain_corpus_curation", _curation_oracle())
+def chain_corpus_curation(spark, sf_dir):
+    from ..functions import textfns as TX
+    from ..operators import dedup as DD
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    corpus = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    kept = DD.exact_dedup(corpus, "doc_id", "text")
+    scored = kept.where(TX.quality_score("text") >= 0.5)
+    mixed = S.mixture_sample(scored, "lang", "doc_id")
+    packed = S.pack_sequences(mixed, "source", "doc_id", "n_chars", 4000)
+    return packed.join(
+        mixed.select("doc_id", "lang"), "doc_id"
+    ).select("doc_id", "lang", "source", "n_chars", "begin_off", "bin_id")
+
+
+# --------------------------------------------------------------------
+# Deterministic corpus shuffle — md5-prefix shards + in-shard rank: a
+# reproducible training order with per-shard parallel sorting (no
+# global range sort at 100 TB).
+# --------------------------------------------------------------------
+SHUFFLE_ORACLE = """
+SELECT doc_id,
+       substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER)
+         AS shard_rank
+FROM documents
+"""
+
+
+@query("p_corpus_shuffle", SHUFFLE_ORACLE)
+def p_corpus_shuffle(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return S.corpus_shuffle(docs, "doc_id")

@@ -13,6 +13,8 @@ NAMES = [
     "p_stratified_sample",
     "p_mixture_sample",
     "p_pack_sequences",
+    "p_corpus_shuffle",
+    "chain_corpus_curation",
 ]
 
 
@@ -70,3 +72,23 @@ def test_packing_invariants(spark):
             g.begin_off.iloc[1:].to_numpy()
             == (g.begin_off + g.n_chars).iloc[:-1].to_numpy()
         ).all()
+
+
+def test_curation_chain_stages_compose(spark):
+    got = registry.QUERIES["chain_corpus_curation"](spark, SF_DIR).toPandas()
+    # dedup removed every planted clone (ids stay in the original range)
+    assert got.doc_id.max() < 1_000_000 and got.doc_id.is_unique
+    # mixture: no language exceeds the uniform target by more than the
+    # hash-noise band
+    by_lang = got.groupby("lang").size()
+    assert by_lang.max() < 1.5 * by_lang.mean()
+    # packing invariant survives the chain
+    assert (got.bin_id == got.begin_off // 4000).all()
+
+
+def test_corpus_shuffle_is_permutation(spark):
+    got = registry.QUERIES["p_corpus_shuffle"](spark, SF_DIR).toPandas()
+    assert len(got) == 500 and got.doc_id.is_unique
+    # ranks are dense 1..n within each shard
+    for _, g in got.groupby("shard"):
+        assert sorted(g.shard_rank) == list(range(1, len(g) + 1))
