@@ -54,8 +54,13 @@ def hash_frac(key: str, digits: int = 4) -> Column:
 
 def uniform_sample(df: DataFrame, key: str, rate: float) -> DataFrame:
     """Keep each row iff ``hash_frac(key) < rate`` — a deterministic
-    Bernoulli(rate) sample that is a pure filter (no shuffle, pushes
-    down past the scan's column pruning)."""
+    Bernoulli(rate) sample that is a stateless per-row filter: it
+    evaluates inside the scan stage's codegen (no shuffle, no
+    aggregation state), so the unsampled fraction of a 100 TB corpus
+    is dropped before any exchange. (Being an expression over md5 it
+    cannot become a parquet ``PushedFilters`` entry — the scan still
+    reads every row group — but nothing downstream sees dropped
+    rows.)"""
     return df.where(hash_frac(key) < F.lit(rate))
 
 

@@ -76,3 +76,31 @@ def test_tfidf_scalar_broadcast(spark):
     plan = _formatted(registry.QUERIES["t_tfidf_topterms"](spark, SF_DIR))
     # the N-docs scalar must cross in as a broadcast, never a shuffle
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q18_preaggregates_and_broadcasts(spark):
+    plan = _formatted(registry.QUERIES["q18_large_orders"](spark, SF_DIR))
+    # lineitem aggregates before the orders join; the filtered
+    # aggregate broadcasts, so the only shuffle is the lineitem
+    # partial/final aggregation — orders never exchanges
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("+- Exchange") == 1
+
+
+def test_mixture_sample_rate_table_broadcasts(spark):
+    plan = _formatted(registry.QUERIES["p_mixture_sample"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_uniform_sample_no_exchange(spark):
+    plan = _formatted(registry.QUERIES["p_uniform_sample"](spark, SF_DIR))
+    # stateless filter: scan → filter → project, no shuffle at all
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_single_shuffle(spark):
+    plan = _formatted(registry.QUERIES["p_pack_sequences"](spark, SF_DIR))
+    # one hash exchange on the shard key feeds the window sort
+    assert plan.count("+- Exchange") == 1
