@@ -195,12 +195,17 @@ def _assign_cells(
 ) -> DataFrame:
     """Nearest-centroid assignment: broadcast the (tiny) centroid
     table against every vector and keep the max-dot cell — map-only
-    plus a partial-aggregate max_by, no window sort."""
+    plus a partial-aggregate struct-max, no window sort. Exact-score
+    ties break to the smallest cell id so assignment is deterministic
+    (and engine-portable for the DuckDB oracle)."""
     scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
         "__s", dot(F.col("__uv"), F.col("__cent"))
     )
+    best = F.max(
+        F.struct(F.col("__s").alias("s"), (-F.col("cell")).alias("negcell"))
+    )
     return scored.groupBy(id_name).agg(
-        F.max_by("cell", "__s").alias("cell")
+        (-best.getField("negcell")).alias("cell")
     )
 
 
@@ -235,7 +240,11 @@ def ivf_centroids(
             vecs.join(assign, "__id")
             .select("cell", F.posexplode("__uv").alias("pos", "val"))
             .groupBy("cell", "pos")
-            .agg(F.avg("val").alias("val"))
+            # round(avg, 9): Spark and DuckDB sum partial aggregates in
+            # different orders; rounding the mean well above double-ulp
+            # (but far below any signal) makes the refined centroids —
+            # and everything downstream — bit-identical across engines.
+            .agg(F.round(F.avg("val"), 9).alias("val"))
             .groupBy("cell")
             .agg(
                 F.transform(

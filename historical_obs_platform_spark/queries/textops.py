@@ -10,6 +10,8 @@ duplicates, not just run.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import functions as F
 
 from ..functions import textfns as TX
@@ -357,10 +359,68 @@ def s_cosine_topk(spark, sf_dir):
 
 # --------------------------------------------------------------------
 # LSH-bucketed approximate top-k — the 100 TB scale path. Approximate
-# by design => no SQL oracle; the driver records a rows-only check and
-# tests/test_textops.py checks recall against the exact baseline.
+# w.r.t. exact search, but fully DETERMINISTIC: the hyperplanes are
+# md5-derived constants, so the bucket keys — and hence the candidate
+# set — are engine-portable. The oracle re-derives the same planes
+# (first md5 hex digit − 7.5, embedded as literals) and replays
+# bucket-join → distinct → exact-cosine → rank in DuckDB.
+# tests/test_textops.py additionally checks recall vs the baseline.
 # --------------------------------------------------------------------
-@query("s_lsh_ann_topk")
+def _lsh_plane_literal(plane: int, dim: int) -> str:
+    """DuckDB list literal for hyperplane ``plane`` — same values as
+    similarity._hyperplane (instr('0123..f', md5[0]) − 8.5)."""
+    comps = [
+        int(hashlib.md5(f"p{plane}:d{d}".encode()).hexdigest()[0], 16)
+        + 1
+        - 8.5
+        for d in range(dim)
+    ]
+    return "[" + ", ".join(repr(c) for c in comps) + "]"
+
+
+def _lsh_oracle(dim=64, n_planes=4, n_tables=3, k=5) -> str:
+    def bucket(t):
+        bits = [
+            "(CASE WHEN list_dot_product(e, "
+            f"{_lsh_plane_literal(t * n_planes + p, dim)}) > 0 "
+            "THEN '1' ELSE '0' END)"
+            for p in range(n_planes)
+        ]
+        return f"'t{t}:' || " + " || ".join(bits)
+
+    cb = " UNION ALL ".join(
+        f"SELECT vec_id, {bucket(t)} AS b FROM c" for t in range(n_tables)
+    )
+    qb = " UNION ALL ".join(
+        f"SELECT vec_id, {bucket(t)} AS b FROM q" for t in range(n_tables)
+    )
+    return f"""
+WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+q AS (SELECT * FROM c WHERE vec_id < 10),
+cb AS ({cb}),
+qb AS ({qb}),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM cb JOIN qb ON cb.b = qb.b AND cb.vec_id <> qb.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(list_dot_product(qe.e, ce.e)
+               / (sqrt(list_dot_product(qe.e, qe.e))
+                  * sqrt(list_dot_product(ce.e, ce.e))), 6) AS cosine_sim
+  FROM cand JOIN c qe ON qe.vec_id = cand.query_id
+            JOIN c ce ON ce.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+@query("s_lsh_ann_topk", _lsh_oracle())
 def s_lsh_ann_topk(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
@@ -369,10 +429,78 @@ def s_lsh_ann_topk(spark, sf_dir):
 
 # --------------------------------------------------------------------
 # IVF approximate top-k — coarse-quantizer cells (deterministic seeds
-# + one Lloyd step), nprobe-cell probing. Approximate => rows-only;
-# tests/test_textops.py checks recall against the exact baseline.
+# + one Lloyd step), nprobe-cell probing. Deterministic end-to-end:
+# seeds are the n_cells lowest-id vectors; cell assignment breaks
+# exact-score ties to the smallest cell; refined centroid means are
+# rounded to 9 decimals (far above double-ulp, far below signal) so
+# Spark's and DuckDB's different partial-sum orders agree bitwise.
+# The oracle replays seed → assign → Lloyd mean → probe → score.
+# tests/test_textops.py additionally checks recall vs the baseline.
 # --------------------------------------------------------------------
-@query("s_ivf_ann_topk")
+def _ivf_oracle(dim=64, n_cells=16, nprobe=4, k=5) -> str:
+    dot = "list_dot_product({a}, {b})"
+    return f"""
+WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+u AS (SELECT vec_id, list_transform(e, x -> x / sqrt({dot.format(a='e', b='e')})) AS uv
+      FROM c),
+cent0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+         uv AS cent
+  FROM (SELECT * FROM u ORDER BY vec_id LIMIT {n_cells})
+),
+assign0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT u.vec_id, c0.cell,
+           row_number() OVER (PARTITION BY u.vec_id
+             ORDER BY {dot.format(a='u.uv', b='c0.cent')} DESC, c0.cell) AS r
+    FROM u CROSS JOIN cent0 c0) WHERE r = 1
+),
+means AS (
+  SELECT a.cell, t.i AS pos, round(avg(u.uv[t.i + 1]), 9) AS val
+  FROM u JOIN assign0 a USING (vec_id), range({dim}) t(i)
+  GROUP BY a.cell, t.i
+),
+cent1 AS (
+  SELECT cell, list_transform(m, x -> x / sqrt({dot.format(a='m', b='m')})) AS cent
+  FROM (SELECT cell, list(val ORDER BY pos) AS m FROM means GROUP BY cell)
+),
+c_cells AS (
+  SELECT vec_id AS neighbor_id, cell FROM (
+    SELECT u.vec_id, c1.cell,
+           row_number() OVER (PARTITION BY u.vec_id
+             ORDER BY {dot.format(a='u.uv', b='c1.cent')} DESC, c1.cell) AS r
+    FROM u CROSS JOIN cent1 c1) WHERE r = 1
+),
+q_probe AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT u.vec_id, c1.cell,
+           row_number() OVER (PARTITION BY u.vec_id
+             ORDER BY {dot.format(a='u.uv', b='c1.cent')} DESC, c1.cell) AS r
+    FROM u CROSS JOIN cent1 c1 WHERE u.vec_id < 10) WHERE r <= {nprobe}
+),
+cand AS (
+  SELECT DISTINCT q.query_id, cc.neighbor_id
+  FROM c_cells cc JOIN q_probe q USING (cell)
+  WHERE cc.neighbor_id <> q.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round({dot.format(a='qe.e', b='ce.e')}
+               / (sqrt({dot.format(a='qe.e', b='qe.e')})
+                  * sqrt({dot.format(a='ce.e', b='ce.e')})), 6) AS cosine_sim
+  FROM cand JOIN c qe ON qe.vec_id = cand.query_id
+            JOIN c ce ON ce.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+@query("s_ivf_ann_topk", _ivf_oracle())
 def s_ivf_ann_topk(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
