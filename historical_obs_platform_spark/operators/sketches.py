@@ -1,0 +1,263 @@
+"""Deterministic distributed sketches: KMV / HLL-style cardinality
+estimation and count-min heavy-hitter estimation.
+
+At 100 TB an exact ``count(distinct x)`` or exact token frequency
+table is a full shuffle of every distinct value; a sketch answers the
+same question in ONE pass with FIXED memory per task, and its merge
+operator is associative (min / max / sum), so the whole computation is
+a partial aggregate: map-side state is a few KB regardless of input
+size, and the final combine touches only ``O(registers)`` rows.
+
+Like ``operators/sampling.py``, all "randomness" is md5-derived
+(SURVEY.md §2's training-data extension ops; reference has no sketch
+surface — its only cardinality op is the exact per-month
+``countDistinct(year)`` bypass check, `qaqc_utils.py:203-323`), which
+makes every sketch:
+
+- deterministic run-to-run and engine-to-engine — each estimator has
+  an exact DuckDB oracle replaying the same hashes in SQL,
+- independent of partitioning and scheduling (no ``rand()`` / RNG
+  state, no accumulation-order sensitivity: estimates are arithmetic
+  over integer counts or exact binary fractions),
+- auditable: a value's register/bucket is a pure function of itself.
+
+Estimator shapes:
+
+- **KMV (k minimum values)**: keep the ``k`` smallest hash fractions
+  of the distinct values; the k-th smallest ``h_k`` estimates
+  ``(k-1)/h_k`` distinct values. Spark plan: distinct → global
+  ``orderBy(h).limit(k)`` — which physically is TakeOrdered (per-
+  partition top-k, then a k-row merge on the driver side of the
+  exchange), NOT a full sort.
+- **HLL-style**: 2-hex-digit bucket (m=256 registers), register =
+  max leading-zero-run of the remaining hash bits + 1; estimate =
+  alpha·m²/Σ2^(-M_j) with the standard linear-counting correction for
+  small cardinalities. One ``groupBy(bucket).max`` — 256-row state.
+- **Count-min**: d hash rows × w buckets of summed counts; a token's
+  estimate is the min over its d buckets — always ≥ the true count,
+  within ε·N with the usual (d, w) guarantees. Building the table is
+  one partial-aggregating ``groupBy((row, bucket))``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+# Leading zero BITS contributed by the first non-zero hex digit:
+# digit 1 -> 3, 2-3 -> 2, 4-7 -> 1, 8-f -> 0.
+_NZ_BITS = {d: 3 if d == 1 else 2 if d < 4 else 1 if d < 8 else 0
+            for d in range(1, 16)}
+
+
+def _hash_fraction_sql(inner: str, digits: int = 12) -> str:
+    """Spark/DuckDB-portable SQL for a uniform [0,1) fraction from the
+    first ``digits`` hex chars of ``inner`` (an expression producing
+    an md5 hex string). Every term is an exact binary fraction
+    (digit / 16^i) and 12 digits = 48 bits fit one double exactly, so
+    the value is bit-identical across engines (same construction as
+    ``sampling.hash_frac``, more resolution: expected collisions over
+    n distinct values ≈ n²/2·16^-12)."""
+    # NB: e-notation literals parse as DOUBLE in both Spark SQL and
+    # DuckDB; plain decimal-point literals (e.g. ``16.0``) parse as
+    # DECIMAL in Spark and silently truncate the division. 16^-i is a
+    # power of two, so each product — and the whole sum — is IEEE-exact
+    # in any evaluation order.
+    terms = [
+        f"(instr('{HEX}', substring({inner}, {i}, 1)) - 1) * {16.0 ** -i:.17e}"
+        for i in range(1, digits + 1)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def hash_frac_col(col_sql: str, digits: int = 12, salt: str = "") -> Column:
+    """Hash fraction as a Column, from the SQL text of the source
+    column (kept as one ``expr`` so the whole chain stays inside
+    whole-stage codegen)."""
+    salted = f"concat('{salt}', cast({col_sql} as string))" if salt else (
+        f"cast({col_sql} as string)")
+    return F.expr(_hash_fraction_sql(f"md5({salted})", digits))
+
+
+# ------------------------------------------------------------------ KMV
+def kmv_distinct(
+    df: DataFrame, col_sql: str, k: int = 256, digits: int = 12
+) -> DataFrame:
+    """KMV distinct-count estimate for ``col_sql``.
+
+    Returns one row ``(k, h_k, estimate)``. Distinct-reduces the
+    column (map-side partial dedup), hashes each survivor to a
+    fraction, and takes the k smallest via ``orderBy().limit(k)`` —
+    Spark plans that as TakeOrderedAndProject (per-partition heap of
+    k, single k-row merge), so no full sort and no unbounded state.
+    Estimate = (k-1)/h_k, the classic KMV unbiased estimator.
+    """
+    kth = (
+        df.select(F.expr(col_sql).alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .distinct()
+        .select(hash_frac_col("__v", digits).alias("h"))
+        .orderBy("h")
+        .limit(k)
+        .agg(F.max("h").alias("h_k"), F.count(F.lit(1)).alias("n_kept"))
+    )
+    return kth.select(
+        F.lit(k).alias("k"),
+        F.round(F.col("h_k"), 15).alias("h_k"),
+        # fewer than k distinct values -> the sketch IS the exact count
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+        .otherwise(F.round((F.lit(k) - 1) / F.col("h_k"), 6))
+        .alias("estimate"),
+    )
+
+
+# ------------------------------------------------------------------ HLL
+def _rho_expr(tail_sql: str, tail_hex_len: int) -> str:
+    """Spark/DuckDB-portable SQL for (leading zero bits of the hex
+    string ``tail_sql``) + 1 — the HLL rho function. Pure string ops:
+    count leading '0' chars (4 bits each), then add the contribution
+    of the first non-zero digit via a CASE over 15 digits."""
+    zeros = f"length(regexp_extract({tail_sql}, '^0*', 0))"
+    first_nz = f"substring({tail_sql}, {zeros} + 1, 1)"
+    nz_case = "CASE " + " ".join(
+        f"WHEN {first_nz} = '{HEX[d]}' THEN {_NZ_BITS[d]}"
+        for d in range(1, 16)
+    ) + f" ELSE {tail_hex_len * 4} END"  # all-zero tail
+    return f"(4 * {zeros} + CASE WHEN {zeros} = {tail_hex_len} THEN 0 "\
+           f"ELSE {nz_case} END + 1)"
+
+
+def hll_distinct(
+    df: DataFrame, col_sql: str, bucket_hex: int = 2, tail_hex: int = 12
+) -> DataFrame:
+    """HLL-style distinct-count estimate with m = 16^bucket_hex
+    registers (default 256).
+
+    Register j keeps the max rho (leading-zero-run + 1) of the hash
+    tails landing in bucket j — a 256-row ``groupBy().max`` partial
+    aggregate; merging executors' sketches is the same max. The
+    estimate applies the standard bias constant alpha_m and the
+    linear-counting small-range correction (V = empty registers > 0
+    ⇒ m·ln(m/V)). Σ2^(-M_j) sums exact binary fractions and the
+    result is rounded to 6 decimals, so engine summation order cannot
+    leak into the hash comparison.
+
+    Returns one row ``(m, v_empty, estimate)``.
+    """
+    m = 16 ** bucket_hex
+    alpha = 0.7213 / (1 + 1.079 / m)
+    h = f"md5(cast({col_sql} as string))"
+    bucket = f"substring({h}, 1, {bucket_hex})"
+    rho = _rho_expr(f"substring({h}, {bucket_hex + 1}, {tail_hex})", tail_hex)
+    regs = (
+        df.where(F.expr(col_sql).isNotNull())
+        .select(F.expr(bucket).alias("bucket"), F.expr(rho).alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("M"))
+    )
+    agg = regs.agg(
+        F.sum(F.expr("power(cast(2 as double), -M)")).alias("z_used"),
+        F.count(F.lit(1)).alias("n_used"),
+    )
+    return agg.select(
+        F.lit(m).alias("m"),
+        (F.lit(m) - F.col("n_used")).cast("int").alias("v_empty"),
+        F.round(
+            F.when(
+                (F.lit(m) - F.col("n_used")) > 0,
+                # raw estimate small & empties exist -> linear counting
+                F.when(
+                    F.lit(alpha * m * m)
+                    / (F.col("z_used") + (F.lit(m) - F.col("n_used")))
+                    <= F.lit(2.5 * m),
+                    F.lit(float(m))
+                    * F.log(F.lit(float(m)) / (F.lit(m) - F.col("n_used"))),
+                ).otherwise(
+                    F.lit(alpha * m * m)
+                    / (F.col("z_used") + (F.lit(m) - F.col("n_used")))
+                ),
+            ).otherwise(F.lit(alpha * m * m) / F.col("z_used")),
+            6,
+        ).alias("estimate"),
+    )
+
+
+# ------------------------------------------------------------ count-min
+def cms_bucket_expr(value_sql: str, row: int, width: int) -> str:
+    """Bucket of ``value_sql`` in CMS row ``row``: first 8 hex digits
+    of the salted md5 as an integer, mod width. 8 hex digits = 32
+    bits — exact in BIGINT on both engines via a hex-digit
+    polynomial (no conv()/from_hex dialect divergence)."""
+    h = f"md5(concat('r{row}:', cast({value_sql} as string)))"
+    poly = " + ".join(
+        f"cast(instr('{HEX}', substring({h}, {i}, 1)) - 1 as bigint)"
+        f" * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    return f"(({poly}) % {width})"
+
+
+def cms_build(
+    tokens: DataFrame, value_col: str, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """Build the count-min table: one row per (sketch row, bucket)
+    with the summed count — ``depth × width`` rows total regardless
+    of input size. One pass: posexplode of the d bucket keys, then a
+    partial-aggregating groupBy; merging two tables is elementwise
+    sum, so the combine state is ~d·w longs per task."""
+    keys = F.posexplode(
+        F.array(
+            *[
+                F.expr(cms_bucket_expr(value_col, r, width))
+                for r in range(depth)
+            ]
+        )
+    ).alias("row", "bucket")
+    return (
+        tokens.select(keys)
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_heavy_hitters(
+    tokens: DataFrame,
+    value_col: str,
+    top: int = 20,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Exact top-``top`` tokens with their count-min estimates.
+
+    Returns (token, exact_count, cms_estimate) — the exact side is
+    the ground truth the sketch is judged against (and at 100 TB the
+    candidate set would come from a space-saving pass or a sampled
+    exact count; the sketch table itself never exceeds d·w rows).
+    cms_estimate ≥ exact_count always (counters only over-count).
+    """
+    table = cms_build(tokens, value_col, depth, width)
+    exact = (
+        tokens.groupBy(F.expr(value_col).alias("token"))
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("token"))
+        .limit(top)
+    )
+    probes = exact.select(
+        "token",
+        "exact_count",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(cms_bucket_expr("token", r, width))
+                    for r in range(depth)
+                ]
+            )
+        ).alias("row", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(table), ["row", "bucket"], "left")
+        .groupBy("token", "exact_count")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
+    )
