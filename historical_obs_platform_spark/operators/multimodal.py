@@ -52,7 +52,7 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 FEATURE_SCHEMA = (
-    "media_id long, n_bytes int, crc32 long, sha1 string, "
+    "media_id long, n_bytes int, crc32 long, sha1 string, sha256 string, "
     "width int, height int, feature array<float>"
 )
 
@@ -123,6 +123,12 @@ def extract_features(
                     ],
                     "sha1": [
                         hashlib.sha1(bytes(c)).hexdigest()
+                        if c is not None
+                        else None
+                        for c in pdf["content"]
+                    ],
+                    "sha256": [
+                        hashlib.sha256(bytes(c)).hexdigest()
                         if c is not None
                         else None
                         for c in pdf["content"]

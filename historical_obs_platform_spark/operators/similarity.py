@@ -93,15 +93,29 @@ def cosine_topk(
     )
 
 
-def _hyperplane(dim: int, plane: int) -> Column:
+def _hyperplane_consts(dim: int, plane: int) -> list[float]:
     """Deterministic pseudo-random hyperplane: component d is the
     centered value of md5('p<plane>:d<d>')'s first hex digit — fully
-    reproducible across engines and runs, no RNG state."""
-    comps = [
-        F.expr(f"instr('{HEX}', substring(md5('p{plane}:d{d}'), 1, 1)) - 8.5")
+    reproducible across engines and runs, no RNG state. Computed
+    driver-side (hashlib md5 == SQL md5) so the Spark expression is a
+    pure literal chain."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"p{plane}:d{d}".encode()).hexdigest()[0], 16)
+        + 1
+        - 8.5
         for d in range(dim)
     ]
-    return F.array(*comps)
+
+
+def _const_dot(vec: Column, consts: list[float]) -> Column:
+    """vec · consts via the sequential-fold ``dot`` against a literal
+    array. NB an unrolled 64-term element_at chain was measured ~3×
+    SLOWER than the interpreted lambda here (the 768-node expression
+    tree swamps codegen); the lambda fold also keeps the addition
+    order bit-identical to the oracle's list_dot_product."""
+    return dot(vec, F.array(*[F.lit(c) for c in consts]))
 
 
 def lsh_bucket_expr(
@@ -113,8 +127,10 @@ def lsh_bucket_expr(
     for p in range(n_planes):
         plane = table_idx * n_planes + p
         bits.append(
-            F.when(dot(vec, _hyperplane(dim, plane)) > 0, F.lit("1"))
-            .otherwise(F.lit("0"))
+            F.when(
+                _const_dot(vec, _hyperplane_consts(dim, plane)) > 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
         )
     return F.concat(F.lit(f"t{table_idx}:"), *bits)
 
@@ -293,7 +309,9 @@ def ivf_ann_topk(
     q_scored = (
         q.withColumn("__uv", F.transform("__qv", lambda x: x / F.col("__qn")))
         .crossJoin(F.broadcast(cent))
-        .withColumn("__s", dot(F.col("__uv"), F.col("__cent")))
+        .withColumn(
+            "__s", dot(F.col("__uv"), F.col("__cent"))
+        )
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("__s"), F.asc("cell"))
     q_probe = (

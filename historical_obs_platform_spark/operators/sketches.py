@@ -199,6 +199,17 @@ def cms_bucket_expr(value_sql: str, row: int, width: int) -> str:
     return f"(({poly}) % {width})"
 
 
+def _bucket_of_hex(hex_col: str, width: int) -> str:
+    """Bucket from an ALREADY-COMPUTED md5 hex column: first 8 hex
+    digits as a bigint, mod width."""
+    poly = " + ".join(
+        f"cast(instr('{HEX}', substring({hex_col}, {i}, 1)) - 1 as bigint)"
+        f" * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    return f"(({poly}) % {width})"
+
+
 def cms_build(
     tokens: DataFrame, value_col: str, depth: int = 4, width: int = 512
 ) -> DataFrame:
@@ -206,17 +217,29 @@ def cms_build(
     with the summed count — ``depth × width`` rows total regardless
     of input size. One pass: posexplode of the d bucket keys, then a
     partial-aggregating groupBy; merging two tables is elementwise
-    sum, so the combine state is ~d·w longs per task."""
+    sum, so the combine state is ~d·w longs per task.
+
+    The d md5 digests are projected ONCE each before the digit
+    polynomial runs (inlining ``cms_bucket_expr`` would re-evaluate
+    each md5 8× per row — measured 2× slower on the whole query)."""
+    hashed = tokens.select(
+        *[
+            F.expr(
+                f"md5(concat('r{r}:', cast({value_col} as string)))"
+            ).alias(f"__h{r}")
+            for r in range(depth)
+        ]
+    )
     keys = F.posexplode(
         F.array(
             *[
-                F.expr(cms_bucket_expr(value_col, r, width))
+                F.expr(_bucket_of_hex(f"__h{r}", width))
                 for r in range(depth)
             ]
         )
     ).alias("row", "bucket")
     return (
-        tokens.select(keys)
+        hashed.select(keys)
         .groupBy("row", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -434,12 +434,40 @@ def t_fingerprint(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
-# Multimodal plumbing (rows-only): opaque binary content through the
-# mapInPandas feature-extraction stage with a deterministic fake
-# decoder — schema, batching, and partitioning are the real engine
-# path; only the codec is stubbed.
+# Multimodal plumbing: opaque binary content through the mapInPandas
+# feature-extraction stage with a deterministic fake decoder — schema,
+# batching, and partitioning are the real engine path; only the codec
+# is stubbed. The driver query selects the engine-portable digest
+# columns (content = UTF-8 bytes of text, so DuckDB's sha256(text)
+# hashes the same bytes; the fake decoder's width/height are hex
+# slices of that digest), which puts the Python island behind an exact
+# SQL oracle. crc32/sha1/feature stay on the operator surface but
+# have no DuckDB builtins.
 # --------------------------------------------------------------------
-@query("m_multimodal_features")
+def _hex4(expr: str) -> str:
+    """Integer value of 4 hex chars (a 2-byte big-endian slice)."""
+    return " + ".join(
+        f"(instr('0123456789abcdef', substring({expr}, {i}, 1)) - 1)"
+        f" * {16 ** (4 - i)}"
+        for i in range(1, 5)
+    )
+
+
+MM_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+         sha256(text) AS sha256
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT media_id, n_bytes, sha256,
+       CAST(({_hex4("substring(sha256, 17, 4)")}) % 4096 AS INTEGER) AS width,
+       CAST(({_hex4("substring(sha256, 21, 4)")}) % 4096 AS INTEGER) AS height
+FROM f
+"""
+
+
+@query("m_multimodal_features", MM_ORACLE)
 def m_multimodal_features(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull()
@@ -449,4 +477,4 @@ def m_multimodal_features(spark, sf_dir):
         F.encode("text", "UTF-8").alias("content"),
     )
     feats = MM.extract_features(media, decoder=MM.FakeDecoder())
-    return feats.select("media_id", "n_bytes", "crc32", "sha1", "width", "height")
+    return feats.select("media_id", "n_bytes", "sha256", "width", "height")
