@@ -96,3 +96,144 @@ def st_gap_detect_stream(spark, sf_dir):
     finally:
         q.stop()
     return spark.table("st_gap_detect")
+
+
+# --------------------------------------------------------------------
+# Streaming dedup-within-watermark (O2/O7 streaming analog): the
+# events file is read as TWO unioned streams — every row re-delivered
+# — and dropDuplicatesWithinWatermark keeps exactly one copy, state
+# bounded by the watermark. Duplicates are full-row identical, so the
+# kept row is deterministic and the oracle is a plain DISTINCT.
+# --------------------------------------------------------------------
+from ..streaming.hourly import (  # noqa: E402
+    dedup_keep_first_stream,
+    interval_join_stream,
+    sliding_rollup_stream,
+)
+
+ST_DEDUP_ORACLE = """
+SELECT DISTINCT CAST(user_id AS VARCHAR) AS station,
+       make_timestamp(epoch_us(ts)) AS time, value
+FROM events
+"""
+
+
+def _events_stream(spark, sf_dir):
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
+    return src.select(
+        F.col("user_id").cast("string").alias("station"),
+        F.timestamp_micros(F.expr("ts div 1000")).alias("time"),
+        F.col("value"),
+    )
+
+
+@query("st_dedup_stream", ST_DEDUP_ORACLE)
+def st_dedup_stream(spark, sf_dir):
+    tune(spark)
+    doubled = _events_stream(spark, sf_dir).unionByName(
+        _events_stream(spark, sf_dir)
+    )
+    out = dedup_keep_first_stream(
+        doubled, keys=("station", "time", "value")
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("st_dedup")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("st_dedup")
+
+
+# --------------------------------------------------------------------
+# Sliding-window rollup: 2-hour windows sliding 1 hour — each event
+# belongs to exactly 2 windows. Complete-mode memory sink so the
+# tail windows (still behind the watermark when the files drain) are
+# included. Oracle: fan each row out to its 2 covering window starts
+# with integer microsecond arithmetic.
+# --------------------------------------------------------------------
+ST_SLIDING_ORACLE = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS station,
+         epoch_us(ts) - (epoch_us(ts) % 3600000000) AS hour_us,
+         value
+  FROM events
+),
+fanned AS (
+  SELECT station, unnest([hour_us - 3600000000, hour_us]) AS start_us, value
+  FROM t
+)
+SELECT station, make_timestamp(start_us) AS win_start,
+       count(*) AS n_obs,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM fanned GROUP BY station, start_us
+"""
+
+
+@query("st_sliding_window_stream", ST_SLIDING_ORACLE)
+def st_sliding_window_stream(spark, sf_dir):
+    tune(spark)
+    obs = _events_stream(spark, sf_dir)
+    agg = sliding_rollup_stream(
+        obs, agg_col="value", window="2 hours", slide="1 hour"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("st_sliding")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("st_sliding")
+
+
+# --------------------------------------------------------------------
+# Stream-stream interval join: alerts (value > 195) match the same
+# station's observations within [alert_time, alert_time + 1h]. The
+# two-sided event-time bound lets Spark expire join state behind the
+# watermarks; inner matches emit immediately. Oracle: the same join
+# in integer microseconds.
+# --------------------------------------------------------------------
+ST_JOIN_ORACLE = """
+WITH e AS (
+  SELECT CAST(user_id AS VARCHAR) AS station, epoch_us(ts) AS us, value
+  FROM events
+)
+SELECT o.station,
+       make_timestamp(a.us) AS alert_time,
+       make_timestamp(o.us) AS obs_time,
+       o.value AS obs_value,
+       a.value AS alert_value
+FROM e o JOIN e a
+  ON o.station = a.station
+ AND a.value > 195
+ AND o.us >= a.us AND o.us <= a.us + 3600000000
+"""
+
+
+@query("st_interval_join_stream", ST_JOIN_ORACLE)
+def st_interval_join_stream(spark, sf_dir):
+    tune(spark)
+    obs = _events_stream(spark, sf_dir)
+    alerts = _events_stream(spark, sf_dir).where(F.col("value") > 195)
+    out = interval_join_stream(obs, alerts, horizon="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("st_interval_join")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("st_interval_join")

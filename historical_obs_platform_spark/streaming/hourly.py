@@ -96,3 +96,73 @@ def logic_checks_stream(stream: DataFrame) -> DataFrame:
     out = Q.negative_precip_check(out)
     out = Q.calm_wind_dir_check(out)
     return out
+
+
+def sliding_rollup_stream(
+    stream: DataFrame,
+    key: str = "station",
+    time_col: str = "time",
+    agg_col: str = "value",
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    delay: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window aggregation (window > slide ⇒ each event lands
+    in window/slide overlapping windows): count + exact decimal sum
+    per (key, window). Same shape as the tumbling W11 rollup, but the
+    window assignment fans each row out to its covering windows —
+    state per key is bounded by window/slide open windows behind the
+    watermark."""
+    wm = with_watermark(stream, time_col, delay)
+    return (
+        wm.groupBy(
+            F.window(F.col(time_col), window, slide).alias("win"),
+            F.col(key),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(F.col(agg_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col(key),
+            F.col("win.start").alias("win_start"),
+            "n_obs",
+            "sum_value",
+        )
+    )
+
+
+def interval_join_stream(
+    obs: DataFrame,
+    alerts: DataFrame,
+    key: str = "station",
+    time_col: str = "time",
+    horizon: str = "1 hour",
+    delay: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner equi-join with an event-time interval:
+    each alert matches the same key's observations in
+    [alert_time, alert_time + horizon]. The time bound on BOTH event
+    times lets Spark expire join state behind the watermarks (an
+    unbounded stream-stream join would buffer both sides forever);
+    inner-join matches emit as soon as both sides arrive — no
+    watermark wait."""
+    o = with_watermark(obs, time_col, delay).alias("o")
+    a = with_watermark(alerts, time_col, delay).alias("a")
+    cond = (
+        (F.col(f"o.{key}") == F.col(f"a.{key}"))
+        & (F.col(f"o.{time_col}") >= F.col(f"a.{time_col}"))
+        & (
+            F.col(f"o.{time_col}")
+            <= F.col(f"a.{time_col}") + F.expr(f"INTERVAL {horizon}")
+        )
+    )
+    return o.join(a, cond, "inner").select(
+        F.col(f"o.{key}").alias(key),
+        F.col(f"a.{time_col}").alias("alert_time"),
+        F.col(f"o.{time_col}").alias("obs_time"),
+        F.col("o.value").alias("obs_value"),
+        F.col("a.value").alias("alert_value"),
+    )

@@ -95,3 +95,41 @@ def test_logic_checks_stream(spark, obs_dir):
     out = spark.sql("SELECT * FROM logic_out").toPandas()
     assert (out["tas_eraqc"] == 11).sum() == 1
     assert out.loc[out["tas_eraqc"] == 11, "tas"].iloc[0] == 340.0
+
+
+# ----------------------------------------------- new driver stream ops
+from historical_obs_platform_spark import registry as _registry
+
+_registry.load_all()
+
+from .conftest import assert_matches_oracle  # noqa: E402
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "st_dedup_stream",
+        "st_sliding_window_stream",
+        "st_interval_join_stream",
+    ],
+)
+def test_stream_queries_match_oracle(spark, oracle_con, name):
+    assert_matches_oracle(spark, oracle_con, name)
+
+
+def test_sliding_window_fanout(spark, obs_dir):
+    """Each event lands in exactly window/slide = 2 windows."""
+    from historical_obs_platform_spark.streaming.hourly import (
+        sliding_rollup_stream,
+    )
+
+    src = (
+        spark.readStream.schema(_schema(spark, obs_dir))
+        .parquet(obs_dir)
+        .withColumnRenamed("pr", "value")
+    )
+    out = sliding_rollup_stream(src, agg_col="value")
+    _run(out, "t_sliding_fan", "complete")
+    got = spark.table("t_sliding_fan")
+    n_events = spark.read.parquet(obs_dir).count()
+    assert got.agg(F.sum("n_obs")).first()[0] == 2 * n_events
