@@ -237,3 +237,46 @@ def st_interval_join_stream(spark, sf_dir):
     finally:
         q.stop()
     return spark.table("st_interval_join")
+
+
+# --------------------------------------------------------------------
+# Stateful de-accumulation (streaming W7): per-station first
+# differences with the last (time, value) carried across micro-batches
+# (applyInPandasWithState; the transformWithState variant is gated on
+# worker protobuf). Oracle: batch lag() over the full history —
+# identical because the state seam reproduces exactly the batch
+# predecessor, and the double subtraction has identical operands on
+# both engines.
+# --------------------------------------------------------------------
+from ..streaming.stateful import deaccumulate_stream  # noqa: E402
+
+ST_DEACC_ORACLE = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS station, epoch_us(ts) AS us, value,
+         lag(value) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)
+         ) AS prev
+  FROM events
+)
+SELECT station, make_timestamp(us) AS time, value,
+       value - prev AS incr
+FROM t
+"""
+
+
+@query("st_deaccumulate_stream", ST_DEACC_ORACLE)
+def st_deaccumulate_stream(spark, sf_dir):
+    tune(spark)
+    obs = _events_stream(spark, sf_dir)
+    out = deaccumulate_stream(obs)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("st_deacc")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("st_deacc")

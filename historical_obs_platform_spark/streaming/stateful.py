@@ -128,3 +128,130 @@ def value_runs_stream(
     return stream.groupBy(key).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+# ----------------------------------------------------------------------
+# Streaming W7: de-accumulation with cross-batch state, in BOTH
+# stateful APIs — ``deaccumulate_stream`` (applyInPandasWithState, the
+# working path in this environment) and ``deaccumulate_stream_tws``
+# (transformWithStateInPandas, Spark 4.x's successor API with typed
+# state handles; requires protobuf in the Python worker, absent here,
+# so it is import-gated and covered by a skippable test).
+# ----------------------------------------------------------------------
+def deaccumulate_stream(
+    stream: DataFrame,
+    key: str = "station",
+    time_col: str = "time",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming W7 analog (``qaqc_deaccumulate.py:74-234``): emit the
+    first difference of each station's value series — increments of an
+    accumulated gauge — with the last (time, value) carried across
+    micro-batches, so the first row of batch N+1 differences against
+    the last row of batch N, not against null. int64 microseconds
+    throughout the state seam."""
+    out_schema = (
+        f"{key} string, {time_col} timestamp, {value_col} double, "
+        "incr double"
+    )
+    state_schema = "last_us long, last_val double"
+
+    def fn(k, pdfs, state):
+        pdf = pd.concat(
+            [p[[key, time_col, value_col]] for p in pdfs],
+            ignore_index=True,
+        )
+        pdf["__us"] = _to_us(pdf[time_col])
+        pdf = pdf.sort_values("__us", ignore_index=True)
+        prev_val = None
+        if state.exists:
+            _, prev_val = state.get
+        vals = pdf[value_col].astype("float64")
+        incr = vals - vals.shift(1)
+        if prev_val is not None:
+            incr.iloc[0] = vals.iloc[0] - prev_val
+        state.update(
+            (int(pdf["__us"].iloc[-1]), float(vals.iloc[-1]))
+        )
+        yield pd.DataFrame(
+            {
+                key: pdf[key],
+                time_col: pd.to_datetime(pdf["__us"], unit="us"),
+                value_col: vals,
+                "incr": incr,
+            }
+        )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="Append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def deaccumulate_stream_tws(
+    stream: DataFrame,
+    key: str = "station",
+    time_col: str = "time",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming W7 analog (``qaqc_deaccumulate.py:74-234``): emit the
+    first difference of each station's value series — increments of an
+    accumulated gauge — with the last (time, value) carried across
+    micro-batches in a ValueState, so the first row of batch N+1
+    differences against the last row of batch N, not against null.
+
+    Built on ``transformWithStateInPandas`` (typed ValueState handle);
+    semantics identical to ``deaccumulate_stream``. Requires protobuf
+    in the Python worker (STREAMING_PYTHON_RUNNER init imports
+    google.protobuf) — absent in this container, so tests skip it."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Deacc(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last = handle.getValueState(
+                "last", "last_us long, last_val double"
+            )
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            pdf = pd.concat(list(rows), ignore_index=True)
+            pdf["__us"] = _to_us(pdf[time_col])
+            pdf = pdf.sort_values("__us", ignore_index=True)
+            prev_val = None
+            if self._last.exists():
+                _, prev_val = self._last.get()
+            vals = pdf[value_col].astype("float64")
+            prevs = vals.shift(1)
+            incr = vals - prevs
+            if prev_val is not None:
+                incr.iloc[0] = vals.iloc[0] - prev_val
+            self._last.update(
+                (int(pdf["__us"].iloc[-1]), float(vals.iloc[-1]))
+            )
+            yield pd.DataFrame(
+                {
+                    key: pdf[key],
+                    time_col: pd.to_datetime(pdf["__us"], unit="us"),
+                    value_col: vals,
+                    "incr": incr,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    out_schema = (
+        f"{key} string, {time_col} timestamp, {value_col} double, "
+        "incr double"
+    )
+    return stream.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=_Deacc(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="None",
+    )

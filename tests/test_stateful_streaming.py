@@ -118,3 +118,49 @@ def test_value_runs_cross_batch_continuation(spark, two_batch_dir):
     assert got.loc[1, "n_obs"] == 4
     assert str(got.loc[1, "run_start"]) == "2021-01-01 06:00:00"
     assert str(got.loc[1, "run_end"]) == "2021-01-01 12:00:00"
+
+
+def test_deaccumulate_stream_matches_oracle(spark, oracle_con):
+    from historical_obs_platform_spark import registry
+
+    registry.load_all()
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, oracle_con, "st_deaccumulate_stream")
+
+
+def test_deaccumulate_tws_variant(spark, tmp_path):
+    """transformWithStateInPandas variant — skipped where the Python
+    worker lacks protobuf (STREAMING_PYTHON_RUNNER imports
+    google.protobuf at init)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    import pandas as pd
+
+    from historical_obs_platform_spark.streaming.stateful import (
+        deaccumulate_stream_tws,
+    )
+
+    src_dir = str(tmp_path / "twsrc")
+    pdf = pd.DataFrame(
+        {
+            "station": ["A"] * 4,
+            "time": pd.date_range("2020-01-01", periods=4, freq="1h"),
+            "value": [1.0, 3.0, 6.0, 10.0],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    out = deaccumulate_stream_tws(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_tws_deacc")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("t_tws_deacc").toPandas().sort_values("time")
+    assert list(got.incr.fillna(-1)) == [-1, 2.0, 3.0, 4.0]
