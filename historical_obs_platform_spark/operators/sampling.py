@@ -162,3 +162,27 @@ def corpus_shuffle(df: DataFrame, key: str, shard_hex_digits: int = 2) -> DataFr
         shard.alias("shard"),
         F.row_number().over(w).alias("shard_rank"),
     )
+
+
+def weighted_sample(
+    df: DataFrame, strata: str, key: str, weight_col: str, k: int,
+    digits: int = 8,
+) -> DataFrame:
+    """Deterministic weighted sample without replacement (per stratum):
+    the A-ES exponential-keys scheme — row priority
+    ``e = -ln(u) / w`` with ``u = hash_frac(key)`` — keeps the ``k``
+    smallest-priority rows, which selects each row with probability
+    proportional to its weight (Efraimidis & Spirakis). md5-derived
+    ``u`` makes the draw reproducible run-to-run and engine-to-engine;
+    one shuffle on ``strata``, same plan shape as
+    ``stratified_sample``. Weights are floored at 1 (zero weight would
+    put ``e`` at +inf)."""
+    e = -F.log(hash_frac(key, digits)) / F.greatest(
+        F.col(weight_col).cast("double"), F.lit(1.0)
+    )
+    w = Window.partitionBy(strata).orderBy(e.alias("__e"), F.col(key))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

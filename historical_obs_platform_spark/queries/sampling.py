@@ -216,3 +216,33 @@ FROM documents
 def p_corpus_shuffle(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     return S.corpus_shuffle(docs, "doc_id")
+
+
+# --------------------------------------------------------------------
+# Weighted sample (A-ES exponential keys): P(select) ∝ n_chars, per
+# language, without replacement. -ln(u)/w over the md5 fraction is
+# engine-portable (identical operands; ordering ties broken by
+# doc_id). The 100 TB story matches stratified_sample: one shuffle on
+# the stratum, per-partition top-k heaps via row_number pruning.
+# --------------------------------------------------------------------
+_DOC_FRAC8 = _frac_sql("md5(CAST(doc_id AS VARCHAR))", digits=8)
+
+WEIGHTED_ORACLE = f"""
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY -ln({_DOC_FRAC8})
+                    / greatest(CAST(n_chars AS DOUBLE), 1.0e0), doc_id
+         ) AS rn
+  FROM documents)
+WHERE rn <= 15
+"""
+
+
+@query("p_weighted_sample", WEIGHTED_ORACLE)
+def p_weighted_sample(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return S.weighted_sample(docs, "lang", "doc_id", "n_chars", 15).select(
+        "doc_id", "lang", "n_chars"
+    )

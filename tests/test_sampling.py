@@ -92,3 +92,20 @@ def test_corpus_shuffle_is_permutation(spark):
     # ranks are dense 1..n within each shard
     for _, g in got.groupby("shard"):
         assert sorted(g.shard_rank) == list(range(1, len(g) + 1))
+
+
+def test_weighted_sample_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "p_weighted_sample")
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """Selection probability rises with weight: the sampled rows'
+    mean n_chars should exceed the population mean."""
+    import pyspark.sql.functions as F
+
+    from historical_obs_platform_spark.queries.common import table
+
+    docs = table(spark, SF_DIR, "documents")
+    got = registry.QUERIES["p_weighted_sample"](spark, SF_DIR).toPandas()
+    pop_mean = docs.agg(F.avg("n_chars")).first()[0]
+    assert got.n_chars.mean() > pop_mean
