@@ -190,3 +190,56 @@ def w_session_agg(spark, sf_dir):
         )
         .drop("sw")
     )
+
+
+# --------------------------------------------------------------------
+# J9 (beyond the reference): backward as-of join — every observation
+# matched with its station's most recent daily-first observation at or
+# before it, within a 2-day tolerance. Spark side is the union-window
+# decomposition (operators/asof.py — one shuffle, no range join);
+# oracle is DuckDB's NATIVE `ASOF LEFT JOIN`, so the custom operator
+# is checked against a first-class reference implementation.
+# --------------------------------------------------------------------
+ASOF_ORACLE = """
+WITH e AS (
+  SELECT CAST(user_id AS VARCHAR) AS station,
+         make_timestamp(epoch_us(ts)) AS time, value
+  FROM events
+),
+r AS (
+  SELECT station, min(time) AS rt, arg_min(value, time) AS rvalue
+  FROM e GROUP BY station, CAST(time AS DATE)
+)
+SELECT l.station, l.time, l.value,
+       CASE WHEN epoch_us(l.time) - epoch_us(r.rt) <= 172800000000
+            THEN r.rvalue END AS value_asof,
+       CASE WHEN epoch_us(l.time) - epoch_us(r.rt) <= 172800000000
+            THEN r.rt END AS time_asof
+FROM e l ASOF LEFT JOIN r
+  ON l.station = r.station AND l.time >= r.rt
+"""
+
+
+@query("j9_asof_join", ASOF_ORACLE)
+def j9_asof_join(spark, sf_dir):
+    from ..operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    obs = ev.select(
+        F.col("user_id").cast("string").alias("station"),
+        F.col("ts").alias("time"),  # tables.load already floors ns→µs
+        F.col("value"),
+    )
+    daily_first = obs.groupBy(
+        "station", F.to_date("time").alias("__d")
+    ).agg(
+        F.min("time").alias("time"),
+        F.min_by("value", "time").alias("value"),
+    ).drop("__d")
+    return asof_join(
+        obs,
+        daily_first,
+        key="station",
+        value_cols=("value",),
+        tolerance_seconds=172800,
+    )
