@@ -712,3 +712,54 @@ def w_rolling_24h(spark, sf_dir):
         F.sum(dec("value")).over(w).cast("double").alias("rolling_sum_24h"),
         F.count(F.lit(1)).over(w).alias("rolling_n_24h"),
     )
+
+
+# --------------------------------------------------------------------
+# O8 (beyond the reference): incremental rollup maintenance — the
+# streaming-adjacent batch pattern for keeping a 100 TB daily rollup
+# fresh without recomputing it. The base rollup (history) and the
+# delta rollup (new arrivals) are merged by RE-AGGREGATING the partial
+# states: counts sum, and sums stay exact because they are decimal —
+# the merge is associative, so incremental == full recompute by
+# construction, and the oracle IS the full recompute. At scale the
+# base rollup is ~days×stations rows (tiny vs the fact table): the
+# delta is the only data scanned twice.
+# --------------------------------------------------------------------
+O8_ORACLE = """
+SELECT CAST(user_id AS VARCHAR) AS station,
+       date_trunc('day', ts) AS day,
+       COUNT(*) AS n_obs,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("o8_incremental_rollup", O8_ORACLE)
+def o8_incremental_rollup(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("station"),
+        F.col("ts"),
+        F.col("value"),
+    )
+    cutoff = "2024-01-24"
+
+    def rollup(df):
+        return df.groupBy(
+            "station", F.date_trunc("day", F.col("ts")).alias("day")
+        ).agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(dec("value")).alias("__dsum"),
+        )
+
+    base = rollup(ev.where(F.col("ts") < F.lit(cutoff).cast("timestamp")))
+    delta = rollup(ev.where(F.col("ts") >= F.lit(cutoff).cast("timestamp")))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("station", "day")
+        .agg(
+            F.sum("n_obs").alias("n_obs"),
+            F.sum("__dsum").cast("double").alias("sum_value"),
+        )
+    )
+    return merged

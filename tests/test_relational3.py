@@ -37,3 +37,7 @@ def test_nonempty(spark, name):
     from historical_obs_platform_spark.registry import QUERIES
 
     assert QUERIES[name](spark, "/root/testdata/sf0.01").count() > 0
+
+
+def test_incremental_rollup_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "o8_incremental_rollup")
