@@ -1,9 +1,12 @@
-"""Structured Streaming surface through the driver gate (rows-only):
-the hourly standardization rollup (W11 streaming analog, SURVEY.md
-§2.9) executed as a real stream — parquet file source → watermarked
-tumbling-window aggregation → memory sink, drained synchronously with
-``processAllAvailable`` (the batch-on-stream pattern of
-``Trigger.AvailableNow``)."""
+"""Structured Streaming surface through the driver gate: real streams
+(parquet file source → memory sink, drained synchronously with
+``processAllAvailable``, the batch-on-stream pattern of
+``Trigger.AvailableNow``). All six streaming queries carry
+exact DuckDB oracles — a deterministic stream over a finite source
+must converge to the batch answer, and that equality is the test:
+tumbling rollup (first-in-hour via arg_min, decimal-exact hour sums),
+dedup-within-watermark, sliding windows, stream-stream interval join,
+stateful gap detection, and stateful de-accumulation."""
 
 from __future__ import annotations
 
@@ -15,7 +18,27 @@ from ..streaming.hourly import hourly_standardize_stream
 from ..streaming.stateful import gap_detect_stream
 
 
-@query("st_hourly_rollup_stream")
+# first-in-hour is arg_min over unique (station, time) stamps and the
+# sum family is decimal (order-free), so the finite stream's complete-
+# mode state equals the batch rollup exactly.
+ST_HOURLY_ORACLE = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS station,
+         make_timestamp(epoch_us(ts)) AS time,
+         value AS tas,
+         CAST(value % 3.0 AS DECIMAL(18,2)) AS pr
+  FROM events
+)
+SELECT station, date_trunc('hour', time) AS hour,
+       count(*) AS n_obs,
+       arg_min(tas, time) AS tas_first,
+       CAST(CASE WHEN count(pr) = 0 THEN NULL ELSE sum(pr) END
+            AS DOUBLE) AS pr_sum
+FROM t GROUP BY station, date_trunc('hour', time)
+"""
+
+
+@query("st_hourly_rollup_stream", ST_HOURLY_ORACLE)
 def st_hourly_rollup_stream(spark, sf_dir):
     tune(spark)
     path = f"{sf_dir}/events.parquet"
@@ -25,11 +48,9 @@ def st_hourly_rollup_stream(spark, sf_dir):
     src = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
     obs = src.select(
         F.col("user_id").cast("string").alias("station"),
-        F.timestamp_micros(
-            (F.col("ts") / 1000).cast("long")
-        ).alias("time"),
+        F.timestamp_micros(F.expr("ts div 1000")).alias("time"),
         F.col("value").alias("tas"),
-        (F.col("value") % 3.0).alias("pr"),
+        (F.col("value") % 3.0).cast("decimal(18,2)").alias("pr"),
     )
     agg = hourly_standardize_stream(
         obs, first_cols=["tas"], sum_cols=["pr"]
@@ -44,7 +65,13 @@ def st_hourly_rollup_stream(spark, sf_dir):
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table("st_hourly_rollup")
+    return spark.table("st_hourly_rollup").select(
+        "station",
+        "hour",
+        "n_obs",
+        "tas_first",
+        F.col("pr_sum").cast("double").alias("pr_sum"),
+    )
 
 
 # The stateful stream is oracle-checkable: state carries the last-seen
@@ -71,7 +98,7 @@ WHERE us - prev > 86400000000
 
 @query("st_gap_detect_stream", ST_GAP_ORACLE)
 def st_gap_detect_stream(spark, sf_dir):
-    """Stateful streaming gap detection (rows-only): per-user cadence
+    """Stateful streaming gap detection: per-user cadence
     gaps over the events stream via ``applyInPandasWithState`` — the
     last-seen timestamp survives micro-batch boundaries, so gaps that
     straddle batches are still reported (SURVEY.md §2.9 grid-infill
