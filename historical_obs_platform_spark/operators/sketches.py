@@ -284,3 +284,65 @@ def cms_heavy_hitters(
         .groupBy("token", "exact_count")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
     )
+
+
+# ------------------------------------------------------------ quantiles
+def grid_quantiles(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+    qs: tuple[float, ...],
+) -> DataFrame:
+    """Mergeable fixed-grid quantile sketch: one partial-aggregating
+    histogram pass over the data (``bins`` counters per task,
+    associative merge = vector add), then the quantile probe runs on
+    the <= ``bins``-row histogram. The 100 TB substitute for exact
+    ``percentile`` whose sort/shuffle carries every row; error is
+    bounded by one grid cell width ((hi-lo)/bins).
+
+    Deterministic (integer counts + fixed grid), so unlike
+    percentile_approx/t-digest the estimate is reproducible across
+    engines and partitionings — each returned quantile is the upper
+    edge of the first bin whose cumulative count reaches
+    ``ceil(q * n)``.
+    """
+    from pyspark.sql import Window
+
+    w = (hi - lo) / bins
+    bin_col = (
+        F.least(
+            F.lit(bins - 1),
+            F.greatest(
+                F.lit(0), F.floor((F.col(col) - F.lit(lo)) / F.lit(w))
+            ),
+        )
+    ).cast("int")
+    hist = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = hist.select(
+        "bin",
+        F.sum("cnt")
+        .over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    probes = df.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    )
+    # probe x histogram cross join: both sides tiny (len(qs) x bins)
+    return (
+        probes.crossJoin(F.broadcast(cum))
+        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("q")
+        .agg(
+            F.ceil(F.col("q") * F.min("n")).cast("long").alias("rank"),
+            F.round(
+                F.lit(lo) + (F.min("bin") + F.lit(1)) * F.lit(w), 9
+            ).alias("est"),
+        )
+    )

@@ -1,0 +1,190 @@
+"""Driver-facing scale-path operators: batch interval join, grid
+quantile sketch, frame sampling, cascaded rollup maintenance.
+
+Each query pairs a 100 TB-shaped plan (equi-join decomposition,
+fixed-memory sketch, partial-aggregate reuse) with an exact DuckDB
+oracle that computes the same result the straightforward way — the
+hash-match proves the scale-path rewrite is semantics-preserving.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import multimodal as MM
+from ..operators import rangejoin as RJ
+from ..operators import sketches as SK
+from ..registry import query
+from .common import dec, table
+
+# --------------------------------------------------------------------
+# J10: batch interval join — clicks joined to same-user views within
+# a 2 h half-open window, via the bucketed equi-join decomposition
+# (operators/rangejoin.py). The oracle states the range predicate
+# directly; the Spark plan contains no nested-loop/cartesian join
+# (asserted in tests/test_scaleops.py).
+# --------------------------------------------------------------------
+_W_US = 2 * 3600 * 1_000_000
+
+J10_ORACLE = f"""
+WITH c AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+     v AS (SELECT user_id, ts AS vts FROM events
+           WHERE event_type = 'view')
+SELECT c.event_id AS click_id,
+       count(*) AS n_views,
+       min(epoch_us(v.vts) - epoch_us(c.ts)) AS min_delta_us
+FROM c JOIN v
+  ON c.user_id = v.user_id
+ AND epoch_us(v.vts) >= epoch_us(c.ts)
+ AND epoch_us(v.vts) < epoch_us(c.ts) + {_W_US}
+GROUP BY c.event_id
+"""
+
+
+@query("j10_interval_join", J10_ORACLE)
+def j10_interval_join(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts")
+    )
+    j = RJ.bucketed_interval_join(
+        clicks, views, on=["user_id"], left_ts="ts", right_ts="vts",
+        window_us=_W_US,
+    )
+    return (
+        j.groupBy(F.col("event_id").alias("click_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.min(
+                F.unix_micros("vts") - F.unix_micros("ts")
+            ).alias("min_delta_us"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Grid quantile sketch: deterministic fixed-grid approximate
+# percentiles of events.value (one histogram pass, mergeable counter
+# state). The oracle replays the identical grid arithmetic — the
+# *approximate* answer hash-matches, like the other sk_* sketches.
+# --------------------------------------------------------------------
+_Q_LO, _Q_HI, _Q_BINS = 0.0, 500.0, 256
+_QS = (0.5, 0.9, 0.99)
+_Q_W = (_Q_HI - _Q_LO) / _Q_BINS
+
+SKQ_ORACLE = f"""
+WITH h AS (
+  SELECT CAST(least({_Q_BINS - 1}, greatest(0,
+           floor((value - {_Q_LO:.17e}) / {_Q_W:.17e})))
+         AS INTEGER) AS bin,
+         count(*) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+c AS (
+  SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum,
+         sum(cnt) OVER () AS n
+  FROM h
+),
+q AS (SELECT unnest([5.0e-1, 9.0e-1, 9.9e-1]) AS q)
+SELECT q,
+       CAST(ceil(q * min(n)) AS BIGINT) AS rank,
+       round({_Q_LO:.17e} + (min(bin) + 1) * {_Q_W:.17e}, 9) AS est
+FROM q, c
+WHERE cum >= ceil(q * n)
+GROUP BY q
+"""
+
+
+@query("sk_grid_quantiles", SKQ_ORACLE)
+def sk_grid_quantiles(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return SK.grid_quantiles(
+        ev, "value", lo=_Q_LO, hi=_Q_HI, bins=_Q_BINS, qs=_QS
+    )
+
+
+# --------------------------------------------------------------------
+# Multimodal frame sampling: the pure-Spark half of video frame
+# extraction (operators/multimodal.frame_sample_plan) — one row per
+# sampled frame timestamp from the typed metadata; the per-frame
+# decode would be a further mapInPandas stage (codec stubbed, like
+# m_multimodal_features). Duration is derived deterministically from
+# n_chars so the explode is oracle-checkable.
+# --------------------------------------------------------------------
+MFS_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(unnest(generate_series(
+         0, greatest(CAST((n_chars * 37) % 54321 AS BIGINT) - 1, 0),
+         1000)) AS BIGINT) AS frame_ms
+FROM documents WHERE n_chars IS NOT NULL
+"""
+
+
+@query("m_frame_sample", MFS_ORACLE)
+def m_frame_sample(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull()
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.struct(
+            ((F.col("n_chars") * 37) % 54321)
+            .cast("int")
+            .alias("duration_ms")
+        ).alias("meta"),
+    )
+    plan = MM.frame_sample_plan(media, every_ms=1000)
+    return plan.select(
+        "media_id", F.col("frame_ms").cast("long").alias("frame_ms")
+    )
+
+
+# --------------------------------------------------------------------
+# O9: cascaded rollup maintenance (hypertable-style continuous
+# aggregates): hourly partials -> daily from hourly -> monthly from
+# daily, each level re-aggregating the previous level's partial sums.
+# Decimal sums are associative/exact, so the cascade equals a direct
+# monthly aggregation from raw rows — which is exactly what the
+# oracle computes. At 100 TB the raw table is scanned once for the
+# finest grain and every coarser grain reads only the (tiny) next
+# level down, the same partial-merge contract as o8_incremental_rollup.
+# --------------------------------------------------------------------
+O9_ORACLE = """
+SELECT event_type,
+       date_trunc('month', ts) AS mon,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       count(value) AS n_obs,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             / count(value), 6) AS avg_value
+FROM events
+GROUP BY event_type, mon
+"""
+
+
+@query("o9_cascade_rollup", O9_ORACLE)
+def o9_cascade_rollup(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.sum(dec("value")).alias("s"), F.count("value").alias("c")
+    )
+    daily = hourly.groupBy(
+        "event_type", F.date_trunc("day", "h").alias("d")
+    ).agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+    monthly = daily.groupBy(
+        "event_type", F.date_trunc("month", "d").alias("mon")
+    ).agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+    return monthly.select(
+        "event_type",
+        "mon",
+        F.col("s").cast("double").alias("total_value"),
+        F.col("c").alias("n_obs"),
+        F.round(F.col("s").cast("double") / F.col("c"), 6).alias(
+            "avg_value"
+        ),
+    )

@@ -42,6 +42,7 @@ def load_all() -> None:
         relational2,
         relational3,
         sampling,
+        scaleops,
         sketches,
         sources_demo,
         streaming_demo,

@@ -1,0 +1,109 @@
+"""Scale-path operators (queries/scaleops.py): oracle matches plus
+plan-shape and accuracy-bound checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from historical_obs_platform_spark import registry
+from historical_obs_platform_spark.operators import rangejoin as RJ
+from historical_obs_platform_spark.operators import sketches as SK
+from historical_obs_platform_spark.tables import load
+
+registry.load_all()
+
+from .conftest import SF_DIR, assert_matches_oracle
+
+NAMES = [
+    "j10_interval_join",
+    "sk_grid_quantiles",
+    "m_frame_sample",
+    "o9_cascade_rollup",
+]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_matches_oracle(spark, oracle_con, name):
+    assert_matches_oracle(spark, oracle_con, name)
+
+
+def test_interval_join_plans_as_equi_join(spark):
+    """The range join must decompose to a hash-partitionable
+    equi-join — no nested-loop/cartesian operator in the plan."""
+    ev = load(spark, SF_DIR, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.select("user_id", F.col("ts").alias("rts"))
+    j = RJ.bucketed_interval_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="rts",
+        window_us=3600_000_000,
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_interval_join_matches_crossfilter(spark):
+    """Bucketed decomposition == the naive range predicate."""
+    ev = load(spark, SF_DIR, "events").limit(800).cache()
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.select(
+        "user_id", F.col("event_id").alias("rid"), F.col("ts").alias("rts")
+    )
+    w = 1800_000_000
+    got = RJ.bucketed_interval_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="rts",
+        window_us=w,
+    ).select("event_id", "rid")
+    naive = (
+        left.join(right, "user_id")
+        .where(
+            (F.unix_micros("rts") >= F.unix_micros("ts"))
+            & (F.unix_micros("rts") < F.unix_micros("ts") + F.lit(w))
+        )
+        .select("event_id", "rid")
+    )
+    assert got.exceptAll(naive).count() == 0
+    assert naive.exceptAll(got).count() == 0
+    ev.unpersist()
+
+
+def test_grid_quantile_within_one_cell(spark):
+    """Each grid estimate is within one cell width of the exact
+    interpolated percentile."""
+    ev = load(spark, SF_DIR, "events")
+    est = {
+        r["q"]: r["est"]
+        for r in SK.grid_quantiles(
+            ev, "value", 0.0, 500.0, 256, (0.5, 0.9, 0.99)
+        ).collect()
+    }
+    exact = ev.select(
+        F.expr(
+            "percentile(value, array(0.5, 0.9, 0.99))"
+        ).alias("p")
+    ).first()["p"]
+    cell = 500.0 / 256
+    for q, ex in zip((0.5, 0.9, 0.99), exact):
+        assert abs(est[q] - ex) <= cell + 1e-9
+
+
+def test_cascade_equals_direct(spark):
+    """Monthly-from-daily-from-hourly == monthly-from-raw (decimal
+    partials are associative)."""
+    from historical_obs_platform_spark.queries.scaleops import (
+        o9_cascade_rollup,
+    )
+
+    ev = load(spark, SF_DIR, "events")
+    direct = ev.groupBy(
+        "event_type", F.date_trunc("month", "ts").alias("mon")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value")
+    )
+    got = o9_cascade_rollup(spark, SF_DIR).select(
+        "event_type", "mon", "total_value"
+    )
+    assert got.exceptAll(direct).count() == 0
+    assert direct.exceptAll(got).count() == 0
