@@ -80,8 +80,12 @@ def asof_join(
     if tolerance_seconds is not None:
         # microsecond-exact (unix_timestamp would truncate to seconds
         # and disagree with an integer-microsecond oracle)
+        # cast("timestamp"): unix_micros rejects TIMESTAMP_NTZ inputs
+        # (parquet isAdjustedToUTC=false); session tz is pinned UTC so
+        # the cast is value-preserving and output types are untouched
         within = (
-            F.unix_micros("__t") - F.unix_micros("__mt")
+            F.unix_micros(F.col("__t").cast("timestamp"))
+            - F.unix_micros(F.col("__mt").cast("timestamp"))
         ) <= F.lit(int(tolerance_seconds) * 1_000_000)
     out = out.select(
         F.col(key),

@@ -46,18 +46,20 @@ def bucketed_interval_join(
     """
     if window_us <= 0:
         raise ValueError("window_us must be positive")
-    l_us = F.unix_micros(F.col(left_ts))
-    r_us = F.unix_micros(F.col(right_ts))
+    # cast("timestamp") first: unix_micros rejects TIMESTAMP_NTZ, and
+    # parquet timestamps written with isAdjustedToUTC=false read back
+    # as NTZ; the session tz is pinned UTC so the cast is
+    # value-preserving either way.
+    l_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    r_us = F.unix_micros(F.col(right_ts).cast("timestamp"))
     lb = (l_us / F.lit(window_us)).cast("long")  # non-negative epochs
     l_exp = left.withColumn(
         _BUCKET, F.explode(F.array(lb, lb + F.lit(1)))
     )
     r_b = right.withColumn(_BUCKET, (r_us / F.lit(window_us)).cast("long"))
     joined = l_exp.join(r_b, [*on, _BUCKET], "inner").drop(_BUCKET)
+    r_us2 = F.unix_micros(F.col(right_ts).cast("timestamp"))
+    l_us2 = F.unix_micros(F.col(left_ts).cast("timestamp"))
     return joined.where(
-        (F.unix_micros(F.col(right_ts)) >= F.unix_micros(F.col(left_ts)))
-        & (
-            F.unix_micros(F.col(right_ts))
-            < F.unix_micros(F.col(left_ts)) + F.lit(window_us)
-        )
+        (r_us2 >= l_us2) & (r_us2 < l_us2 + F.lit(window_us))
     )

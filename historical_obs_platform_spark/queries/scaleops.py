@@ -60,7 +60,8 @@ def j10_interval_join(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_views"),
             F.min(
-                F.unix_micros("vts") - F.unix_micros("ts")
+                F.unix_micros(F.col("vts").cast("timestamp"))
+                - F.unix_micros(F.col("ts").cast("timestamp"))
             ).alias("min_delta_us"),
         )
     )

@@ -11,11 +11,22 @@ stateful gap detection, and stateful de-accumulation."""
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..registry import query
 from ..session import tune
 from ..streaming.hourly import hourly_standardize_stream
 from ..streaming.stateful import gap_detect_stream
+
+
+def _time_col(schema):
+    """``ts`` → LTZ ``time`` for either physical encoding: INT64 nanos
+    (read as long under nanosAsLong → truncate to micros) or native
+    parquet TIMESTAMP with isAdjustedToUTC=false (read as NTZ → cast;
+    session tz is UTC so the cast is value-preserving)."""
+    if isinstance(schema["ts"].dataType, T.LongType):
+        return F.timestamp_micros(F.expr("ts div 1000")).alias("time")
+    return F.col("ts").cast("timestamp").alias("time")
 
 
 # first-in-hour is arg_min over unique (station, time) stamps and the
@@ -48,7 +59,7 @@ def st_hourly_rollup_stream(spark, sf_dir):
     src = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
     obs = src.select(
         F.col("user_id").cast("string").alias("station"),
-        F.timestamp_micros(F.expr("ts div 1000")).alias("time"),
+        _time_col(schema),
         F.col("value").alias("tas"),
         (F.col("value") % 3.0).cast("decimal(18,2)").alias("pr"),
     )
@@ -109,7 +120,7 @@ def st_gap_detect_stream(spark, sf_dir):
     src = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
     obs = src.select(
         F.col("user_id").cast("string").alias("station"),
-        F.timestamp_micros(F.expr("ts div 1000")).alias("time"),
+        _time_col(schema),
     )
     out = gap_detect_stream(obs, cadence_seconds=86400)
     q = (
@@ -151,7 +162,7 @@ def _events_stream(spark, sf_dir):
     src = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
     return src.select(
         F.col("user_id").cast("string").alias("station"),
-        F.timestamp_micros(F.expr("ts div 1000")).alias("time"),
+        _time_col(schema),
         F.col("value"),
     )
 

@@ -38,6 +38,7 @@ def load_all() -> None:
         qaqc_demo,
         qaqc_parity,
         qaqc_parity2,
+        qaqc_parity3,
         relational,
         relational2,
         relational3,

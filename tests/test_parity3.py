@@ -1,0 +1,72 @@
+"""Fifth parity wave (distribution flag-writers) vs the DuckDB oracle,
+plus semantic spot-checks that the planted defects actually fire."""
+
+import pytest
+
+from historical_obs_platform_spark import registry
+
+registry.load_all()
+
+from .conftest import assert_matches_oracle
+
+NAMES = [
+    "f24_frequent_multigranularity",
+    "l10_synergistic_flags",
+    "f21_monthly_median_gap",
+    "f22_distribution_gap",
+    "chain_min_slice_hourly",
+]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_oracle_match(spark, oracle_con, name):
+    assert_matches_oracle(spark, oracle_con, name)
+
+
+def test_frequent_flags_fire_at_both_granularities(spark):
+    from .conftest import SF_DIR
+
+    out = (
+        registry.QUERIES["f24_frequent_multigranularity"](spark, SF_DIR)
+        .groupBy("tas_eraqc")
+        .count()
+        .toPandas()
+    )
+    flags = set(out["tas_eraqc"].dropna())
+    assert 24.0 in flags, "whole-record dominant bin must flag 24"
+    assert 25.0 in flags, "season-year dominant bin must flag 25"
+
+
+def test_monthly_gap_flags_only_planted_month(spark):
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_DIR
+
+    out = registry.QUERIES["f21_monthly_median_gap"](spark, SF_DIR)
+    flagged = (
+        out.where(F.col("tas_eraqc") == 21.0)
+        .select(F.year("time").alias("yr"), F.month("time").alias("moy"))
+        .distinct()
+        .collect()
+    )
+    assert {(r.yr, r.moy) for r in flagged} == {(2025, 3)}
+
+
+def test_distribution_gap_flags_only_outliers(spark):
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_DIR
+
+    out = registry.QUERIES["f22_distribution_gap"](spark, SF_DIR)
+    agg = out.agg(
+        F.count(F.when(F.col("tas_eraqc") == 22.0, 1)).alias("n_flag"),
+        F.count(
+            F.when((F.col("tas") >= 310.0) & F.col("tas_eraqc").isNull(), 1)
+        ).alias("missed"),
+        F.count(
+            F.when((F.col("tas") < 310.0) & F.col("tas_eraqc").isNotNull(), 1)
+        ).alias("false_pos"),
+    ).collect()[0]
+    assert agg.n_flag > 0
+    assert agg.missed == 0, "every +40 outlier must be flagged 22"
+    assert agg.false_pos == 0, "no body row may be flagged"

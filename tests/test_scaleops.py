@@ -57,8 +57,10 @@ def test_interval_join_matches_crossfilter(spark):
     naive = (
         left.join(right, "user_id")
         .where(
-            (F.unix_micros("rts") >= F.unix_micros("ts"))
-            & (F.unix_micros("rts") < F.unix_micros("ts") + F.lit(w))
+            (F.unix_micros(F.col("rts").cast("timestamp"))
+               >= F.unix_micros(F.col("ts").cast("timestamp")))
+            & (F.unix_micros(F.col("rts").cast("timestamp"))
+               < F.unix_micros(F.col("ts").cast("timestamp")) + F.lit(w))
         )
         .select("event_id", "rid")
     )
