@@ -142,42 +142,61 @@ def jaccard_pairs(
     Without ``candidates``, pairs come from the shingle inverted index
     (documents sharing ≥1 shingle) — correct but quadratic in posting-
     list length, so ONLY for small/diverse corpora. With ``candidates``
-    (a, b) — normally the LSH bucket collisions — the intersection is
-    computed per candidate pair (candidates ⋈ A-shingles ⋈ B-shingles),
-    which bounds work by |candidates| × shingles-per-doc regardless of
-    posting-list density. That is the 100 TB path: band-bucket join
-    prunes, exact Jaccard confirms.
+    (a, b) — normally the LSH bucket collisions — each document's
+    distinct shingles are collected into ONE array row and the
+    intersection is a per-pair ``array_intersect`` (hash-set probe,
+    JVM codegen): work is |candidates| × (|A|+|B|) with no
+    pair×shingle row blowup — the 2-sided expand-join form
+    materialized |candidates| × shingles-per-doc rows (16 M at sf0.1)
+    through a shuffle before re-grouping, ~4× slower and worse with
+    density. Band-bucket join prunes, exact Jaccard confirms: the
+    100 TB path.
     """
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = shingles.select(F.col(id_col).alias("a"), "shingle")
-    b = shingles.select(F.col(id_col).alias("b"), "shingle")
     if candidates is not None:
-        inter = (
-            candidates.join(a, "a")
-            .join(b, ["b", "shingle"])
-            .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("n_common"))
+        doc_arrays = shingles.groupBy(id_col).agg(
+            F.collect_list("shingle").alias("__sh"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+        aa = doc_arrays.select(
+            F.col(id_col).alias("a"),
+            F.col("__sh").alias("__sh_a"),
+            F.col("sz").alias("sz_a"),
+        )
+        bb = doc_arrays.select(
+            F.col(id_col).alias("b"),
+            F.col("__sh").alias("__sh_b"),
+            F.col("sz").alias("sz_b"),
+        )
+        out = (
+            candidates.join(aa, "a")
+            .join(bb, "b")
+            .withColumn(
+                "n_common",
+                F.size(F.array_intersect("__sh_a", "__sh_b")).cast("long"),
+            )
+            .where(F.col("n_common") > 0)
+            .drop("__sh_a", "__sh_b")
         )
     else:
+        a = shingles.select(F.col(id_col).alias("a"), "shingle")
+        b = shingles.select(F.col(id_col).alias("b"), "shingle")
         inter = (
             a.join(b, "shingle")
             .where(F.col("a") < F.col("b"))
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
-    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
-    out = (
-        inter.join(sa, "a")
-        .join(sb, "b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
-                6,
-            ),
-        )
+        sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
+        sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
+        out = inter.join(sa, "a").join(sb, "b")
+    out = out.withColumn(
+        "jaccard",
+        F.round(
+            F.col("n_common")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+            6,
+        ),
     )
     return out.where(F.col("jaccard") >= min_jaccard).select(
         "a", "b", "n_common", "sz_a", "sz_b", "jaccard"
