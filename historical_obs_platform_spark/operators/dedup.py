@@ -152,7 +152,6 @@ def jaccard_pairs(
     density. Band-bucket join prunes, exact Jaccard confirms: the
     100 TB path.
     """
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     if candidates is not None:
         doc_arrays = shingles.groupBy(id_col).agg(
             F.collect_list("shingle").alias("__sh"),
@@ -179,6 +178,7 @@ def jaccard_pairs(
             .drop("__sh_a", "__sh_b")
         )
     else:
+        sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
         a = shingles.select(F.col(id_col).alias("a"), "shingle")
         b = shingles.select(F.col(id_col).alias("b"), "shingle")
         inter = (

@@ -375,13 +375,15 @@ def blocked_cosine_pairs(
     import numpy as np
     import pandas as pd
 
-    out_schema = f"a long, b long, cosine_raw double"
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"a {id_type}, b {id_type}, cosine_raw double"
+    empty = pd.DataFrame({"a": [], "b": [], "cosine_raw": []})
 
     def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col)
+        pdf = pdf[pdf[vec_col].notna()].sort_values(id_col)
         n = len(pdf)
         if n < 2:
-            return pd.DataFrame({"a": [], "b": [], "cosine_raw": []})
+            return empty
         ids = pdf[id_col].to_numpy()
         A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
         gram = np.zeros((n, n))
@@ -397,14 +399,20 @@ def blocked_cosine_pairs(
         keep = vals >= threshold - margin
         return pd.DataFrame(
             {
-                "a": ids[iu[keep]].astype("int64"),
-                "b": ids[ju[keep]].astype("int64"),
+                "a": ids[iu[keep]],
+                "b": ids[ju[keep]],
                 "cosine_raw": vals[keep],
             }
         )
 
+    # null blocks never pair (matches an inner equi-join on the block
+    # key); grouping additionally on the vector length keeps ragged
+    # inputs from crossing — a mixed-length pair's cosine was NULL in
+    # the scalar zip_with form and filtered, so skipping it is
+    # output-equivalent and lets np.stack assume a rectangle
     return (
         df.select(F.col(id_col), F.col(block_col), F.col(vec_col))
-        .groupBy(block_col)
+        .where(F.col(block_col).isNotNull())
+        .groupBy(F.col(block_col), F.size(vec_col).alias("__dim"))
         .applyInPandas(per_block, out_schema)
     )

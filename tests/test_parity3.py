@@ -70,3 +70,24 @@ def test_distribution_gap_flags_only_outliers(spark):
     assert agg.n_flag > 0
     assert agg.missed == 0, "every +40 outlier must be flagged 22"
     assert agg.false_pos == 0, "no body row may be flagged"
+
+
+def test_blocked_cosine_pairs_nulls_ragged_and_string_ids(spark):
+    from pyspark.sql import functions as F
+
+    from historical_obs_platform_spark.operators.similarity import (
+        blocked_cosine_pairs,
+    )
+
+    rows = [
+        ("d1", "x", [1.0, 0.0]),
+        ("d2", "x", [1.0, 0.0]),          # exact dup of d1
+        ("d3", "x", None),                 # null vector: never pairs
+        ("d4", "x", [1.0, 0.0, 0.0]),      # ragged: never pairs
+        ("d5", None, [1.0, 0.0]),          # null block: never pairs
+        ("d6", "y", [0.0, 1.0]),           # alone in its block
+    ]
+    df = spark.createDataFrame(rows, "id string, blk string, v array<double>")
+    out = blocked_cosine_pairs(df, "id", "v", "blk", threshold=0.9)
+    got = {(r.a, r.b, round(r.cosine_raw, 6)) for r in out.collect()}
+    assert got == {("d1", "d2", 1.0)}
