@@ -21,8 +21,16 @@ registry.load_all()
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return registry.QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The minimum end-to-end pipeline slice (SURVEY.md §7): sentinel
+    normalization → world-record → supersaturation → negative-precip →
+    hourly standardization with grid infill, one DAG through every
+    engine layer (and oracle-checked at sf0.01 under the same name).
+    """
+    return registry.QUERIES["chain_min_slice_hourly"](
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -282,29 +282,27 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
-    for _ in range(max_iter):
+    def propagate(lbls: DataFrame) -> DataFrame:
         # candidate label for each node: the min label among neighbors
         nbr = (
-            edges.join(
-                labels.withColumnRenamed("node", "src"), "src"
-            )
+            edges.join(lbls.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        updated = (
-            labels.join(nbr, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    "component", F.coalesce("nbr_min", "component")
-                ).alias("component"),
-                (
-                    F.coalesce("nbr_min", "component") < F.col("component")
-                ).alias("__chg"),
-            )
-        ).localCheckpoint()
-        n_changed = updated.where(F.col("__chg")).count()
-        labels = updated.drop("__chg")
+        return lbls.join(nbr, "node", "left").select(
+            "node",
+            F.least(
+                "component", F.coalesce("nbr_min", "component")
+            ).alias("component"),
+            (
+                F.coalesce("nbr_min", "component") < F.col("component")
+            ).alias("__chg"),
+        )
+
+    for _ in range(max_iter):
+        stepped = propagate(labels).localCheckpoint()
+        n_changed = stepped.where(F.col("__chg")).count()
+        labels = stepped.drop("__chg")
         if n_changed == 0:
             break
     return labels
