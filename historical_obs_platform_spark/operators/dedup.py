@@ -319,3 +319,43 @@ def dup_cluster_summary(
     return comp.groupBy(F.col("component").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_members")
     )
+
+
+def contamination_overlap(
+    train_shingles: DataFrame,
+    test_shingles: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/test contamination check — the decontamination primitive
+    of a training-data pipeline: for every train document sharing at
+    least one shingle with the held-out set, report how many of its
+    shingles are contaminated and how many test documents it hits.
+
+    Scale shape: the held-out set is small by construction, so its
+    shingle table BROADCASTS — the train corpus is scanned once and
+    never shuffles on shingle (no inverted-index pair blowup). Returns
+    (id, n_shared_shingles, n_test_docs, contamination) where
+    contamination = shared / total shingles of the train doc.
+    """
+    test = test_shingles.select(
+        F.col(id_col).alias("__test_id"), "shingle"
+    )
+    sizes = train_shingles.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__sz")
+    )
+    hits = (
+        train_shingles.join(F.broadcast(test), "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("__test_id").alias("n_test_docs"),
+        )
+    )
+    return (
+        hits.join(sizes, id_col)
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_shared_shingles") / F.col("__sz"), 6),
+        )
+        .drop("__sz")
+    )

@@ -709,3 +709,45 @@ def t_tfidf_topterms(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 3)
     )
+
+
+# --------------------------------------------------------------------
+# Train/test contamination (decontamination primitive): held-out set =
+# doc_id % 97 == 0; for every train document sharing a word bigram
+# with the held-out set, report shared-shingle count, test docs hit,
+# and the contaminated fraction of its shingles. The test side
+# broadcasts (held-out sets are small by construction) — the train
+# corpus never shuffles on shingle.
+# --------------------------------------------------------------------
+CONTAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)),
+         '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS shingle
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+), test AS (SELECT * FROM sh WHERE doc_id % 97 = 0),
+train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+sz AS (SELECT doc_id, count(*) AS sz FROM train GROUP BY 1),
+hits AS (
+  SELECT tr.doc_id,
+         count(DISTINCT tr.shingle) AS n_shared_shingles,
+         count(DISTINCT te.doc_id) AS n_test_docs
+  FROM train tr JOIN test te USING (shingle)
+  GROUP BY tr.doc_id
+)
+SELECT h.doc_id, h.n_shared_shingles, h.n_test_docs,
+       round(h.n_shared_shingles / s.sz, 6) AS contamination
+FROM hits h JOIN sz s ON h.doc_id = s.doc_id
+"""
+
+
+@query("d_contamination_overlap", CONTAM_ORACLE)
+def d_contamination_overlap(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    sh = DD.word_shingles(docs, "doc_id", "text", n=2)
+    test_sh = sh.where(F.col("doc_id") % 97 == 0)
+    train_sh = sh.where(F.col("doc_id") % 97 != 0)
+    return DD.contamination_overlap(train_sh, test_sh, "doc_id")

@@ -19,6 +19,7 @@ NAMES = [
     "d_minhash_lsh_pairs",
     "d_ngram_jaccard_pairs",
     "d_simhash",
+    "d_contamination_overlap",
     "s_cosine_topk",
 ]
 
