@@ -28,6 +28,11 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for the few pandas-UDF islands (Butterworth filter etc.).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # NB runtime bloom-filter join pruning
+    # (spark.sql.optimizer.runtime.bloomFilter.enabled) is already on
+    # by default; setting it (or semiJoinReduction) explicitly at
+    # builder time hangs SparkContext startup on this build — leave
+    # the defaults alone.
     # The driver's events.parquet stores TIMESTAMP(NANOS), which the
     # vectorized parquet reader rejects; read as long and convert in
     # tables.load (DuckDB-equivalent truncation to microseconds).

@@ -104,3 +104,21 @@ def test_pack_sequences_single_shuffle(spark):
     plan = _formatted(registry.QUERIES["p_pack_sequences"](spark, SF_DIR))
     # one hash exchange on the shard key feeds the window sort
     assert plan.count("+- Exchange") == 1
+
+
+def test_no_cartesian_product_anywhere(spark):
+    """Sweep every batch query's physical plan: a CartesianProduct is
+    never the right 100 TB answer — any pairing must ride an equi-join
+    (possibly via bucketing/LSH decomposition) or an explicit
+    broadcast. Streaming queries execute on build and the clustering
+    query runs its propagation loop eagerly, so they are exercised by
+    their own tests instead."""
+    skip = {"d_dup_clusters"}
+    offenders = []
+    for name, fn in sorted(registry.QUERIES.items()):
+        if name.startswith("st_") or name in skip:
+            continue
+        plan = _formatted(fn(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == [], f"cartesian products in: {offenders}"
