@@ -29,6 +29,23 @@ def _time_col(schema):
     return F.col("ts").cast("timestamp").alias("time")
 
 
+def _stream_shuffle(spark) -> str:
+    """Size streaming state to the stream, not the batch default: 150
+    station keys need 8 state-store partitions, not 32 — each stateful
+    operator otherwise pays 32 store commits per micro-batch (~3× the
+    wall time at sf0.1). Returns the prior setting; callers restore it
+    after the query drains. On a cluster, raise via
+    SPARK_GRAFT_STREAM_SHUFFLE to match real key cardinality."""
+    import os
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"),
+    )
+    return old
+
+
 # first-in-hour is arg_min over unique (station, time) stamps and the
 # sum family is decimal (order-free), so the finite stream's complete-
 # mode state equals the batch rollup exactly.
@@ -52,6 +69,7 @@ FROM t GROUP BY station, date_trunc('hour', time)
 @query("st_hourly_rollup_stream", ST_HOURLY_ORACLE)
 def st_hourly_rollup_stream(spark, sf_dir):
     tune(spark)
+    __old_parts = _stream_shuffle(spark)
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     # the file source wants a directory or a glob; the wildcard makes
@@ -76,6 +94,7 @@ def st_hourly_rollup_stream(spark, sf_dir):
         q.processAllAvailable()
     finally:
         q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", __old_parts)
     return spark.table("st_hourly_rollup").select(
         "station",
         "hour",
@@ -115,6 +134,7 @@ def st_gap_detect_stream(spark, sf_dir):
     straddle batches are still reported (SURVEY.md §2.9 grid-infill
     analog; see ``streaming/stateful.py``)."""
     tune(spark)
+    __old_parts = _stream_shuffle(spark)
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     src = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
@@ -133,6 +153,7 @@ def st_gap_detect_stream(spark, sf_dir):
         q.processAllAvailable()
     finally:
         q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", __old_parts)
     return spark.table("st_gap_detect")
 
 
@@ -170,6 +191,7 @@ def _events_stream(spark, sf_dir):
 @query("st_dedup_stream", ST_DEDUP_ORACLE)
 def st_dedup_stream(spark, sf_dir):
     tune(spark)
+    __old_parts = _stream_shuffle(spark)
     doubled = _events_stream(spark, sf_dir).unionByName(
         _events_stream(spark, sf_dir)
     )
@@ -186,6 +208,7 @@ def st_dedup_stream(spark, sf_dir):
         q.processAllAvailable()
     finally:
         q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", __old_parts)
     return spark.table("st_dedup")
 
 
@@ -217,6 +240,7 @@ FROM fanned GROUP BY station, start_us
 @query("st_sliding_window_stream", ST_SLIDING_ORACLE)
 def st_sliding_window_stream(spark, sf_dir):
     tune(spark)
+    __old_parts = _stream_shuffle(spark)
     obs = _events_stream(spark, sf_dir)
     agg = sliding_rollup_stream(
         obs, agg_col="value", window="2 hours", slide="1 hour"
@@ -231,6 +255,7 @@ def st_sliding_window_stream(spark, sf_dir):
         q.processAllAvailable()
     finally:
         q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", __old_parts)
     return spark.table("st_sliding")
 
 
@@ -261,6 +286,7 @@ FROM e o JOIN e a
 @query("st_interval_join_stream", ST_JOIN_ORACLE)
 def st_interval_join_stream(spark, sf_dir):
     tune(spark)
+    __old_parts = _stream_shuffle(spark)
     obs = _events_stream(spark, sf_dir)
     alerts = _events_stream(spark, sf_dir).where(F.col("value") > 195)
     out = interval_join_stream(obs, alerts, horizon="1 hour")
@@ -274,6 +300,7 @@ def st_interval_join_stream(spark, sf_dir):
         q.processAllAvailable()
     finally:
         q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", __old_parts)
     return spark.table("st_interval_join")
 
 
@@ -305,6 +332,7 @@ FROM t
 @query("st_deaccumulate_stream", ST_DEACC_ORACLE)
 def st_deaccumulate_stream(spark, sf_dir):
     tune(spark)
+    __old_parts = _stream_shuffle(spark)
     obs = _events_stream(spark, sf_dir)
     out = deaccumulate_stream(obs)
     q = (
@@ -317,4 +345,5 @@ def st_deaccumulate_stream(spark, sf_dir):
         q.processAllAvailable()
     finally:
         q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", __old_parts)
     return spark.table("st_deacc")
