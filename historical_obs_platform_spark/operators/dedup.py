@@ -332,27 +332,27 @@ def contamination_overlap(
     shingles are contaminated and how many test documents it hits.
 
     Scale shape: the held-out set is small by construction, so its
-    shingle table BROADCASTS — the train corpus is scanned once and
-    never shuffles on shingle (no inverted-index pair blowup). Returns
-    (id, n_shared_shingles, n_test_docs, contamination) where
+    shingle table BROADCASTS and the train corpus is scanned ONCE — a
+    left join against the broadcast test side feeds a single
+    groupBy(id) computing shared count, test-doc count, and document
+    size together (no second sizes scan, no shuffle on shingle).
+    Returns (id, n_shared_shingles, n_test_docs, contamination) where
     contamination = shared / total shingles of the train doc.
     """
     test = test_shingles.select(
         F.col(id_col).alias("__test_id"), "shingle"
     )
-    sizes = train_shingles.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("__sz")
-    )
-    hits = (
-        train_shingles.join(F.broadcast(test), "shingle")
-        .groupBy(id_col)
-        .agg(
-            F.countDistinct("shingle").alias("n_shared_shingles"),
-            F.countDistinct("__test_id").alias("n_test_docs"),
-        )
-    )
+    joined = train_shingles.join(F.broadcast(test), "shingle", "left")
     return (
-        hits.join(sizes, id_col)
+        joined.groupBy(id_col)
+        .agg(
+            F.countDistinct(
+                F.when(F.col("__test_id").isNotNull(), F.col("shingle"))
+            ).alias("n_shared_shingles"),
+            F.countDistinct("__test_id").alias("n_test_docs"),
+            F.countDistinct("shingle").alias("__sz"),
+        )
+        .where(F.col("n_shared_shingles") > 0)
         .withColumn(
             "contamination",
             F.round(F.col("n_shared_shingles") / F.col("__sz"), 6),

@@ -29,21 +29,31 @@ def _time_col(schema):
     return F.col("ts").cast("timestamp").alias("time")
 
 
-def _stream_shuffle(spark) -> str:
+def _with_stream_shuffle(fn):
     """Size streaming state to the stream, not the batch default: 150
     station keys need 8 state-store partitions, not 32 — each stateful
     operator otherwise pays 32 store commits per micro-batch (~3× the
-    wall time at sf0.1). Returns the prior setting; callers restore it
-    after the query drains. On a cluster, raise via
+    wall time at sf0.1). The decorator scopes the setting to the query
+    call and restores the prior value on ANY exit (including build
+    errors), so a failed stream can't leak a degraded setting into the
+    rest of a shared session. On a cluster, raise via
     SPARK_GRAFT_STREAM_SHUFFLE to match real key cardinality."""
+    import functools
     import os
 
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"),
-    )
-    return old
+    @functools.wraps(fn)
+    def wrapper(spark, sf_dir):
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"),
+        )
+        try:
+            return fn(spark, sf_dir)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    return wrapper
 
 
 # first-in-hour is arg_min over unique (station, time) stamps and the
@@ -67,9 +77,9 @@ FROM t GROUP BY station, date_trunc('hour', time)
 
 
 @query("st_hourly_rollup_stream", ST_HOURLY_ORACLE)
+@_with_stream_shuffle
 def st_hourly_rollup_stream(spark, sf_dir):
     tune(spark)
-    __old_parts = _stream_shuffle(spark)
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     # the file source wants a directory or a glob; the wildcard makes
@@ -94,7 +104,6 @@ def st_hourly_rollup_stream(spark, sf_dir):
         q.processAllAvailable()
     finally:
         q.stop()
-        spark.conf.set("spark.sql.shuffle.partitions", __old_parts)
     return spark.table("st_hourly_rollup").select(
         "station",
         "hour",
@@ -127,6 +136,7 @@ WHERE us - prev > 86400000000
 
 
 @query("st_gap_detect_stream", ST_GAP_ORACLE)
+@_with_stream_shuffle
 def st_gap_detect_stream(spark, sf_dir):
     """Stateful streaming gap detection: per-user cadence
     gaps over the events stream via ``applyInPandasWithState`` — the
@@ -134,7 +144,6 @@ def st_gap_detect_stream(spark, sf_dir):
     straddle batches are still reported (SURVEY.md §2.9 grid-infill
     analog; see ``streaming/stateful.py``)."""
     tune(spark)
-    __old_parts = _stream_shuffle(spark)
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     src = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
@@ -153,7 +162,6 @@ def st_gap_detect_stream(spark, sf_dir):
         q.processAllAvailable()
     finally:
         q.stop()
-        spark.conf.set("spark.sql.shuffle.partitions", __old_parts)
     return spark.table("st_gap_detect")
 
 
@@ -189,9 +197,9 @@ def _events_stream(spark, sf_dir):
 
 
 @query("st_dedup_stream", ST_DEDUP_ORACLE)
+@_with_stream_shuffle
 def st_dedup_stream(spark, sf_dir):
     tune(spark)
-    __old_parts = _stream_shuffle(spark)
     doubled = _events_stream(spark, sf_dir).unionByName(
         _events_stream(spark, sf_dir)
     )
@@ -208,7 +216,6 @@ def st_dedup_stream(spark, sf_dir):
         q.processAllAvailable()
     finally:
         q.stop()
-        spark.conf.set("spark.sql.shuffle.partitions", __old_parts)
     return spark.table("st_dedup")
 
 
@@ -238,9 +245,9 @@ FROM fanned GROUP BY station, start_us
 
 
 @query("st_sliding_window_stream", ST_SLIDING_ORACLE)
+@_with_stream_shuffle
 def st_sliding_window_stream(spark, sf_dir):
     tune(spark)
-    __old_parts = _stream_shuffle(spark)
     obs = _events_stream(spark, sf_dir)
     agg = sliding_rollup_stream(
         obs, agg_col="value", window="2 hours", slide="1 hour"
@@ -255,7 +262,6 @@ def st_sliding_window_stream(spark, sf_dir):
         q.processAllAvailable()
     finally:
         q.stop()
-        spark.conf.set("spark.sql.shuffle.partitions", __old_parts)
     return spark.table("st_sliding")
 
 
@@ -284,9 +290,9 @@ FROM e o JOIN e a
 
 
 @query("st_interval_join_stream", ST_JOIN_ORACLE)
+@_with_stream_shuffle
 def st_interval_join_stream(spark, sf_dir):
     tune(spark)
-    __old_parts = _stream_shuffle(spark)
     obs = _events_stream(spark, sf_dir)
     alerts = _events_stream(spark, sf_dir).where(F.col("value") > 195)
     out = interval_join_stream(obs, alerts, horizon="1 hour")
@@ -300,7 +306,6 @@ def st_interval_join_stream(spark, sf_dir):
         q.processAllAvailable()
     finally:
         q.stop()
-        spark.conf.set("spark.sql.shuffle.partitions", __old_parts)
     return spark.table("st_interval_join")
 
 
@@ -330,9 +335,9 @@ FROM t
 
 
 @query("st_deaccumulate_stream", ST_DEACC_ORACLE)
+@_with_stream_shuffle
 def st_deaccumulate_stream(spark, sf_dir):
     tune(spark)
-    __old_parts = _stream_shuffle(spark)
     obs = _events_stream(spark, sf_dir)
     out = deaccumulate_stream(obs)
     q = (
@@ -345,5 +350,4 @@ def st_deaccumulate_stream(spark, sf_dir):
         q.processAllAvailable()
     finally:
         q.stop()
-        spark.conf.set("spark.sql.shuffle.partitions", __old_parts)
     return spark.table("st_deacc")

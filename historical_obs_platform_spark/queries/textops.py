@@ -747,7 +747,11 @@ FROM hits h JOIN sz s ON h.doc_id = s.doc_id
 @query("d_contamination_overlap", CONTAM_ORACLE)
 def d_contamination_overlap(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
-    sh = DD.word_shingles(docs, "doc_id", "text", n=2)
+    # shingles feed the train and test branches; materialize once
+    # (Catalyst doesn't CSE across branches — see d_ngram_jaccard_pairs)
+    sh = DD.word_shingles(docs, "doc_id", "text", n=2).localCheckpoint(
+        eager=False
+    )
     test_sh = sh.where(F.col("doc_id") % 97 == 0)
     train_sh = sh.where(F.col("doc_id") % 97 != 0)
     return DD.contamination_overlap(train_sh, test_sh, "doc_id")

@@ -113,7 +113,13 @@ def test_no_cartesian_product_anywhere(spark):
     broadcast. Streaming queries execute on build and the clustering
     query runs its propagation loop eagerly, so they are exercised by
     their own tests instead."""
-    skip = {"d_dup_clusters"}
+    # d_dup_clusters runs its propagation loop eagerly; s5 writes its
+    # round-trip CSV on build (both have their own oracle tests).
+    # NB: localCheckpoint boundaries hide upstream plan segments from
+    # this sweep (they print as Scan ExistingRDD) — the checkpointed
+    # queries' pre-checkpoint plans are covered by their operator
+    # tests, not here.
+    skip = {"d_dup_clusters", "s5_csv_obs_roundtrip"}
     offenders = []
     for name, fn in sorted(registry.QUERIES.items()):
         if name.startswith("st_") or name in skip:
