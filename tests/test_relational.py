@@ -36,7 +36,10 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     rows = df.collect()
     assert len(rows) >= 1
-    assert {"sum_qty", "count_order"} <= set(df.columns)
+    # the minimum end-to-end pipeline slice (chain_min_slice_hourly)
+    assert {"station", "time", "tas_eraqc", "standardized_infill"} <= set(
+        df.columns
+    )
 
 
 def test_every_query_has_oracle_or_is_registered(spark):
