@@ -763,3 +763,41 @@ def o8_incremental_rollup(spark, sf_dir):
         )
     )
     return merged
+
+
+# --------------------------------------------------------------------
+# Unpivot (melt): the wide per-user event-type count matrix back to
+# long form via DataFrame.unpivot — the inverse of pivot_linestatus.
+# Oracle: UNION ALL over the same conditional counts.
+# --------------------------------------------------------------------
+UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT user_id,
+         count(*) FILTER (WHERE event_type = 'click') AS n_click,
+         count(*) FILTER (WHERE event_type = 'view') AS n_view,
+         count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+  FROM events GROUP BY user_id
+)
+SELECT user_id, 'n_click' AS metric, n_click AS n FROM wide
+UNION ALL
+SELECT user_id, 'n_view', n_view FROM wide
+UNION ALL
+SELECT user_id, 'n_purchase', n_purchase FROM wide
+"""
+
+
+@query("unpivot_event_counts", UNPIVOT_ORACLE)
+def unpivot_event_counts(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+            for t in ("click", "view", "purchase")
+        ]
+    )
+    return wide.unpivot(
+        ids=["user_id"],
+        values=["n_click", "n_view", "n_purchase"],
+        variableColumnName="metric",
+        valueColumnName="n",
+    )

@@ -243,3 +243,38 @@ def j9_asof_join(spark, sf_dir):
         value_cols=("value",),
         tolerance_seconds=172800,
     )
+
+
+# --------------------------------------------------------------------
+# Rolling window median — percentile as a WINDOW function (frame
+# `ROWS 6 PRECEDING..CURRENT`), the trailing-k robust smoother of a
+# sensor pipeline. Exact percentile over ≤7 values per frame; both
+# engines sort the frame and interpolate identically, rounded to 6dp.
+# Scale: partitions by station key, no global sort.
+# --------------------------------------------------------------------
+ROLLMED_ORACLE = """
+SELECT CAST(user_id AS VARCHAR) AS station, ts AS time,
+       round(quantile_cont(value, 0.5) OVER (
+         PARTITION BY user_id ORDER BY ts
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS rolling_median
+FROM events
+"""
+
+
+@query("w_rolling_median", ROLLMED_ORACLE)
+def w_rolling_median(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        F.col("user_id").cast("string").alias("station"),
+        F.col("ts").alias("time"),
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias(
+            "rolling_median"
+        ),
+    )

@@ -24,6 +24,8 @@ NAMES = [
     "rollup_revenue_levels",
     "cube_order_stats",
     "w_rolling_24h",
+    "w_rolling_median",
+    "unpivot_event_counts",
 ]
 
 
