@@ -1,0 +1,58 @@
+"""Data-layout operators — the write-path side of 100 TB performance.
+
+Z-order (Morton) clustering: interleaving the bits of two (or more)
+dimension keys gives a single sort key under which rows close in ANY
+dimension land close on disk, so min/max row-group statistics prune
+scans filtered on either dimension (the technique behind
+Delta/Iceberg `OPTIMIZE ZORDER BY`). The key is a pure column
+expression (shiftleft/and/or arithmetic — whole-stage codegen, no
+UDF); writing is just ``repartitionByRange(zkey).sortWithinPartitions``
+on top of it.
+
+Reference analog: the reference's only layout control is one zarr
+chunk per station along time (`MERGE_pipeline.py:380-410`) — the
+single-dimension case. Z-order generalizes it to multi-predicate
+scan pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(a: Column, b: Column, bits: int = 8) -> Column:
+    """Interleave the low ``bits`` bits of two non-negative integer
+    columns into a Morton key (a's bit i → position 2i, b's → 2i+1).
+    Pure integer arithmetic — identical in any engine."""
+    parts = []
+    for i in range(bits):
+        parts.append(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+        parts.append(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.bitwiseOR(p)
+    return out
+
+
+def zorder_layout(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    bits: int = 8,
+    key_name: str = "zkey",
+) -> DataFrame:
+    """Attach the Morton key and range-partition + sort by it — the
+    shape handed to ``.write`` so parquet row-group min/max stats
+    prune on BOTH dimensions. Cheap: one range shuffle, no UDF."""
+    keyed = df.withColumn(
+        key_name,
+        zorder_key(
+            F.col(a_col).cast("long"), F.col(b_col).cast("long"), bits
+        ),
+    )
+    return keyed.repartitionByRange(key_name).sortWithinPartitions(key_name)

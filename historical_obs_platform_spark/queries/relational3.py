@@ -801,3 +801,38 @@ def unpivot_event_counts(spark, sf_dir):
         variableColumnName="metric",
         valueColumnName="n",
     )
+
+
+# --------------------------------------------------------------------
+# Z-order (Morton) clustering key — the multi-dimension data-layout
+# primitive (Delta/Iceberg OPTIMIZE ZORDER): bit-interleave two
+# dimension keys so row-group min/max stats prune scans on either.
+# Key is pure integer arithmetic; oracle recomputes it bit-for-bit.
+# --------------------------------------------------------------------
+def _zorder_oracle(bits: int = 8) -> str:
+    parts = []
+    for i in range(bits):
+        parts.append(f"(((a >> {i}) & 1) << {2 * i})")
+        parts.append(f"(((b >> {i}) & 1) << {2 * i + 1})")
+    expr = " | ".join(parts)
+    return f"""
+WITH d AS (
+  SELECT event_id, user_id % 256 AS a,
+         CAST(floor(value) AS BIGINT) % 256 AS b
+  FROM events
+)
+SELECT event_id, a, b, {expr} AS zkey FROM d
+"""
+
+
+@query("p_zorder_key", _zorder_oracle())
+def p_zorder_key(spark, sf_dir):
+    from ..operators.layout import zorder_key
+
+    ev = table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_id",
+        (F.col("user_id") % 256).alias("a"),
+        (F.floor("value").cast("long") % 256).alias("b"),
+    )
+    return d.withColumn("zkey", zorder_key(F.col("a"), F.col("b"), bits=8))

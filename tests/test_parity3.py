@@ -91,3 +91,30 @@ def test_blocked_cosine_pairs_nulls_ragged_and_string_ids(spark):
     out = blocked_cosine_pairs(df, "id", "v", "blk", threshold=0.9)
     got = {(r.a, r.b, round(r.cosine_raw, 6)) for r in out.collect()}
     assert got == {("d1", "d2", 1.0)}
+
+
+def test_zorder_layout_sorts_within_range_partitions(spark):
+    from pyspark.sql import functions as F
+
+    from historical_obs_platform_spark.operators.layout import zorder_layout
+    from historical_obs_platform_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id",
+        (F.col("user_id") % 256).alias("a"),
+        (F.floor("value").cast("long") % 256).alias("b"),
+    )
+    out = zorder_layout(ev, "a", "b", bits=8)
+    # ranges of different partitions must not overlap, and keys are
+    # sorted within each partition (row-group stats prune on zkey)
+    stats = (
+        out.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.min("zkey").alias("lo"), F.max("zkey").alias("hi"))
+        .orderBy("pid")
+        .collect()
+    )
+    prev_hi = -1
+    for r in stats:
+        assert r.lo > prev_hi, f"partition {r.pid} overlaps previous"
+        prev_hi = r.hi
