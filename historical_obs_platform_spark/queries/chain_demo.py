@@ -183,3 +183,160 @@ def chain_min_slice_hourly(spark, sf_dir):
         "n_source_obs",
         "standardized_infill",
     )
+
+
+# --------------------------------------------------------------------
+# Logic-check chain, exact-oracle edition #2: the full L-family pass in
+# reference order — world-record (L6) → supersaturation (L1, no-op by
+# construction) → wetbulb dewpoint-depression run (L2, sessionization
+# with the valid-mask run-splitting semantics: a world-record flag
+# BREAKS a run) → negative precip (L3, shadowed by L6's floor) →
+# precip ordering (L4, single variant present ⇒ no-op) → calm-wind
+# (L5 — the one check that REWRITES data: dir 0 under nonzero wind
+# becomes 360 with flag 15, and the rewritten value flows into the
+# hourly firsts) → one-pass hourly standardization with grid infill.
+# Every precedence interaction is part of the DuckDB hash.
+# --------------------------------------------------------------------
+_CL_TAS = (
+    "CASE WHEN event_id % 211 = 0 THEN 340.0 "
+    "ELSE 270.0 + value % 30.0 END"
+)
+_CL_TDPS = (
+    f"CASE WHEN day(ts) % 7 < 2 THEN ({_CL_TAS}) "
+    "ELSE 268.0 + value % 30.0 END"
+)
+_CL_PR = (
+    "CAST(CASE WHEN event_id % 17 = 0 THEN -1.0 "
+    "ELSE value % 3.0 END AS DECIMAL(18,2))"
+)
+_CL_WIND = "CAST(CAST(floor(value) AS BIGINT) % 25 AS DOUBLE)"
+_CL_DIR = "CAST(CAST(floor(value * 7) AS BIGINT) % 361 AS DOUBLE)"
+
+
+def _flag_join(var_f: str) -> str:
+    return (
+        "coalesce(array_to_string(list_sort(list_distinct("
+        f"list(CAST(CAST({var_f} AS INT) AS VARCHAR))"
+        f" FILTER (WHERE {var_f} IS NOT NULL))), ','), '')"
+    )
+
+
+CHAIN_LOGIC_ORACLE = f"""
+WITH o AS (
+  SELECT CAST(user_id % 20 AS VARCHAR) AS station, ts AS time,
+         {_CL_TAS} AS tas, {_CL_TDPS} AS tdps, {_CL_PR} AS pr,
+         {_CL_WIND} AS sfcWind, {_CL_DIR} AS dir0
+  FROM events
+), f1 AS (
+  SELECT *,
+         CASE WHEN tas < 210.15 OR tas > 329.92 THEN 11.0 END AS tas_f,
+         CASE WHEN tdps < 173.15 OR tdps > 329.85 THEN 11.0 END AS tdps_f0,
+         CASE WHEN pr < 0 OR pr > 656 THEN 11.0 END AS pr_f,
+         CAST(NULL AS DOUBLE) AS wind_f
+  FROM o
+), wb1 AS (
+  SELECT *,
+         CASE WHEN tas_f IS NULL AND tdps_f0 IS NULL AND tas - tdps = 0
+              THEN 1 ELSE 0 END AS pred
+  FROM f1
+), wb2 AS (
+  SELECT *, lag(pred) OVER (PARTITION BY station ORDER BY time) AS prevp
+  FROM wb1
+), wb3 AS (
+  SELECT *, SUM(CASE WHEN prevp IS NULL OR pred <> prevp THEN 1 ELSE 0 END)
+           OVER (PARTITION BY station ORDER BY time
+                 ROWS UNBOUNDED PRECEDING) AS run
+  FROM wb2
+), wb4 AS (
+  SELECT *,
+         FLOOR(epoch(MAX(time) OVER w)) - FLOOR(epoch(MIN(time) OVER w))
+           AS span
+  FROM wb3 WINDOW w AS (PARTITION BY station, run)
+), f2 AS (
+  SELECT *, CASE WHEN pred = 1 AND span >= 86400 THEN 13.0
+                 ELSE tdps_f0 END AS tdps_f
+  FROM wb4
+), f3 AS (
+  SELECT *,
+         CASE WHEN sfcWind = 0 AND dir0 <> 0 THEN 14.0
+              WHEN sfcWind <> 0 AND dir0 = 0 THEN 15.0 END AS dir_f,
+         CASE WHEN sfcWind <> 0 AND dir0 = 0 THEN 360.0
+              ELSE dir0 END AS sfcWind_dir
+  FROM f2
+), rn AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY station, date_trunc('hour', time)
+           ORDER BY time) AS rnk
+  FROM f3
+), hourly AS (
+  SELECT station, date_trunc('hour', time) AS time,
+         max(CASE WHEN rnk = 1 THEN tas END) AS tas,
+         max(CASE WHEN rnk = 1 THEN tdps END) AS tdps,
+         CAST(CASE WHEN count(pr) = 0 THEN NULL ELSE sum(pr) END
+              AS DOUBLE) AS pr,
+         max(CASE WHEN rnk = 1 THEN sfcWind END) AS sfcWind,
+         max(CASE WHEN rnk = 1 THEN sfcWind_dir END) AS sfcWind_dir,
+         {_flag_join('tas_f')} AS tas_eraqc,
+         {_flag_join('tdps_f')} AS tdps_eraqc,
+         {_flag_join('pr_f')} AS pr_eraqc,
+         {_flag_join('wind_f')} AS sfcWind_eraqc,
+         {_flag_join('dir_f')} AS sfcWind_dir_eraqc,
+         count(*) AS n_source_obs
+  FROM rn GROUP BY 1, 2
+), grid AS (
+  SELECT station,
+         unnest(generate_series(date_trunc('hour', min(time)),
+                                date_trunc('hour', max(time)),
+                                INTERVAL 1 HOUR)) AS time
+  FROM o GROUP BY station
+)
+SELECT g.station, g.time, h.tas, h.tdps, h.pr, h.sfcWind, h.sfcWind_dir,
+       h.tas_eraqc, h.tdps_eraqc, h.pr_eraqc, h.sfcWind_eraqc,
+       h.sfcWind_dir_eraqc, h.n_source_obs,
+       CASE WHEN h.n_source_obs IS NULL THEN 'y' ELSE 'n' END
+         AS standardized_infill
+FROM grid g LEFT JOIN hourly h
+  ON g.station = h.station AND g.time = h.time
+"""
+
+
+@query("chain_logic_hourly", CHAIN_LOGIC_ORACLE)
+def chain_logic_hourly(spark, sf_dir):
+    from ..operators import qaqc as Q
+
+    ev = table(spark, sf_dir, "events")
+    obs = ev.select(
+        (F.col("user_id") % 20).cast("string").alias("station"),
+        F.col("ts").alias("time"),
+        F.expr(_CL_TAS).alias("tas"),
+        F.expr(_CL_TDPS).alias("tdps"),
+        F.expr(_CL_PR).alias("pr"),
+        F.expr(_CL_WIND).alias("sfcWind"),
+        F.expr(_CL_DIR).alias("sfcWind_dir"),
+    )
+    obs = Q.ensure_flag_columns(
+        obs, ["tas", "tdps", "pr", "sfcWind", "sfcWind_dir"]
+    )
+    obs = Q.world_record_check(obs)
+    obs = Q.supersaturation_check(obs)
+    obs = Q.wetbulb_streak_check(obs)
+    obs = Q.negative_precip_check(obs)
+    obs = Q.precip_accum_ordering_check(obs)
+    obs = Q.calm_wind_dir_check(obs)
+    hourly = hourly_standardize(obs)
+    return hourly.select(
+        "station",
+        "time",
+        "tas",
+        "tdps",
+        F.col("pr").cast("double").alias("pr"),
+        "sfcWind",
+        "sfcWind_dir",
+        "tas_eraqc",
+        "tdps_eraqc",
+        "pr_eraqc",
+        "sfcWind_eraqc",
+        "sfcWind_dir_eraqc",
+        "n_source_obs",
+        "standardized_infill",
+    )

@@ -15,6 +15,7 @@ NAMES = [
     "f21_monthly_median_gap",
     "f22_distribution_gap",
     "chain_min_slice_hourly",
+    "chain_logic_hourly",
 ]
 
 
