@@ -96,7 +96,7 @@ def s4_isd_roundtrip(spark, sf_dir):
 # --------------------------------------------------------------------
 S5_ORACLE = """
 SELECT 'ST' || CAST(user_id AS VARCHAR) AS station,
-       date_trunc('second', ts) AS time,
+       ts AS time,
        CASE WHEN value % 17.0 < 1 THEN NULL ELSE value END AS tas,
        value % 100.0 AS hurs
 FROM events
@@ -114,7 +114,11 @@ def s5_csv_obs_roundtrip(spark, sf_dir):
         F.concat(F.lit("ST"), F.col("user_id").cast("string")).alias(
             "station"
         ),
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("time"),
+        # full microsecond precision: second-truncated rendering made
+        # two same-user events collide on (station, time) at sf0.1,
+        # and the reader's reference-semantics dropDuplicates then
+        # discards an arbitrary one of them (nondeterministic row)
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("time"),
         F.when(F.col("value") % 17.0 < 1, F.lit("M"))
         .otherwise(F.col("value").cast("string"))
         .alias("air_temp_set_1"),
