@@ -836,3 +836,56 @@ def p_zorder_key(spark, sf_dir):
         (F.floor("value").cast("long") % 256).alias("b"),
     )
     return d.withColumn("zkey", zorder_key(F.col("a"), F.col("b"), bits=8))
+
+
+# --------------------------------------------------------------------
+# Snapshot diff (CDC): row-level changes between two table versions —
+# the incremental-pipeline primitive behind Delta CDF / MERGE
+# planning. Full-outer join on the key; one shuffle, AQE-skew-safe.
+# --------------------------------------------------------------------
+O10_ORACLE = """
+WITH v_old AS (
+  SELECT event_id, value FROM events WHERE event_id % 10 <> 0
+), v_new AS (
+  SELECT event_id,
+         value + CASE WHEN event_id % 13 = 0 THEN 1.0 ELSE 0.0 END AS value
+  FROM events WHERE event_id % 7 <> 0
+)
+SELECT coalesce(o.event_id, n.event_id) AS event_id,
+       CASE WHEN n.event_id IS NULL THEN 'removed'
+            WHEN o.event_id IS NULL THEN 'added'
+            WHEN o.value <> n.value THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       o.value AS value_old, n.value AS value_new
+FROM v_old o FULL OUTER JOIN v_new n ON o.event_id = n.event_id
+"""
+
+
+@query("o10_snapshot_diff", O10_ORACLE)
+def o10_snapshot_diff(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    v_old = ev.where(F.col("event_id") % 10 != 0).select("event_id", "value")
+    v_new = ev.where(F.col("event_id") % 7 != 0).select(
+        "event_id",
+        (
+            F.col("value")
+            + F.when(F.col("event_id") % 13 == 0, 1.0).otherwise(0.0)
+        ).alias("value"),
+    )
+    o = v_old.select(
+        F.col("event_id").alias("__ko"), F.col("value").alias("value_old")
+    )
+    n = v_new.select(
+        F.col("event_id").alias("__kn"), F.col("value").alias("value_new")
+    )
+    j = o.join(n, o["__ko"] == n["__kn"], "full_outer")
+    return j.select(
+        F.coalesce("__ko", "__kn").alias("event_id"),
+        F.when(F.col("__kn").isNull(), "removed")
+        .when(F.col("__ko").isNull(), "added")
+        .when(F.col("value_old") != F.col("value_new"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        "value_old",
+        "value_new",
+    )

@@ -26,6 +26,7 @@ NAMES = [
     "w_rolling_24h",
     "w_rolling_median",
     "unpivot_event_counts",
+    "o10_snapshot_diff",
 ]
 
 
