@@ -1,8 +1,16 @@
 """Benchmark harness — runs the registered headline queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]``.
+
+The FINAL stdout line is one short JSON object:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+where ``queries`` holds the headline subset only, so the line stays
+well under tail-capture limits (the round-1 driver truncated a
+126-entry map mid-dict).  The full per-query timing map is written to
+``BENCH_QUERIES.json`` next to this file and also printed as earlier
+one-query-per-line JSON records (``{"query": name, "sec": t}``).
 
 Each query is forced end-to-end with a noop sink (full physical plan,
 no driver materialization cost).
@@ -58,14 +66,46 @@ def main() -> None:
         gc.collect()
     total = round(time.perf_counter() - t_all, 4)
 
+    # Full map: sidecar file + one line per query (early lines are
+    # fine to truncate; only the FINAL line must parse).
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json"
+    )
+    with open(sidecar, "w") as fh:
+        json.dump({"sf": sf, "total": total, "queries": timings}, fh, indent=1)
+    for name in sorted(timings):
+        print(json.dumps({"query": name, "sec": timings[name]}))
+
+    # Headline subset keeps the final line short (< ~1 KB).
+    headline = [
+        "chain_min_slice_hourly",
+        "chain_logic_hourly",
+        "chain_qaqc_merge_events",
+        "q1_pricing_summary",
+        "q2_min_cost_supplier",
+        "q9_product_profit",
+        "q18_large_orders",
+        "w11_hourly_resample",
+        "d_exact_dedup",
+        "d_minhash_lsh_pairs",
+        "d_dup_clusters",
+        "s_cosine_topk",
+        "s_ivf_ann_topk",
+        "sk_hll_distinct",
+        "t_tfidf_topterms",
+        "st_hourly_rollup_stream",
+    ]
+    head = {k: timings[k] for k in headline if k in timings}
     print(
         json.dumps(
             {
                 "metric": "suite_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": head,
                 "sf": sf,
+                "n_queries": len(timings),
+                "queries_file": "BENCH_QUERIES.json",
             }
         )
     )

@@ -153,9 +153,13 @@ def jaccard_pairs(
     100 TB path.
     """
     if candidates is not None:
+        # collect_set / countDistinct (not list/count): array_intersect
+        # dedups n_common, so sz must count distinct shingles too or a
+        # caller passing non-distinct (id, shingle) rows would silently
+        # underestimate jaccard.
         doc_arrays = shingles.groupBy(id_col).agg(
-            F.collect_list("shingle").alias("__sh"),
-            F.count(F.lit(1)).alias("sz"),
+            F.collect_set("shingle").alias("__sh"),
+            F.countDistinct("shingle").alias("sz"),
         )
         aa = doc_arrays.select(
             F.col(id_col).alias("a"),
@@ -178,14 +182,16 @@ def jaccard_pairs(
             .drop("__sh_a", "__sh_b")
         )
     else:
-        sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+        sizes = shingles.groupBy(id_col).agg(
+            F.countDistinct("shingle").alias("sz")
+        )
         a = shingles.select(F.col(id_col).alias("a"), "shingle")
         b = shingles.select(F.col(id_col).alias("b"), "shingle")
         inter = (
             a.join(b, "shingle")
             .where(F.col("a") < F.col("b"))
             .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("n_common"))
+            .agg(F.countDistinct("shingle").alias("n_common"))
         )
         sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
         sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
@@ -265,18 +271,33 @@ def connected_components(
     one shuffle on the node id (no quadratic closure is materialized,
     unlike the oracle's recursive CTE). Lineage is truncated per
     iteration so the loop doesn't accumulate a deep Catalyst plan.
+
+    Truncation strategy: when a reliable checkpoint directory is
+    configured (``spark.sparkContext.setCheckpointDir``), iterations
+    use ``checkpoint()`` — blocks survive executor loss, which matters
+    for a long-running clustered job. Otherwise ``localCheckpoint()``
+    (executor-local blocks, lost with the executor) keeps the
+    single-node/test path cheap.
     """
+    sc = pairs.sparkSession.sparkContext
+    reliable = sc._jsc.sc().getCheckpointDir().isDefined()
+
+    def cut(d: DataFrame, eager: bool = True) -> DataFrame:
+        if reliable:
+            return d.checkpoint(eager=eager)
+        return d.localCheckpoint(eager=eager)
+
     # pairs feeds both union branches; without the checkpoint Catalyst
     # recomputes its whole upstream lineage once per branch
-    pairs = pairs.localCheckpoint(eager=False)
+    pairs = cut(pairs, eager=False)
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionByName(
             pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    edges = cut(edges, eager=False)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -300,7 +321,7 @@ def connected_components(
         )
 
     for _ in range(max_iter):
-        stepped = propagate(labels).localCheckpoint()
+        stepped = cut(propagate(labels))
         n_changed = stepped.where(F.col("__chg")).count()
         labels = stepped.drop("__chg")
         if n_changed == 0:

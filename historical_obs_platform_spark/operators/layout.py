@@ -48,11 +48,23 @@ def zorder_layout(
 ) -> DataFrame:
     """Attach the Morton key and range-partition + sort by it — the
     shape handed to ``.write`` so parquet row-group min/max stats
-    prune on BOTH dimensions. Cheap: one range shuffle, no UDF."""
+    prune on BOTH dimensions. Cheap: one range shuffle, no UDF.
+
+    Inputs are folded into [0, 2**bits) with ``pmod`` before
+    interleaving: values >= 2**bits would otherwise alias onto the
+    same Morton key and negative values would arithmetic-shift to
+    all-ones high bits — both silently degrade clustering. pmod keeps
+    the key total (every row still gets a key) while making the
+    wraparound explicit; callers needing exact range clustering
+    should pre-bucket (e.g. ``ntile`` or fixed-width binning) into
+    the key domain."""
+    dom = F.lit(1 << bits)
     keyed = df.withColumn(
         key_name,
         zorder_key(
-            F.col(a_col).cast("long"), F.col(b_col).cast("long"), bits
+            F.pmod(F.col(a_col).cast("long"), dom),
+            F.pmod(F.col(b_col).cast("long"), dom),
+            bits,
         ),
     )
     return keyed.repartitionByRange(key_name).sortWithinPartitions(key_name)

@@ -380,7 +380,21 @@ def blocked_cosine_pairs(
     empty = pd.DataFrame({"a": [], "b": [], "cosine_raw": []})
 
     def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf[pdf[vec_col].notna()].sort_values(id_col)
+        pdf = pdf[pdf[vec_col].notna()]
+        # (a, b) orientation must match Spark's binary (UTF-8 byte-wise)
+        # string '<' — pandas' default str sort is codepoint/locale
+        # order, which diverges for non-ASCII ids. Sort string ids by
+        # their encoded bytes instead.
+        if pdf[id_col].dtype == object:
+            pdf = pdf.iloc[
+                pdf[id_col].map(
+                    lambda s: s.encode("utf-8")
+                    if isinstance(s, str)
+                    else s
+                ).argsort(kind="mergesort")
+            ]
+        else:
+            pdf = pdf.sort_values(id_col)
         n = len(pdf)
         if n < 2:
             return empty

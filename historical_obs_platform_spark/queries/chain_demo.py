@@ -3,8 +3,29 @@ observations, run through the structural/logic QA/QC chain and the
 merge stage in one job — the driver's bench gets an end-to-end
 pipeline number, not just per-operator numbers.
 
-No SQL oracle (the chain's components are individually oracle-checked
-and planted-defect tested); the driver records a rows-only check.
+Exact DuckDB oracle (round-2): the battery that the parameterization
+``run_qaqc(with_distribution=False, spike_vars=("tas",),
+streak_vars=("tas",))`` actually executes is restated below in SQL.
+On this input mapping several checks are provably no-op and the
+restatement documents why instead of re-deriving them:
+
+- station gates / elevation consistency: lat/lon/elevation are
+  non-null constants (40, -120, 100) — no station rejected, a single
+  distinct elevation never flags 36;
+- pressure fix / de-accumulation: no pressure or ``accum_pr`` column;
+- supersaturation + wet-bulb streak: tdps = tas − 5 identically, so
+  tdps > tas and tas − tdps = 0 are both unsatisfiable;
+- negative precip + world-record on pr: pr = pmod(value, 30) ∈ [0, 30);
+- precip ordering: only one precip variant present — no pairs;
+- world-record on sfcWind / sfcWind_dir / elevation: ranges
+  [0, 24] / [0, 360] / {100} sit inside their limit tables.
+
+What remains — and IS in the hash — is world-record on tas/tdps,
+calm-wind 14/15, the resolution-tiered consecutive-streak check
+(flag 28, including the per-station value-resolution inference), the
+1–3-point spike check with per-(station, month) 6×IQR criticals
+(flag 23), their valid-mask precedence, the hourly grid, and the
+flag accounting.
 """
 
 from __future__ import annotations
@@ -16,8 +37,150 @@ from ..plans.qaqc_chain import run_qaqc
 from ..registry import query
 from .common import table
 
+CHAIN_QAQC_ORACLE = """
+WITH o AS (
+  SELECT CAST(user_id AS VARCHAR) AS station, ts AS time,
+         200.0 + value / 2 AS tas,
+         195.0 + value / 2 AS tdps,
+         CAST(CAST(floor(value) AS BIGINT) % 25 AS DOUBLE) AS wind,
+         CAST(CAST(floor(value * 7) AS BIGINT) % 361 AS DOUBLE) AS dir
+  FROM events
+), f1 AS (
+  -- world-record flag 11 (tas/tdps) + calm-wind flags 14/15
+  SELECT *,
+         CASE WHEN tas < 210.15 OR tas > 329.92 THEN 11.0 END AS tas_f0,
+         CASE WHEN tdps < 173.15 OR tdps > 329.85 THEN 11.0 END AS tdps_f,
+         CASE WHEN wind = 0 AND dir <> 0 THEN 14.0
+              WHEN wind <> 0 AND dir = 0 THEN 15.0 END AS dir_f
+  FROM o
+), dv AS (  -- A12-style per-station value-resolution inference on tas
+  SELECT DISTINCT station, tas FROM o WHERE tas IS NOT NULL
+), dd AS (
+  SELECT station,
+         round(tas - lag(tas) OVER (PARTITION BY station ORDER BY tas),
+               3) AS d
+  FROM dv
+), dc AS (
+  SELECT station, d, count(*) AS n FROM dd WHERE d > 0 GROUP BY 1, 2
+), res AS (
+  SELECT station,
+         CASE WHEN d >= 1.0 THEN 1.0
+              WHEN d >= 0.5 THEN 0.5 ELSE 0.1 END AS tier
+  FROM (SELECT station, d, row_number() OVER (
+            PARTITION BY station ORDER BY n DESC, d ASC) AS rk
+        FROM dc)
+  WHERE rk = 1
+), thr AS (
+  SELECT station,
+         CASE WHEN tier = 1.0 THEN 40
+              WHEN tier = 0.5 THEN 30 ELSE 24 END AS max_count,
+         CASE WHEN tier = 1.0 THEN 14.0
+              WHEN tier = 0.5 THEN 10.0 ELSE 7.0 END AS max_days
+  FROM res
+), sr1 AS (  -- consecutive-streak runs (flag 28)
+  SELECT f1.*, coalesce(thr.max_count, 20) AS max_count,
+         coalesce(thr.max_days, 2.0) AS max_days,
+         CASE WHEN tas IS NOT DISTINCT FROM lag(tas) OVER w
+              THEN 0 ELSE 1 END AS c
+  FROM f1 LEFT JOIN thr USING (station)
+  WINDOW w AS (PARTITION BY station ORDER BY time)
+), sr2 AS (
+  SELECT *, sum(c) OVER (PARTITION BY station ORDER BY time
+                         ROWS UNBOUNDED PRECEDING) AS run
+  FROM sr1
+), sr3 AS (
+  SELECT *, count(*) OVER r AS run_len,
+         (FLOOR(epoch(max(time) OVER r))
+          - FLOOR(epoch(min(time) OVER r))) / 86400.0 AS run_days
+  FROM sr2 WINDOW r AS (PARTITION BY station, run)
+), f2 AS (
+  SELECT *, CASE WHEN tas_f0 IS NULL AND tas IS NOT NULL
+                      AND (run_len > max_count
+                           OR (run_days > max_days AND run_len > 1))
+                 THEN 28.0 ELSE tas_f0 END AS tas_f1
+  FROM sr3
+), sp0 AS (  -- spike check (flag 23): per-(station, month) criticals
+  SELECT *, tas - lag(tas) OVER w AS d_diff,
+         date_trunc('month', time) AS mon,
+         FLOOR(epoch(time)) AS t_sec
+  FROM f2 WINDOW w AS (PARTITION BY station ORDER BY time)
+), critt AS (
+  SELECT station, mon,
+         CAST(ceil(6.0 * (quantile_cont(d_diff, 0.75)
+                          - quantile_cont(d_diff, 0.25)))
+              AS DOUBLE) AS crit
+  FROM sp0 WHERE d_diff IS NOT NULL
+  GROUP BY 1, 2 HAVING count(*) > 50
+), spw AS (
+  SELECT sp0.*, critt.crit,
+         tas - lag(tas) OVER w AS d0,
+         lead(tas, 1) OVER w - tas AS dv1,
+         lead(tas, 2) OVER w - lead(tas, 1) OVER w AS dv2,
+         lead(tas, 3) OVER w - lead(tas, 2) OVER w AS dv3,
+         t_sec - lag(t_sec) OVER w AS g0,
+         lead(t_sec, 1) OVER w - t_sec AS g1,
+         lead(t_sec, 2) OVER w - lead(t_sec, 1) OVER w AS g2,
+         lead(t_sec, 3) OVER w - lead(t_sec, 2) OVER w AS g3
+  FROM sp0 LEFT JOIN critt USING (station, mon)
+  WINDOW w AS (PARTITION BY station ORDER BY time)
+), sps AS (  -- 1/2/3-point excursion start conditions
+  SELECT *,
+         coalesce(abs(d0) > crit AND g0 <= 43200
+                  AND abs(dv1) > crit AND ((d0 > 0) <> (dv1 > 0))
+                  AND g1 <= 43200, FALSE) AS sp1,
+         coalesce(abs(d0) > crit AND g0 <= 43200
+                  AND abs(dv1) <= crit / 2 AND g1 <= 43200
+                  AND abs(dv2) > crit AND ((d0 > 0) <> (dv2 > 0))
+                  AND g2 <= 43200, FALSE) AS sp2,
+         coalesce(abs(d0) > crit AND g0 <= 43200
+                  AND abs(dv1) <= crit / 2 AND g1 <= 43200
+                  AND abs(dv2) <= crit / 2 AND g2 <= 43200
+                  AND abs(dv3) > crit AND ((d0 > 0) <> (dv3 > 0))
+                  AND g3 <= 43200, FALSE) AS sp3
+  FROM spw
+), spf AS (
+  SELECT *,
+         (sp1 OR sp2 OR coalesce(lag(sp2, 1) OVER w, FALSE)
+              OR sp3 OR coalesce(lag(sp3, 1) OVER w, FALSE)
+              OR coalesce(lag(sp3, 2) OVER w, FALSE)) AS spike
+  FROM sps WINDOW w AS (PARTITION BY station ORDER BY time)
+), fin AS (
+  SELECT station, time,
+         CASE WHEN tas_f1 IS NULL AND spike AND crit IS NOT NULL
+              THEN 23.0 ELSE tas_f1 END AS tas_f,
+         tdps_f, dir_f
+  FROM spf
+), nf AS (  -- flag accounting (A6 roll-up)
+  SELECT station,
+         CAST(sum(CASE WHEN tas_f IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN tdps_f IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN dir_f IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_flags
+  FROM fin GROUP BY station
+), hrs AS (  -- hourly grid + infill accounting (W11/W12)
+  SELECT station, date_trunc('hour', time) AS h, count(*) AS n
+  FROM o GROUP BY 1, 2
+), grid AS (
+  SELECT station,
+         unnest(generate_series(date_trunc('hour', min(time)),
+                                date_trunc('hour', max(time)),
+                                INTERVAL 1 HOUR)) AS h
+  FROM o GROUP BY station
+), gh AS (
+  SELECT g.station,
+         CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(count(*) FILTER (WHERE hrs.n IS NULL) AS BIGINT)
+           AS n_infilled
+  FROM grid g LEFT JOIN hrs ON g.station = hrs.station AND g.h = hrs.h
+  GROUP BY g.station
+)
+SELECT gh.station, gh.n_hours, gh.n_infilled,
+       CAST(coalesce(nf.n_flags, 0) AS BIGINT) AS n_flags
+FROM gh LEFT JOIN nf ON gh.station = nf.station
+"""
 
-@query("chain_qaqc_merge_events")
+
+@query("chain_qaqc_merge_events", CHAIN_QAQC_ORACLE)
 def chain_qaqc_merge_events(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     obs = ev.select(

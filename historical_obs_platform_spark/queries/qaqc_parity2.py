@@ -257,6 +257,180 @@ def w13_clim_outlier(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
+# W13 hash-oracle variant (round-2, VERDICT #3): the clim-outlier MATH
+# without the IIR low-pass — winsorized (month, hour) climatology
+# (A5), IQR-floored standardization, then the A3+A7 closed-form
+# normal-fit threshold: with the reference's 0.25-wide bins the
+# histogram area is 0.25·n, so "scaled pdf ≤ 0.1" crosses at
+# mu ± sigma·sqrt(−2·ln(0.1·sigma·sqrt(2π)/area)) — no grid snap, no
+# gap scan, hence SQL-expressible and hash-exact. Winsorization is the
+# rank-clamp (sorted a; a[:k]=a[k]; a[n−k:]=a[n−k−1]; mean) computed
+# from decimal-exact sums; std anomalies are rounded to 6 dp on both
+# sides before the moment sums so the normal fit sees identical exact
+# decimals (qaqc_climatological_outlier.py:33-247, 330-460).
+# --------------------------------------------------------------------
+W13U_ORACLE = """
+WITH o AS (
+  SELECT CAST(user_id % 8 AS VARCHAR) AS station, ts AS time,
+         285.0 + value / 4 AS tas,
+         month(ts) AS mon, hour(ts) AS hh
+  FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY station, mon, hh ORDER BY tas) AS rn,
+         count(*) OVER (PARTITION BY station, mon, hh) AS n
+  FROM o
+), k AS (
+  SELECT *, CAST(floor(0.05 * n) AS BIGINT) AS kk FROM r
+), clim AS (
+  SELECT station, mon, hh, any_value(n) AS n, any_value(kk) AS kk,
+         CAST(sum(CASE WHEN rn > kk AND rn <= n - kk
+                  THEN CAST(tas AS DECIMAL(18,6)) END)
+              + any_value(kk)
+                * max(CASE WHEN rn = kk + 1
+                      THEN CAST(tas AS DECIMAL(18,6)) END)
+              + any_value(kk)
+                * max(CASE WHEN rn = n - kk
+                      THEN CAST(tas AS DECIMAL(18,6)) END)
+              AS DOUBLE) / any_value(n) AS clim
+  FROM k GROUP BY station, mon, hh
+), a AS (
+  SELECT o.station, o.time, o.tas, o.mon, o.hh,
+         o.tas - c.clim AS anom
+  FROM o JOIN clim c USING (station, mon, hh)
+), iq AS (
+  SELECT station, mon, hh,
+         greatest(round(quantile_cont(anom, 0.75)
+                        - quantile_cont(anom, 0.25), 6), 1.5) AS denom
+  FROM a GROUP BY station, mon, hh
+), s AS (
+  SELECT a.station, a.time, a.tas, a.mon, a.hh,
+         round(a.anom / iq.denom, 6) AS std
+  FROM a JOIN iq USING (station, mon, hh)
+), mo AS (
+  SELECT station, mon, hh, count(*) AS n2,
+         CAST(sum(CAST(std AS DECIMAL(18,6))) AS DOUBLE) AS sm,
+         CAST(sum(CAST(std AS DECIMAL(18,6))
+                  * CAST(std AS DECIMAL(18,6))) AS DOUBLE) AS ssm
+  FROM s GROUP BY station, mon, hh
+), fit AS (
+  SELECT station, mon, hh, n2,
+         sm / n2 AS mu,
+         sqrt(greatest(ssm / n2 - (sm / n2) * (sm / n2), 0.0)) AS sigma,
+         0.25 * n2 AS area
+  FROM mo
+), b AS (
+  SELECT station, mon, hh, n2, mu, sigma,
+         CASE WHEN sigma > 0
+                   AND 0.1 * sigma * sqrt(2 * pi()) / area < 1
+              THEN sigma * sqrt(-2 * ln(0.1 * sigma * sqrt(2 * pi())
+                                        / area)) END AS z
+  FROM fit
+)
+SELECT s.station, s.time, s.tas,
+       CASE WHEN b.n2 > 5 AND b.z IS NOT NULL
+                 AND (s.std < round(b.mu - b.z, 6)
+                      OR s.std > round(b.mu + b.z, 6))
+            THEN 26.0 END AS tas_eraqc
+FROM s JOIN b USING (station, mon, hh)
+"""
+
+
+@query("w13_clim_outlier_unfiltered", W13U_ORACLE)
+def w13_clim_outlier_unfiltered(spark, sf_dir):
+    import math
+
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    o = ev.where(F.col("value").isNotNull()).select(
+        (F.col("user_id") % 8).cast("string").alias("station"),
+        F.col("ts").alias("time"),
+        (F.lit(285.0) + F.col("value") / 4).alias("tas"),
+        F.month("ts").alias("mon"),
+        F.hour("ts").alias("hh"),
+    )
+    grp = ["station", "mon", "hh"]
+    wp = Window.partitionBy(*grp)
+    r = o.withColumn(
+        "rn", F.row_number().over(wp.orderBy("tas"))
+    ).withColumn("n", F.count(F.lit(1)).over(wp))
+    r = r.withColumn("kk", F.floor(F.lit(0.05) * F.col("n")))
+    dtas = dec("tas", 18, 6)
+    clim = r.groupBy(*grp).agg(
+        F.any_value("n").alias("n"),
+        F.any_value("kk").alias("kk"),
+        (
+            (
+                F.sum(
+                    F.when(
+                        (F.col("rn") > F.col("kk"))
+                        & (F.col("rn") <= F.col("n") - F.col("kk")),
+                        dtas,
+                    )
+                )
+                + F.any_value("kk")
+                * F.max(F.when(F.col("rn") == F.col("kk") + 1, dtas))
+                + F.any_value("kk")
+                * F.max(F.when(F.col("rn") == F.col("n") - F.col("kk"), dtas))
+            ).cast("double")
+            / F.any_value("n")
+        ).alias("clim"),
+    )
+    a = o.join(clim.select(*grp, "clim"), grp).withColumn(
+        "anom", F.col("tas") - F.col("clim")
+    )
+    iq = a.groupBy(*grp).agg(
+        F.greatest(
+            F.round(
+                F.expr("percentile(anom, 0.75) - percentile(anom, 0.25)"), 6
+            ),
+            F.lit(1.5),
+        ).alias("denom")
+    )
+    s = a.join(iq, grp).withColumn(
+        "std", F.round(F.col("anom") / F.col("denom"), 6)
+    )
+    dstd = dec("std", 18, 6)
+    mo = s.groupBy(*grp).agg(
+        F.count(F.lit(1)).alias("n2"),
+        F.sum(dstd).cast("double").alias("sm"),
+        F.sum(dstd * dstd).cast("double").alias("ssm"),
+    )
+    mu = F.col("sm") / F.col("n2")
+    sigma = F.sqrt(
+        F.greatest(F.col("ssm") / F.col("n2") - mu * mu, F.lit(0.0))
+    )
+    area = F.lit(0.25) * F.col("n2")
+    arg = F.lit(0.1) * sigma * F.lit(math.sqrt(2 * math.pi)) / area
+    b = mo.select(
+        *grp,
+        F.col("n2"),
+        mu.alias("mu"),
+        sigma.alias("sigma"),
+        F.when(
+            (sigma > 0) & (arg < 1),
+            sigma * F.sqrt(F.lit(-2.0) * F.log(arg)),
+        ).alias("z"),
+    )
+    out = s.join(b, grp)
+    flagged = (
+        (F.col("n2") > 5)
+        & F.col("z").isNotNull()
+        & (
+            (F.col("std") < F.round(F.col("mu") - F.col("z"), 6))
+            | (F.col("std") > F.round(F.col("mu") + F.col("z"), 6))
+        )
+    )
+    return out.select(
+        "station",
+        "time",
+        "tas",
+        F.when(flagged, F.lit(26.0)).alias("tas_eraqc"),
+    )
+
+
+# --------------------------------------------------------------------
 # Pressure-units heuristic fix — a station whose mean pressure is
 # < 10000 is reporting hPa, not Pa; the whole column is rescaled ×100
 # (qaqc_logic_checks.py:376-414). The hPa/Pa means differ by 100× so

@@ -48,3 +48,36 @@ def test_dup_cluster_summary_counts(spark):
 
 def test_d_dup_clusters_matches_oracle(spark, oracle_con):
     assert_matches_oracle(spark, oracle_con, "d_dup_clusters")
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """With a checkpoint dir configured the loop must use reliable
+    checkpoints (cluster-safe: blocks survive executor loss) and still
+    converge to the same labels."""
+    from historical_obs_platform_spark.operators.dedup import (
+        connected_components,
+    )
+
+    sc = spark.sparkContext
+    ckpt = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], ["a", "b"]
+        )
+        got = {
+            (r["node"], r["component"])
+            for r in connected_components(pairs).collect()
+        }
+        assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+        # reliable checkpoint files actually landed in the dir
+        import os
+
+        found = []
+        for root, _dirs, files in os.walk(ckpt):
+            found.extend(files)
+        assert found, "no reliable checkpoint data written"
+    finally:
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.empty()
+        )

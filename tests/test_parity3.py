@@ -119,3 +119,29 @@ def test_zorder_layout_sorts_within_range_partitions(spark):
     for r in stats:
         assert r.lo > prev_hi, f"partition {r.pid} overlaps previous"
         prev_hi = r.hi
+
+
+def test_zorder_layout_folds_out_of_range_keys(spark):
+    from pyspark.sql import functions as F
+
+    from historical_obs_platform_spark.operators.layout import (
+        zorder_key,
+        zorder_layout,
+    )
+
+    # negative and >= 2**bits values must fold into [0, 2**bits) via
+    # pmod, not arithmetic-shift into all-ones / alias silently
+    df = spark.createDataFrame(
+        [(-1, 300), (255, 44), (256, -5)], ["a", "b"]
+    )
+    out = zorder_layout(df, "a", "b", bits=8).collect()
+    want = {}
+    for a, b in [(-1, 300), (255, 44), (256, -5)]:
+        fa, fb = a % 256, b % 256
+        key = 0
+        for i in range(8):
+            key |= ((fa >> i) & 1) << (2 * i)
+            key |= ((fb >> i) & 1) << (2 * i + 1)
+        want[(a, b)] = key
+    assert {(r.a, r.b): r.zkey for r in out} == want
+    assert all(0 <= r.zkey < 1 << 16 for r in out)
