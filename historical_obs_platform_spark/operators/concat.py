@@ -191,3 +191,60 @@ def elevation_infill(
         )
     )
     return out.drop("__n_elev", "__stn_elev", "__dem")
+
+
+def metadata_backfill(
+    obs: DataFrame,
+    metadata: DataFrame,
+    station_col: str = "station",
+    rank_col: str | None = None,
+    backfill: list[str] | None = None,
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """HOMR-style station-metadata enrichment
+    (scripts/3_qaqc_data/homr_metadata.py): the reference compiles
+    per-station metadata tables (names / identifiers / platforms /
+    locations) keyed by the station id and uses them to backfill
+    station attributes. Spark-first shape:
+
+    1. pick ONE metadata record per station — the minimum ``rank_col``
+      (e.g. a name-type preference order), deterministic tie-break on
+      the remaining columns;
+    2. broadcast it (metadata is dimension-sized: one row per station);
+    3. ``coalesce``-backfill each ``backfill`` column (observation
+       value wins unless null — enrichment never overwrites data) and
+       attach each ``carry`` column verbatim.
+    """
+    from pyspark.sql.window import Window
+
+    meta_cols = [c for c in metadata.columns if c != station_col]
+    backfill = [c for c in (backfill or []) if c in metadata.columns]
+    carry = [c for c in (carry or meta_cols) if c in metadata.columns]
+
+    best = metadata
+    if rank_col is not None:
+        order = [F.asc(rank_col)] + [
+            F.asc(c) for c in meta_cols if c != rank_col
+        ]
+        w = Window.partitionBy(station_col).orderBy(*order)
+        best = (
+            metadata.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") == 1)
+            .drop("__rk")
+        )
+    keep = list(dict.fromkeys(backfill + carry))
+    best = best.select(
+        station_col, *[F.col(c).alias(f"__m_{c}") for c in keep]
+    )
+    out = obs.join(F.broadcast(best), station_col, "left")
+    for c in backfill:
+        if c in obs.columns:
+            out = out.withColumn(
+                c, F.coalesce(F.col(c), F.col(f"__m_{c}"))
+            )
+        else:
+            out = out.withColumn(c, F.col(f"__m_{c}"))
+    for c in carry:
+        if c not in backfill and c not in obs.columns:
+            out = out.withColumn(c, F.col(f"__m_{c}"))
+    return out.drop(*[f"__m_{c}" for c in keep])

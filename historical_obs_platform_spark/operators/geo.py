@@ -81,6 +81,97 @@ def within_polygon(
     return df.join(F.broadcast(coords), [lat_col, lon_col], "left")
 
 
+def parse_wkt(text: str) -> list[list[list[tuple[float, float]]]]:
+    """Parse POLYGON / MULTIPOLYGON WKT into ``[polygon][ring][(x, y)]``.
+
+    The reference loads WECC terrestrial/marine region shapes from
+    shapefiles on the driver (qaqc_utils.py:506-530); WKT text is this
+    engine's portable equivalent — any GIS tool can export it, and a
+    (region, wkt) table becomes a first-class input (S10). Rings after
+    the first are holes; containment below applies the even-odd rule
+    across a polygon's rings, so holes are handled."""
+    t = text.strip()
+    up = t.upper()
+
+    def rings_of(body: str) -> list[list[tuple[float, float]]]:
+        import re
+
+        rings = []
+        for raw in re.findall(r"\(([^()]+)\)", body):
+            pts = []
+            for pair in raw.split(","):
+                x, y = pair.split()
+                pts.append((float(x), float(y)))
+            rings.append(pts)
+        return rings
+
+    if up.startswith("MULTIPOLYGON"):
+        body = t[t.index("(") :]
+        polys, depth, start = [], 0, 0
+        for i, ch in enumerate(body):
+            if ch == "(":
+                depth += 1
+                if depth == 2:
+                    start = i
+            elif ch == ")":
+                if depth == 2:
+                    polys.append(body[start : i + 1])
+                depth -= 1
+        return [rings_of(p) for p in polys]
+    if up.startswith("POLYGON"):
+        return [rings_of(t[t.index("(") :])]
+    raise ValueError(f"unsupported WKT geometry: {t[:30]}...")
+
+
+def within_polygon_table(
+    df: DataFrame,
+    polygons: DataFrame,
+    wkt_col: str = "wkt",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    out: str = "in_region",
+    max_polygons: int = 100_000,
+) -> DataFrame:
+    """P4 with the region shapes supplied as a (…, wkt) TABLE instead
+    of literals — the user-facing entry point for "my own region
+    file". The polygon table is dimension-sized (the reference has
+    two shapefiles), so it is collected once on the driver — exactly
+    where the reference reads its shapefiles — with a size guard, and
+    containment runs as the same distinct-coordinate pandas UDF."""
+    rows = polygons.select(wkt_col).limit(max_polygons + 1).collect()
+    if len(rows) > max_polygons:
+        raise ValueError(
+            f"polygon table exceeds {max_polygons} rows — not a "
+            "dimension table; pre-dissolve the regions"
+        )
+    geoms = [g for r in rows for g in parse_wkt(r[wkt_col])]
+
+    @F.pandas_udf(BooleanType())
+    def _contains(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        out_ = np.zeros(len(lon), dtype=bool)
+        for i, (x, y) in enumerate(zip(lon.values, lat.values)):
+            if x is None or y is None or np.isnan(x) or np.isnan(y):
+                continue
+            hit = False
+            for poly in geoms:
+                inside = False
+                for ring in poly:  # even-odd across rings => holes ok
+                    if _ray_cast(float(x), float(y), ring):
+                        inside = not inside
+                if inside:
+                    hit = True
+                    break
+            out_[i] = hit
+        return pd.Series(out_)
+
+    coords = (
+        df.select(lat_col, lon_col)
+        .distinct()
+        .withColumn(out, _contains(F.col(lon_col), F.col(lat_col)))
+    )
+    return df.join(F.broadcast(coords), [lat_col, lon_col], "left")
+
+
 def station_region_gate(
     df: DataFrame,
     polygons: list[list[tuple[float, float]]],
@@ -98,3 +189,23 @@ def station_region_gate(
     return checked.where(~F.coalesce(F.col("in_region"), F.lit(False))).select(
         station_col, F.lit("outside_region").alias("reject_reason")
     )
+
+
+def station_region_gate_wkt(
+    df: DataFrame,
+    polygons: DataFrame,
+    wkt_col: str = "wkt",
+    station_col: str = "station",
+) -> DataFrame:
+    """S10/P4 table-driven region gate: like ``station_region_gate``
+    but the region shapes come from a (region, wkt) table — the entry
+    point for a user-supplied region file (the reference's WECC
+    shapefiles, qaqc_utils.py:506-530)."""
+    reps = df.groupBy(station_col).agg(
+        F.first("lat", ignorenulls=True).alias("lat"),
+        F.first("lon", ignorenulls=True).alias("lon"),
+    )
+    checked = within_polygon_table(reps, polygons, wkt_col=wkt_col)
+    return checked.where(
+        ~F.coalesce(F.col("in_region"), F.lit(False))
+    ).select(station_col, F.lit("outside_region").alias("reject_reason"))

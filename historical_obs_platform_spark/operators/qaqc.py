@@ -84,6 +84,10 @@ WORLD_RECORD_LIMITS: dict[str, tuple[float, float]] = {
 }
 
 # Flag codes (era_qaqc_flag_meanings.csv).
+FLAG_THERMOMETER_MISSING = 6
+FLAG_THERMOMETER_HEIGHT = 7
+FLAG_ANEMOMETER_MISSING = 8
+FLAG_ANEMOMETER_HEIGHT = 9
 FLAG_NEGATIVE_PRECIP = 10
 FLAG_WORLD_RECORD = 11
 FLAG_SUPERSATURATION = 12
@@ -420,6 +424,91 @@ def elevation_consistency_check(df: DataFrame, tolerance_m: float = 50.0) -> Dat
     )
     out = write_flag(out, "elevation", many | two, FLAG_ELEV_RANGE)
     return out.drop("__n_elev", "__elev_range", "__elev_median", "__minority_elev")
+
+
+# ------------------------------------------------- sensor-height gates
+def sensor_height_check(
+    df: DataFrame,
+    thermometer_col: str = "thermometer_height_m",
+    anemometer_col: str = "anemometer_height_m",
+    tolerance_m: float = 1.0 / 3.0,
+) -> DataFrame:
+    """Flags 6/7/8/9 (qaqc_sensor_height_t / qaqc_sensor_height_w,
+    qaqc_wholestation.py:579-689): whole-station gates on instrument
+    mounting height —
+
+    - thermometer height missing anywhere → every tas row flags 6;
+      present but not all within 2 m ± ⅓ m → 7;
+    - anemometer height missing anywhere → sfcWind AND sfcWind_dir
+      flag 8; present but outside 10 m ± ⅓ m → 9 on both.
+
+    The reference runs one station per process and assigns the scalar
+    flag to the whole column; here one per-station aggregate (any-null
+    + min/max within band) broadcasts back onto the observations —
+    same decision, one shuffle, no per-row height comparison repeated
+    after the join.
+    """
+    checks = []  # (height_col, lo, hi, missing_flag, range_flag, targets)
+    if thermometer_col in df.columns and "tas" in df.columns:
+        checks.append(
+            (
+                thermometer_col,
+                2.0 - tolerance_m,
+                2.0 + tolerance_m,
+                FLAG_THERMOMETER_MISSING,
+                FLAG_THERMOMETER_HEIGHT,
+                ["tas"],
+            )
+        )
+    wind_targets = [
+        v for v in ("sfcWind", "sfcWind_dir") if v in df.columns
+    ]
+    if anemometer_col in df.columns and wind_targets:
+        checks.append(
+            (
+                anemometer_col,
+                10.0 - tolerance_m,
+                10.0 + tolerance_m,
+                FLAG_ANEMOMETER_MISSING,
+                FLAG_ANEMOMETER_HEIGHT,
+                wind_targets,
+            )
+        )
+    if not checks:
+        return df
+
+    out = ensure_flag_columns(
+        df, [t for _c, _l, _h, _m, _r, ts in checks for t in ts]
+    )
+    aggs = []
+    for col, lo, hi, *_ in checks:
+        aggs.append(
+            (F.count(F.lit(1)) > F.count(col)).alias(f"__miss_{col}")
+        )
+        aggs.append(
+            ((F.min(col) >= lo) & (F.max(col) <= hi)).alias(
+                f"__within_{col}"
+            )
+        )
+    gates = df.groupBy("station").agg(*aggs)
+    out = out.join(F.broadcast(gates), "station", "left")
+    for col, _lo, _hi, missing_flag, range_flag, targets in checks:
+        station_flag = F.when(
+            F.col(f"__miss_{col}"), F.lit(float(missing_flag))
+        ).when(
+            ~F.col(f"__within_{col}"), F.lit(float(range_flag))
+        )
+        for t in targets:
+            out = out.withColumn(
+                eraqc(t),
+                F.when(
+                    valid_mask(t) & station_flag.isNotNull(), station_flag
+                ).otherwise(F.col(eraqc(t))),
+            )
+    return out.drop(
+        *[f"__miss_{c}" for c, *_ in checks],
+        *[f"__within_{c}" for c, *_ in checks],
+    )
 
 
 # ------------------------------------------------------- P3 station gates

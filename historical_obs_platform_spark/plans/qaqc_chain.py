@@ -296,6 +296,7 @@ def run_qaqc(
         out = Q.normalize_sentinels(out, sentinels)
     gates = Q.station_gates(out)
     out = Q.apply_station_gates(out, gates)
+    out = Q.sensor_height_check(out)
     out = Q.elevation_consistency_check(out)
     out = Q.pressure_units_fix(out)
     out = deaccumulate_precip(out)

@@ -183,6 +183,52 @@ def p4_region_gate(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
+# P4/S10 WKT variant (round-2, VERDICT #6): region polygons arrive as
+# a (region, wkt) TABLE — a MULTIPOLYGON whose first polygon carries a
+# hole plus a disjoint second polygon, exercising the parser, the
+# even-odd hole rule, and the multi-part union. Stations land at
+# half-integer coordinates so no point sits on a boundary and the
+# oracle is plain interval algebra.
+# --------------------------------------------------------------------
+P4W_ORACLE = """
+WITH pt AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS station,
+         (user_id % 10) + 0.5 AS lat, -((user_id % 10) + 0.5) AS lon
+  FROM events
+)
+SELECT station, 'outside_region' AS reject_reason
+FROM pt
+WHERE NOT (
+  (lat > 1 AND lat < 5 AND lon > -5 AND lon < -1
+   AND NOT (lat > 2 AND lat < 4 AND lon > -4 AND lon < -2))
+  OR (lat > 7 AND lat < 9 AND lon > -8 AND lon < -6)
+)
+"""
+
+_WKT_REGIONS = (
+    "MULTIPOLYGON (((-5 1, -1 1, -1 5, -5 5, -5 1), "
+    "(-4 2, -2 2, -2 4, -4 4, -4 2)), "
+    "((-8 7, -6 7, -6 9, -8 9, -8 7)))"
+)
+
+
+@query("p4_region_gate_wkt", P4W_ORACLE)
+def p4_region_gate_wkt(spark, sf_dir):
+    from ..operators.geo import station_region_gate_wkt
+
+    obs = _obs(spark, sf_dir).select(
+        "station",
+        "time",
+        ((F.col("user_id") % 10) + 0.5).cast("double").alias("lat"),
+        (-((F.col("user_id") % 10) + 0.5)).cast("double").alias("lon"),
+    )
+    polys = spark.createDataFrame(
+        [("wecc_demo", _WKT_REGIONS)], "region string, wkt string"
+    )
+    return station_region_gate_wkt(obs, polys)
+
+
+# --------------------------------------------------------------------
 # A7: Gaussian fit + pdf-floor bounds — per station, fit N(mu, sigma)
 # and solve pdf(x) = 0.1 for the left/right flag bounds
 # (fit_normal/pdf_bounds, qaqc_climatological_outlier.py:323-460,
@@ -521,3 +567,65 @@ def a6_hourly_flag_rollup(spark, sf_dir):
     return network_flag_rates(counts).select(
         "network", "variable", "flag", "n"
     )
+
+
+# --------------------------------------------------------------------
+# J11 (round-2, VERDICT #8): HOMR-style station-metadata enrichment
+# (homr_metadata.py) — a per-station metadata table (multiple records
+# per station, a preference rank) is reduced to its best record,
+# broadcast, and coalesce-backfills missing station attributes;
+# enrichment never overwrites observed values.
+# --------------------------------------------------------------------
+J11_ORACLE = """
+WITH md AS (
+  SELECT CAST(c_custkey % 40 AS VARCHAR) AS station,
+         c_custkey % 3 AS pref_rank, c_name AS station_name,
+         CAST(c_custkey % 90 AS DOUBLE) AS lat
+  FROM customer
+), best AS (
+  SELECT station, station_name, lat AS lat_m FROM (
+    SELECT *, row_number() OVER (PARTITION BY station
+        ORDER BY pref_rank, station_name, lat) AS rk
+    FROM md) WHERE rk = 1
+), o AS (
+  SELECT CAST(user_id % 40 AS VARCHAR) AS station, ts AS time,
+         CASE WHEN user_id % 3 = 0 THEN NULL
+              ELSE CAST(user_id % 90 AS DOUBLE) + 0.25 END AS lat
+  FROM events
+)
+SELECT o.station, o.time,
+       coalesce(o.lat, b.lat_m) AS lat,
+       b.station_name
+FROM o LEFT JOIN best b USING (station)
+"""
+
+
+@query("j11_homr_enrich", J11_ORACLE)
+def j11_homr_enrich(spark, sf_dir):
+    from ..operators.concat import metadata_backfill
+
+    ev = table(spark, sf_dir, "events")
+    obs = ev.select(
+        (F.col("user_id") % 40).cast("string").alias("station"),
+        F.col("ts").alias("time"),
+        F.when(
+            F.col("user_id") % 3 == 0, F.lit(None).cast("double")
+        )
+        .otherwise((F.col("user_id") % 90).cast("double") + 0.25)
+        .alias("lat"),
+    )
+    cust = table(spark, sf_dir, "customer")
+    metadata = cust.select(
+        (F.col("c_custkey") % 40).cast("string").alias("station"),
+        (F.col("c_custkey") % 3).alias("pref_rank"),
+        F.col("c_name").alias("station_name"),
+        (F.col("c_custkey") % 90).cast("double").alias("lat"),
+    )
+    out = metadata_backfill(
+        obs,
+        metadata,
+        rank_col="pref_rank",
+        backfill=["lat"],
+        carry=["station_name"],
+    )
+    return out.select("station", "time", "lat", "station_name")

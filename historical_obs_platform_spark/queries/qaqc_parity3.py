@@ -317,3 +317,67 @@ def f22_distribution_gap(spark, sf_dir):
     obs = Q.ensure_flag_columns(obs, ["tas"])
     out = D.distribution_gap_check(obs, "tas")
     return out.select("station", "time", "tas", "tas_eraqc")
+
+
+# --------------------------------------------------------------------
+# L12 (round-2, VERDICT #5): sensor-height gates, flags 6/7/8/9 —
+# whole-station instrument-mounting checks
+# (qaqc_sensor_height_t / qaqc_sensor_height_w,
+# qaqc_wholestation.py:579-689). Station-constant heights derive from
+# the station id so every branch fires: missing thermometer (6),
+# thermometer off 2 m (7), missing anemometer (8), anemometer off
+# 10 m (9), and fully-conforming stations (no flag).
+# --------------------------------------------------------------------
+L12_ORACLE = """
+WITH o AS (
+  SELECT CAST(user_id % 40 AS VARCHAR) AS station, ts AS time,
+         270.0 + value % 30.0 AS tas,
+         CAST(CAST(floor(value) AS BIGINT) % 25 AS DOUBLE) AS sfcWind,
+         CASE WHEN user_id % 40 % 5 = 0 THEN NULL
+              WHEN user_id % 40 % 5 = 1 THEN 3.5
+              ELSE 2.1 END AS th_h,
+         CASE WHEN user_id % 40 % 4 = 0 THEN NULL
+              WHEN user_id % 40 % 4 = 1 THEN 12.0
+              ELSE 10.2 END AS an_h
+  FROM events
+), g AS (
+  SELECT station,
+         count(*) > count(th_h) AS t_miss,
+         min(th_h) >= 2 - 1.0/3 AND max(th_h) <= 2 + 1.0/3 AS t_within,
+         count(*) > count(an_h) AS w_miss,
+         min(an_h) >= 10 - 1.0/3 AND max(an_h) <= 10 + 1.0/3 AS w_within
+  FROM o GROUP BY station
+)
+SELECT o.station, o.time, o.tas, o.sfcWind,
+       CASE WHEN g.t_miss THEN 6.0
+            WHEN NOT g.t_within THEN 7.0 END AS tas_eraqc,
+       CASE WHEN g.w_miss THEN 8.0
+            WHEN NOT g.w_within THEN 9.0 END AS sfcWind_eraqc
+FROM o JOIN g USING (station)
+"""
+
+
+@query("l12_sensor_height", L12_ORACLE)
+def l12_sensor_height(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    sid = F.col("user_id") % 40
+    obs = ev.select(
+        sid.cast("string").alias("station"),
+        F.col("ts").alias("time"),
+        (F.lit(270.0) + F.col("value") % 30.0).alias("tas"),
+        (F.floor("value").cast("long") % 25).cast("double").alias(
+            "sfcWind"
+        ),
+        F.when(sid % 5 == 0, F.lit(None).cast("double"))
+        .when(sid % 5 == 1, F.lit(3.5))
+        .otherwise(F.lit(2.1))
+        .alias("thermometer_height_m"),
+        F.when(sid % 4 == 0, F.lit(None).cast("double"))
+        .when(sid % 4 == 1, F.lit(12.0))
+        .otherwise(F.lit(10.2))
+        .alias("anemometer_height_m"),
+    )
+    out = Q.sensor_height_check(obs)
+    return out.select(
+        "station", "time", "tas", "sfcWind", "tas_eraqc", "sfcWind_eraqc"
+    )

@@ -146,3 +146,83 @@ def test_elevation_infill(spark):
     part = g.get_group("PARTIAL").sort_values("time")
     assert part["elevation"].tolist() == [100.0] * 4
     assert part["elevation_eraqc"].fillna(0).tolist() == [0, 4, 0, 4]
+
+
+def test_parse_wkt_polygon_and_multipolygon():
+    from historical_obs_platform_spark.operators.geo import parse_wkt
+
+    p = parse_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert len(p) == 1 and len(p[0]) == 1 and p[0][0][1] == (4.0, 0.0)
+    mp = parse_wkt(
+        "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0), "
+        "(0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5)), "
+        "((10 10, 12 10, 12 12, 10 12, 10 10)))"
+    )
+    assert len(mp) == 2
+    assert len(mp[0]) == 2  # outer + hole
+    assert len(mp[1]) == 1
+
+
+def test_within_polygon_table_honors_holes(spark):
+    from pyspark.sql import functions as F
+
+    from historical_obs_platform_spark.operators.geo import (
+        within_polygon_table,
+    )
+
+    pts = spark.createDataFrame(
+        [(0.25, 0.25), (1.0, 1.0), (11.0, 11.0), (5.0, 5.0)],
+        "lon double, lat double",
+    )
+    polys = spark.createDataFrame(
+        [
+            (
+                "r",
+                "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0), "
+                "(0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5)), "
+                "((10 10, 12 10, 12 12, 10 12, 10 10)))",
+            )
+        ],
+        "region string, wkt string",
+    )
+    got = {
+        (r.lon, r.lat): r.in_region
+        for r in within_polygon_table(pts, polys).collect()
+    }
+    assert got[(0.25, 0.25)] is True     # in outer ring
+    assert got[(1.0, 1.0)] is False      # inside the hole
+    assert got[(11.0, 11.0)] is True     # second polygon
+    assert got[(5.0, 5.0)] is False      # outside everything
+
+
+def test_metadata_backfill_prefers_observed_values(spark):
+    from historical_obs_platform_spark.operators.concat import (
+        metadata_backfill,
+    )
+
+    obs = spark.createDataFrame(
+        [("s1", 1.0, None), ("s2", None, None)],
+        "station string, lat double, elevation double",
+    )
+    meta = spark.createDataFrame(
+        [
+            ("s1", 2, 9.0, 90.0, "alt"),
+            ("s1", 1, 8.0, 80.0, "main"),   # wins: lower rank
+            ("s2", 1, 7.0, 70.0, "only"),
+        ],
+        "station string, pref_rank int, lat double,"
+        " elevation double, station_name string",
+    )
+    out = metadata_backfill(
+        obs,
+        meta,
+        rank_col="pref_rank",
+        backfill=["lat", "elevation"],
+        carry=["station_name"],
+    )
+    got = {
+        r.station: (r.lat, r.elevation, r.station_name)
+        for r in out.collect()
+    }
+    assert got["s1"] == (1.0, 80.0, "main")  # observed lat kept
+    assert got["s2"] == (7.0, 70.0, "only")

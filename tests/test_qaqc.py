@@ -306,3 +306,48 @@ def test_flag_counts(spark):
         (r.station, r.variable, r.flag): r.n for r in out.itertuples()
     }
     assert got == {("S1", "tas", 11): 2, ("S1", "tas", 23): 1}
+
+
+def test_sensor_height_gates(spark):
+    """Flags 6/7/8/9: whole-station instrument-height gates
+    (qaqc_wholestation.py:579-689) — missing → 6/8, off-nominal →
+    7/9, conforming stations untouched, prior flags not overwritten."""
+    from pyspark.sql import functions as F
+
+    from historical_obs_platform_spark.operators import qaqc as Q
+
+    rows = [
+        # station, tas, wind, dir, therm_h, anem_h
+        ("miss_t", 280.0, 3.0, 90.0, None, 10.1),
+        ("miss_t", 281.0, 3.0, 90.0, 2.0, 10.1),   # any-null => whole stn
+        ("off_t", 280.0, 3.0, 90.0, 3.0, 10.0),
+        ("ok", 280.0, 3.0, 90.0, 2.2, 9.8),
+        ("miss_w", 280.0, 3.0, 90.0, 2.0, None),
+        ("off_w", 280.0, 3.0, 90.0, 2.0, 12.5),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "station string, tas double, sfcWind double, sfcWind_dir double,"
+        " thermometer_height_m double, anemometer_height_m double",
+    )
+    out = Q.sensor_height_check(df)
+    got = {
+        (r.station, r.tas_eraqc, r.sfcWind_eraqc, r.sfcWind_dir_eraqc)
+        for r in out.collect()
+    }
+    assert ("miss_t", 6.0, None, None) in got
+    assert ("off_t", 7.0, None, None) in got
+    assert ("ok", None, None, None) in got
+    assert ("miss_w", None, 8.0, 8.0) in got
+    assert ("off_w", None, 9.0, 9.0) in got
+
+    # valid-mask: a pre-existing tas flag is not overwritten
+    pre = df.withColumn(
+        "tas_eraqc",
+        F.when(F.col("station") == "miss_t", 11.0).cast("double"),
+    )
+    out2 = Q.sensor_height_check(pre)
+    vals = {
+        r.tas_eraqc for r in out2.where(F.col("station") == "miss_t").collect()
+    }
+    assert vals == {11.0}
