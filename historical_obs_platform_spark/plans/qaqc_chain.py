@@ -334,4 +334,10 @@ def run_qaqc(
             out = D.whole_day_streak_check(out, v)
     for v in spike_vars:
         out = spike_check(out, v)
-    return out
+    # Final lineage cut: downstream consumers fan the flagged table
+    # into many plan branches (flag_counts alone explodes one branch
+    # per _eraqc column; hourly_standardize adds another), and without
+    # this cut every branch re-carries — and Catalyst re-analyzes —
+    # the whole spike/streak plan. Measured: chain_qaqc_merge_events
+    # driver-side build time drops ~3x at sf0.01.
+    return cut(out)

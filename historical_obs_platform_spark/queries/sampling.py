@@ -189,7 +189,11 @@ def chain_corpus_curation(spark, sf_dir):
     )
     kept = DD.exact_dedup(corpus, "doc_id", "text")
     scored = kept.where(TX.quality_score("text") >= 0.5)
-    mixed = S.mixture_sample(scored, "lang", "doc_id")
+    # mixed feeds two branches (packing + the lang re-join); cut so the
+    # dedup+quality+sample pipeline isn't recomputed per branch
+    mixed = S.mixture_sample(scored, "lang", "doc_id").localCheckpoint(
+        eager=False
+    )
     packed = S.pack_sequences(mixed, "source", "doc_id", "n_chars", 4000)
     return packed.join(
         mixed.select("doc_id", "lang"), "doc_id"

@@ -97,6 +97,9 @@ def test_cli_query_and_listing(spark, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "q6_forecast_revenue\toracle" in out
-    assert "chain_qaqc_merge_events\trows-only" in out
+    # the full chain gained an exact oracle in round 2; the
+    # IIR-filtered clim-outlier island stays rows-only by design
+    assert "chain_qaqc_merge_events\toracle" in out
+    assert "w13_clim_outlier\trows-only" in out
     rc = main(["query", "--name", "nope"], spark=spark)
     assert rc == 2
