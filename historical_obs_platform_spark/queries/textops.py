@@ -164,6 +164,19 @@ _NEAR_CORPUS = """
 """
 
 
+# LSH geometry shared by the Spark pipeline and every oracle CTE.
+# 16 hashes / 4 bands = 4-row bands: an unrelated pair (Jaccard s)
+# collides with probability 1-(1-s^4)^4 — ~3e-3 at s=0.3 — while the
+# planted near-dups (s~0.98) still collide with P>0.9999. The old
+# 2-row bands produced ~311k candidates over 10k docs at sf0.1
+# (buckets of hundreds, quadratic in bucket size); 4-row bands cut
+# that to the designed pairs plus noise, which is what makes the
+# exact-Jaccard confirm and the cluster propagation linear in
+# practice at any scale.
+LSH_N_HASHES = 16
+LSH_BANDS = 4
+
+
 def _shingle_cte(n: int = 2) -> str:
     # distinct word bigrams per doc over the planted corpus
     return f"""
@@ -181,14 +194,14 @@ toks AS (
 """
 
 
-def _minhash_cte(n_hashes: int = 8) -> str:
+def _minhash_cte(n_hashes: int = LSH_N_HASHES) -> str:
     cols = ", ".join(
         f"min(md5('{i}:' || shingle)) AS minhash_{i}" for i in range(n_hashes)
     )
     return f"sigs AS (SELECT doc_id, {cols} FROM shingles GROUP BY doc_id)"
 
 
-def _lsh_pairs_oracle(n_hashes: int = 8, bands: int = 4) -> str:
+def _lsh_pairs_oracle(n_hashes: int = LSH_N_HASHES, bands: int = LSH_BANDS) -> str:
     rows = n_hashes // bands
     band_selects = []
     for b in range(bands):
@@ -241,8 +254,8 @@ def _lsh_shared(spark, sf_dir):
         shingles = DD.word_shingles(
             corpus, "doc_id", "text", n=2
         ).localCheckpoint(eager=False)
-        sigs = DD.minhash_signatures(shingles, "doc_id", n_hashes=8)
-        buckets = DD.lsh_buckets(sigs, "doc_id", n_hashes=8, bands=4)
+        sigs = DD.minhash_signatures(shingles, "doc_id", n_hashes=LSH_N_HASHES)
+        buckets = DD.lsh_buckets(sigs, "doc_id", n_hashes=LSH_N_HASHES, bands=LSH_BANDS)
         cand = DD.lsh_candidate_pairs(
             buckets, "doc_id"
         ).localCheckpoint(eager=False)
@@ -263,7 +276,7 @@ def d_minhash_lsh_pairs(spark, sf_dir):
 # (~100 M intermediate pairs at sf0.1), exactly the blowup LSH
 # candidate pruning exists to avoid.
 # --------------------------------------------------------------------
-def _jaccard_oracle(n_hashes: int = 8, bands: int = 4) -> str:
+def _jaccard_oracle(n_hashes: int = LSH_N_HASHES, bands: int = LSH_BANDS) -> str:
     rows = n_hashes // bands
     band_selects = []
     for b in range(bands):
@@ -590,7 +603,7 @@ def d_embedding_cosine_neardup(spark, sf_dir):
 # closure is fine for DuckDB at oracle scale, while the Spark side
 # stays linear per iteration for corpus scale.
 # --------------------------------------------------------------------
-def _dup_clusters_oracle(n_hashes: int = 8, bands: int = 4) -> str:
+def _dup_clusters_oracle(n_hashes: int = LSH_N_HASHES, bands: int = LSH_BANDS) -> str:
     rows = n_hashes // bands
     band_selects = []
     for b in range(bands):
