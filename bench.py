@@ -81,6 +81,7 @@ def main() -> None:
         "chain_min_slice_hourly",
         "chain_logic_hourly",
         "chain_qaqc_merge_events",
+        "report_flag_rates",
         "q1_pricing_summary",
         "q2_min_cost_supplier",
         "q9_product_profit",

@@ -37,8 +37,7 @@ from ..plans.qaqc_chain import run_qaqc
 from ..registry import query
 from .common import table
 
-CHAIN_QAQC_ORACLE = """
-WITH o AS (
+_CHAIN_FIN_CTES = """o AS (
   SELECT CAST(user_id AS VARCHAR) AS station, ts AS time,
          200.0 + value / 2 AS tas,
          195.0 + value / 2 AS tdps,
@@ -150,7 +149,11 @@ WITH o AS (
               THEN 23.0 ELSE tas_f1 END AS tas_f,
          tdps_f, dir_f
   FROM spf
-), nf AS (  -- flag accounting (A6 roll-up)
+)
+"""
+
+CHAIN_QAQC_ORACLE = f"""
+WITH {_CHAIN_FIN_CTES}, nf AS (  -- flag accounting (A6 roll-up)
   SELECT station,
          CAST(sum(CASE WHEN tas_f IS NOT NULL THEN 1 ELSE 0 END
                 + CASE WHEN tdps_f IS NOT NULL THEN 1 ELSE 0 END
@@ -180,31 +183,46 @@ FROM gh LEFT JOIN nf ON gh.station = nf.station
 """
 
 
+# Flagged-chain output shared between chain_qaqc_merge_events and the
+# flag-rates report (both consume the identical run_qaqc result; the
+# driver sweeps every query in one session, so memoize one
+# lazily-localCheckpointed handle per (session, sf_dir) — same
+# pattern and rationale as textops._lsh_shared).
+_CHAIN_SHARED: dict[tuple, object] = {}
+
+
+def _chain_flagged(spark, sf_dir):
+    key = (id(spark._jsparkSession), sf_dir)
+    if key not in _CHAIN_SHARED:
+        ev = table(spark, sf_dir, "events")
+        obs = ev.select(
+            F.col("user_id").cast("string").alias("station"),
+            F.col("ts").alias("time"),
+            F.lit(40.0).alias("lat"),
+            F.lit(-120.0).alias("lon"),
+            F.lit(100.0).alias("elevation"),
+            (F.lit(200.0) + F.col("value") / 2).alias("tas"),
+            (F.lit(195.0) + F.col("value") / 2).alias("tdps"),
+            F.pmod(F.col("value"), F.lit(30.0)).alias("pr"),
+            (F.floor(F.col("value")) % 25).cast("double").alias("sfcWind"),
+            (F.floor(F.col("value") * 7) % 361).cast("double").alias(
+                "sfcWind_dir"
+            ),
+        )
+        # 30-day records: distribution tests are gated off by design
+        # (record-length bypass would yellow-flag everything anyway)
+        _CHAIN_SHARED[key] = run_qaqc(
+            obs,
+            with_distribution=False,
+            spike_vars=("tas",),
+            streak_vars=("tas",),
+        )
+    return _CHAIN_SHARED[key]
+
+
 @query("chain_qaqc_merge_events", CHAIN_QAQC_ORACLE)
 def chain_qaqc_merge_events(spark, sf_dir):
-    ev = table(spark, sf_dir, "events")
-    obs = ev.select(
-        F.col("user_id").cast("string").alias("station"),
-        F.col("ts").alias("time"),
-        F.lit(40.0).alias("lat"),
-        F.lit(-120.0).alias("lon"),
-        F.lit(100.0).alias("elevation"),
-        (F.lit(200.0) + F.col("value") / 2).alias("tas"),
-        (F.lit(195.0) + F.col("value") / 2).alias("tdps"),
-        F.pmod(F.col("value"), F.lit(30.0)).alias("pr"),
-        (F.floor(F.col("value")) % 25).cast("double").alias("sfcWind"),
-        (F.floor(F.col("value") * 7) % 361).cast("double").alias(
-            "sfcWind_dir"
-        ),
-    )
-    # 30-day records: distribution tests are gated off by design
-    # (record-length bypass would yellow-flag everything anyway)
-    flagged = run_qaqc(
-        obs,
-        with_distribution=False,
-        spike_vars=("tas",),
-        streak_vars=("tas",),
-    )
+    flagged = _chain_flagged(spark, sf_dir)
     hourly = hourly_standardize(flagged)
     counts = flag_counts(flagged)
     return (
@@ -502,4 +520,72 @@ def chain_logic_hourly(spark, sf_dir):
         "sfcWind_dir_eraqc",
         "n_source_obs",
         "standardized_infill",
+    )
+
+
+# --------------------------------------------------------------------
+# The reference's QAQC success-report core number — per-station,
+# per-variable flag rates at the native timestep
+# (qaqc_generate_flag_rates.py:46-94 `_pairwise_rate`: total_flag /
+# total_obs_count, where total_obs_count is the station's row count).
+# The reference builds this table in a ~37-minute single process
+# folding per-station CSVs (BASELINE.md); here it is one aggregation
+# over the already-flagged table — a single shuffle on station, with
+# the per-variable counts computed map-side.
+# --------------------------------------------------------------------
+_RATE_VARS = ["tas", "tdps", "pr", "sfcWind", "sfcWind_dir"]
+
+REPORT_RATES_ORACLE = f"""
+WITH {_CHAIN_FIN_CTES},
+agg AS (
+  SELECT station,
+         CAST(count(*) AS BIGINT) AS total_obs_count,
+         CAST(count(tas_f) AS BIGINT) AS n_tas,
+         CAST(count(tdps_f) AS BIGINT) AS n_tdps,
+         CAST(count(dir_f) AS BIGINT) AS n_dir
+  FROM fin GROUP BY station
+)
+SELECT station, 'tas' AS variable,
+       CAST(n_tas AS DOUBLE) / total_obs_count AS flag_rate,
+       total_obs_count FROM agg
+UNION ALL
+SELECT station, 'tdps', CAST(n_tdps AS DOUBLE) / total_obs_count,
+       total_obs_count FROM agg
+UNION ALL
+SELECT station, 'pr', 0.0, total_obs_count FROM agg
+UNION ALL
+SELECT station, 'sfcWind', 0.0, total_obs_count FROM agg
+UNION ALL
+SELECT station, 'sfcWind_dir', CAST(n_dir AS DOUBLE) / total_obs_count,
+       total_obs_count FROM agg
+"""
+
+
+@query("report_flag_rates", REPORT_RATES_ORACLE)
+def report_flag_rates(spark, sf_dir):
+    """Per-(station, variable) flag rates over the full chain output.
+
+    Reference: qaqc_generate_flag_rates.py:46-94 (station rates table,
+    native timestep). One groupBy(station) computes the row total and
+    every per-variable flagged count in a single pass; the long format
+    is unpivoted from that one aggregate row, so the whole report is
+    one shuffle regardless of variable count.
+    """
+    from ..operators.qaqc import eraqc
+
+    flagged = _chain_flagged(spark, sf_dir)
+    agg = flagged.groupBy("station").agg(
+        F.count(F.lit(1)).alias("total_obs_count"),
+        *[F.count(eraqc(v)).alias(f"__n_{v}") for v in _RATE_VARS],
+    )
+    stack = ", ".join(f"'{v}', __n_{v}" for v in _RATE_VARS)
+    return agg.selectExpr(
+        "station",
+        f"stack({len(_RATE_VARS)}, {stack}) AS (variable, n)",
+        "total_obs_count",
+    ).select(
+        "station",
+        "variable",
+        (F.col("n") / F.col("total_obs_count")).alias("flag_rate"),
+        "total_obs_count",
     )
