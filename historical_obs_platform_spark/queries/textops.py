@@ -785,3 +785,80 @@ def d_contamination_overlap(spark, sf_dir):
     test_sh = sh.where(F.col("doc_id") % 97 == 0)
     train_sh = sh.where(F.col("doc_id") % 97 != 0)
     return DD.contamination_overlap(train_sh, test_sh, "doc_id")
+
+
+# --------------------------------------------------------------------
+# Text analysis: Gopher-style repetition signals (Rae et al. 2021,
+# §A1.1 repetition filters) — duplicate-word fraction and
+# most-frequent-bigram fraction per document. Zero-shuffle by design:
+# both signals are computed inside the row with array expressions
+# (distinct-count, sort + max-run), so the operator is a map-only
+# projection at any corpus size — no explode, no per-doc groupBy.
+# --------------------------------------------------------------------
+REPETITION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS} AS t FROM documents
+), big AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+), cnt AS (
+  SELECT doc_id, bg, count(*) AS n FROM big GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, max(n) AS top_n, sum(n) AS n_big FROM cnt GROUP BY 1
+)
+SELECT toks.doc_id,
+       len(t) AS n_words,
+       CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t)
+         AS frac_dup_words,
+       CAST(top.top_n AS DOUBLE) / top.n_big AS frac_top_bigram,
+       (CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t) > 0.30
+        OR CAST(top.top_n AS DOUBLE) / top.n_big > 0.18) AS repetitious
+FROM toks LEFT JOIN top ON toks.doc_id = top.doc_id
+WHERE len(t) >= 1
+"""
+
+# max run length over the SORTED bigram array == count of the most
+# frequent bigram (equal values are adjacent after array_sort)
+_TOP_BIGRAM_RUN = """
+IF(size(__t) >= 2,
+   aggregate(
+     array_sort(transform(sequence(1, size(__t) - 1),
+                          i -> concat_ws(' ', slice(__t, i, 2)))),
+     struct(CAST('' AS STRING) AS prev, 0 AS run, 0 AS best),
+     (acc, x) -> struct(
+        x AS prev,
+        IF(x = acc.prev, acc.run + 1, 1) AS run,
+        GREATEST(acc.best, IF(x = acc.prev, acc.run + 1, 1)) AS best),
+     acc -> acc.best),
+   CAST(NULL AS INT))
+"""
+
+
+@query("t_repetition_signals", REPETITION_ORACLE)
+def t_repetition_signals(spark, sf_dir):
+    """Per-doc repetition quality signals, all computed in-row.
+
+    The per-array aggregate runs interpreted (Spark higher-order
+    functions don't codegen), but arrays are document-sized — the
+    known-bounded dimension — so the operator stays map-only where
+    the explode+groupBy alternative would shuffle n_words rows per
+    document at 100 TB.
+    """
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.split(DD.normalize_text("text"), " ").alias("__t")
+    ).where(F.size("__t") >= 1)
+    n_words = F.size("__t")
+    dup = (
+        (n_words - F.size(F.array_distinct("__t"))).cast("double") / n_words
+    )
+    top_run = F.expr(_TOP_BIGRAM_RUN)
+    top_frac = top_run.cast("double") / (n_words - 1)
+    return t.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        dup.alias("frac_dup_words"),
+        top_frac.alias("frac_top_bigram"),
+        ((dup > 0.30) | (top_frac > 0.18)).alias("repetitious"),
+    )

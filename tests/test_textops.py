@@ -169,3 +169,51 @@ def test_ivf_ann_recall_vs_exact(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"recall {recall:.2f}"
+
+
+def test_repetition_signals_oracle(spark, oracle_con):
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, oracle_con, "t_repetition_signals")
+
+
+def test_repetition_signals_map_only(spark):
+    """Both signals must compute in-row: no Exchange in the plan."""
+    from historical_obs_platform_spark import registry
+    from .conftest import SF_DIR
+
+    plan = (
+        registry.QUERIES["t_repetition_signals"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_repetition_signals_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a a a a a a a"),          # one word repeated
+            (2, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w0"),  # all distinct
+        ],
+        "doc_id long, text string",
+    )
+    import historical_obs_platform_spark.queries.textops as T
+    from historical_obs_platform_spark.operators import dedup as DD
+    from pyspark.sql import functions as F
+
+    t = df.select(
+        "doc_id", F.split(DD.normalize_text("text"), " ").alias("__t")
+    )
+    n_words = F.size("__t")
+    dup = (n_words - F.size(F.array_distinct("__t"))).cast("double") / n_words
+    top = F.expr(T._TOP_BIGRAM_RUN).cast("double") / (n_words - 1)
+    out = {
+        r["doc_id"]: r
+        for r in t.select(
+            "doc_id", dup.alias("d"), top.alias("tb")
+        ).collect()
+    }
+    assert out[1]["d"] == 0.9 and out[1]["tb"] == 1.0
+    assert out[2]["d"] == 0.0 and out[2]["tb"] == 1.0 / 9.0
