@@ -481,8 +481,27 @@ FROM grid g LEFT JOIN hourly h
 """
 
 
+# Hourly chain output shared between chain_logic_hourly and the
+# hourly flag-rates report (same memoization rationale as
+# _chain_flagged above).
+_LOGIC_SHARED: dict[tuple, object] = {}
+
+
+def _logic_hourly(spark, sf_dir):
+    key = (id(spark._jsparkSession), sf_dir)
+    if key not in _LOGIC_SHARED:
+        _LOGIC_SHARED[key] = _build_logic_hourly(
+            spark, sf_dir
+        ).localCheckpoint(eager=False)
+    return _LOGIC_SHARED[key]
+
+
 @query("chain_logic_hourly", CHAIN_LOGIC_ORACLE)
 def chain_logic_hourly(spark, sf_dir):
+    return _logic_hourly(spark, sf_dir)
+
+
+def _build_logic_hourly(spark, sf_dir):
     from ..operators import qaqc as Q
 
     ev = table(spark, sf_dir, "events")
@@ -577,6 +596,78 @@ def report_flag_rates(spark, sf_dir):
     agg = flagged.groupBy("station").agg(
         F.count(F.lit(1)).alias("total_obs_count"),
         *[F.count(eraqc(v)).alias(f"__n_{v}") for v in _RATE_VARS],
+    )
+    stack = ", ".join(f"'{v}', __n_{v}" for v in _RATE_VARS)
+    return agg.selectExpr(
+        "station",
+        f"stack({len(_RATE_VARS)}, {stack}) AS (variable, n)",
+        "total_obs_count",
+    ).select(
+        "station",
+        "variable",
+        (F.col("n") / F.col("total_obs_count")).alias("flag_rate"),
+        "total_obs_count",
+    )
+
+
+# --------------------------------------------------------------------
+# Hourly-timestep flag rates — the second half of the reference's
+# report pair (qaqc_generate_flag_rates.py:96-231 generates both
+# native and hourly tables; hourly counts come from
+# merge_eraqc_counts.eraqc_counts_hourly_timestep, where a cell is
+# "flagged" when its comma-joined hourly flag string is non-empty and
+# total_obs_count is the station's full hourly-grid row count,
+# infilled stamps included).
+# --------------------------------------------------------------------
+REPORT_HOURLY_ORACLE = f"""
+WITH hh AS ({CHAIN_LOGIC_ORACLE}),
+agg AS (
+  SELECT station,
+         CAST(count(*) AS BIGINT) AS total_obs_count,
+         CAST(count(*) FILTER (WHERE tas_eraqc <> '') AS BIGINT) AS n_tas,
+         CAST(count(*) FILTER (WHERE tdps_eraqc <> '') AS BIGINT) AS n_tdps,
+         CAST(count(*) FILTER (WHERE pr_eraqc <> '') AS BIGINT) AS n_pr,
+         CAST(count(*) FILTER (WHERE sfcWind_eraqc <> '') AS BIGINT)
+           AS n_sfcWind,
+         CAST(count(*) FILTER (WHERE sfcWind_dir_eraqc <> '') AS BIGINT)
+           AS n_sfcWind_dir
+  FROM hh GROUP BY station
+)
+SELECT station, 'tas' AS variable,
+       CAST(n_tas AS DOUBLE) / total_obs_count AS flag_rate,
+       total_obs_count FROM agg
+UNION ALL
+SELECT station, 'tdps', CAST(n_tdps AS DOUBLE) / total_obs_count,
+       total_obs_count FROM agg
+UNION ALL
+SELECT station, 'pr', CAST(n_pr AS DOUBLE) / total_obs_count,
+       total_obs_count FROM agg
+UNION ALL
+SELECT station, 'sfcWind', CAST(n_sfcWind AS DOUBLE) / total_obs_count,
+       total_obs_count FROM agg
+UNION ALL
+SELECT station, 'sfcWind_dir',
+       CAST(n_sfcWind_dir AS DOUBLE) / total_obs_count,
+       total_obs_count FROM agg
+"""
+
+
+@query("report_flag_rates_hourly", REPORT_HOURLY_ORACLE)
+def report_flag_rates_hourly(spark, sf_dir):
+    """Per-(station, variable) flag rates at the hourly timestep.
+
+    Same one-shuffle shape as ``report_flag_rates``: a single
+    groupBy(station) over the (memoized) hourly-standardized logic
+    battery computes the grid total and every per-variable non-empty
+    flag-string count map-side; the long format is a stack unpivot.
+    """
+    hourly = _logic_hourly(spark, sf_dir)
+    agg = hourly.groupBy("station").agg(
+        F.count(F.lit(1)).alias("total_obs_count"),
+        *[
+            F.count(F.when(F.col(f"{v}_eraqc") != "", 1)).alias(f"__n_{v}")
+            for v in _RATE_VARS
+        ],
     )
     stack = ", ".join(f"'{v}', __n_{v}" for v in _RATE_VARS)
     return agg.selectExpr(

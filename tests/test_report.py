@@ -13,7 +13,13 @@ from .conftest import SF_DIR, assert_matches_oracle
 
 
 @pytest.mark.parametrize(
-    "name", ["report_flag_rates", "chain_qaqc_merge_events"]
+    "name",
+    [
+        "report_flag_rates",
+        "report_flag_rates_hourly",
+        "chain_qaqc_merge_events",
+        "chain_logic_hourly",
+    ],
 )
 def test_oracle_match(spark, oracle_con, name):
     assert_matches_oracle(spark, oracle_con, name)
