@@ -78,6 +78,23 @@ def cmd_clean_isd(spark, args) -> int:
     return 0
 
 
+def cmd_clean_network(spark, args) -> int:
+    """The reference's per-network `<NETWORK>_clean.py` entry point,
+    reshaped: one Spark job over the whole raw prefix, quirks applied
+    declaratively from sources/networks.NETWORKS."""
+    from .plans.clean import write_stage
+    from .sources.csv_obs import read_csv_obs
+    from .sources.networks import NETWORKS, clean_network
+
+    spec = NETWORKS[args.network]
+    raw = read_csv_obs(
+        spark, args.input, renames={}, period=None
+    )
+    out = clean_network(raw, spec)
+    write_stage(_ensure_network(out), args.output)
+    return 0
+
+
 def cmd_query(spark, args) -> int:
     from . import registry
 
@@ -137,6 +154,19 @@ def build_parser() -> argparse.ArgumentParser:
     )
     c.add_argument("--station-list", default=None)
     c.set_defaults(fn=cmd_clean_isd)
+
+    n = sub.add_parser(
+        "clean-network",
+        help="clean a raw CSV prefix with a network's quirk table",
+    )
+    n.add_argument("--input", required=True)
+    n.add_argument(
+        "--network",
+        required=True,
+        help="CIMIS | SCANSNOTEL | CW3E | MARITIME | VALLEYWATER | MADIS",
+    )
+    n.add_argument("--output", required=True)
+    n.set_defaults(fn=cmd_clean_network)
 
     r = sub.add_parser("query", help="run a registered query")
     r.add_argument("--name", required=True)

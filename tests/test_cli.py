@@ -103,3 +103,38 @@ def test_cli_query_and_listing(spark, tmp_path, capsys):
     assert "w13_clim_outlier\trows-only" in out
     rc = main(["query", "--name", "nope"], spark=spark)
     assert rc == 2
+
+
+def test_cli_clean_network(spark, tmp_path):
+    """clean-network applies a quirk table to a raw CSV prefix."""
+    import csv
+    import os
+
+    raw_dir = tmp_path / "raw_cimis"
+    raw_dir.mkdir()
+    with open(raw_dir / "part-0.csv", "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(
+            ["station", "time", "Air Temperature (C)",
+             "Relative Humidity (%)", "elevation"]
+        )
+        w.writerow(["CI1", "2014-06-01 12:00:00", "20.5", "55.0", "1000"])
+        w.writerow(["CI1", "2014-06-01 13:00:00", "-9999", "60.0", "1000"])
+    out_dir = str(tmp_path / "clean_cimis")
+    rc = main(
+        [
+            "clean-network",
+            "--input", str(raw_dir),
+            "--network", "CIMIS",
+            "--output", out_dir,
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    got = spark.read.parquet(out_dir).orderBy("time").collect()
+    assert len(got) == 2
+    r0 = got[0]
+    assert r0["tas"] == 20.5 + 273.15          # degC -> K
+    assert r0["time"].hour == 20               # PST +8h -> UTC
+    assert r0["elevation"] == 1000 * 0.3048    # ft -> m
+    assert got[1]["tas"] is None               # sentinel -> null
