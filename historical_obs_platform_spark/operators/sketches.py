@@ -346,3 +346,59 @@ def grid_quantiles(
             ).alias("est"),
         )
     )
+
+
+# ---------------------------------------------------------------- bloom
+# Bloom-filter semi-join reduction — the standard 100 TB join-pruning
+# move: build a small bit-set from the dim side's join keys, broadcast
+# it, and drop big-side rows map-side before the shuffle join. (Spark
+# can inject runtime bloom filters itself —
+# spark.sql.optimizer.runtime.bloomFilter.enabled — but only below
+# size thresholds and never cross-engine-reproducibly; this explicit
+# variant is md5-deterministic so the DuckDB oracle computes the
+# identical filter, false positives included.)
+#
+# The bit-set is represented sparsely as a sorted array of set bit
+# positions (≤ n_bits values): identical semantics to a packed
+# bitmap, engine-portable (no 1<<63 overflow edge), and still tiny to
+# broadcast (n_bits defaults to 4096 = one 3-hex-digit position per
+# hash, so no modulo is needed and both engines compute positions
+# with the same instr/substring arithmetic as the other sketches).
+
+BLOOM_BITS = 4096
+BLOOM_K = 3
+
+
+def bloom_pos_sql(key_sql: str, i: int) -> str:
+    """Portable SQL: bit position of hash i for a key expression —
+    value of the first 3 hex digits of md5('bf<i>:' || key)."""
+    h = f"md5(concat('bf{i}:', {key_sql}))"
+    nib = (
+        lambda j: f"(instr('{HEX}', substring({h}, {j}, 1)) - 1)"
+    )
+    return f"({nib(1)} * 256 + {nib(2)} * 16 + {nib(3)})"
+
+
+def bloom_build(df: DataFrame, key_sql: str, k: int = BLOOM_K) -> DataFrame:
+    """One-row frame holding the sorted set-bit array for the side's
+    keys — a partial-aggregate (explode + collect_set) that
+    broadcast-attaches to any probe side."""
+    positions = F.array(
+        *[F.expr(bloom_pos_sql(key_sql, i)) for i in range(k)]
+    )
+    return (
+        df.select(F.explode(positions).alias("__p"))
+        .agg(F.array_sort(F.collect_set("__p")).alias("bloom_bits"))
+    )
+
+
+def bloom_member(key_sql: str, bits_col: str = "bloom_bits",
+                 k: int = BLOOM_K):
+    """Probe predicate: TRUE iff every hash position is set."""
+    cond = None
+    for i in range(k):
+        c = F.array_contains(
+            F.col(bits_col), F.expr(bloom_pos_sql(key_sql, i))
+        )
+        cond = c if cond is None else cond & c
+    return cond

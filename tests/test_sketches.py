@@ -80,3 +80,33 @@ def test_kmv_plans_take_ordered_not_full_sort(spark):
     li = table(spark, SF_DIR, "lineitem")
     plan = SK.kmv_distinct(li, "l_partkey")._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bloom_semi_reduction_oracle(spark, oracle_con):
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, oracle_con, "sk_bloom_semi_reduction")
+
+
+def test_bloom_reduction_sandwich(spark):
+    """Bloom pass-set must contain every true member (no false
+    negatives) and the filter itself must be a one-row broadcast."""
+    from historical_obs_platform_spark import registry
+    from .conftest import SF_DIR
+
+    row = (
+        registry.QUERIES["sk_bloom_semi_reduction"](spark, SF_DIR)
+        .collect()[0]
+    )
+    assert row["n_true_members"] <= row["n_bloom_pass"] <= row["n_big"]
+
+    plan = (
+        registry.QUERIES["sk_bloom_semi_reduction"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the probe side never shuffles on the join key: the bloom bits
+    # arrive via broadcast, membership is a projection
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
