@@ -862,3 +862,69 @@ def t_repetition_signals(spark, sf_dir):
         top_frac.alias("frac_top_bigram"),
         ((dup > 0.30) | (top_frac > 0.18)).alias("repetitious"),
     )
+
+
+# --------------------------------------------------------------------
+# Embedding int8 quantization — the standard ANN memory-reduction
+# step (4x smaller vectors for IVF/LSH shortlists; final ranking
+# re-reads float vectors for the shortlist only). Symmetric max-abs
+# scaling: scale = 127 / max|x|, q_i = floor(x_i * scale + 0.5).
+# Map-only (per-row array expressions, no shuffle before the final
+# checksum agg is even needed — this query emits per-vector scalars).
+# The checksums (sum, min, max, sum-of-squares of the int codes)
+# pin every quantized value without comparing array columns across
+# engines; all arithmetic is IEEE-double-identical on both sides.
+# --------------------------------------------------------------------
+QUANT_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         127.0 / list_aggregate(list_transform(v, x -> abs(x)), 'max')
+           AS scale
+  FROM e
+  WHERE list_aggregate(list_transform(v, x -> abs(x)), 'max') > 0
+), q AS (
+  SELECT vec_id, scale,
+         list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT))
+           AS qv
+  FROM s
+)
+SELECT vec_id, scale,
+       CAST(len(qv) AS INTEGER) AS n_dims,
+       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+       CAST(list_aggregate(qv, 'min') AS BIGINT) AS q_min,
+       CAST(list_aggregate(qv, 'max') AS BIGINT) AS q_max,
+       CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum')
+            AS BIGINT) AS q_l2
+FROM q
+"""
+
+
+@query("s_int8_quantize", QUANT_ORACLE)
+def s_int8_quantize(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    v = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    t = emb.select("vec_id", v.alias("v"))
+    maxabs = F.array_max(F.expr("transform(v, x -> abs(x))"))
+    t = t.where(maxabs > 0).withColumn(
+        "scale", F.lit(127.0) / maxabs
+    )
+    t = t.withColumn(
+        "qv",
+        F.expr("transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT))"),
+    )
+    return t.select(
+        "vec_id",
+        "scale",
+        F.size("qv").alias("n_dims"),
+        F.expr("aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + x)").alias(
+            "q_sum"
+        ),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+        F.expr(
+            "aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + x * x)"
+        ).alias("q_l2"),
+    )

@@ -217,3 +217,29 @@ def test_repetition_signals_semantics(spark):
     }
     assert out[1]["d"] == 0.9 and out[1]["tb"] == 1.0
     assert out[2]["d"] == 0.0 and out[2]["tb"] == 1.0 / 9.0
+
+
+def test_int8_quantize_oracle(spark, oracle_con):
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, oracle_con, "s_int8_quantize")
+
+
+def test_int8_quantize_codes_in_range(spark):
+    """Symmetric max-abs scaling must land every code in [-127, 127]
+    and hit ±127 for the max-magnitude dimension."""
+    from historical_obs_platform_spark import registry
+    from pyspark.sql import functions as F
+    from .conftest import SF_DIR
+
+    out = registry.QUERIES["s_int8_quantize"](spark, SF_DIR)
+    bad = out.where(
+        (F.col("q_min") < -127) | (F.col("q_max") > 127)
+    ).count()
+    assert bad == 0
+    # every vector's largest |code| is exactly 127 (the scale is
+    # defined by the max-abs dimension; floor(127.0 + 0.5) = 127)
+    hit = out.where(
+        (F.col("q_max") == 127) | (F.col("q_min") == -127)
+    ).count()
+    assert hit == out.count()
