@@ -114,9 +114,32 @@ def lsh_buckets(
     return out
 
 
-def lsh_candidate_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
+def lsh_candidate_pairs(
+    buckets: DataFrame,
+    id_col: str,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing any LSH bucket —
-    the self-join is on (band, bucket), so only collisions pair up."""
+    the self-join is on (band, bucket), so only collisions pair up.
+
+    ``max_bucket_size`` is the skew guard for real corpora: a
+    degenerate bucket of B docs emits B²/2 pairs (boilerplate or
+    near-empty documents routinely produce buckets of millions), so
+    production near-dup pipelines drop buckets above a cap before
+    pairing — the standard recall trade (any pair inside a dropped
+    mega-bucket is usually also caught by one of the other bands).
+    None (the default) keeps every bucket, which is what the
+    driver-facing queries use so their oracles stay closed-form.
+    """
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__sz")
+        )
+        buckets = (
+            buckets.join(sizes, ["band", "bucket"])
+            .where(F.col("__sz") <= max_bucket_size)
+            .drop("__sz")
+        )
     a = buckets.select(
         F.col("band"), F.col("bucket"), F.col(id_col).alias("a")
     )

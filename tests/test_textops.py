@@ -243,3 +243,24 @@ def test_int8_quantize_codes_in_range(spark):
         (F.col("q_max") == 127) | (F.col("q_min") == -127)
     ).count()
     assert hit == out.count()
+
+
+def test_lsh_mega_bucket_guard(spark):
+    """Buckets above max_bucket_size are dropped before pairing."""
+    from historical_obs_platform_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    rows = [(i, 0, "mega") for i in range(10)] + [
+        (100, 0, "small"),
+        (101, 0, "small"),
+    ]
+    buckets = spark.createDataFrame(
+        rows, "doc_id long, band int, bucket string"
+    )
+    capped = lsh_candidate_pairs(buckets, "doc_id", max_bucket_size=5)
+    assert sorted(
+        (r["a"], r["b"]) for r in capped.collect()
+    ) == [(100, 101)]
+    uncapped = lsh_candidate_pairs(buckets, "doc_id")
+    assert uncapped.count() == 45 + 1
