@@ -44,3 +44,28 @@ def upsert(
         .where(F.col("__rn") == 1)
         .drop("__rn", version_col)
     )
+
+
+def merge_changeset(
+    existing: DataFrame,
+    changes: DataFrame,
+    keys=("station", "time"),
+    op_col: str = "op",
+) -> DataFrame:
+    """Full MERGE semantics over a changeset carrying an op marker
+    (``upsert`` | ``delete``): matched keys are replaced or removed,
+    unmatched upserts insert. Delta/Iceberg equivalent:
+    MERGE INTO ... WHEN MATCHED AND op='delete' THEN DELETE
+    WHEN MATCHED THEN UPDATE WHEN NOT MATCHED AND op='upsert' THEN
+    INSERT.
+
+    Plan shape: one equi-join (anti) on the key — broadcast when the
+    changeset is small, shuffle otherwise (AQE's call) — plus a
+    union; nothing rescans the base twice.
+    """
+    keys = list(keys)
+    upserts = changes.where(F.col(op_col) == "upsert").drop(op_col)
+    untouched = existing.join(
+        changes.select(*keys).distinct(), keys, "left_anti"
+    )
+    return untouched.unionByName(upserts)

@@ -189,3 +189,61 @@ def o9_cascade_rollup(spark, sf_dir):
             "avg_value"
         ),
     )
+
+
+# --------------------------------------------------------------------
+# O11: full MERGE (upsert + delete changeset) against a snapshot —
+# the transactional-table write path (Delta/Iceberg MERGE INTO)
+# expressed as one anti-join + union. Changeset derived
+# deterministically from the snapshot itself: %10==3 deletes,
+# %10==7 updates (price bump), %97==0 inserts under shifted keys.
+# --------------------------------------------------------------------
+O11_ORACLE = """
+WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+chg AS (
+  SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice,
+         'delete' AS op
+  FROM orders WHERE o_orderkey % 10 = 3
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 1.0, 'upsert'
+  FROM orders WHERE o_orderkey % 10 = 7
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice, 'upsert'
+  FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT b.o_orderkey, b.o_totalprice FROM base b
+WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM chg)
+UNION ALL
+SELECT o_orderkey, o_totalprice FROM chg WHERE op = 'upsert'
+"""
+
+
+@query("o11_merge_changeset", O11_ORACLE)
+def o11_merge_changeset(spark, sf_dir):
+    from ..plans.incremental import merge_changeset
+
+    orders = table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice")
+    chg = (
+        orders.where(F.col("o_orderkey") % 10 == 3)
+        .select(
+            "o_orderkey",
+            F.lit(None).cast("double").alias("o_totalprice"),
+            F.lit("delete").alias("op"),
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 10 == 7).select(
+                "o_orderkey",
+                (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+                F.lit("upsert").alias("op"),
+            )
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 97 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                "o_totalprice",
+                F.lit("upsert").alias("op"),
+            )
+        )
+    )
+    return merge_changeset(base, chg, keys=("o_orderkey",))

@@ -109,3 +109,29 @@ def test_cascade_equals_direct(spark):
     )
     assert got.exceptAll(direct).count() == 0
     assert direct.exceptAll(got).count() == 0
+
+
+def test_merge_changeset_oracle(spark, oracle_con):
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, oracle_con, "o11_merge_changeset")
+
+
+def test_merge_changeset_semantics(spark):
+    from historical_obs_platform_spark.plans.incremental import (
+        merge_changeset,
+    )
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    chg = spark.createDataFrame(
+        [(2, "B", "upsert"), (3, None, "delete"), (4, "d", "upsert")],
+        "k long, v string, op string",
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in merge_changeset(base, chg, keys=("k",)).collect()
+    }
+    assert got == {1: "a", 2: "B", 4: "d"}
