@@ -209,3 +209,59 @@ def station_region_gate_wkt(
     return checked.where(
         ~F.coalesce(F.col("in_region"), F.lit(False))
     ).select(station_col, F.lit("outside_region").alias("reject_reason"))
+
+
+def radius_join(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    radius: float,
+) -> DataFrame:
+    """All point pairs within planar ``radius`` — grid-cell bucketed,
+    never all-pairs.
+
+    Each point hashes to cell (floor(x/r), floor(y/r)); the right
+    side additionally explodes into its 3x3 cell neighborhood, so any
+    pair within r shares exactly one (left-home, right-neighbor) cell
+    and the join is a plain equi-join on the cell key. The exact
+    squared-distance predicate then trims corner candidates. Output:
+    (a, b, dist_sq) with a < b, each pair exactly once — no distinct
+    needed, because a given orientation matches on precisely one
+    cell. Cost is sum of per-cell products (9x the home-cell
+    density), not n² — the standard spatial-join decomposition for
+    cluster-scale nearest-neighbor workloads.
+    """
+    r = float(radius)
+    cell = lambda c: F.floor(F.col(c) / F.lit(r)).cast("long")  # noqa: E731
+    left = points.select(
+        F.col(id_col).alias("a"),
+        F.col(x_col).alias("ax"),
+        F.col(y_col).alias("ay"),
+        cell(x_col).alias("cx"),
+        cell(y_col).alias("cy"),
+    )
+    off = F.expr("explode(flatten(transform(sequence(-1, 1), "
+                 "dx -> transform(sequence(-1, 1), "
+                 "dy -> struct(dx, dy)))))")
+    right = points.select(
+        F.col(id_col).alias("b"),
+        F.col(x_col).alias("bx"),
+        F.col(y_col).alias("by"),
+        cell(x_col).alias("bcx"),
+        cell(y_col).alias("bcy"),
+        off.alias("__o"),
+    ).select(
+        "b", "bx", "by",
+        (F.col("bcx") + F.col("__o.dx")).alias("cx"),
+        (F.col("bcy") + F.col("__o.dy")).alias("cy"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    return (
+        left.join(right, ["cx", "cy"])
+        .where(F.col("a") < F.col("b"))
+        .where(d2 <= F.lit(r * r))
+        .select("a", "b", d2.alias("dist_sq"))
+    )

@@ -247,3 +247,44 @@ def o11_merge_changeset(spark, sf_dir):
         )
     )
     return merge_changeset(base, chg, keys=("o_orderkey",))
+
+
+# --------------------------------------------------------------------
+# J12: radius (distance) self-join via grid-cell bucketing — the
+# spatial analog of the LSH candidate decomposition: cell equi-join
+# + exact predicate, never an n² cross product. Oracle: DuckDB's
+# IE-join on the bounding-box predicate + the same exact squared
+# distance.
+# --------------------------------------------------------------------
+_J12_R = 1.25
+J12_ORACLE = f"""
+WITH pt AS (
+  SELECT c_custkey AS id,
+         -- CAST: DuckDB parses bare 0.37 as DECIMAL; Spark uses
+         -- DOUBLE — force identical IEEE arithmetic on both sides
+         (c_custkey % 100) * CAST(0.37 AS DOUBLE) AS x,
+         (c_custkey % 83) * CAST(0.53 AS DOUBLE) AS y
+  FROM customer WHERE c_custkey % 5 = 0
+)
+SELECT p.id AS a, q.id AS b,
+       (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) AS dist_sq
+FROM pt p JOIN pt q
+  ON p.id < q.id
+ AND q.x BETWEEN p.x - {_J12_R} AND p.x + {_J12_R}
+ AND q.y BETWEEN p.y - {_J12_R} AND p.y + {_J12_R}
+WHERE (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
+      <= {_J12_R * _J12_R}
+"""
+
+
+@query("j12_radius_join", J12_ORACLE)
+def j12_radius_join(spark, sf_dir):
+    from ..operators.geo import radius_join
+
+    cust = table(spark, sf_dir, "customer")
+    pts = cust.where(F.col("c_custkey") % 5 == 0).select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") % 100) * 0.37).alias("x"),
+        ((F.col("c_custkey") % 83) * 0.53).alias("y"),
+    )
+    return radius_join(pts, "id", "x", "y", _J12_R)

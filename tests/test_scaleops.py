@@ -135,3 +135,40 @@ def test_merge_changeset_semantics(spark):
         for r in merge_changeset(base, chg, keys=("k",)).collect()
     }
     assert got == {1: "a", 2: "B", 4: "d"}
+
+
+def test_radius_join_oracle(spark, oracle_con):
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, oracle_con, "j12_radius_join")
+
+
+def test_radius_join_no_cartesian(spark):
+    from historical_obs_platform_spark import registry
+    from .conftest import SF_DIR
+
+    plan = (
+        registry.QUERIES["j12_radius_join"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_radius_join_boundary_cells(spark):
+    """Pairs straddling cell boundaries are found exactly once."""
+    from historical_obs_platform_spark.operators.geo import radius_join
+
+    pts = spark.createDataFrame(
+        [
+            (1, 0.49, 0.0),   # cell (0,0)
+            (2, 0.51, 0.0),   # cell (1,0) — 0.02 apart across an edge
+            (3, 5.0, 5.0),    # far away
+        ],
+        "id long, x double, y double",
+    )
+    got = radius_join(pts, "id", "x", "y", 0.5).collect()
+    assert len(got) == 1
+    assert (got[0]["a"], got[0]["b"]) == (1, 2)
