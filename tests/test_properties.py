@@ -115,3 +115,116 @@ def test_exact_dedup_properties(spark, docs):
         spark.createDataFrame(out[["doc_id", "text"]]), "doc_id", "text"
     ).toPandas()
     assert sorted(again["doc_id"]) == sorted(out["doc_id"])
+
+
+# ------------------------------------------------------- round-2 ops
+points = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),  # id (dedup below)
+        st.integers(min_value=-20, max_value=20),  # x * 0.25
+        st.integers(min_value=-20, max_value=20),  # y * 0.25
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(points)
+@settings(**SETTINGS)
+def test_radius_join_matches_bruteforce(spark, rows):
+    from historical_obs_platform_spark.operators.geo import radius_join
+
+    pdf = pd.DataFrame(rows, columns=["id", "xi", "yi"]).drop_duplicates(
+        "id"
+    )
+    pdf["x"] = pdf["xi"] * 0.25
+    pdf["y"] = pdf["yi"] * 0.25
+    df = spark.createDataFrame(pdf[["id", "x", "y"]])
+    r = 0.6
+    got = {
+        (row["a"], row["b"])
+        for row in radius_join(df, "id", "x", "y", r).collect()
+    }
+    want = set()
+    recs = pdf.to_dict("records")
+    for i, p in enumerate(recs):
+        for q in recs[i + 1 :]:
+            a, b = sorted((p["id"], q["id"]))
+            if (p["x"] - q["x"]) ** 2 + (p["y"] - q["y"]) ** 2 <= r * r:
+                want.add((a, b))
+    assert got == want
+
+
+keysets = st.tuples(
+    st.sets(st.integers(min_value=0, max_value=500), min_size=1, max_size=30),
+    st.sets(st.integers(min_value=0, max_value=500), min_size=1, max_size=60),
+)
+
+
+@given(keysets)
+@settings(**SETTINGS)
+def test_bloom_never_false_negative(spark, ks):
+    from historical_obs_platform_spark.operators.sketches import (
+        bloom_build,
+        bloom_member,
+    )
+
+    dim_keys, probe_keys = ks
+    dim = spark.createDataFrame([(k,) for k in dim_keys], "k long")
+    probe = spark.createDataFrame([(k,) for k in probe_keys], "k long")
+    bloom = bloom_build(dim, "k")
+    passed = {
+        r["k"]
+        for r in probe.crossJoin(F.broadcast(bloom))
+        .where(bloom_member("k"))
+        .collect()
+    }
+    # every true member must pass (bloom filters have no false negatives)
+    assert (dim_keys & probe_keys) <= passed
+
+
+changesets = st.tuples(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=20),
+        st.integers(min_value=0, max_value=9),
+        min_size=1,
+        max_size=15,
+    ),
+    st.dictionaries(
+        st.integers(min_value=0, max_value=25),
+        st.tuples(st.integers(min_value=10, max_value=19), st.booleans()),
+        min_size=1,
+        max_size=15,
+    ),
+)
+
+
+@given(changesets)
+@settings(**SETTINGS)
+def test_merge_changeset_matches_dict_semantics(spark, data):
+    from historical_obs_platform_spark.plans.incremental import (
+        merge_changeset,
+    )
+
+    base, chg = data
+    base_df = spark.createDataFrame(
+        [(k, v) for k, v in base.items()], "k long, v long"
+    )
+    chg_df = spark.createDataFrame(
+        [
+            (k, v, "upsert" if up else "delete")
+            for k, (v, up) in chg.items()
+        ],
+        "k long, v long, op string",
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in merge_changeset(base_df, chg_df, keys=("k",)).collect()
+    }
+    want = dict(base)
+    for k, (v, up) in chg.items():
+        if up:
+            want[k] = v
+        else:
+            want.pop(k, None)
+    assert got == want
