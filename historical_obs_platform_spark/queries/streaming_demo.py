@@ -357,3 +357,85 @@ def st_deaccumulate_stream(spark, sf_dir):
     finally:
         q.stop()
     return spark.table("st_deacc")
+
+
+# Streaming report maintenance: the flag-rates table kept current as
+# observations arrive — stateless rule flags (world-record tas gate,
+# calm-wind inconsistency) feed a running per-station aggregate in
+# complete mode; counts are order-free, so the finite stream's state
+# equals the batch report exactly. The 100 TB shape: the same running
+# aggregate updates per micro-batch instead of re-folding the corpus
+# per report build (the reference rebuilds its rates tables from all
+# per-station CSVs every time, ~37 min single-process; BASELINE.md).
+ST_RATES_ORACLE = """
+WITH o AS (
+  SELECT CAST(user_id AS VARCHAR) AS station,
+         200.0 + value / 2 AS tas,
+         CAST(CAST(floor(value) AS BIGINT) % 25 AS DOUBLE) AS wind,
+         CAST(CAST(floor(value * 7) AS BIGINT) % 361 AS DOUBLE) AS dir
+  FROM events
+), f AS (
+  SELECT station,
+         CASE WHEN tas < 210.15 OR tas > 329.92 THEN 1 ELSE 0 END AS tf,
+         CASE WHEN (wind = 0 AND dir <> 0) OR (wind <> 0 AND dir = 0)
+              THEN 1 ELSE 0 END AS df
+  FROM o
+), agg AS (
+  SELECT station, CAST(count(*) AS BIGINT) AS total_obs_count,
+         CAST(sum(tf) AS BIGINT) AS n_tas,
+         CAST(sum(df) AS BIGINT) AS n_dir
+  FROM f GROUP BY station
+)
+SELECT station, 'tas' AS variable,
+       CAST(n_tas AS DOUBLE) / total_obs_count AS flag_rate,
+       total_obs_count FROM agg
+UNION ALL
+SELECT station, 'sfcWind_dir',
+       CAST(n_dir AS DOUBLE) / total_obs_count,
+       total_obs_count FROM agg
+"""
+
+
+@query("st_flag_rates_stream", ST_RATES_ORACLE)
+@_with_stream_shuffle
+def st_flag_rates_stream(spark, sf_dir):
+    tune(spark)
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
+    tas = F.lit(200.0) + F.col("value") / 2
+    wind = (F.floor(F.col("value")) % 25).cast("double")
+    direc = (F.floor(F.col("value") * 7) % 361).cast("double")
+    flags = src.select(
+        F.col("user_id").cast("string").alias("station"),
+        F.when((tas < 210.15) | (tas > 329.92), 1).otherwise(0).alias("tf"),
+        F.when(
+            ((wind == 0) & (direc != 0)) | ((wind != 0) & (direc == 0)), 1
+        ).otherwise(0).alias("df"),
+    )
+    agg = flags.groupBy("station").agg(
+        F.count(F.lit(1)).alias("total_obs_count"),
+        F.sum("tf").alias("n_tas"),
+        F.sum("df").alias("n_dir"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("st_flag_rates")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    snap = spark.table("st_flag_rates")
+    return snap.selectExpr(
+        "station",
+        "stack(2, 'tas', n_tas, 'sfcWind_dir', n_dir) AS (variable, n)",
+        "total_obs_count",
+    ).select(
+        "station",
+        "variable",
+        (F.col("n") / F.col("total_obs_count")).alias("flag_rate"),
+        "total_obs_count",
+    )
