@@ -68,6 +68,13 @@ def get_spark(app_name: str = "historical_obs_platform_spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # ContextCleaner only reclaims dropped RDD/broadcast/checkpoint
+        # blocks after a JVM GC; the default periodic GC (30 min)
+        # outlives a whole bench/sweep session, so blocks from
+        # finished queries pile up and later queries slow down
+        # (measured ~1.4x drift across repeated chain runs). A short
+        # interval keeps the block manager near steady-state.
+        .config("spark.cleaner.periodicGC.interval", "45s")
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)
