@@ -928,3 +928,60 @@ def s_int8_quantize(spark, sf_dir):
             "aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + x * x)"
         ).alias("q_l2"),
     )
+
+
+# --------------------------------------------------------------------
+# Character-entropy quality signal — low-entropy documents (repeated
+# chars, boilerplate padding) are a standard pre-training filter cue.
+# Computed in-row like the repetition signals: sort the char array,
+# fold runs into -sum(p*log2(p)) with one aggregate expression — no
+# explode, no shuffle. Entropy is transcendental, so BOTH engines
+# round to 6 dp (libm log may differ in the last ulp across engines).
+# --------------------------------------------------------------------
+ENTROPY_ORACLE = f"""
+WITH ch AS (
+  SELECT doc_id, string_split({NORM}, '') AS cs FROM documents
+), cnt AS (
+  SELECT doc_id, c, count(*) AS n
+  FROM ch, unnest(cs) AS u(c) GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, CAST(sum(n) AS DOUBLE) AS t FROM cnt GROUP BY 1
+)
+SELECT cnt.doc_id,
+       CAST(tot.t AS BIGINT) AS n_chars,
+       round(-sum((n / tot.t) * log2(n / tot.t)), 6) AS char_entropy
+FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+GROUP BY cnt.doc_id, tot.t
+"""
+
+# fold over the sorted char array: close out a run when the char
+# changes, accumulating n*ln(n); entropy = ln(t)/ln2 - acc/(t*ln2)
+# (algebraic form of -sum(p*log2 p) that needs only run lengths)
+_ENTROPY_EXPR = """
+aggregate(
+  array_sort(split(%s, '')),
+  struct(CAST('' AS STRING) AS prev, CAST(0 AS DOUBLE) AS run,
+         CAST(0.0 AS DOUBLE) AS acc),
+  (st, c) -> IF(c = st.prev,
+     struct(st.prev AS prev, st.run + 1.0 AS run, st.acc AS acc),
+     struct(c AS prev, CAST(1.0 AS DOUBLE) AS run,
+            st.acc + IF(st.run > 0, st.run * ln(st.run), 0.0) AS acc)),
+  st -> st.acc + IF(st.run > 0, st.run * ln(st.run), 0.0))
+"""
+
+
+@query("t_char_entropy", ENTROPY_ORACLE)
+def t_char_entropy(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    norm_sql = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+    t = docs.select(
+        "doc_id",
+        F.length(F.expr(norm_sql)).cast("long").alias("n_chars"),
+        F.expr(_ENTROPY_EXPR % norm_sql).alias("__acc"),
+    ).where(F.col("n_chars") >= 1)
+    tt = F.col("n_chars").cast("double")
+    ln2 = 0.6931471805599453
+    entropy = (F.log(tt) - F.col("__acc") / tt) / F.lit(ln2)
+    return t.select(
+        "doc_id", "n_chars", F.round(entropy, 6).alias("char_entropy")
+    )

@@ -264,3 +264,39 @@ def test_lsh_mega_bucket_guard(spark):
     ) == [(100, 101)]
     uncapped = lsh_candidate_pairs(buckets, "doc_id")
     assert uncapped.count() == 45 + 1
+
+
+def test_char_entropy_oracle(spark, oracle_con):
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, oracle_con, "t_char_entropy")
+
+
+def test_char_entropy_extremes(spark):
+    """Uniform chars -> 0 bits; k distinct equal-count chars -> log2 k."""
+    from historical_obs_platform_spark import registry
+    import historical_obs_platform_spark.queries.textops as T
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "aaaaaaaa"), (2, "abababab"), (3, "abcdabcd")],
+        "doc_id long, text string",
+    )
+    norm = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+    t = df.select(
+        "doc_id",
+        F.length(F.expr(norm)).cast("double").alias("t"),
+        F.expr(T._ENTROPY_EXPR % norm).alias("acc"),
+    )
+    import math
+
+    ln2 = math.log(2.0)
+    out = {
+        r["doc_id"]: round(
+            (math.log(r["t"]) - r["acc"] / r["t"]) / ln2, 9
+        )
+        for r in t.collect()
+    }
+    assert out[1] == 0.0
+    assert out[2] == 1.0
+    assert out[3] == 2.0
