@@ -160,10 +160,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="clean a raw CSV prefix with a network's quirk table",
     )
     n.add_argument("--input", required=True)
+    from .sources.networks import NETWORKS
+
     n.add_argument(
         "--network",
         required=True,
-        help="CIMIS | SCANSNOTEL | CW3E | MARITIME | VALLEYWATER | MADIS",
+        choices=sorted(NETWORKS),
     )
     n.add_argument("--output", required=True)
     n.set_defaults(fn=cmd_clean_network)

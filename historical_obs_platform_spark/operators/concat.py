@@ -221,17 +221,23 @@ def metadata_backfill(
     backfill = [c for c in (backfill or []) if c in metadata.columns]
     carry = [c for c in (carry or meta_cols) if c in metadata.columns]
 
-    best = metadata
-    if rank_col is not None:
-        order = [F.asc(rank_col)] + [
-            F.asc(c) for c in meta_cols if c != rank_col
-        ]
-        w = Window.partitionBy(station_col).orderBy(*order)
-        best = (
-            metadata.withColumn("__rk", F.row_number().over(w))
-            .where(F.col("__rk") == 1)
-            .drop("__rk")
-        )
+    # ALWAYS reduce to one record per station — a multi-record
+    # metadata table (the documented HOMR shape) would otherwise
+    # fan out the observation join and duplicate obs rows. With no
+    # rank_col the pick is still deterministic (ordered on every
+    # metadata column); a null preference rank never beats a ranked
+    # record (nulls last, matching SQL engines' ASC default).
+    order = (
+        [F.asc_nulls_last(rank_col)] if rank_col is not None else []
+    ) + [
+        F.asc_nulls_last(c) for c in meta_cols if c != rank_col
+    ]
+    w = Window.partitionBy(station_col).orderBy(*order)
+    best = (
+        metadata.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .drop("__rk")
+    )
     keep = list(dict.fromkeys(backfill + carry))
     best = best.select(
         station_col, *[F.col(c).alias(f"__m_{c}") for c in keep]

@@ -64,8 +64,12 @@ def merge_changeset(
     union; nothing rescans the base twice.
     """
     keys = list(keys)
-    upserts = changes.where(F.col(op_col) == "upsert").drop(op_col)
+    # only recognized ops participate: an unknown op value (typo,
+    # wrong case) must not anti-join its key out of the base — that
+    # would silently DELETE the row instead of rejecting the change
+    recognized = changes.where(F.col(op_col).isin("upsert", "delete"))
+    upserts = recognized.where(F.col(op_col) == "upsert").drop(op_col)
     untouched = existing.join(
-        changes.select(*keys).distinct(), keys, "left_anti"
+        recognized.select(*keys).distinct(), keys, "left_anti"
     )
     return untouched.unionByName(upserts)

@@ -192,7 +192,7 @@ _CHAIN_SHARED: dict[tuple, object] = {}
 
 
 def _chain_flagged(spark, sf_dir):
-    key = (id(spark._jsparkSession), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _CHAIN_SHARED:
         ev = table(spark, sf_dir, "events")
         obs = ev.select(
@@ -488,7 +488,7 @@ _LOGIC_SHARED: dict[tuple, object] = {}
 
 
 def _logic_hourly(spark, sf_dir):
-    key = (id(spark._jsparkSession), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _LOGIC_SHARED:
         _LOGIC_SHARED[key] = _build_logic_hourly(
             spark, sf_dir

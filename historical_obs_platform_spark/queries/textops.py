@@ -248,7 +248,10 @@ _LSH_SHARED: dict[tuple, tuple] = {}
 
 
 def _lsh_shared(spark, sf_dir):
-    key = (id(spark._jsparkSession), sf_dir)
+    # applicationId is stable for a context's lifetime and never
+    # reused by a successor in-process (id() of the py4j wrapper can
+    # be — CPython reuses addresses after GC)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _LSH_SHARED:
         corpus = _near_corpus_spark(spark, sf_dir)
         shingles = DD.word_shingles(

@@ -54,7 +54,12 @@ def read_csv_obs(
         if schema
         else reader.csv(path)  # inference acceptable for ad-hoc use
     )
-    for old, new in (renames or DEFAULT_RENAMES).items():
+    # `renames={}` means "no renames"; only None falls back to the
+    # MADIS defaults (an empty dict is falsy — `or` would silently
+    # re-enable the default map for non-MADIS networks)
+    if renames is None:
+        renames = DEFAULT_RENAMES
+    for old, new in renames.items():
         if old in df.columns:
             df = df.withColumnRenamed(old, new)
     ts = (

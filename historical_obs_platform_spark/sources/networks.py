@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..functions import kernels as K
 
-V1_PERIOD = ("1980-01-01", "2022-09-01")
+from .csv_obs import V1_PERIOD  # single definition of the v1 window
 
 # Conversion registry: spec entries name the conversion, the column
 # expression comes from the shared kernel (same constants as the
@@ -231,10 +231,10 @@ def clean_network(
             + F.make_interval(hours=F.lit(spec.utc_offset_hours)),
         )
     if spec.period:
+        # inclusive start, EXCLUSIVE end — as documented on the spec
+        # field (between() would keep the end-boundary instant)
         df = df.where(
-            F.col(time_col).between(
-                F.lit(spec.period[0]).cast("timestamp"),
-                F.lit(spec.period[1]).cast("timestamp"),
-            )
+            (F.col(time_col) >= F.lit(spec.period[0]).cast("timestamp"))
+            & (F.col(time_col) < F.lit(spec.period[1]).cast("timestamp"))
         )
     return df

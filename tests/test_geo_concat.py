@@ -226,3 +226,60 @@ def test_metadata_backfill_prefers_observed_values(spark):
     }
     assert got["s1"] == (1.0, 80.0, "main")  # observed lat kept
     assert got["s2"] == (7.0, 70.0, "only")
+
+
+def test_metadata_backfill_multirecord_no_fanout(spark):
+    """A multi-record metadata table must not duplicate obs rows,
+    even with no rank column; a null rank never beats a ranked one."""
+    from historical_obs_platform_spark.operators.concat import (
+        metadata_backfill,
+    )
+
+    obs = spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("B", 3.0)], "station string, v double"
+    )
+    meta = spark.createDataFrame(
+        [("A", "x", 2), ("A", "y", 1), ("A", "z", None), ("B", "w", 1)],
+        "station string, name string, pref int",
+    )
+    # default rank_col=None: deterministic, one record per station
+    out = metadata_backfill(obs, meta, carry=["name"])
+    assert out.count() == 3
+    # ranked: min pref wins; the NULL-pref record never does
+    out2 = metadata_backfill(obs, meta, rank_col="pref", carry=["name"])
+    assert out2.count() == 3
+    got = {r["station"]: r["name"] for r in out2.collect()}
+    assert got["A"] == "y"
+
+
+def test_merge_changeset_unknown_op_is_ignored(spark):
+    """An unrecognized op value must not delete the base row."""
+    from historical_obs_platform_spark.plans.incremental import (
+        merge_changeset,
+    )
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    chg = spark.createDataFrame(
+        [(1, "A", "Update"), (2, "B", "upsert")], "k long, v string, op string"
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in merge_changeset(base, chg, keys=("k",)).collect()
+    }
+    assert got == {1: "a", 2: "B"}
+
+
+def test_csv_obs_empty_renames_means_none(spark, tmp_path):
+    """renames={} must disable the MADIS default map entirely."""
+    import csv
+
+    from historical_obs_platform_spark.sources.csv_obs import read_csv_obs
+
+    d = tmp_path / "raw"
+    d.mkdir()
+    with open(d / "f.csv", "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["station", "time", "air_temp_set_1"])
+        w.writerow(["S1", "2014-01-01 00:00:00", "20.0"])
+    out = read_csv_obs(spark, str(d), renames={}, period=None)
+    assert "air_temp_set_1" in out.columns and "tas" not in out.columns
