@@ -493,17 +493,17 @@ def sensor_height_check(
     gates = df.groupBy("station").agg(*aggs)
     out = out.join(F.broadcast(gates), "station", "left")
     for col, _lo, _hi, missing_flag, range_flag, targets in checks:
-        station_flag = F.when(
-            F.col(f"__miss_{col}"), F.lit(float(missing_flag))
-        ).when(
-            ~F.col(f"__within_{col}"), F.lit(float(range_flag))
-        )
         for t in targets:
-            out = out.withColumn(
-                eraqc(t),
-                F.when(
-                    valid_mask(t) & station_flag.isNotNull(), station_flag
-                ).otherwise(F.col(eraqc(t))),
+            # two write_flag compositions: missing-height first, then
+            # out-of-band — the second call's valid_mask sees the
+            # first flag and skips those rows, so missing keeps
+            # precedence (write_flag owns the valid-mask/precedence
+            # semantics in one place)
+            out = write_flag(
+                out, t, F.col(f"__miss_{col}"), missing_flag
+            )
+            out = write_flag(
+                out, t, ~F.col(f"__within_{col}"), range_flag
             )
     return out.drop(
         *[f"__miss_{c}" for c, *_ in checks],

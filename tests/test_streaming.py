@@ -134,3 +134,58 @@ def test_sliding_window_fanout(spark, obs_dir):
     got = spark.table("t_sliding_fan")
     n_events = spark.read.parquet(obs_dir).count()
     assert got.agg(F.sum("n_obs")).first()[0] == 2 * n_events
+
+
+def test_restart_from_checkpoint_exactly_once(spark, tmp_path):
+    """A stopped stream resumed from its checkpointLocation must not
+    re-count rows already committed (exactly-once across restart) and
+    must pick up files that arrived while it was down."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, ids):
+        pdf = pd.DataFrame(
+            {"station": [f"S{i % 3}" for i in ids], "v": [float(i) for i in ids]}
+        )
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+            str(src / name)
+        )
+
+    write_batch("b0.parquet", range(100))
+    schema = spark.read.parquet(str(src / "b0.parquet")).schema
+    counts = (
+        spark.readStream.schema(schema)
+        .parquet(str(src / "*.parquet"))
+        .groupBy("station")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def run_until_drained(qname):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {
+            r["station"]: r["n"] for r in spark.table(qname).collect()
+        }
+
+    first = run_until_drained("ckpt_run1")
+    assert sum(first.values()) == 100
+
+    # new data lands while the stream is DOWN
+    write_batch("b1.parquet", range(100, 160))
+    second = run_until_drained("ckpt_run2")
+    # restart resumes from the committed offset: 160 total, not 260
+    assert sum(second.values()) == 160
+    assert second["S0"] + second["S1"] + second["S2"] == 160
