@@ -379,26 +379,44 @@ def bloom_pos_sql(key_sql: str, i: int) -> str:
     return f"({nib(1)} * 256 + {nib(2)} * 16 + {nib(3)})"
 
 
-def bloom_build(df: DataFrame, key_sql: str, k: int = BLOOM_K) -> DataFrame:
-    """One-row frame holding the sorted set-bit array for the side's
-    keys — a partial-aggregate (explode + collect_set) that
-    broadcast-attaches to any probe side."""
+def bloom_build(df: DataFrame, key_sql: str, k: int = BLOOM_K,
+                n_bits: int = BLOOM_BITS) -> DataFrame:
+    """One-row frame holding the bit-set for the side's keys — a
+    partial-aggregate (explode + collect_set) that broadcast-attaches
+    to any probe side.
+
+    The set is densified into an array<boolean> of length ``n_bits``
+    on the (one-row) build side: the probe then tests membership with
+    ``element_at`` — O(1) per hash — instead of scanning a sorted
+    position list with ``array_contains`` (O(n_bits) per row per
+    hash, which dominated the probe at 600 k rows × 3 hashes × 4096
+    slots). Densifying costs n_bits × |set| comparisons ONCE, on one
+    row."""
     positions = F.array(
         *[F.expr(bloom_pos_sql(key_sql, i)) for i in range(k)]
     )
-    return (
+    sparse = (
         df.select(F.explode(positions).alias("__p"))
-        .agg(F.array_sort(F.collect_set("__p")).alias("bloom_bits"))
+        .agg(F.array_sort(F.collect_set("__p")).alias("__pos"))
+    )
+    return sparse.select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bits - 1)),
+            lambda i: F.array_contains(F.col("__pos"), i),
+        ).alias("bloom_bits")
     )
 
 
 def bloom_member(key_sql: str, bits_col: str = "bloom_bits",
                  k: int = BLOOM_K):
-    """Probe predicate: TRUE iff every hash position is set."""
+    """Probe predicate: TRUE iff every hash position is set.
+
+    ``element_at`` (1-based) into the dense bitmap — constant-time
+    per hash, stays in whole-stage codegen."""
     cond = None
     for i in range(k):
-        c = F.array_contains(
-            F.col(bits_col), F.expr(bloom_pos_sql(key_sql, i))
+        c = F.element_at(
+            F.col(bits_col), F.expr(bloom_pos_sql(key_sql, i)) + 1
         )
         cond = c if cond is None else cond & c
     return cond
