@@ -1,0 +1,270 @@
+"""Second batch of beyond-reference curation/maintenance queries:
+forward-fill gap repair, MAD robust outliers, inverse-frequency
+rarity scoring, and small-file compaction planning.
+
+Same determinism contract as queries/datasetops.py: integer/decimal
+exact where possible, interpolated percentiles rounded on both sides,
+expression text portable between Spark SQL and DuckDB.
+
+Scale shapes:
+
+- Forward-fill is one window pass partitioned by station (the
+  reference's per-station pandas ``ffill`` re-expressed as
+  ``last(ignorenulls)`` — no driver loop, no shuffle beyond the
+  window's).
+- MAD is two grouped percentile passes + broadcast joins of the tiny
+  per-group stats (groups = event types).
+- Rarity joins each token against the corpus vocabulary; the vocab
+  fits broadcast at bench scale — at 100 TB swap the broadcast for a
+  shuffle join or the CMS estimate (operators/sketches.py).
+- Compaction planning runs over the per-file MANIFEST (one row per
+  file/day), not the data — the single-partition cumulative sum is
+  over thousands of rows however big the table is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions import textfns as TX
+from ..registry import query
+from .common import dec, table
+
+# ------------------------------------------------------------ forward fill
+# Reference analog: per-station pandas interpolation/infill during
+# hourly standardization (MERGE_pipeline hourly grid). This is the
+# generic LOCF (last-observation-carried-forward) repair as one
+# window expression. Nulls are injected deterministically from the
+# value itself so the fill logic is exercised on every run.
+
+_FF_NULL = "floor(value * 3) % 5 = 0"  # ~20% of rows -> NULL
+
+_FF_ORACLE = f"""
+WITH obs AS (
+  SELECT cast(user_id as string) AS station, ts AS time, event_id,
+         CASE WHEN {_FF_NULL} THEN NULL
+              ELSE CAST(value AS DECIMAL(18,2)) END AS v
+  FROM events)
+SELECT station, time, event_id,
+       CAST(v AS DOUBLE) AS v_raw,
+       CAST(last_value(v IGNORE NULLS) OVER (
+              PARTITION BY station ORDER BY time, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS v_ff,
+       CAST(v IS NULL AND last_value(v IGNORE NULLS) OVER (
+              PARTITION BY station ORDER BY time, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            IS NOT NULL AS BOOLEAN) AS was_filled
+FROM obs
+"""
+
+
+@query("w14_forward_fill", _FF_ORACLE)
+def w14_forward_fill(spark, sf_dir):
+    """Per-station LOCF gap fill: one window pass, shuffle only on
+    the station partitioning — the distributed form of pandas
+    ``groupby(station).ffill()``."""
+    ev = table(spark, sf_dir, "events")
+    obs = ev.select(
+        F.col("user_id").cast("string").alias("station"),
+        F.col("ts").alias("time"),
+        "event_id",
+        F.when(F.expr(_FF_NULL), F.lit(None)).otherwise(
+            dec("value")
+        ).alias("v"),
+    )
+    w = (
+        Window.partitionBy("station")
+        .orderBy("time", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ff = F.last("v", ignorenulls=True).over(w)
+    return obs.select(
+        "station",
+        "time",
+        "event_id",
+        F.col("v").cast("double").alias("v_raw"),
+        ff.cast("double").alias("v_ff"),
+        (F.col("v").isNull() & ff.isNotNull()).alias("was_filled"),
+    )
+
+
+# ------------------------------------------------------------ MAD outliers
+# Robust per-group outlier detection: median absolute deviation,
+# immune to the outliers it hunts (the reference's distribution gap
+# checks chase the same goal with Gaussian fits — A7/F22). Medians
+# are interpolated (not exactly representable), so both engines round
+# them to 6 decimals BEFORE the deviation pass; all comparisons then
+# operate on identical doubles.
+
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type,
+         round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS med
+  FROM events GROUP BY event_type),
+mad AS (
+  SELECT e.event_type,
+         round(quantile_cont(abs(CAST(e.value AS DOUBLE) - m.med),
+                             0.5), 6) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       any_value(m.med) AS med,
+       any_value(d.mad) AS mad,
+       CAST(count(*) FILTER (
+         WHERE abs(CAST(e.value AS DOUBLE) - m.med) > 3 * d.mad)
+         AS BIGINT) AS n_outliers
+FROM events e
+JOIN med m USING (event_type)
+JOIN mad d USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+@query("a14_mad_outliers", _MAD_ORACLE)
+def a14_mad_outliers(spark, sf_dir):
+    """Median-absolute-deviation outlier counts per event type: two
+    grouped exact-percentile passes, tiny per-group stats broadcast
+    back — the robust companion to the Gaussian-fit checks (A7)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(v, 0.5)"), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(abs(v - med), 0.5)"), 6).alias(
+            "mad"
+        )
+    )
+    both = ev.join(F.broadcast(med), "event_type").join(
+        F.broadcast(mad), "event_type"
+    )
+    return both.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("med").alias("med"),
+        F.first("mad").alias("mad"),
+        F.count_if(
+            F.abs(F.col("v") - F.col("med")) > 3 * F.col("mad")
+        ).cast("long").alias("n_outliers"),
+    )
+
+
+# ------------------------------------------------------------ rarity score
+# Inverse-frequency document scoring — the integer-exact stand-in for
+# unigram surprisal (log-based perplexity is not hash-oracle-able:
+# libm ulp differences across engines). floor(N/c) weights a token by
+# the reciprocal of its corpus frequency; duplicated tokens count
+# every occurrence.
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+_RARITY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+  FROM documents),
+t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+vocab AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+n AS (SELECT count(*) AS n_total FROM t)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CAST(floor(CAST(n.n_total AS DOUBLE) / vocab.c)
+                AS BIGINT)) AS BIGINT) AS rarity
+FROM t
+JOIN vocab USING (tok)
+CROSS JOIN n
+GROUP BY t.doc_id
+"""
+
+
+@query("t_rarity_score", _RARITY_ORACLE)
+def t_rarity_score(spark, sf_dir):
+    """Integer inverse-frequency rarity per document: tokenize once,
+    aggregate the vocabulary, broadcast it back over the token
+    stream. At 100 TB the vocabulary outgrows a broadcast — swap the
+    join for a shuffle join on tok, or score against the CMS sketch
+    (sk_cms_heavy_hitters) for fixed memory."""
+    docs = table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+        )
+        .where(F.col("tok") != "")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_total = toks.agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    scored = toks.join(F.broadcast(vocab), "tok").crossJoin(
+        F.broadcast(n_total)
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(
+            F.floor(
+                F.col("n_total").cast("double") / F.col("c")
+            ).cast("long")
+        ).cast("long").alias("rarity"),
+    )
+
+
+# ------------------------------------------------------- compaction plan
+# Small-file compaction planning — the table-maintenance operation
+# every 100 TB lake needs: pack per-file row counts into target-sized
+# bins by cumulative sum. Runs over the MANIFEST (one row per
+# file/day — here: lineitem days), so the single-partition ordered
+# window is over thousands of rows regardless of data volume; the
+# plan then drives a repartition-and-rewrite of just the chosen bins.
+
+_CP_TARGET = 50_000
+
+_CP_ORACLE = f"""
+WITH files AS (
+  SELECT CAST(l_shipdate AS DATE) AS day, count(*) AS n_rows
+  FROM lineitem GROUP BY 1),
+planned AS (
+  SELECT day, n_rows,
+         CAST(floor(CAST(sum(n_rows) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_rows AS DOUBLE) / {_CP_TARGET}) AS BIGINT) AS bin
+  FROM files)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n_rows) AS BIGINT) AS n_rows,
+       strftime(min(day), '%Y-%m-%d') AS first_day,
+       strftime(max(day), '%Y-%m-%d') AS last_day
+FROM planned
+GROUP BY bin
+"""
+
+
+@query("o12_compaction_plan", _CP_ORACLE)
+def o12_compaction_plan(spark, sf_dir):
+    """Greedy cumulative-sum bin packing of per-day file sizes into
+    ~{target}-row compaction groups; each output bin is one rewrite
+    task."""
+    li = table(spark, sf_dir, "lineitem")
+    files = li.groupBy(
+        F.col("l_shipdate").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    planned = files.withColumn(
+        "bin",
+        F.floor(
+            (F.sum("n_rows").over(w) - F.col("n_rows")).cast("double")
+            / F.lit(_CP_TARGET)
+        ).cast("long"),
+    )
+    return planned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        # ISO strings, not DATE: the two engines surface dates as
+        # different pandas dtypes, which trips the driver comparator
+        F.date_format(F.min("day"), "yyyy-MM-dd").alias("first_day"),
+        F.date_format(F.max("day"), "yyyy-MM-dd").alias("last_day"),
+    )

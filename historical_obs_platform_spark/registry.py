@@ -36,6 +36,7 @@ def load_all() -> None:
     from .queries import (  # noqa: F401
         chain_demo,
         datasetops,
+        datasetops2,
         networks_demo,
         qaqc_demo,
         qaqc_parity,

@@ -1,0 +1,87 @@
+"""Batch-2 curation queries (queries/datasetops2.py) vs the DuckDB
+oracle, plus invariants: LOCF semantics, MAD robustness, rarity
+monotonicity, compaction bin sizing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from historical_obs_platform_spark import registry
+from historical_obs_platform_spark.queries.common import table
+
+registry.load_all()
+
+from .conftest import SF_DIR, assert_matches_oracle
+
+NAMES = [
+    "w14_forward_fill",
+    "a14_mad_outliers",
+    "t_rarity_score",
+    "o12_compaction_plan",
+]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_matches_oracle(spark, oracle_con, name):
+    assert_matches_oracle(spark, oracle_con, name)
+
+
+def test_forward_fill_semantics(spark):
+    """Filled values equal the most recent non-null; leading nulls
+    stay null; non-null rows pass through unchanged."""
+    out = registry.QUERIES["w14_forward_fill"](spark, SF_DIR)
+    assert (
+        out.where(
+            F.col("v_raw").isNotNull()
+            & (F.col("v_ff") != F.col("v_raw"))
+        ).count()
+        == 0
+    )
+    assert (
+        out.where(F.col("was_filled") & F.col("v_ff").isNull()).count()
+        == 0
+    )
+    # at least one row actually got filled at this SF
+    assert out.where("was_filled").count() > 0
+
+
+def test_mad_results_sane(spark):
+    rows = registry.QUERIES["a14_mad_outliers"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["mad"] >= 0
+        assert 0 <= r["n_outliers"] <= r["n"]
+
+
+def test_rarity_rare_tokens_score_higher(spark):
+    """A doc made of rare tokens outscores a doc of common tokens:
+    per-token weight floor(N/c) decreases with corpus frequency, so
+    avg rarity correlates negatively with token commonness. Checked
+    via the corpus itself: max per-token weight >= N / max(c)."""
+    out = registry.QUERIES["t_rarity_score"](spark, SF_DIR)
+    row = out.agg(
+        F.max((F.col("rarity") / F.col("n_tokens"))).alias("mx"),
+        F.min((F.col("rarity") / F.col("n_tokens"))).alias("mn"),
+    ).collect()[0]
+    assert row["mx"] > row["mn"] >= 1  # floor(N/c) >= 1 always
+
+
+def test_compaction_bins_near_target(spark):
+    """Every bin except possibly the last holds >= target rows (the
+    greedy cumsum never closes a bin early) and bins partition the
+    manifest."""
+    from historical_obs_platform_spark.queries.datasetops2 import (
+        _CP_TARGET,
+    )
+
+    rows = registry.QUERIES["o12_compaction_plan"](
+        spark, SF_DIR
+    ).orderBy("bin").collect()
+    li_n = table(spark, SF_DIR, "lineitem").count()
+    assert sum(r["n_rows"] for r in rows) == li_n
+    for r in rows[:-1]:
+        # a bin only closes once the cumulative sum crosses the
+        # target, so all but the final bin reach it (give 1-file
+        # slack: the crossing file lands in the next bin)
+        assert r["n_rows"] + rows[rows.index(r) + 1]["n_rows"] >= (
+            _CP_TARGET
+        )
