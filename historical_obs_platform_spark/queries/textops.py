@@ -195,8 +195,15 @@ toks AS (
 
 
 def _minhash_cte(n_hashes: int = LSH_N_HASHES) -> str:
+    # Same md5-slice hash family as operators/dedup
+    # .minhash_signatures: hash i is a 40-bit slice of
+    # md5('mh<i//3>:' || shingle) — bit-identical BIGINTs in both
+    # engines, 3 independent hashes per md5 call.
+    from ..operators.dedup import minhash_hash_sql
+
     cols = ", ".join(
-        f"min(md5('{i}:' || shingle)) AS minhash_{i}" for i in range(n_hashes)
+        f"min({minhash_hash_sql(i)}) AS minhash_{i}"
+        for i in range(n_hashes)
     )
     return f"sigs AS (SELECT doc_id, {cols} FROM shingles GROUP BY doc_id)"
 
