@@ -439,3 +439,71 @@ def st_flag_rates_stream(spark, sf_dir):
         (F.col("n") / F.col("total_obs_count")).alias("flag_rate"),
         "total_obs_count",
     )
+
+
+# --------------------------------------------------------------------
+# Streaming session windows: Spark's native session_window groups a
+# stream into inactivity-bounded sessions (>= 30 min of silence seals
+# one); the dynamic-window counterpart of the fixed hourly rollup and
+# the streaming analog of w_session_agg (timeseries2.py). Complete-
+# mode memory sink: the finite drained stream must converge to the
+# batch sessionization, which the gap-flag running-sum oracle states
+# exactly. State is per-(station, open-session) — bounded by key
+# cardinality, and on an unbounded stream a watermark ages sealed
+# sessions out of the store.
+# --------------------------------------------------------------------
+ST_SESSION_ORACLE = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS station,
+         make_timestamp(epoch_us(ts)) AS time, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT station, time, value,
+         SUM(new_s) OVER (PARTITION BY station ORDER BY time
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM t
+)
+SELECT station,
+       min(time) AS session_start,
+       max(time) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         AS session_value
+FROM s GROUP BY station, sid
+"""
+
+
+@query("st_session_stream", ST_SESSION_ORACLE)
+@_with_stream_shuffle
+def st_session_stream(spark, sf_dir):
+    tune(spark)
+    obs = _events_stream(spark, sf_dir)
+    agg = (
+        obs.groupBy(
+            "station", F.session_window("time", "30 minutes").alias("sw")
+        )
+        .agg(
+            F.min("time").alias("session_start"),
+            F.max("time").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("session_value"),
+        )
+        .drop("sw")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("st_session")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("st_session")
