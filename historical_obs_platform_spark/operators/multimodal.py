@@ -164,3 +164,57 @@ def frame_sample_plan(
             )
         ).alias("frame_ms"),
     )
+
+
+AUDIO_FRAME_SCHEMA = (
+    "media_id long, frame_idx int, n_samples int, energy long, peak int"
+)
+
+
+def frame_energy(media: DataFrame, frame_bytes: int = 160) -> DataFrame:
+    """Audio framing + per-frame signal statistics over unsigned-8-bit
+    PCM content — the audio leg of the multimodal plumbing: an
+    Arrow-batched ``mapInPandas`` stage that windows each clip into
+    ``frame_bytes``-sample frames (160 = 20 ms at 8 kHz) and emits
+    integer-exact per-frame energy (sum of squared centered samples)
+    and peak amplitude. The trailing partial frame is kept.
+
+    Map-only: media rows never shuffle for the framing itself; the
+    output fans out one row per frame, so downstream aggregations
+    shuffle frame rows, not media bytes. A real codec (libav/ffmpeg)
+    would slot in before this stage exactly like ``decode_image`` —
+    the uint8 interpretation here IS the deterministic fake decode,
+    which keeps the whole island behind an exact SQL oracle (see
+    queries/datasetops2.m_audio_energy).
+    """
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [],
+                "frame_idx": [],
+                "n_samples": [],
+                "energy": [],
+                "peak": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None or len(content) == 0:
+                    continue
+                a = (
+                    np.frombuffer(content, dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    - 128
+                )
+                n_frames = -(-len(a) // frame_bytes)
+                for f in range(n_frames):
+                    seg = a[f * frame_bytes : (f + 1) * frame_bytes]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(f)
+                    out["n_samples"].append(len(seg))
+                    out["energy"].append(int((seg * seg).sum()))
+                    out["peak"].append(int(np.abs(seg).max()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(op, AUDIO_FRAME_SCHEMA)

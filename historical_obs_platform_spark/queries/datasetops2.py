@@ -268,3 +268,61 @@ def o12_compaction_plan(spark, sf_dir):
         F.date_format(F.min("day"), "yyyy-MM-dd").alias("first_day"),
         F.date_format(F.max("day"), "yyyy-MM-dd").alias("last_day"),
     )
+
+
+# --------------------------------------------------------------- audio frames
+# Audio leg of the multimodal surface: content = the document's UTF-8
+# bytes read as unsigned-8-bit PCM (the deterministic fake decode —
+# same convention as m_multimodal_features), framed into 160-sample
+# windows by an Arrow mapInPandas island. The corpus is restricted to
+# ASCII rows ON BOTH SIDES (octet_length(encode(text)) = length(text))
+# so byte i == codepoint of char i and DuckDB can replay the island
+# with unicode(substr(...)) arithmetic — integer-exact energy/peak,
+# no float in sight.
+
+_AU_FRAME = 160
+
+_AU_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id AS media_id, text
+  FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0
+    AND octet_length(encode(text)) = length(text)),
+frames AS (
+  SELECT media_id, text,
+         CAST(f AS INTEGER) AS frame_idx,
+         CAST(f * {_AU_FRAME} + 1 AS INTEGER) AS lo,
+         CAST(least((f + 1) * {_AU_FRAME}, length(text)) AS INTEGER) AS hi
+  FROM d, unnest(generate_series(0,
+         CAST(ceil(length(text) / {_AU_FRAME}.0) AS BIGINT) - 1)) AS u(f))
+SELECT media_id, frame_idx,
+       CAST(hi - lo + 1 AS INTEGER) AS n_samples,
+       CAST(list_aggregate(list_transform(range(lo, hi + 1),
+              i -> (unicode(substr(text, CAST(i AS INTEGER), 1)) - 128)
+                 * (unicode(substr(text, CAST(i AS INTEGER), 1)) - 128)),
+            'sum') AS BIGINT) AS energy,
+       CAST(list_aggregate(list_transform(range(lo, hi + 1),
+              i -> abs(unicode(substr(text, CAST(i AS INTEGER), 1)) - 128)),
+            'max') AS INTEGER) AS peak
+FROM frames
+"""
+
+
+@query("m_audio_energy", _AU_ORACLE)
+def m_audio_energy(spark, sf_dir):
+    """Per-frame audio energy/peak through the mapInPandas framing
+    island (operators/multimodal.frame_energy). Map-only plumbing —
+    one Arrow pass over the media bytes, one output row per 20 ms
+    frame."""
+    from ..operators import multimodal as MM
+
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+        & (F.length("text") > 0)
+        & (F.octet_length(F.encode("text", "UTF-8")) == F.length("text"))
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    return MM.frame_energy(media, frame_bytes=_AU_FRAME)

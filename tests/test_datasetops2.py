@@ -85,3 +85,36 @@ def test_compaction_bins_near_target(spark):
         assert r["n_rows"] + rows[rows.index(r) + 1]["n_rows"] >= (
             _CP_TARGET
         )
+
+
+def test_audio_energy_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "m_audio_energy")
+
+
+def test_audio_energy_frame_shapes(spark):
+    """Only the final frame of a clip may be short of 160 samples,
+    and energy is consistent with peak (peak^2 <= energy <=
+    n * peak^2)."""
+    out = registry.QUERIES["m_audio_energy"](spark, SF_DIR)
+    from pyspark.sql import Window
+
+    last = F.max("frame_idx").over(Window.partitionBy("media_id"))
+    assert (
+        out.withColumn("__last", last)
+        .where(
+            (F.col("n_samples") != 160)
+            & (F.col("frame_idx") != F.col("__last"))
+        )
+        .count()
+        == 0
+    )
+    assert (
+        out.where(
+            (F.col("peak") * F.col("peak") > F.col("energy"))
+            | (
+                F.col("energy")
+                > F.col("n_samples") * F.col("peak") * F.col("peak")
+            )
+        ).count()
+        == 0
+    )
