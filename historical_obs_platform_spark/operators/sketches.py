@@ -146,17 +146,43 @@ def hll_distinct(
 
     Returns one row ``(m, v_empty, estimate)``.
     """
-    m = 16 ** bucket_hex
-    alpha = 0.7213 / (1 + 1.079 / m)
+    return hll_estimate(
+        hll_registers(df, col_sql, bucket_hex, tail_hex), bucket_hex
+    )
+
+
+def hll_registers(
+    df: DataFrame, col_sql: str, bucket_hex: int = 2, tail_hex: int = 12
+) -> DataFrame:
+    """The mergeable HLL state: a ``(bucket, M)`` register table.
+    Merging ANY number of register tables — across executors, data
+    partitions, or time windows — is a union + groupBy max, which is
+    what makes the sketch the 100 TB answer to distinct counts over
+    unions of corpora (see ``sk_hll_union``)."""
     h = f"md5(cast({col_sql} as string))"
     bucket = f"substring({h}, 1, {bucket_hex})"
     rho = _rho_expr(f"substring({h}, {bucket_hex + 1}, {tail_hex})", tail_hex)
-    regs = (
+    return (
         df.where(F.expr(col_sql).isNotNull())
         .select(F.expr(bucket).alias("bucket"), F.expr(rho).alias("rho"))
         .groupBy("bucket")
         .agg(F.max("rho").alias("M"))
     )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Merge register tables built with identical parameters: the
+    per-bucket max — associative, commutative, idempotent."""
+    out = register_tables[0]
+    for r in register_tables[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("bucket").agg(F.max("M").alias("M"))
+
+
+def hll_estimate(regs: DataFrame, bucket_hex: int = 2) -> DataFrame:
+    """Estimate from a register table (see ``hll_distinct``)."""
+    m = 16 ** bucket_hex
+    alpha = 0.7213 / (1 + 1.079 / m)
     agg = regs.agg(
         F.sum(F.expr("power(cast(2 as double), -M)")).alias("z_used"),
         F.count(F.lit(1)).alias("n_used"),

@@ -326,3 +326,58 @@ def m_audio_energy(spark, sf_dir):
         F.encode("text", "UTF-8").alias("content"),
     )
     return MM.frame_energy(media, frame_bytes=_AU_FRAME)
+
+
+# ------------------------------------------------------- equi-depth histogram
+# Rank-based equi-depth (equal-count) histogram — the optimizer-
+# statistics companion of the fixed-width A3 histogram: bucket
+# boundaries adapt to the distribution, so every bucket holds n/k
+# rows. Bucket assignment is pure integer arithmetic over the rank
+# (floor((rank-1)*k / n)), making the whole thing hash-exact; ties
+# order on (value, event_id) deterministically on both engines.
+
+_ED_K = 10
+
+_ED_ORACLE = f"""
+WITH r AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type,
+       CAST(floor((rn - 1) * {_ED_K} / CAST(n AS DOUBLE)) AS INTEGER)
+         AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(v) AS DOUBLE) AS lo,
+       CAST(max(v) AS DOUBLE) AS hi,
+       CAST(sum(v) AS DOUBLE) AS sum_v
+FROM r
+GROUP BY 1, 2
+"""
+
+
+@query("a15_equidepth_hist", _ED_ORACLE)
+def a15_equidepth_hist(spark, sf_dir):
+    """Per-group equi-depth histogram: one window pass for ranks, one
+    grouped aggregate — at scale this is the NDV/selectivity
+    statistic a cost-based planner wants, computed with one shuffle
+    on the group key."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        dec("value").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    bucket = F.floor(
+        (F.col("rn") - 1) * _ED_K / F.col("n").cast("double")
+    ).cast("int")
+    return r.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("v").cast("double").alias("lo"),
+        F.max("v").cast("double").alias("hi"),
+        F.sum("v").cast("double").alias("sum_v"),
+    )

@@ -118,3 +118,25 @@ def test_audio_energy_frame_shapes(spark):
         ).count()
         == 0
     )
+
+
+def test_equidepth_hist_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "a15_equidepth_hist")
+
+
+def test_equidepth_buckets_balanced(spark):
+    """Bucket sizes differ by at most 1 within each group and bucket
+    ranges don't overlap (hi of bucket b <= lo of bucket b+1)."""
+    rows = (
+        registry.QUERIES["a15_equidepth_hist"](spark, SF_DIR)
+        .orderBy("event_type", "bucket")
+        .collect()
+    )
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r["event_type"], []).append(r)
+    for grp in by_grp.values():
+        sizes = [r["n_rows"] for r in grp]
+        assert max(sizes) - min(sizes) <= 1
+        for prev, nxt in zip(grp, grp[1:]):
+            assert prev["hi"] <= nxt["lo"]

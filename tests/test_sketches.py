@@ -13,7 +13,12 @@ registry.load_all()
 
 from .conftest import SF_DIR, assert_matches_oracle
 
-NAMES = ["sk_kmv_distinct", "sk_hll_distinct", "sk_cms_heavy_hitters"]
+NAMES = [
+    "sk_kmv_distinct",
+    "sk_hll_distinct",
+    "sk_cms_heavy_hitters",
+    "sk_hll_union",
+]
 
 
 @pytest.mark.parametrize("name", NAMES)
