@@ -381,3 +381,69 @@ def a15_equidepth_hist(spark, sf_dir):
         F.max("v").cast("double").alias("hi"),
         F.sum("v").cast("double").alias("sum_v"),
     )
+
+
+# ------------------------------------------------------------- BPE pair stats
+# The first step of BPE tokenizer training: corpus-wide adjacent
+# symbol-pair frequencies (here: character pairs within words,
+# weighted by word frequency). Everything is integer-exact and the
+# top-k cutoff ranks on (count DESC, pair ASC) so ties can't diverge
+# between engines. Scale shape: the heavy explode runs over the
+# DISTINCT word list (vocabulary-sized, not corpus-sized); corpus
+# frequency arrives as a weight from one groupBy.
+
+_BPE_TOP = 20
+
+_BPE_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split({_NORM}, ' ')) AS w FROM documents),
+words AS (
+  SELECT w, count(*) AS nw FROM toks
+  WHERE length(w) >= 2 GROUP BY w),
+pairs AS (
+  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, nw
+  FROM words, unnest(generate_series(1, length(w) - 1)) AS u(i)),
+counts AS (
+  SELECT pair, CAST(sum(nw) AS BIGINT) AS n FROM pairs GROUP BY pair),
+ranked AS (
+  SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rk
+  FROM counts)
+SELECT pair, n FROM ranked WHERE rk <= {_BPE_TOP}
+"""
+
+
+@query("t_bpe_pair_stats", _BPE_ORACLE)
+def t_bpe_pair_stats(spark, sf_dir):
+    """Top adjacent character-pair frequencies over the corpus — the
+    merge-candidate statistic of one BPE training round. The explode
+    is over the distinct vocabulary (weighted by corpus counts), so
+    at 100 TB the pair pass costs O(vocab), not O(corpus)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(TX.tokens(F.col("text"))).alias("w")
+    ).where(
+        # >= 2 chars: Spark's sequence(1, 0) counts DOWN (yields
+        # [1, 0]) rather than returning empty, so 1-char words must
+        # be excluded before the position explode
+        F.length("w") >= 2
+    )
+    words = toks.groupBy("w").agg(F.count(F.lit(1)).alias("nw"))
+    pairs = words.select(
+        F.explode(
+            F.sequence(F.lit(1), F.length("w") - 1)
+        ).alias("i"),
+        "w",
+        "nw",
+    ).select(
+        F.col("w").substr(F.col("i"), F.lit(2)).alias("pair"),
+        "nw",
+    )
+    counts = pairs.groupBy("pair").agg(
+        F.sum("nw").cast("long").alias("n")
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("pair"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _BPE_TOP)
+        .select("pair", "n")
+    )

@@ -140,3 +140,16 @@ def test_equidepth_buckets_balanced(spark):
         assert max(sizes) - min(sizes) <= 1
         for prev, nxt in zip(grp, grp[1:]):
             assert prev["hi"] <= nxt["lo"]
+
+
+def test_bpe_pair_stats_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "t_bpe_pair_stats")
+
+
+def test_bpe_pairs_are_bigrams(spark):
+    rows = registry.QUERIES["t_bpe_pair_stats"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    assert all(len(r["pair"]) == 2 for r in rows)
+    # counts are descending within the returned top-k
+    ns = [r["n"] for r in sorted(rows, key=lambda r: -r["n"])]
+    assert ns == sorted(ns, reverse=True)

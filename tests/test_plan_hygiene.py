@@ -128,3 +128,51 @@ def test_no_cartesian_product_anywhere(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert offenders == [], f"cartesian products in: {offenders}"
+
+
+def test_pii_scrub_map_only(spark):
+    """The scrub is one projection over the scan: no Exchange at all
+    in the plan."""
+    plan = _formatted(registry.QUERIES["t_pii_scrub"](spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_audio_energy_map_only(spark):
+    """Arrow framing island runs in the scan stage: no Exchange."""
+    plan = _formatted(registry.QUERIES["m_audio_energy"](spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def _n_exchanges(plan: str) -> int:
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+
+
+def test_split_assign_single_exchange(spark):
+    """Hash-split audit aggregates with exactly one shuffle (the
+    3-group final agg); assignment itself is a stateless projection."""
+    plan = _formatted(registry.QUERIES["p_split_assign"](spark, SF_DIR))
+    assert _n_exchanges(plan) == 1
+
+
+def test_forward_fill_single_station_shuffle(spark):
+    """LOCF is one window pass: a single Exchange on the station
+    partitioning and no join anywhere."""
+    plan = _formatted(registry.QUERIES["w14_forward_fill"](spark, SF_DIR))
+    assert _n_exchanges(plan) == 1
+    assert "Join" not in plan
+
+
+def test_rarity_vocab_broadcast(spark):
+    """Token-vocabulary join must broadcast (no sort-merge join of
+    the token stream against itself)."""
+    plan = _formatted(registry.QUERIES["t_rarity_score"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+
+
+def test_json_props_pruned_scan(spark):
+    """Only props/value reach the events scan — the JSON extraction
+    must not widen the read schema."""
+    plan = _formatted(registry.QUERIES["s11_json_props"](spark, SF_DIR))
+    assert "event_type" not in plan and "user_id" not in plan
