@@ -288,3 +288,46 @@ def j12_radius_join(spark, sf_dir):
         ((F.col("c_custkey") % 83) * 0.53).alias("y"),
     )
     return radius_join(pts, "id", "x", "y", _J12_R)
+
+
+# --------------------------------------------------------------------
+# O5 salted join, driver-checked: l_linestatus has TWO values — the
+# worst-case hot key a shuffled join can meet (every row of the fact
+# table lands on one of two reducers). salted_join spreads each hot
+# key over 8 reducers by salting the big side and replicating the
+# 2-row dim ×8; the oracle is the PLAIN join — salting must be
+# row-for-row invisible in the result.
+# --------------------------------------------------------------------
+O5_ORACLE = """
+WITH dim AS (
+  SELECT 'O' AS status, 'open' AS status_name UNION ALL
+  SELECT 'F', 'fulfilled'
+)
+SELECT d.status_name,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM lineitem l JOIN dim d ON l.l_linestatus = d.status
+GROUP BY d.status_name
+"""
+
+
+@query("o5_salted_join", O5_ORACLE)
+def o5_salted_join(spark, sf_dir):
+    """Hot-key equi-join via explicit salting (operators/skew.py).
+    At 100 TB the un-salted version of this plan stalls on two
+    straggler reducers; the salted key (status, salt) fans each hot
+    key across 8. Result must equal the plain join exactly."""
+    from ..operators.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_linestatus").alias("status"), "l_extendedprice"
+    )
+    dim = table(spark, sf_dir, "lineitem").sparkSession.createDataFrame(
+        [("O", "open"), ("F", "fulfilled")], ["status", "status_name"]
+    )
+    joined = salted_join(li, dim, "status", n_salt=8)
+    return joined.groupBy("status_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_price"),
+    )

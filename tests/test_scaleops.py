@@ -172,3 +172,9 @@ def test_radius_join_boundary_cells(spark):
     got = radius_join(pts, "id", "x", "y", 0.5).collect()
     assert len(got) == 1
     assert (got[0]["a"], got[0]["b"]) == (1, 2)
+
+
+def test_salted_join_matches_oracle(spark, oracle_con):
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, oracle_con, "o5_salted_join")
