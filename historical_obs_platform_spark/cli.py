@@ -110,6 +110,68 @@ def cmd_query(spark, args) -> int:
     return 0
 
 
+def cmd_split(spark, args) -> int:
+    """Deterministic train/val/test split of a documents corpus,
+    written partitionBy('split') — the assignment is a stateless
+    hash-of-key projection, so the writer shuffles nothing and a
+    re-run (or an incremental append) lands every doc in the same
+    split."""
+    from .queries.datasetops import _SPLIT_CASE
+
+    docs = spark.read.parquet(args.input)
+    out = docs.withColumn("split", F.expr(_SPLIT_CASE))
+    out.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    return 0
+
+
+def cmd_scrub(spark, args) -> int:
+    """PII-scrub a documents corpus in place of its text column
+    (map-only regexp projection; see queries/datasetops.t_pii_scrub)."""
+    from .queries.datasetops import _EMAIL_RE, _NUM_RE
+
+    docs = spark.read.parquet(args.input)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _NUM_RE,
+        "<NUM>",
+    )
+    out = docs.withColumn("text", scrubbed)
+    out.write.mode("overwrite").parquet(args.output)
+    return 0
+
+
+def cmd_compact(spark, args) -> int:
+    """Plan + execute small-file compaction: bin the per-day row
+    counts (queries/datasetops2.o12_compaction_plan logic), then
+    rewrite each bin as one task via repartitioning on the bin id."""
+    from pyspark.sql import Window
+
+    df = spark.read.parquet(args.input)
+    day = F.col(args.time_col).cast("date").alias("__day")
+    files = df.groupBy(day).agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.orderBy("__day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    plan = files.withColumn(
+        "__bin",
+        F.floor(
+            (F.sum("__n").over(w) - F.col("__n")).cast("double")
+            / F.lit(args.target_rows)
+        ).cast("long"),
+    ).select("__day", "__bin")
+    out = df.withColumn("__day", day).join(
+        F.broadcast(plan), "__day"
+    )
+    (
+        out.repartition("__bin")
+        .sortWithinPartitions(args.time_col)
+        .drop("__day", "__bin")
+        .write.mode("overwrite")
+        .parquet(args.output)
+    )
+    return 0
+
+
 def cmd_list_queries(spark, args) -> int:
     from . import registry
 
@@ -176,6 +238,29 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--output", default=None)
     r.add_argument("--show", type=int, default=20)
     r.set_defaults(fn=cmd_query)
+
+    sp = sub.add_parser(
+        "split", help="train/val/test split, partitioned output"
+    )
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.set_defaults(fn=cmd_split)
+
+    sc = sub.add_parser("scrub", help="PII-scrub a documents corpus")
+    sc.add_argument("--input", required=True)
+    sc.add_argument("--output", required=True)
+    sc.set_defaults(fn=cmd_scrub)
+
+    cp = sub.add_parser(
+        "compact", help="bin-packed small-file compaction rewrite"
+    )
+    cp.add_argument("--input", required=True)
+    cp.add_argument("--output", required=True)
+    cp.add_argument("--time-col", default="ts", dest="time_col")
+    cp.add_argument(
+        "--target-rows", type=int, default=1_000_000, dest="target_rows"
+    )
+    cp.set_defaults(fn=cmd_compact)
 
     ls = sub.add_parser("list-queries", help="list registered queries")
     ls.set_defaults(fn=cmd_list_queries)

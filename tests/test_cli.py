@@ -6,6 +6,8 @@ import pandas as pd
 
 from historical_obs_platform_spark.cli import main
 
+from .conftest import SF_DIR
+
 
 def _obs_parquet(spark, path):
     times = pd.date_range("2020-01-01", periods=300, freq="30min")
@@ -138,3 +140,75 @@ def test_cli_clean_network(spark, tmp_path):
     assert r0["time"].hour == 20               # PST +8h -> UTC
     assert r0["elevation"] == 1000 * 0.3048    # ft -> m
     assert got[1]["tas"] is None               # sentinel -> null
+
+
+def test_cli_split_partitions_and_stability(spark, tmp_path):
+    from historical_obs_platform_spark.cli import main
+
+    out = str(tmp_path / "split_out")
+    rc = main(
+        ["split", "--input", f"{SF_DIR}/documents.parquet",
+         "--output", out],
+        spark=spark,
+    )
+    assert rc == 0
+    import os
+
+    parts = sorted(
+        d for d in os.listdir(out) if d.startswith("split=")
+    )
+    assert parts == ["split=test", "split=train", "split=val"]
+    back = spark.read.parquet(out)
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert back.count() == n_docs
+    # same assignment as the registered audit query
+    from historical_obs_platform_spark import registry
+
+    registry.load_all()
+    audit = {
+        r["split"]: r["n_docs"]
+        for r in registry.QUERIES["p_split_assign"](
+            spark, SF_DIR
+        ).collect()
+    }
+    from pyspark.sql import functions as F
+
+    got = {
+        r["split"]: r["n"]
+        for r in back.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == audit
+
+
+def test_cli_scrub_and_compact(spark, tmp_path):
+    from historical_obs_platform_spark.cli import main
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "scrubbed")
+    rc = main(
+        ["scrub", "--input", f"{SF_DIR}/documents.parquet",
+         "--output", out],
+        spark=spark,
+    )
+    assert rc == 0
+    assert (
+        spark.read.parquet(out)
+        .where(F.col("text").rlike("[0-9]"))
+        .count()
+        == 0
+    )
+
+    cout = str(tmp_path / "compacted")
+    rc = main(
+        ["compact", "--input", f"{SF_DIR}/events.parquet",
+         "--output", cout, "--time-col", "ts",
+         "--target-rows", "3000"],
+        spark=spark,
+    )
+    assert rc == 0
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    back = spark.read.parquet(cout)
+    assert back.count() == ev.count()
+    assert back.columns == ev.columns

@@ -153,3 +153,25 @@ def test_bpe_pairs_are_bigrams(spark):
     # counts are descending within the returned top-k
     ns = [r["n"] for r in sorted(rows, key=lambda r: -r["n"])]
     assert ns == sorted(ns, reverse=True)
+
+
+def test_forward_fill_equals_pandas_ffill(spark):
+    """The distributed LOCF is exactly pandas groupby().ffill() on
+    the same null-injected frame — the semantic every data scientist
+    assumes."""
+    out = (
+        registry.QUERIES["w14_forward_fill"](spark, SF_DIR)
+        .orderBy("station", "time", "event_id")
+        .toPandas()
+    )
+    pdf = out[["station", "time", "event_id", "v_raw"]].copy()
+    expected = (
+        pdf.sort_values(["station", "time", "event_id"])
+        .groupby("station")["v_raw"]
+        .ffill()
+    )
+    import pandas as pd
+
+    pd.testing.assert_series_equal(
+        out["v_ff"], expected, check_names=False
+    )
