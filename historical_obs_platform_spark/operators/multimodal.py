@@ -218,3 +218,47 @@ def frame_energy(media: DataFrame, frame_bytes: int = 160) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(op, AUDIO_FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "media_id long, width int, height int, out_w int, out_h int, "
+    "resized boolean"
+)
+
+
+def resize_plan(
+    media: DataFrame, target: int = 256, decoder=None
+) -> DataFrame:
+    """Aspect-preserving resize-to-fit planning through the decode
+    island: decode dims (FakeDecoder in tests — a real codec slots in
+    unchanged), then fit the long edge to ``target`` without
+    upscaling: out = floor(dim * target / long_edge). The pixel
+    resample itself is the codec's job — this stage is the planning +
+    metadata half every 100 TB image pipeline runs first (to budget
+    decode cost and skip already-small images), map-only over the
+    media bytes."""
+    import numpy as np
+
+    dec = decoder if decoder is not None else decode_image()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            d = dec.decode_batch(pdf["content"])
+            w = d["width"].to_numpy(dtype="float64")
+            h = d["height"].to_numpy(dtype="float64")
+            m = np.maximum(np.maximum(w, h), 1.0)
+            need = m > target
+            out_w = np.where(need, np.floor(w * target / m), w)
+            out_h = np.where(need, np.floor(h * target / m), h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "out_w": out_w.astype("int32"),
+                    "out_h": out_h.astype("int32"),
+                    "resized": need,
+                }
+            )
+
+    return media.mapInPandas(op, RESIZE_SCHEMA)

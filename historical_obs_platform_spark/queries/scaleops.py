@@ -331,3 +331,51 @@ def o5_salted_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(dec("l_extendedprice")).cast("double").alias("sum_price"),
     )
+
+
+# --------------------------------------------------------------------
+# Resize planning through the decode island (the remaining multimodal
+# verb next to decode/feature-extract/frame-sample): FakeDecoder dims
+# are sha256 hex slices, so DuckDB replays the whole island — fit
+# arithmetic included — exactly.
+# --------------------------------------------------------------------
+def _resize_oracle(target: int = 256) -> str:
+    from .qaqc_parity import _hex4
+
+    w = f"(({_hex4('substring(sha256(text), 17, 4)')}) % 4096)"
+    h = f"(({_hex4('substring(sha256(text), 21, 4)')}) % 4096)"
+    return f"""
+WITH f AS (
+  SELECT doc_id AS media_id,
+         CAST({w} AS INTEGER) AS width,
+         CAST({h} AS INTEGER) AS height
+  FROM documents WHERE text IS NOT NULL),
+g AS (
+  SELECT *, GREATEST(width, height, 1) AS m,
+         GREATEST(width, height, 1) > {target} AS resized
+  FROM f)
+SELECT media_id, width, height,
+       CAST(CASE WHEN resized
+            THEN floor(width * {target} / CAST(m AS DOUBLE))
+            ELSE width END AS INTEGER) AS out_w,
+       CAST(CASE WHEN resized
+            THEN floor(height * {target} / CAST(m AS DOUBLE))
+            ELSE height END AS INTEGER) AS out_h,
+       resized
+FROM g
+"""
+
+
+@query("m_resize_plan", _resize_oracle())
+def m_resize_plan(spark, sf_dir):
+    """Fit-to-256 resize planning for every media row — map-only
+    mapInPandas over the content bytes; no upscaling, long edge
+    capped, aspect preserved by integer-floor of the scaled dims."""
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    return MM.resize_plan(media, target=256, decoder=MM.FakeDecoder())

@@ -46,3 +46,47 @@ def test_frame_sample_plan(media):
     assert sorted(v["frame_ms"]) == [0, 1000, 2000, 3000]
     # zero/None duration media yield exactly the t=0 frame
     assert (frames[frames["media_id"] == 1]["frame_ms"] == 0).all()
+
+
+def test_resize_plan_matches_oracle(spark, oracle_con):
+    from historical_obs_platform_spark import registry
+
+    from .conftest import assert_matches_oracle
+
+    registry.load_all()
+    assert_matches_oracle(spark, oracle_con, "m_resize_plan")
+
+
+def test_resize_plan_invariants(spark):
+    """Long edge capped at target, aspect never upscaled, small
+    images untouched."""
+    from historical_obs_platform_spark import registry
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_DIR
+
+    registry.load_all()
+    out = registry.QUERIES["m_resize_plan"](spark, SF_DIR)
+    assert (
+        out.where(
+            F.greatest("out_w", "out_h") > 256
+        ).count()
+        == 0
+    )
+    assert (
+        out.where(
+            ~F.col("resized")
+            & (
+                (F.col("out_w") != F.col("width"))
+                | (F.col("out_h") != F.col("height"))
+            )
+        ).count()
+        == 0
+    )
+    assert (
+        out.where(
+            (F.col("out_w") > F.col("width"))
+            | (F.col("out_h") > F.col("height"))
+        ).count()
+        == 0
+    )
