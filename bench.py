@@ -106,6 +106,9 @@ def main() -> None:
                 "queries": head,
                 "sf": sf,
                 "n_queries": len(timings),
+                # registry grows round over round — normalize so a
+                # coverage increase isn't read as a perf regression
+                "sec_per_query": round(total / max(len(timings), 1), 4),
                 "queries_file": "BENCH_QUERIES.json",
             }
         )

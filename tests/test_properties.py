@@ -228,3 +228,63 @@ def test_merge_changeset_matches_dict_semantics(spark, data):
         else:
             want.pop(k, None)
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    shingles=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters="'\x00"
+            ),
+            min_size=1,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    )
+)
+def test_minhash_hash_engine_parity(spark, shingles):
+    """minhash_hash_col (Spark conv) and minhash_hash_sql (DuckDB 0x
+    cast) compute identical 40-bit values for arbitrary unicode
+    shingles — the cross-engine contract the LSH oracles rest on."""
+    import duckdb
+
+    from historical_obs_platform_spark.operators.dedup import (
+        minhash_hash_col,
+        minhash_hash_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(s,) for s in shingles], ["shingle"]
+    )
+    got = {
+        (r["shingle"], i): r[f"h{i}"]
+        for r in df.select(
+            "shingle",
+            *[minhash_hash_col(i).alias(f"h{i}") for i in (0, 7, 15)],
+        ).collect()
+        for i in (0, 7, 15)
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(shingle VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO t VALUES (?)", [(s,) for s in shingles]
+    )
+    want = {
+        (r[0], i): r[j + 1]
+        for r in con.sql(
+            "SELECT shingle, "
+            + ", ".join(minhash_hash_sql(i) for i in (0, 7, 15))
+            + " FROM t"
+        ).fetchall()
+        for j, i in enumerate((0, 7, 15))
+    }
+    assert got == want
