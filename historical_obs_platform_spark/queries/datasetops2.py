@@ -195,9 +195,9 @@ def t_rarity_score(spark, sf_dir):
         .where(F.col("tok") != "")
     )
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    n_total = toks.agg(
-        F.count(F.lit(1)).alias("n_total")
-    )
+    # n_total = Σ vocab counts — derived from the (small) vocabulary,
+    # not from a second tokenize pass over the corpus
+    n_total = vocab.agg(F.sum("c").alias("n_total"))
     scored = toks.join(F.broadcast(vocab), "tok").crossJoin(
         F.broadcast(n_total)
     )

@@ -323,7 +323,7 @@ def o5_salted_join(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").select(
         F.col("l_linestatus").alias("status"), "l_extendedprice"
     )
-    dim = table(spark, sf_dir, "lineitem").sparkSession.createDataFrame(
+    dim = spark.createDataFrame(
         [("O", "open"), ("F", "fulfilled")], ["status", "status_name"]
     )
     joined = salted_join(li, dim, "status", n_salt=8)
