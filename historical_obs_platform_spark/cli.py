@@ -88,7 +88,13 @@ def cmd_clean_network(spark, args) -> int:
 
     spec = NETWORKS[args.network]
     raw = read_csv_obs(
-        spark, args.input, renames={}, period=None
+        spark,
+        args.input,
+        renames={},
+        period=None,
+        # QC columns carry letter flags — exempt them from the
+        # numeric cast so clean_network can keep them verbatim
+        keep_strings=tuple(spec.qc_renames),
     )
     out = clean_network(raw, spec)
     write_stage(_ensure_network(out), args.output)
@@ -147,7 +153,12 @@ def cmd_compact(spark, args) -> int:
     from pyspark.sql import Window
 
     df = spark.read.parquet(args.input)
-    day = F.col(args.time_col).cast("date").alias("__day")
+    # null times coalesce to a sentinel day so those rows survive the
+    # equi-join (NULL keys never match — an inner join would silently
+    # drop them, and a rewrite must be row-count-preserving)
+    day = F.coalesce(
+        F.col(args.time_col).cast("date"), F.lit("1900-01-01").cast("date")
+    ).alias("__day")
     files = df.groupBy(day).agg(F.count(F.lit(1)).alias("__n"))
     w = Window.orderBy("__day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -243,7 +243,13 @@ def resize_plan(
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # undecodable rows (null content -> null dims) are skipped
+            # like frame_energy's empty clips — int32 casting a NaN
+            # would otherwise fabricate INT_MIN dimensions
             d = dec.decode_batch(pdf["content"])
+            ok = d["width"].notna() & d["height"].notna()
+            pdf = pdf[ok.to_numpy()]
+            d = d[ok.to_numpy()]
             w = d["width"].to_numpy(dtype="float64")
             h = d["height"].to_numpy(dtype="float64")
             m = np.maximum(np.maximum(w, h), 1.0)

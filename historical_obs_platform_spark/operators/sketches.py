@@ -418,6 +418,14 @@ def bloom_build(df: DataFrame, key_sql: str, k: int = BLOOM_K,
     hash, which dominated the probe at 600 k rows × 3 hashes × 4096
     slots). Densifying costs n_bits × |set| comparisons ONCE, on one
     row."""
+    if n_bits != BLOOM_BITS:
+        # bloom_pos_sql derives positions from exactly 3 hex digits
+        # (0..4095); a smaller bitmap would silently drop high
+        # positions and break the no-false-negative invariant
+        raise ValueError(
+            f"n_bits must equal {BLOOM_BITS} (positions are 3-hex-"
+            "digit); change bloom_pos_sql to resize the filter"
+        )
     positions = F.array(
         *[F.expr(bloom_pos_sql(key_sql, i)) for i in range(k)]
     )

@@ -69,6 +69,25 @@ def merge_changeset(
     # would silently DELETE the row instead of rejecting the change
     recognized = changes.where(F.col(op_col).isin("upsert", "delete"))
     upserts = recognized.where(F.col(op_col) == "upsert").drop(op_col)
+    # a replayed/overlapping changeset can carry several upserts for
+    # one key; inserting them all would corrupt the base's key
+    # uniqueness (Delta/Iceberg MERGE rejects multiple matches).
+    # Resolve deterministically: keep ONE row per key, ordered by the
+    # non-key payload so the survivor is independent of partitioning.
+    payload = [c for c in upserts.columns if c not in keys]
+    if payload:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.col(c).desc_nulls_last() for c in payload]
+        )
+        upserts = (
+            upserts.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        upserts = upserts.dropDuplicates(keys)
     untouched = existing.join(
         recognized.select(*keys).distinct(), keys, "left_anti"
     )

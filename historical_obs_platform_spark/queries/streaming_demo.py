@@ -48,7 +48,7 @@ def _with_stream_shuffle(fn):
         # default scales with the data: ~150 keys at sf0.01 want 4
         # state partitions (each extra partition is a per-micro-batch
         # state-store commit; measured 2x wall time 8 -> 4 at sf0.01)
-        m = re.search(r"sf([0-9.]+)", sf_dir)
+        m = re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
         default = "4" if (m and float(m.group(1)) <= 0.011) else "8"
         spark.conf.set(
             "spark.sql.shuffle.partitions",

@@ -26,6 +26,11 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Reliable checkpoints (dedup.connected_components writes one per
+    # iteration when a checkpoint dir is set) are deleted once their
+    # RDDs are GC'd — default false leaves every superseded iteration
+    # on the reliable store forever on a long-running cluster.
+    "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
     # Arrow for the few pandas-UDF islands (Butterworth filter etc.).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # NB runtime bloom-filter join pruning

@@ -39,6 +39,7 @@ def read_csv_obs(
     renames: dict[str, str] | None = None,
     sentinels: tuple[str, ...] = ("-9999", "-9999.0", "M", "MM", ""),
     period: tuple[str, str] | None = V1_PERIOD,
+    keep_strings: tuple[str, ...] = (),
 ) -> DataFrame:
     """Scan + standardize a CSV observation prefix.
 
@@ -70,7 +71,9 @@ def read_csv_obs(
     df = df.withColumn(time_col, ts)
     df = df.where(F.col(station_col).isNotNull() & F.col(time_col).isNotNull())
     for c in df.columns:
-        if c in (station_col, time_col):
+        if c in (station_col, time_col) or c in keep_strings:
+            # keep_strings: QC-flag columns whose letter codes must
+            # survive verbatim (the numeric cast would null them)
             continue
         if dict(df.dtypes)[c] == "string":
             cleaned = F.when(

@@ -53,13 +53,23 @@ def corrupt_stats(df: DataFrame, corrupt_col: str = "_corrupt_record") -> DataFr
     Spark refuses plans that reference ONLY the corrupt-record column
     of a raw scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN — the column is
     populated during full-row parsing, so a pruned scan would never
-    fill it). Caching the parsed frame first is the documented
-    pattern; the cache also makes the usual follow-up (filtering the
-    good rows) free."""
-    df = df.cache()
-    return df.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count(corrupt_col).cast("long").alias("n_corrupt"),
+    fill it). Caching the parsed frame is the documented workaround;
+    this computes the audit EAGERLY inside a scoped cache and
+    unpersists before returning, so a per-shard ingest loop doesn't
+    pin every shard's parsed rows in executor storage for the session
+    lifetime. Callers that also want the good rows should cache the
+    frame themselves around both uses."""
+    spark = df.sparkSession
+    cached = df.cache()
+    try:
+        row = cached.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(corrupt_col).cast("long").alias("n_corrupt"),
+        ).collect()[0]
+    finally:
+        cached.unpersist()
+    return spark.createDataFrame(
+        [(row["n_rows"], row["n_corrupt"])], "n_rows long, n_corrupt long"
     )
 
 

@@ -212,3 +212,55 @@ def test_cli_scrub_and_compact(spark, tmp_path):
     back = spark.read.parquet(cout)
     assert back.count() == ev.count()
     assert back.columns == ev.columns
+
+
+def test_cli_clean_network_preserves_qc_letter_flags(spark, tmp_path):
+    """QC columns carry letter codes — the numeric try_cast must not
+    null them (they are exempted via keep_strings)."""
+    import csv
+
+    raw_dir = tmp_path / "raw_cimis_qc"
+    raw_dir.mkdir()
+    with open(raw_dir / "part-0.csv", "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(
+            ["station", "time", "Air Temperature (C)",
+             "QC for Air Temperature"]
+        )
+        w.writerow(["CI1", "2014-06-01 12:00:00", "20.5", "Y"])
+        w.writerow(["CI1", "2014-06-01 13:00:00", "21.0", "8"])
+    out_dir = str(tmp_path / "clean_cimis_qc")
+    rc = main(
+        ["clean-network", "--input", str(raw_dir),
+         "--network", "CIMIS", "--output", out_dir],
+        spark=spark,
+    )
+    assert rc == 0
+    got = spark.read.parquet(out_dir).orderBy("time").collect()
+    assert got[0]["tas_qc"] == "Y"
+    assert got[1]["tas_qc"] == "8"  # numeric-looking flag verbatim
+
+
+def test_cli_compact_keeps_null_time_rows(spark, tmp_path):
+    import pandas as pd
+
+    src = str(tmp_path / "with_nulls")
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2020-01-01", None, "2020-01-02", None]
+            ),
+            "v": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "compacted_nulls")
+    rc = main(
+        ["compact", "--input", src, "--output", out,
+         "--time-col", "ts", "--target-rows", "2"],
+        spark=spark,
+    )
+    assert rc == 0
+    back = spark.read.parquet(out)
+    assert back.count() == 4
+    assert back.where("ts IS NULL").count() == 2

@@ -178,3 +178,56 @@ def test_salted_join_matches_oracle(spark, oracle_con):
     from .conftest import assert_matches_oracle
 
     assert_matches_oracle(spark, oracle_con, "o5_salted_join")
+
+
+def test_merge_changeset_dedupes_replayed_upserts(spark):
+    """Two upserts for one key (a replayed changeset) must leave
+    exactly ONE row for that key — never a duplicate-key base."""
+    from historical_obs_platform_spark.plans.incremental import (
+        merge_changeset,
+    )
+
+    base = spark.createDataFrame(
+        [("s1", "t1", 1.0)], ["station", "time", "v"]
+    )
+    changes = spark.createDataFrame(
+        [
+            ("s1", "t1", 2.0, "upsert"),
+            ("s1", "t1", 3.0, "upsert"),
+            ("s2", "t1", 9.0, "upsert"),
+        ],
+        ["station", "time", "v", "op"],
+    )
+    out = merge_changeset(base, changes).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault((r["station"], r["time"]), []).append(r["v"])
+    assert all(len(vs) == 1 for vs in by_key.values())
+    # deterministic survivor: highest payload ordering wins
+    assert by_key[("s1", "t1")] == [3.0]
+
+
+def test_resize_plan_skips_null_content(spark):
+    from historical_obs_platform_spark.operators import multimodal as MM
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, None)],
+        "media_id long, content binary",
+    )
+    rows = MM.resize_plan(
+        media, decoder=MM.FakeDecoder()
+    ).collect()
+    assert [r["media_id"] for r in rows] == [1]
+    assert all(r["width"] >= 0 for r in rows)
+
+
+def test_bloom_build_rejects_mismatched_bits(spark):
+    import pytest
+
+    from historical_obs_platform_spark.operators.sketches import (
+        bloom_build,
+    )
+
+    df = spark.range(3).selectExpr("cast(id as string) AS k")
+    with pytest.raises(ValueError, match="n_bits"):
+        bloom_build(df, "k", n_bits=1024)
