@@ -447,3 +447,118 @@ def t_bpe_pair_stats(spark, sf_dir):
         .where(F.col("rk") <= _BPE_TOP)
         .select("pair", "n")
     )
+
+
+# --------------------------------------------------------- linear interpolation
+# Within-gap linear interpolation — the reference's hourly
+# interpolation analog (SURVEY §2.5 W10, MERGE hourly grid): each
+# null takes the time-weighted blend of the nearest non-null
+# neighbors on both sides; nulls with only one side stay LOCF/null.
+# Both sides carry (value, epoch-microsecond) pairs through
+# IGNORE-NULLS windows; the blend ratio is the only inexact step and
+# is rounded identically on both engines.
+
+_LI_NULL = "floor(value * 3) % 5 = 0"  # same injected gaps as w14
+
+
+def _li_oracle() -> str:
+    fwd = ("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
+    bwd = ("ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING")
+    return f"""
+WITH obs AS (
+  SELECT cast(user_id as string) AS station, ts AS time, event_id,
+         epoch_us(ts) AS us,
+         CASE WHEN {_LI_NULL} THEN NULL
+              ELSE CAST(value AS DECIMAL(18,2)) END AS v
+  FROM events),
+w AS (
+  SELECT station, time, event_id, us, v,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY station ORDER BY time, event_id {fwd}) AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
+           OVER (PARTITION BY station ORDER BY time, event_id {fwd})
+           AS pt,
+         first_value(v IGNORE NULLS) OVER (
+           PARTITION BY station ORDER BY time, event_id {bwd}) AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
+           OVER (PARTITION BY station ORDER BY time, event_id {bwd})
+           AS nt
+  FROM obs)
+SELECT station, time, event_id,
+       CAST(v AS DOUBLE) AS v_raw,
+       round(CASE
+         WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+         WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt > pt
+           THEN CAST(pv AS DOUBLE)
+                + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                  * ((us - pt) / CAST(nt - pt AS DOUBLE))
+         ELSE CAST(coalesce(pv, nv) AS DOUBLE)
+       END, 6) AS v_interp
+FROM w
+"""
+
+
+@query("w15_linear_interp", _li_oracle())
+def w15_linear_interp(spark, sf_dir):
+    """Per-station linear gap interpolation: two IGNORE-NULLS window
+    passes over one station partitioning (the forward and backward
+    frames share the same Exchange), no join, no driver loop."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    obs = ev.select(
+        F.col("user_id").cast("string").alias("station"),
+        F.col("ts").alias("time"),
+        "event_id",
+        # ts reads as NTZ; session tz is UTC so the LTZ cast is
+        # value-preserving and unix_micros == DuckDB epoch_us
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.when(F.expr(_LI_NULL), F.lit(None))
+        .otherwise(dec("value"))
+        .alias("v"),
+    )
+    fwd = (
+        W.partitionBy("station")
+        .orderBy("time", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    bwd = (
+        W.partitionBy("station")
+        .orderBy("time", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    t_of_v = F.when(F.col("v").isNotNull(), F.col("us"))
+    w = obs.select(
+        "station",
+        "time",
+        "event_id",
+        "us",
+        "v",
+        F.last("v", ignorenulls=True).over(fwd).alias("pv"),
+        F.last(t_of_v, ignorenulls=True).over(fwd).alias("pt"),
+        F.first("v", ignorenulls=True).over(bwd).alias("nv"),
+        F.first(t_of_v, ignorenulls=True).over(bwd).alias("nt"),
+    )
+    pvd = F.col("pv").cast("double")
+    nvd = F.col("nv").cast("double")
+    blend = pvd + (nvd - pvd) * (
+        (F.col("us") - F.col("pt"))
+        / (F.col("nt") - F.col("pt")).cast("double")
+    )
+    return w.select(
+        "station",
+        "time",
+        "event_id",
+        F.col("v").cast("double").alias("v_raw"),
+        F.round(
+            F.when(F.col("v").isNotNull(), F.col("v").cast("double"))
+            .when(
+                F.col("pv").isNotNull()
+                & F.col("nv").isNotNull()
+                & (F.col("nt") > F.col("pt")),
+                blend,
+            )
+            .otherwise(F.coalesce(pvd, nvd)),
+            6,
+        ).alias("v_interp"),
+    )

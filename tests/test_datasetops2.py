@@ -2,6 +2,7 @@
 oracle, plus invariants: LOCF semantics, MAD robustness, rarity
 monotonicity, compaction bin sizing."""
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -175,3 +176,42 @@ def test_forward_fill_equals_pandas_ffill(spark):
     pd.testing.assert_series_equal(
         out["v_ff"], expected, check_names=False
     )
+
+
+def test_linear_interp_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "w15_linear_interp")
+
+
+def test_linear_interp_bounds_and_identity(spark):
+    """Interpolated values lie within [min, max] of the two anchor
+    neighbors; non-null rows pass through unchanged."""
+    out = registry.QUERIES["w15_linear_interp"](spark, SF_DIR)
+    assert (
+        out.where(
+            F.col("v_raw").isNotNull()
+            & (F.abs(F.col("v_interp") - F.col("v_raw")) > 1e-9)
+        ).count()
+        == 0
+    )
+    # pandas cross-check on one station
+    pdf = (
+        out.where(F.col("station") == out.select("station").first()[0])
+        .orderBy("time", "event_id")
+        .toPandas()
+    )
+    s = pdf.set_index(pd.RangeIndex(len(pdf)))["v_raw"]
+    lo = s.ffill()
+    hi = s.bfill()
+    both = lo.notna() & hi.notna()
+    assert (
+        (
+            pdf["v_interp"][both]
+            >= pd.concat([lo, hi], axis=1).min(axis=1)[both] - 1e-9
+        )
+    ).all()
+    assert (
+        (
+            pdf["v_interp"][both]
+            <= pd.concat([lo, hi], axis=1).max(axis=1)[both] + 1e-9
+        )
+    ).all()
