@@ -507,3 +507,56 @@ def st_session_stream(spark, sf_dir):
     finally:
         q.stop()
     return spark.table("st_session")
+
+
+# --------------------------------------------------------------------
+# Streaming top-k: complete-mode running leaderboard (top event types
+# by decimal-exact total value) — the monitoring companion of the CMS
+# heavy-hitters sketch: tiny state (one row per key), re-ranked every
+# micro-batch. Ties rank deterministically on the key so the cutoff
+# can't disagree with the batch oracle.
+# --------------------------------------------------------------------
+ST_TOPK_ORACLE = """
+WITH agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM events GROUP BY event_type),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY total DESC, event_type) AS rk
+  FROM agg)
+SELECT event_type, n, total FROM ranked WHERE rk <= 3
+"""
+
+
+@query("st_topk_stream", ST_TOPK_ORACLE)
+@_with_stream_shuffle
+def st_topk_stream(spark, sf_dir):
+    tune(spark)
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(
+        f"{sf_dir}/events*.parquet"
+    )
+    agg = (
+        src.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy(F.col("total").desc(), "event_type")
+        .limit(3)
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("st_topk")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("st_topk")

@@ -113,6 +113,7 @@ from .conftest import assert_matches_oracle  # noqa: E402
         "st_interval_join_stream",
         "st_flag_rates_stream",
         "st_session_stream",
+        "st_topk_stream",
     ],
 )
 def test_stream_queries_match_oracle(spark, oracle_con, name):
