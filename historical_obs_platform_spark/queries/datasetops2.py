@@ -1,6 +1,10 @@
 """Second batch of beyond-reference curation/maintenance queries:
 forward-fill gap repair, MAD robust outliers, inverse-frequency
-rarity scoring, and small-file compaction planning.
+rarity scoring, small-file compaction planning, audio framing,
+equi-depth histograms, BPE pair statistics, and linear gap
+interpolation (the distributed analog of the reference's
+``std[var].interpolate(method="linear")`` —
+``scripts/3_qaqc_data/qaqc_climatological_outlier.py:175``).
 
 Same determinism contract as queries/datasetops.py: integer/decimal
 exact where possible, interpolated percentiles rounded on both sides,
@@ -450,8 +454,9 @@ def t_bpe_pair_stats(spark, sf_dir):
 
 
 # --------------------------------------------------------- linear interpolation
-# Within-gap linear interpolation — the reference's hourly
-# interpolation analog (SURVEY §2.5 W10, MERGE hourly grid): each
+# Within-gap linear interpolation — the reference's per-station
+# pandas ``interpolate(method="linear")``
+# (qaqc_climatological_outlier.py:175) as window expressions: each
 # null takes the time-weighted blend of the nearest non-null
 # neighbors on both sides; nulls with only one side stay LOCF/null.
 # Both sides carry (value, epoch-microsecond) pairs through

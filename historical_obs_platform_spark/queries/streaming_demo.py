@@ -1,12 +1,13 @@
 """Structured Streaming surface through the driver gate: real streams
 (parquet file source → memory sink, drained synchronously with
 ``processAllAvailable``, the batch-on-stream pattern of
-``Trigger.AvailableNow``). All six streaming queries carry
-exact DuckDB oracles — a deterministic stream over a finite source
-must converge to the batch answer, and that equality is the test:
+``Trigger.AvailableNow``). Every streaming query carries an exact
+DuckDB oracle — a deterministic stream over a finite source must
+converge to the batch answer, and that equality is the test:
 tumbling rollup (first-in-hour via arg_min, decimal-exact hour sums),
 dedup-within-watermark, sliding windows, stream-stream interval join,
-stateful gap detection, and stateful de-accumulation."""
+stateful gap detection, stateful de-accumulation, flag-rate
+maintenance, session windows, and a running top-k leaderboard."""
 
 from __future__ import annotations
 
