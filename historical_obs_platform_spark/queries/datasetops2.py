@@ -567,3 +567,142 @@ def w15_linear_interp(spark, sf_dir):
             6,
         ).alias("v_interp"),
     )
+
+
+# ------------------------------------------------------------- table profile
+# One-pass table profiling — the statistics a cost-based planner (or
+# an ingest gate) collects: per-column null counts, exact distinct
+# counts, and decimal-exact numeric ranges, computed in ONE aggregate
+# over the scan and unpivoted to long form. At 100 TB swap the exact
+# count_distinct for the HLL registers (operators/sketches.py) to
+# keep the pass fixed-memory.
+
+_PROF_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+_PROF_ORACLE = " UNION ALL ".join(
+    f"""
+SELECT '{c}' AS col,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
+       CAST(max(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS max_v,
+       CAST(sum(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+FROM lineitem"""
+    for c in _PROF_COLS
+)
+
+
+@query("o13_table_profile", _PROF_ORACLE)
+def o13_table_profile(spark, sf_dir):
+    """Column statistics in one scan: every per-column aggregate runs
+    in the same partial-agg pass (Spark folds the distincts via
+    expand), then the wide single row unpivots to (col, stats)."""
+    li = table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROF_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_null"),
+            F.countDistinct(c).alias(f"{c}__n_distinct"),
+            F.min(dec(c)).cast("double").alias(f"{c}__min_v"),
+            F.max(dec(c)).cast("double").alias(f"{c}__max_v"),
+            F.sum(dec(c)).cast("double").alias(f"{c}__sum_v"),
+        ]
+    wide = li.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(f"{c}__n_null").alias("n_null"),
+            F.col(f"{c}__n_distinct").alias("n_distinct"),
+            F.col(f"{c}__min_v").alias("min_v"),
+            F.col(f"{c}__max_v").alias("max_v"),
+            F.col(f"{c}__sum_v").alias("sum_v"),
+        )
+        for c in _PROF_COLS
+    ]
+    return wide.select(
+        F.explode(F.array(*rows)).alias("s")
+    ).select("s.*")
+
+
+# ---------------------------------------------------------------- CUSUM drift
+# CUSUM change detection per station: one-sided cumulative sums of
+# deviations from the station mean, reset at zero — the classic
+# drift/shift detector (complements the spike checks W6, which catch
+# POINT anomalies; CUSUM catches sustained level shifts). The
+# recursive max(0, prev + dev) form is not a plain window sum, so
+# both engines compute the equivalent prefix-min formulation:
+#   cusum_i = prefix_sum_i - min(0, running_min of prefix_sum)
+# over deviations dev = v - mean. All prefix aggregates evaluate
+# sequentially within the ordered window frame — identical IEEE
+# left-to-right order in both engines on identical doubles.
+
+_CUSUM_ORACLE = """
+WITH m AS (
+  SELECT cast(user_id as string) AS station,
+         round(avg(CAST(value AS DOUBLE)), 6) AS mu
+  FROM events GROUP BY 1),
+d AS (
+  SELECT e.station, e.time, e.event_id,
+         sum(e.dev) OVER w AS ps
+  FROM (
+    SELECT cast(user_id as string) AS station, ts AS time, event_id,
+           CAST(value AS DOUBLE) - m.mu AS dev
+    FROM events JOIN m ON cast(user_id as string) = m.station) e
+  WINDOW w AS (PARTITION BY e.station ORDER BY e.time, e.event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+c AS (
+  SELECT station, time, event_id,
+         round(ps - least(0, min(ps) OVER (
+           PARTITION BY station ORDER BY time, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+           AS cusum
+  FROM d)
+SELECT station,
+       CAST(count(*) AS BIGINT) AS n,
+       round(max(cusum), 6) AS max_cusum,
+       CAST(count(*) FILTER (WHERE cusum > 500) AS BIGINT)
+         AS n_over_threshold
+FROM c GROUP BY station
+"""
+
+
+@query("w16_cusum_drift", _CUSUM_ORACLE)
+def w16_cusum_drift(spark, sf_dir):
+    """Per-station CUSUM drift statistics via the prefix-min
+    reformulation (no recursion): two stacked window passes sharing
+    one station Exchange, then a per-station rollup."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("station"),
+        F.col("ts").alias("time"),
+        "event_id",
+        F.col("value").cast("double").alias("v"),
+    )
+    mu = ev.groupBy("station").agg(
+        F.round(F.avg("v"), 6).alias("mu")
+    )
+    run = (
+        W.partitionBy("station")
+        .orderBy("time", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    d = ev.join(F.broadcast(mu), "station").select(
+        "station",
+        "time",
+        "event_id",
+        F.sum(F.col("v") - F.col("mu")).over(run).alias("ps"),
+    )
+    cusum = F.round(
+        F.col("ps")
+        - F.least(F.lit(0.0), F.min("ps").over(run)),
+        6,
+    )
+    c = d.select("station", "time", "event_id", cusum.alias("cusum"))
+    return c.groupBy("station").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.max("cusum"), 6).alias("max_cusum"),
+        F.count_if(F.col("cusum") > 500).cast("long").alias(
+            "n_over_threshold"
+        ),
+    )

@@ -215,3 +215,17 @@ def test_linear_interp_bounds_and_identity(spark):
             <= pd.concat([lo, hi], axis=1).max(axis=1)[both] + 1e-9
         )
     ).all()
+
+
+def test_table_profile_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "o13_table_profile")
+
+
+def test_cusum_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "w16_cusum_drift")
+
+
+def test_cusum_nonnegative_and_bounded(spark):
+    rows = registry.QUERIES["w16_cusum_drift"](spark, SF_DIR).collect()
+    assert all(r["max_cusum"] >= 0 for r in rows)
+    assert all(0 <= r["n_over_threshold"] <= r["n"] for r in rows)
