@@ -613,7 +613,10 @@ def d_embedding_cosine_neardup(spark, sf_dir):
 # closure is fine for DuckDB at oracle scale, while the Spark side
 # stays linear per iteration for corpus scale.
 # --------------------------------------------------------------------
-def _dup_clusters_oracle(n_hashes: int = LSH_N_HASHES, bands: int = LSH_BANDS) -> str:
+def _components_cte(n_hashes: int = LSH_N_HASHES, bands: int = LSH_BANDS) -> str:
+    """Shared WITH-prefix ending in ``comp(node, component)`` — the
+    transitive near-dup components; consumed by both the cluster
+    summary and the removal-chain oracles."""
     rows = n_hashes // bands
     band_selects = []
     for b in range(bands):
@@ -662,9 +665,19 @@ comp AS (
   SELECT u AS node, least(u, min(v)) AS component
   FROM reach GROUP BY u
 )
+"""
+
+
+def _dup_clusters_oracle(
+    n_hashes: int = LSH_N_HASHES, bands: int = LSH_BANDS
+) -> str:
+    return (
+        _components_cte(n_hashes, bands)
+        + """
 SELECT component AS cluster_id, count(*) AS n_members
 FROM comp GROUP BY component
 """
+    )
 
 
 @query("d_dup_clusters", _dup_clusters_oracle())
@@ -994,4 +1007,58 @@ def t_char_entropy(spark, sf_dir):
     entropy = (F.log(tt) - F.col("__acc") / tt) / F.lit(ln2)
     return t.select(
         "doc_id", "n_chars", F.round(entropy, 6).alias("char_entropy")
+    )
+
+
+# --------------------------------------------------------------------
+# End-to-end near-dup REMOVAL — the operation a corpus owner actually
+# runs: keep every unpaired document plus one canonical representative
+# (min doc id) per near-dup component, drop the rest. Composes the
+# shared LSH candidates → exact-Jaccard confirm → connected
+# components → anti-membership filter; the audit row carries the
+# survivor checksum so the exact surviving SET is hash-pinned, not
+# just its size.
+# --------------------------------------------------------------------
+def _neardup_removal_oracle() -> str:
+    return (
+        _components_cte()
+        + """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (
+         WHERE comp.node IS NOT NULL AND comp.component <> c.doc_id)
+         AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN comp.node IS NULL
+                       OR comp.component = c.doc_id
+                     THEN c.doc_id END) AS BIGINT)
+         AS survivor_checksum
+FROM corpus c LEFT JOIN comp ON c.doc_id = comp.node
+"""
+    )
+
+
+@query("chain_neardup_removal", _neardup_removal_oracle())
+def chain_neardup_removal(spark, sf_dir):
+    """Corpus-level near-dup removal audit: survivors = unpaired docs
+    + per-component min-id representatives. One left join of the
+    corpus against the (small) component table — at 100 TB the
+    component table is proportional to the DUPLICATED subset, not the
+    corpus, so it broadcasts or shuffles cheaply."""
+    shingles, cand = _lsh_shared(spark, sf_dir)
+    pairs = DD.jaccard_pairs(
+        shingles, "doc_id", min_jaccard=0.5, candidates=cand
+    ).select("a", "b")
+    comp = DD.connected_components(pairs).withColumnRenamed(
+        "node", "doc_id"
+    )
+    corpus = _near_corpus_spark(spark, sf_dir).select("doc_id")
+    joined = corpus.join(comp, "doc_id", "left")
+    keep = F.col("component").isNull() | (
+        F.col("component") == F.col("doc_id")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(~keep).cast("long").alias("n_removed"),
+        F.sum(F.when(keep, F.col("doc_id"))).cast("long").alias(
+            "survivor_checksum"
+        ),
     )

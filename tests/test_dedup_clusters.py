@@ -81,3 +81,26 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(
             sc._jvm.scala.Option.empty()
         )
+
+
+def test_neardup_removal_matches_oracle(spark, oracle_con):
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, oracle_con, "chain_neardup_removal")
+
+
+def test_neardup_removal_consistent_with_clusters(spark):
+    """n_removed equals Σ (cluster size - 1) over the cluster
+    summary — one survivor per component."""
+    from historical_obs_platform_spark import registry
+
+    from .conftest import SF_DIR
+
+    registry.load_all()
+    clusters = registry.QUERIES["d_dup_clusters"](spark, SF_DIR).collect()
+    removal = registry.QUERIES["chain_neardup_removal"](
+        spark, SF_DIR
+    ).collect()[0]
+    assert removal["n_removed"] == sum(
+        r["n_members"] - 1 for r in clusters
+    )
