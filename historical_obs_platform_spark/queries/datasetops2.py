@@ -458,12 +458,14 @@ def t_bpe_pair_stats(spark, sf_dir):
 # pandas ``interpolate(method="linear")``
 # (qaqc_climatological_outlier.py:175) as window expressions: each
 # null takes the time-weighted blend of the nearest non-null
-# neighbors on both sides; nulls with only one side stay LOCF/null.
+# neighbors on both sides; one-sided gaps match pandas interpolate's
+# defaults — trailing nulls carry the last observation forward,
+# leading nulls (no anchor yet) STAY NULL, never looking ahead.
 # Both sides carry (value, epoch-microsecond) pairs through
 # IGNORE-NULLS windows; the blend ratio is the only inexact step and
 # is rounded identically on both engines.
 
-_LI_NULL = "floor(value * 3) % 5 = 0"  # same injected gaps as w14
+_LI_NULL = _FF_NULL  # the same injected gaps as w14, by construction
 
 
 def _li_oracle() -> str:
@@ -497,7 +499,7 @@ SELECT station, time, event_id,
            THEN CAST(pv AS DOUBLE)
                 + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
                   * ((us - pt) / CAST(nt - pt AS DOUBLE))
-         ELSE CAST(coalesce(pv, nv) AS DOUBLE)
+         ELSE CAST(pv AS DOUBLE)
        END, 6) AS v_interp
 FROM w
 """
@@ -508,7 +510,7 @@ def w15_linear_interp(spark, sf_dir):
     """Per-station linear gap interpolation: two IGNORE-NULLS window
     passes over one station partitioning (the forward and backward
     frames share the same Exchange), no join, no driver loop."""
-    from pyspark.sql import Window as W
+    W = Window
 
     ev = table(spark, sf_dir, "events")
     obs = ev.select(
@@ -563,7 +565,7 @@ def w15_linear_interp(spark, sf_dir):
                 & (F.col("nt") > F.col("pt")),
                 blend,
             )
-            .otherwise(F.coalesce(pvd, nvd)),
+            .otherwise(pvd),
             6,
         ).alias("v_interp"),
     )
@@ -632,35 +634,44 @@ def o13_table_profile(spark, sf_dir):
 # recursive max(0, prev + dev) form is not a plain window sum, so
 # both engines compute the equivalent prefix-min formulation:
 #   cusum_i = prefix_sum_i - min(0, running_min of prefix_sum)
-# over deviations dev = v - mean. All prefix aggregates evaluate
-# sequentially within the ordered window frame — identical IEEE
-# left-to-right order in both engines on identical doubles.
+# over deviations from the station mean. Everything runs in EXACT
+# integer arithmetic: values are 2-decimal, so deviations are scaled
+# by n (dev_i = n·v_i − Σv, in cents) — no division, no float window
+# sums (window sums evaluate through different addition trees across
+# engines, so double prefix sums are NOT cross-engine stable). The
+# single inexact step is the final per-station max, divided back by
+# 100·n and rounded.
 
-_CUSUM_ORACLE = """
-WITH m AS (
-  SELECT cast(user_id as string) AS station,
-         round(avg(CAST(value AS DOUBLE)), 6) AS mu
-  FROM events GROUP BY 1),
+_CUSUM_THRESH = 500  # in value units
+
+_CUSUM_ORACLE = f"""
+WITH base AS (
+  SELECT cast(user_id as string) AS station, ts AS time, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events),
+m AS (
+  SELECT station, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS total
+  FROM base GROUP BY station),
 d AS (
-  SELECT e.station, e.time, e.event_id,
-         sum(e.dev) OVER w AS ps
-  FROM (
-    SELECT cast(user_id as string) AS station, ts AS time, event_id,
-           CAST(value AS DOUBLE) - m.mu AS dev
-    FROM events JOIN m ON cast(user_id as string) = m.station) e
-  WINDOW w AS (PARTITION BY e.station ORDER BY e.time, e.event_id
+  SELECT b.station, b.time, b.event_id, m.n,
+         sum(b.cents * m.n - m.total) OVER w AS ps
+  FROM base b JOIN m USING (station)
+  WINDOW w AS (PARTITION BY b.station ORDER BY b.time, b.event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
 c AS (
-  SELECT station, time, event_id,
-         round(ps - least(0, min(ps) OVER (
+  SELECT station, n,
+         ps - least(0, min(ps) OVER (
            PARTITION BY station ORDER BY time, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
-           AS cusum
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           AS cusum_scaled
   FROM d)
 SELECT station,
-       CAST(count(*) AS BIGINT) AS n,
-       round(max(cusum), 6) AS max_cusum,
-       CAST(count(*) FILTER (WHERE cusum > 500) AS BIGINT)
+       CAST(max(n) AS BIGINT) AS n,
+       round(CAST(max(cusum_scaled) AS DOUBLE) / (100.0 * max(n)), 6)
+         AS max_cusum,
+       CAST(count(*) FILTER (
+         WHERE cusum_scaled > {_CUSUM_THRESH} * 100 * n) AS BIGINT)
          AS n_over_threshold
 FROM c GROUP BY station
 """
@@ -670,39 +681,55 @@ FROM c GROUP BY station
 def w16_cusum_drift(spark, sf_dir):
     """Per-station CUSUM drift statistics via the prefix-min
     reformulation (no recursion): two stacked window passes sharing
-    one station Exchange, then a per-station rollup."""
-    from pyspark.sql import Window as W
+    one station Exchange, then a per-station rollup. All prefix math
+    is integer (cent-scaled, deviation multiplied through by n), so
+    the result is independent of aggregation trees on both engines;
+    only the final reported maximum divides back to value units."""
+    W = Window
 
     ev = table(spark, sf_dir, "events").select(
         F.col("user_id").cast("string").alias("station"),
         F.col("ts").alias("time"),
         "event_id",
-        F.col("value").cast("double").alias("v"),
+        (dec("value") * 100).cast("long").alias("cents"),
     )
-    mu = ev.groupBy("station").agg(
-        F.round(F.avg("v"), 6).alias("mu")
+    m = ev.groupBy("station").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("total"),
     )
     run = (
         W.partitionBy("station")
         .orderBy("time", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    d = ev.join(F.broadcast(mu), "station").select(
+    d = ev.join(F.broadcast(m), "station").select(
         "station",
         "time",
         "event_id",
-        F.sum(F.col("v") - F.col("mu")).over(run).alias("ps"),
+        "n",
+        F.sum(
+            F.col("cents") * F.col("n") - F.col("total")
+        ).over(run).alias("ps"),
     )
-    cusum = F.round(
-        F.col("ps")
-        - F.least(F.lit(0.0), F.min("ps").over(run)),
-        6,
+    c = d.select(
+        "station",
+        "time",
+        "event_id",
+        "n",
+        (
+            F.col("ps")
+            - F.least(F.lit(0).cast("long"), F.min("ps").over(run))
+        ).alias("cusum_scaled"),
     )
-    c = d.select("station", "time", "event_id", cusum.alias("cusum"))
     return c.groupBy("station").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.max("cusum"), 6).alias("max_cusum"),
-        F.count_if(F.col("cusum") > 500).cast("long").alias(
-            "n_over_threshold"
-        ),
+        F.max("n").cast("long").alias("n"),
+        F.round(
+            F.max("cusum_scaled").cast("double")
+            / (F.lit(100.0) * F.max("n")),
+            6,
+        ).alias("max_cusum"),
+        F.count_if(
+            F.col("cusum_scaled")
+            > F.lit(_CUSUM_THRESH) * 100 * F.col("n")
+        ).cast("long").alias("n_over_threshold"),
     )

@@ -15,9 +15,12 @@ from .conftest import SF_DIR, assert_matches_oracle
 
 NAMES = [
     "w14_forward_fill",
+    "w15_linear_interp",
+    "w16_cusum_drift",
     "a14_mad_outliers",
     "t_rarity_score",
     "o12_compaction_plan",
+    "o13_table_profile",
 ]
 
 
@@ -171,15 +174,9 @@ def test_forward_fill_equals_pandas_ffill(spark):
         .groupby("station")["v_raw"]
         .ffill()
     )
-    import pandas as pd
-
     pd.testing.assert_series_equal(
         out["v_ff"], expected, check_names=False
     )
-
-
-def test_linear_interp_matches_oracle(spark, oracle_con):
-    assert_matches_oracle(spark, oracle_con, "w15_linear_interp")
 
 
 def test_linear_interp_bounds_and_identity(spark):
@@ -215,14 +212,6 @@ def test_linear_interp_bounds_and_identity(spark):
             <= pd.concat([lo, hi], axis=1).max(axis=1)[both] + 1e-9
         )
     ).all()
-
-
-def test_table_profile_matches_oracle(spark, oracle_con):
-    assert_matches_oracle(spark, oracle_con, "o13_table_profile")
-
-
-def test_cusum_matches_oracle(spark, oracle_con):
-    assert_matches_oracle(spark, oracle_con, "w16_cusum_drift")
 
 
 def test_cusum_nonnegative_and_bounded(spark):
