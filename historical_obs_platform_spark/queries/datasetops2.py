@@ -733,3 +733,90 @@ def w16_cusum_drift(spark, sf_dir):
             > F.lit(_CUSUM_THRESH) * 100 * F.col("n")
         ).cast("long").alias("n_over_threshold"),
     )
+
+
+# --------------------------------------------------------------- funnel
+# Sequential funnel analysis — per-user stage completion where each
+# stage must occur STRICTLY AFTER the user's previous stage time and
+# within a 3-day conversion window (view → click → signup →
+# purchase; at sf0.01 the window takes conversion from 100% to
+# 150→115→80→59, so every stage filter is exercised). The cascade is
+# filtered-min joins over per-user minima: each stage table is one
+# row per surviving user, so at 100 TB every join is co-partitioned
+# on user_id (or broadcast once survivors thin out) and nothing
+# rescans events more than the four stage passes. Comparisons run on
+# epoch microseconds so both engines' parquet timestamp encodings
+# agree.
+
+_FUNNEL_STAGES = ["view", "click", "signup", "purchase"]
+_FUNNEL_WINDOW_US = 3 * 86400 * 1_000_000  # 3-day conversion window
+
+
+def _funnel_oracle() -> str:
+    ctes = [
+        """
+s1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1
+  FROM events WHERE event_type = 'view' GROUP BY user_id)"""
+    ]
+    for i, stage in enumerate(_FUNNEL_STAGES[1:], start=2):
+        ctes.append(f"""
+s{i} AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t{i}
+  FROM events e JOIN s{i - 1} p ON e.user_id = p.user_id
+  WHERE e.event_type = '{stage}'
+    AND epoch_us(e.ts) > p.t{i - 1}
+    AND epoch_us(e.ts) <= p.t{i - 1} + {_FUNNEL_WINDOW_US}
+  GROUP BY e.user_id)""")
+    selects = ", ".join(
+        f"(SELECT CAST(count(*) AS BIGINT) FROM s{i}) AS n_{stage}"
+        for i, stage in enumerate(_FUNNEL_STAGES, start=1)
+    )
+    checksum = (
+        f"(SELECT CAST(coalesce(sum(user_id), 0) AS BIGINT) "
+        f"FROM s{len(_FUNNEL_STAGES)}) AS converted_checksum"
+    )
+    return f"WITH {', '.join(ctes)}\nSELECT {selects}, {checksum}"
+
+
+@query("w17_funnel", _funnel_oracle())
+def w17_funnel(spark, sf_dir):
+    """Strictly-ordered funnel completion counts per stage plus a
+    converted-user checksum pinning the exact surviving set."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    stage_frames = []
+    prev = None
+    for i, stage in enumerate(_FUNNEL_STAGES, start=1):
+        cur = ev.where(F.col("event_type") == stage)
+        if prev is not None:
+            cur = cur.join(prev, "user_id").where(
+                (F.col("us") > F.col(f"t{i - 1}"))
+                & (
+                    F.col("us")
+                    <= F.col(f"t{i - 1}") + _FUNNEL_WINDOW_US
+                )
+            )
+        cur = cur.groupBy("user_id").agg(
+            F.min("us").alias(f"t{i}")
+        )
+        stage_frames.append(cur)
+        prev = cur
+    counts = [
+        sf.agg(
+            F.count(F.lit(1)).alias(f"n_{stage}")
+        )
+        for sf, stage in zip(stage_frames, _FUNNEL_STAGES)
+    ]
+    checksum = stage_frames[-1].agg(
+        F.coalesce(F.sum("user_id"), F.lit(0))
+        .cast("long")
+        .alias("converted_checksum")
+    )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(F.broadcast(c))
+    return out.crossJoin(F.broadcast(checksum))

@@ -218,3 +218,15 @@ def test_cusum_nonnegative_and_bounded(spark):
     rows = registry.QUERIES["w16_cusum_drift"](spark, SF_DIR).collect()
     assert all(r["max_cusum"] >= 0 for r in rows)
     assert all(0 <= r["n_over_threshold"] <= r["n"] for r in rows)
+
+
+def test_funnel_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "w17_funnel")
+
+
+def test_funnel_monotone(spark):
+    r = registry.QUERIES["w17_funnel"](spark, SF_DIR).collect()[0]
+    assert (
+        r["n_view"] >= r["n_click"] >= r["n_signup"] >= r["n_purchase"]
+    )
+    assert r["n_purchase"] < r["n_view"]  # the window actually filters
