@@ -820,3 +820,60 @@ def w17_funnel(spark, sf_dir):
     for c in counts[1:]:
         out = out.crossJoin(F.broadcast(c))
     return out.crossJoin(F.broadcast(checksum))
+
+
+# -------------------------------------------------------------- retention
+# Weekly cohort retention — the companion of the funnel: users are
+# cohorted by their first-activity week; cell (cohort, k) counts how
+# many were active in week cohort+k. Two grouped passes (first-seen
+# per user, then distinct user-week activity joined back) — the
+# activity join is co-partitioned on user_id, and the output is
+# cohorts × horizon, tiny at any corpus size. All integer arithmetic
+# (epoch-week numbers), hash-exact by construction.
+
+_RET_HORIZON = 8  # weeks tracked per cohort
+
+_RET_ORACLE = f"""
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS week
+  FROM events),
+cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM act GROUP BY user_id),
+cells AS (
+  SELECT c.cohort_week, a.week - c.cohort_week AS k
+  FROM act a JOIN cohort c USING (user_id)
+  WHERE a.week - c.cohort_week <= {_RET_HORIZON})
+SELECT cohort_week,
+       CAST(k AS INTEGER) AS k,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM cells GROUP BY cohort_week, k
+"""
+
+
+@query("w18_retention", _RET_ORACLE)
+def w18_retention(spark, sf_dir):
+    """Cohort-week retention counts: (cohort_week, k) → users active
+    k weeks after their first week, k <= horizon."""
+    ev = table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            / F.lit(604_800_000_000)
+        ).alias("week"),
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    cells = (
+        act.join(cohort, "user_id")
+        .select(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("k"),
+        )
+        .where(F.col("k") <= _RET_HORIZON)
+    )
+    return cells.groupBy(
+        "cohort_week", F.col("k").cast("int").alias("k")
+    ).agg(F.count(F.lit(1)).alias("n_active"))

@@ -230,3 +230,18 @@ def test_funnel_monotone(spark):
         r["n_view"] >= r["n_click"] >= r["n_signup"] >= r["n_purchase"]
     )
     assert r["n_purchase"] < r["n_view"]  # the window actually filters
+
+
+def test_retention_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "w18_retention")
+
+
+def test_retention_week_zero_is_cohort_size(spark):
+    """k=0 counts every cohort member (everyone is active in their
+    own first week) and later weeks never exceed it."""
+    rows = registry.QUERIES["w18_retention"](spark, SF_DIR).collect()
+    base = {
+        r["cohort_week"]: r["n_active"] for r in rows if r["k"] == 0
+    }
+    for r in rows:
+        assert r["n_active"] <= base[r["cohort_week"]]
