@@ -1062,3 +1062,72 @@ def chain_neardup_removal(spark, sf_dir):
             "survivor_checksum"
         ),
     )
+
+
+# --------------------------------------------------------------------
+# Containment pairs — the dedup criterion Jaccard misses: a short
+# document wholly embedded in a longer one scores low Jaccard (union
+# dominated by the long doc) but containment |A∩B| / min(|A|,|B|)
+# ≈ 1. Same LSH candidate pruning, different confirm formula; the
+# standard two-threshold near-dup policy runs BOTH (Jaccard for
+# mutual near-dups, containment for subset-duplication).
+# --------------------------------------------------------------------
+def _containment_oracle(
+    n_hashes: int = LSH_N_HASHES, bands: int = LSH_BANDS
+) -> str:
+    rows = n_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        cat = " || '|' || ".join(
+            f"minhash_{b * rows + r}" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cat}) AS bucket FROM sigs"
+        )
+    buckets = " UNION ALL ".join(band_selects)
+    return f"""
+WITH {_shingle_cte()}, {_minhash_cte(n_hashes)},
+buckets AS ({buckets}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM buckets x JOIN buckets y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS n_common
+  FROM cand c
+  JOIN shingles x ON x.doc_id = c.a
+  JOIN shingles y ON y.doc_id = c.b AND y.shingle = x.shingle
+  GROUP BY c.a, c.b
+)
+SELECT a, b, n_common,
+       round(n_common / least(sa.sz, sb.sz), 6) AS containment
+FROM inter
+JOIN sizes sa ON inter.a = sa.doc_id
+JOIN sizes sb ON inter.b = sb.doc_id
+WHERE round(n_common / least(sa.sz, sb.sz), 6) >= 0.9
+"""
+
+
+@query("d_containment_pairs", _containment_oracle())
+def d_containment_pairs(spark, sf_dir):
+    """Subset-duplication pairs over the shared LSH candidates:
+    containment = |A∩B| / min(|A|,|B|) >= 0.9. Same pruned confirm
+    pass as the Jaccard query — one shuffle over candidates, never
+    corpus-quadratic."""
+    shingles, cand = _lsh_shared(spark, sf_dir)
+    pairs = DD.jaccard_pairs(
+        shingles, "doc_id", min_jaccard=0.0, candidates=cand
+    )
+    containment = F.round(
+        F.col("n_common")
+        / F.least(F.col("sz_a"), F.col("sz_b")),
+        6,
+    )
+    return (
+        pairs.select(
+            "a", "b", "n_common", containment.alias("containment")
+        )
+        .where(F.col("containment") >= 0.9)
+    )

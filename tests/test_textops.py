@@ -300,3 +300,25 @@ def test_char_entropy_extremes(spark):
     assert out[1] == 0.0
     assert out[2] == 1.0
     assert out[3] == 2.0
+
+
+def test_containment_pairs_matches_oracle(spark, oracle_con):
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, oracle_con, "d_containment_pairs")
+
+
+def test_containment_geq_jaccard(spark):
+    """containment >= jaccard for every pair (min <= union), so the
+    containment set is a superset of the jaccard set at equal
+    thresholds."""
+    from historical_obs_platform_spark.registry import QUERIES
+
+    from .conftest import SF_DIR
+
+    cont = QUERIES["d_containment_pairs"](spark, SF_DIR)
+    jac = QUERIES["d_ngram_jaccard_pairs"](spark, SF_DIR)
+    # every 0.9-jaccard pair must appear among 0.9-containment pairs
+    high_j = jac.where("jaccard >= 0.9").select("a", "b")
+    missing = high_j.join(cont.select("a", "b"), ["a", "b"], "left_anti")
+    assert missing.count() == 0
