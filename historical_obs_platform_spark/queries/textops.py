@@ -1131,3 +1131,31 @@ def d_containment_pairs(spark, sf_dir):
         )
         .where(F.col("containment") >= 0.9)
     )
+
+
+# --------------------------------------------------------------------
+# Language-ID evaluation: the labeled corpus carries ground-truth
+# `lang`, so the detector grades itself — the confusion matrix every
+# curation pipeline reports before trusting a lang filter. One
+# grouped count over the detector projection.
+# --------------------------------------------------------------------
+_LC_ORACLE = (
+    "WITH det AS ("
+    + _langid_oracle()
+    + """)
+SELECT lang, detected_lang, CAST(count(*) AS BIGINT) AS n
+FROM det GROUP BY lang, detected_lang
+"""
+)
+
+
+@query("t_lang_confusion", _LC_ORACLE)
+def t_lang_confusion(spark, sf_dir):
+    """(true lang, detected lang) → count; the evaluation companion
+    of t_lang_id (map-only detection, 3-ish-group aggregate)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", TX.lang_id("text").alias("detected_lang"))
+        .groupBy("lang", "detected_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

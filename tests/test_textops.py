@@ -322,3 +322,20 @@ def test_containment_geq_jaccard(spark):
     high_j = jac.where("jaccard >= 0.9").select("a", "b")
     missing = high_j.join(cont.select("a", "b"), ["a", "b"], "left_anti")
     assert missing.count() == 0
+
+
+def test_lang_confusion_matches_oracle(spark, oracle_con):
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, oracle_con, "t_lang_confusion")
+
+
+def test_lang_confusion_partitions_corpus(spark):
+    from historical_obs_platform_spark.queries.common import table
+    from historical_obs_platform_spark.registry import QUERIES
+
+    from .conftest import SF_DIR
+
+    rows = QUERIES["t_lang_confusion"](spark, SF_DIR).collect()
+    n_docs = table(spark, SF_DIR, "documents").count()
+    assert sum(r["n"] for r in rows) == n_docs
