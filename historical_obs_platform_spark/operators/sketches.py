@@ -454,3 +454,16 @@ def bloom_member(key_sql: str, bits_col: str = "bloom_bits",
         )
         cond = c if cond is None else cond & c
     return cond
+
+
+def cms_merge(*tables: DataFrame) -> DataFrame:
+    """Merge count-min tables built with identical (depth, width):
+    element-wise counter addition — associative and commutative, so
+    per-corpus/per-partition sketches combine without re-reading any
+    input (the same contract as ``hll_merge``)."""
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("row", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )

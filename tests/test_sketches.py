@@ -18,6 +18,7 @@ NAMES = [
     "sk_hll_distinct",
     "sk_cms_heavy_hitters",
     "sk_hll_union",
+    "sk_cms_merge",
 ]
 
 
@@ -115,3 +116,25 @@ def test_bloom_reduction_sandwich(spark):
     # arrive via broadcast, membership is a projection
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_cms_merge_equals_whole_corpus_sketch(spark):
+    """Merged half-corpus tables probe identically to the whole-corpus
+    sketch — counter addition is associative, so the estimates for
+    the shared top tokens must be EQUAL, not merely close."""
+    whole = {
+        r["token"]: r["cms_estimate"]
+        for r in registry.QUERIES["sk_cms_heavy_hitters"](
+            spark, SF_DIR
+        ).collect()
+    }
+    merged = {
+        r["token"]: r["cms_merged"]
+        for r in registry.QUERIES["sk_cms_merge"](
+            spark, SF_DIR
+        ).collect()
+    }
+    common = set(whole) & set(merged)
+    assert len(common) >= 5
+    for tok in common:
+        assert whole[tok] == merged[tok]
