@@ -877,3 +877,87 @@ def w18_retention(spark, sf_dir):
     return cells.groupBy(
         "cohort_week", F.col("k").cast("int").alias("k")
     ).agg(F.count(F.lit(1)).alias("n_active"))
+
+
+# ------------------------------------------------------------- moment stats
+# One-pass higher-moment statistics per group — the mergeable
+# "moment sketch": exact integer power sums (values are 2-decimal →
+# cents are integers; cents² ... cents⁴ sum exactly in DECIMAL(38)),
+# from which mean/variance/skewness/kurtosis derive in one closed
+# form. Exactness sidesteps both engines' different corrected
+# skewness/kurtosis definitions AND float partial-sum ordering; the
+# double arithmetic happens once per GROUP on identical exact inputs.
+
+_MOM_ORACLE = """
+WITH c AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+  FROM events),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(x AS DECIMAL(19,0))
+                  * CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS s2,
+         CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))
+                  * CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS s3,
+         CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))
+                  * CAST(x AS DECIMAL(19,0))
+                  * CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS s4
+  FROM c GROUP BY event_type)
+SELECT event_type, n,
+       round(s1 / n / 100, 6) AS mean,
+       round((s2 / n - (s1 / n) * (s1 / n)) / 10000, 6) AS variance,
+       round((s3 / n - 3 * (s1 / n) * (s2 / n)
+              + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+             / power(s2 / n - (s1 / n) * (s1 / n), 1.5), 6)
+         AS skewness,
+       round((s4 / n - 4 * (s1 / n) * (s3 / n)
+              + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+              - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+             / power(s2 / n - (s1 / n) * (s1 / n), 2), 6)
+         AS kurtosis
+FROM s
+"""
+
+
+@query("a16_moment_stats", _MOM_ORACLE)
+def a16_moment_stats(spark, sf_dir):
+    """Exact power sums → mean/variance/skewness/kurtosis per group
+    in ONE partial-aggregating pass. The four sums are the mergeable
+    state (addition-associative), so shards combine losslessly —
+    unlike streaming float variance algorithms whose merge order
+    leaks into the result."""
+    ev = table(spark, sf_dir, "events")
+    x = (dec("value") * 100).cast("long")
+    xd = F.col("x").cast("decimal(19,0)")
+    c = ev.select("event_type", x.alias("x"))
+    s = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum(xd * xd).cast("double").alias("s2"),
+        F.sum(xd * xd * xd).cast("double").alias("s3"),
+        F.sum(xd * xd * xd * xd).cast("double").alias("s4"),
+    )
+    m1 = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n")
+    m3 = F.col("s3") / F.col("n")
+    m4 = F.col("s4") / F.col("n")
+    var = m2 - m1 * m1
+    return s.select(
+        "event_type",
+        "n",
+        F.round(m1 / 100, 6).alias("mean"),
+        F.round(var / 10000, 6).alias("variance"),
+        F.round(
+            (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+            / F.pow(var, F.lit(1.5)),
+            6,
+        ).alias("skewness"),
+        F.round(
+            (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2
+             - 3 * m1 * m1 * m1 * m1)
+            / F.pow(var, F.lit(2.0)),
+            6,
+        ).alias("kurtosis"),
+    )

@@ -21,6 +21,7 @@ NAMES = [
     "t_rarity_score",
     "o12_compaction_plan",
     "o13_table_profile",
+    "a16_moment_stats",
 ]
 
 
@@ -245,3 +246,32 @@ def test_retention_week_zero_is_cohort_size(spark):
     }
     for r in rows:
         assert r["n_active"] <= base[r["cohort_week"]]
+
+
+def test_moment_stats_match_numpy(spark):
+    """Exact-sum moments equal numpy's population moments (rounded to
+    the same 6 decimals)."""
+    import numpy as np
+
+    ev = (
+        table(spark, SF_DIR, "events")
+        .select("event_type", "value")
+        .toPandas()
+    )
+    got = {
+        r["event_type"]: r
+        for r in registry.QUERIES["a16_moment_stats"](
+            spark, SF_DIR
+        ).collect()
+    }
+    for et, grp in ev.groupby("event_type"):
+        # quantize to cents exactly like the query
+        v = np.round(grp["value"].to_numpy() * 100).astype(np.int64) / 100.0
+        mean = v.mean()
+        var = ((v - mean) ** 2).mean()
+        skew = ((v - mean) ** 3).mean() / var**1.5
+        kurt = ((v - mean) ** 4).mean() / var**2
+        assert abs(got[et]["mean"] - mean) < 1e-5
+        assert abs(got[et]["variance"] - var) < 1e-4
+        assert abs(got[et]["skewness"] - skew) < 1e-4
+        assert abs(got[et]["kurtosis"] - kurt) < 1e-4
