@@ -287,6 +287,24 @@ def cms_heavy_hitters(
     cms_estimate ≥ exact_count always (counters only over-count).
     """
     table = cms_build(tokens, value_col, depth, width)
+    return cms_probe_topk(
+        tokens, value_col, table, top=top, depth=depth, width=width
+    )
+
+
+def cms_probe_topk(
+    tokens: DataFrame,
+    value_col: str,
+    table: DataFrame,
+    top: int = 20,
+    depth: int = 4,
+    width: int = 512,
+    estimate_col: str = "cms_estimate",
+) -> DataFrame:
+    """Probe the exact top-``top`` tokens against a (pre-built or
+    merged) count-min ``table``. The (depth, width) MUST match the
+    parameters the table was built with — the probes hash into the
+    table's bucket space."""
     exact = (
         tokens.groupBy(F.expr(value_col).alias("token"))
         .agg(F.count(F.lit(1)).alias("exact_count"))
@@ -308,7 +326,11 @@ def cms_heavy_hitters(
     return (
         probes.join(F.broadcast(table), ["row", "bucket"], "left")
         .groupBy("token", "exact_count")
-        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias(estimate_col)
+        )
     )
 
 
