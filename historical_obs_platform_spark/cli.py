@@ -24,6 +24,28 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
+def _check_distinct_io(args) -> None:
+    """Refuse output == input (resolved paths). Every write here is
+    mode('overwrite') over a LAZILY-read input: writing onto the
+    source path deletes the input before/while the read executes,
+    destroying the corpus. Checked once in main() for any subcommand
+    carrying both paths."""
+    inp = getattr(args, "input", None)
+    out = getattr(args, "output", None)
+    if inp is None or out is None:
+        return
+    import os
+
+    ri = os.path.realpath(os.path.abspath(inp))
+    ro = os.path.realpath(os.path.abspath(out))
+    if ri == ro or ro.startswith(ri + os.sep) or ri.startswith(ro + os.sep):
+        raise SystemExit(
+            f"--output {out!r} resolves into --input {inp!r}: the "
+            "overwrite would delete the source before the lazy read "
+            "finishes. Write to a different path and move on success."
+        )
+
+
 def _read(spark: SparkSession, path: str, station: str | None):
     df = spark.read.parquet(path)
     if station:
@@ -280,6 +302,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None, spark: SparkSession | None = None) -> int:
     args = build_parser().parse_args(argv)
+    _check_distinct_io(args)
     if spark is None:
         from .session import get_spark
 

@@ -102,15 +102,28 @@ def concat_colocated(
 
 # ------------------------------------------------------ L7: buoy rules
 def buoy_blacklist_check(
-    obs: DataFrame, rules: DataFrame, variables=None
+    obs: DataFrame, rules: DataFrame, variables=None, max_rules: int = 10_000
 ) -> DataFrame:
     """Broadcast rules table: (station, variable|null=all,
     window_start|null, window_end|null, flag, hour_start|null,
     hour_end|null). A row matching a rule gets ``flag`` on the rule's
     variable(s) — e.g. data past a disestablishment date (flag 2) or
-    daytime wind at a known-bad buoy (flag 1)."""
+    daytime wind at a known-bad buoy (flag 1).
+
+    The rules become driver-built CASE expressions, so the table must
+    be dimension-sized: collection is capped at ``max_rules`` (the
+    reference's blacklist is a handful of rows;
+    ``qaqc_concatenate_stations.py`` hard-codes two) and an oversized
+    table raises instead of OOMing the driver / exploding the plan.
+    """
     out = obs
-    rule_rows = rules.collect()
+    rule_rows = rules.limit(max_rules + 1).collect()
+    if len(rule_rows) > max_rules:
+        raise ValueError(
+            f"buoy rules table exceeds {max_rules} rows — not a "
+            "dimension table; join-based flagging is required at "
+            "that size"
+        )
     for r in rule_rows:
         targets = (
             [r["variable"]]

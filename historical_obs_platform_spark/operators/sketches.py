@@ -170,12 +170,41 @@ def hll_registers(
     )
 
 
-def hll_merge(*register_tables: DataFrame) -> DataFrame:
+def hll_merge(
+    *register_tables: DataFrame, bucket_hex: int | None = None
+) -> DataFrame:
     """Merge register tables built with identical parameters: the
-    per-bucket max — associative, commutative, idempotent."""
+    per-bucket max — associative, commutative, idempotent.
+
+    Tables built with different ``bucket_hex`` have incompatible
+    bucket domains; merging them yields a silently wrong estimate.
+    Pass ``bucket_hex`` to assert every bucket key has that hex width
+    — the check is folded into the merged plan (a conditional on the
+    grouping column, so it cannot be pruned) and costs nothing extra.
+    """
+    if not register_tables:
+        raise ValueError("hll_merge: need at least one register table")
     out = register_tables[0]
     for r in register_tables[1:]:
         out = out.unionByName(r)
+    if bucket_hex is not None:
+        out = out.withColumn(
+            "bucket",
+            F.when(
+                F.length("bucket") == bucket_hex, F.col("bucket")
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "hll_merge: register bucket width != "
+                            f"{bucket_hex} hex digits (mismatched "
+                            "bucket_hex across merged tables): "
+                        ),
+                        F.col("bucket"),
+                    )
+                )
+            ),
+        )
     return out.groupBy("bucket").agg(F.max("M").alias("M"))
 
 
@@ -478,14 +507,51 @@ def bloom_member(key_sql: str, bits_col: str = "bloom_bits",
     return cond
 
 
-def cms_merge(*tables: DataFrame) -> DataFrame:
+def cms_merge(
+    *tables: DataFrame,
+    depth: int | None = None,
+    width: int | None = None,
+) -> DataFrame:
     """Merge count-min tables built with identical (depth, width):
     element-wise counter addition — associative and commutative, so
     per-corpus/per-partition sketches combine without re-reading any
-    input (the same contract as ``hll_merge``)."""
+    input (the same contract as ``hll_merge``).
+
+    Tables built with a different (depth, width) occupy different
+    counter grids; summing them produces a wrong estimate with no
+    error. Pass ``depth``/``width`` to assert every (row, bucket)
+    lies inside the expected grid — in-plan on the grouping columns,
+    so the check cannot be pruned and adds no extra job."""
+    if not tables:
+        raise ValueError("cms_merge: need at least one sketch table")
     out = tables[0]
     for t in tables[1:]:
         out = out.unionByName(t)
+
+    def _bounded(col: str, hi: int) -> None:
+        nonlocal out
+        out = out.withColumn(
+            col,
+            F.when(
+                (F.col(col) >= 0) & (F.col(col) < hi), F.col(col)
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"cms_merge: {col} outside [0, {hi}) — "
+                            "tables built with mismatched "
+                            "(depth, width) cannot be merged: "
+                        ),
+                        F.col(col).cast("string"),
+                    )
+                )
+            ),
+        )
+
+    if depth is not None:
+        _bounded("row", depth)
+    if width is not None:
+        _bounded("bucket", width)
     return out.groupBy("row", "bucket").agg(
         F.sum("cnt").cast("long").alias("cnt")
     )

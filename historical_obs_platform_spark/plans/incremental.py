@@ -46,11 +46,27 @@ def upsert(
     )
 
 
+def _orderable(dt) -> bool:
+    """Whether Spark can ORDER BY a column of this type: maps are
+    unorderable; arrays/structs are orderable iff their element/field
+    types are."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def merge_changeset(
     existing: DataFrame,
     changes: DataFrame,
     keys=("station", "time"),
     op_col: str = "op",
+    precedence=None,
 ) -> DataFrame:
     """Full MERGE semantics over a changeset carrying an op marker
     (``upsert`` | ``delete``): matched keys are replaced or removed,
@@ -62,6 +78,15 @@ def merge_changeset(
     Plan shape: one equi-join (anti) on the key — broadcast when the
     changeset is small, shuffle otherwise (AQE's call) — plus a
     union; nothing rescans the base twice.
+
+    ``precedence`` (column name or list of names, e.g. a version or
+    ingest-timestamp column) controls which of several same-key
+    upserts survives: highest precedence wins (desc, nulls last).
+    Without it the tie-break orders by every ORDERABLE payload column
+    — unorderable types (maps) are skipped rather than throwing
+    AnalysisException, and "max payload wins" is only a deterministic
+    fallback, not last-write-wins; callers with replayed changesets
+    should pass an explicit precedence column.
     """
     keys = list(keys)
     # only recognized ops participate: an unknown op value (typo,
@@ -75,11 +100,23 @@ def merge_changeset(
     # Resolve deterministically: keep ONE row per key, ordered by the
     # non-key payload so the survivor is independent of partitioning.
     payload = [c for c in upserts.columns if c not in keys]
-    if payload:
-        from pyspark.sql.window import Window
-
+    if precedence is not None:
+        order_cols = (
+            [precedence] if isinstance(precedence, str) else list(precedence)
+        )
+        missing = [c for c in order_cols if c not in upserts.columns]
+        if missing:
+            raise ValueError(
+                f"merge_changeset: precedence columns {missing} not in "
+                f"changeset columns {upserts.columns}"
+            )
+    else:
+        order_cols = [
+            c for c in payload if _orderable(upserts.schema[c].dataType)
+        ]
+    if order_cols:
         w = Window.partitionBy(*keys).orderBy(
-            *[F.col(c).desc_nulls_last() for c in payload]
+            *[F.col(c).desc_nulls_last() for c in order_cols]
         )
         upserts = (
             upserts.withColumn("__rn", F.row_number().over(w))

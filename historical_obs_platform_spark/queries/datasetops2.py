@@ -702,13 +702,20 @@ def w16_cusum_drift(spark, sf_dir):
         .orderBy("time", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # deviation accumulates in decimal(38,0), not BIGINT: the prefix
+    # sum is bounded by ~n² · cents-range per station, which wraps a
+    # non-ANSI BIGINT beyond ~10^7 rows/station while DuckDB promotes
+    # to HUGEINT — decimal keeps the two engines exact to ~10^15
+    # rows/station (38 digits), far past any real per-station record
     d = ev.join(F.broadcast(m), "station").select(
         "station",
         "time",
         "event_id",
         "n",
         F.sum(
-            F.col("cents") * F.col("n") - F.col("total")
+            (F.col("cents") * F.col("n") - F.col("total")).cast(
+                "decimal(38,0)"
+            )
         ).over(run).alias("ps"),
     )
     c = d.select(
@@ -718,7 +725,9 @@ def w16_cusum_drift(spark, sf_dir):
         "n",
         (
             F.col("ps")
-            - F.least(F.lit(0).cast("long"), F.min("ps").over(run))
+            - F.least(
+                F.lit(0).cast("decimal(38,0)"), F.min("ps").over(run)
+            )
         ).alias("cusum_scaled"),
     )
     return c.groupBy("station").agg(
