@@ -14,6 +14,17 @@ one-query-per-line JSON records (``{"query": name, "sec": t}``).
 
 Each query is forced end-to-end with a noop sink (full physical plan,
 no driver materialization cost).
+
+**Noise control**: each query runs ``$SPARK_GRAFT_BENCH_REPS``
+(default 3) times and reports the per-query MINIMUM. This host's
+co-tenant/GC load swings single-shot timings 1.2–5× (round 2's
+sidecar recorded phantom 2.6–5.9× "regressions" on q7–q9/rollup that
+a fresh re-run showed never happened); min-of-k is the standard
+defense — the minimum is the run least polluted by external load, and
+plan regressions still show because a genuinely slower plan is slower
+in EVERY rep. The headline ``value`` is the sum of per-query minima
+(the noise-free suite estimate); the raw wall time including all reps
+is reported separately as ``wall_total``.
 """
 
 from __future__ import annotations
@@ -36,6 +47,7 @@ def run_query(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     m = re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
@@ -49,22 +61,30 @@ def main() -> None:
     import gc
 
     timings: dict[str, float] = {}
+    all_reps: dict[str, list[float]] = {}
     t_all = time.perf_counter()
     for name in sorted(registry.QUERIES):
         fn = registry.QUERIES[name]
-        t0 = time.perf_counter()
-        try:
-            run_query(fn(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 4)
-        except Exception as exc:  # pragma: no cover
-            timings[name] = -1.0
-            print(f"# {name} FAILED: {exc}", file=sys.stderr)
-        # drop cached/localCheckpoint blocks so earlier queries'
-        # state doesn't slow later ones (measured: ~2× drift across
-        # a 68-query session without this)
-        spark.catalog.clearCache()
-        gc.collect()
-    total = round(time.perf_counter() - t_all, 4)
+        runs: list[float] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            try:
+                run_query(fn(spark, sf_dir))
+                runs.append(round(time.perf_counter() - t0, 4))
+            except Exception as exc:  # pragma: no cover
+                runs.append(-1.0)
+                print(f"# {name} FAILED: {exc}", file=sys.stderr)
+                break
+            # drop cached/localCheckpoint blocks so earlier queries'
+            # state doesn't slow later ones (measured: ~2× drift
+            # across a 68-query session without this)
+            spark.catalog.clearCache()
+            gc.collect()
+        all_reps[name] = runs
+        ok = [t for t in runs if t >= 0]
+        timings[name] = min(ok) if ok else -1.0
+    wall_total = round(time.perf_counter() - t_all, 4)
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
 
     # Full map: sidecar file + one line per query (early lines are
     # fine to truncate; only the FINAL line must parse).
@@ -72,7 +92,18 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json"
     )
     with open(sidecar, "w") as fh:
-        json.dump({"sf": sf, "total": total, "queries": timings}, fh, indent=1)
+        json.dump(
+            {
+                "sf": sf,
+                "total": total,
+                "wall_total": wall_total,
+                "reps": reps,
+                "queries": timings,
+                "queries_all_reps": all_reps,
+            },
+            fh,
+            indent=1,
+        )
     for name in sorted(timings):
         print(json.dumps({"query": name, "sec": timings[name]}))
 
@@ -100,12 +131,14 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "suite_wall_seconds",
+                "metric": "suite_min_of_k_seconds",
                 "value": total,
                 "unit": "sec",
                 "queries": head,
                 "sf": sf,
                 "n_queries": len(timings),
+                "reps": reps,
+                "wall_total": wall_total,
                 # registry grows round over round — normalize so a
                 # coverage increase isn't read as a perf regression
                 "sec_per_query": round(total / max(len(timings), 1), 4),
