@@ -188,3 +188,319 @@ def n_valleywater_clean(spark, sf_dir):
     )
     out = clean_network(raw, "VALLEYWATER")
     return out.select("station", "time", "pr")
+
+
+# ----------------------------------------------------------------------
+# MADIS-family (Synoptic API) networks — the reference cleans CWOP,
+# RAWS, HADS, CDEC with the same MADIS_clean.py script
+# (MADIS_clean.py:1871-1875); each round-trip below exercises a
+# different slice of the shared Synoptic quirk table.
+
+N_CWOP_ORACLE = """
+SELECT 'CWOP_C' || CAST(user_id % 60 AS VARCHAR) AS station,
+       ts - INTERVAL 10 YEAR AS time,
+       value + 273.15 AS tas,
+       value % 100.0 AS hurs,
+       value % 20.0 AS sfcWind,
+       value % 4.0 AS pr_1h,
+       event_type AS tas_qc,
+       CAST(user_id % 800 AS DOUBLE) * 0.3048 AS elevation
+FROM events
+"""
+
+
+@query("n_cwop_clean", N_CWOP_ORACLE)
+def n_cwop_clean(spark, sf_dir):
+    """CWOP via the shared Synoptic quirk table: °C→K, metric wind /
+    precip passthrough, QC rename, elevation ft→m.
+
+    Reference: MADIS_clean.py:1078 (tas), :1524 (hurs), :1589
+    (sfcWind), :1328 (pr_1h), :782 (elevation); CWOP's
+    first-letter station batching (:473-517) is ingest
+    orchestration that Spark partitioning replaces.
+    """
+    ev = table(spark, sf_dir, "events")
+    raw = ev.select(
+        F.concat(
+            F.lit("CWOP_C"), (F.col("user_id") % 60).cast("string")
+        ).alias("station"),
+        (F.col("ts") - F.expr(_BACK)).alias("time"),
+        F.col("value").alias("air_temp_set_1"),
+        (F.col("value") % 100.0).alias("relative_humidity_set_1"),
+        (F.col("value") % 20.0).alias("wind_speed_set_1"),
+        (F.col("value") % 4.0).alias("precip_accum_one_hour_set_1"),
+        F.col("event_type").alias("air_temp_set_1_qc"),
+        (F.col("user_id") % 800).cast("double").alias("elevation"),
+    )
+    out = clean_network(raw, "CWOP")
+    return out.select(
+        "station", "time", "tas", "hurs", "sfcWind", "pr_1h", "tas_qc",
+        "elevation",
+    )
+
+
+N_RAWS_ORACLE = """
+SELECT 'RAWS_R' || CAST(user_id % 45 AS VARCHAR) AS station,
+       ts - INTERVAL 10 YEAR AS time,
+       value + 273.15 AS tas,
+       value % 22.0 + 273.15 AS tdps,
+       value % 900.0 AS rsds,
+       value % 360.0 AS sfcWind_dir,
+       value % 8.0 AS pr,
+       event_type AS sfcWind_dir_qc
+FROM events
+"""
+
+
+@query("n_raws_clean", N_RAWS_ORACLE)
+def n_raws_clean(spark, sf_dir):
+    """RAWS via the shared Synoptic quirk table: both temperature
+    conversions, solar/wind-direction/interval-precip passthrough.
+
+    Reference: MADIS_clean.py:1227 (tdps), :1551 (rsds), :1609
+    (sfcWind_dir), :1318 (pr).
+    """
+    ev = table(spark, sf_dir, "events")
+    raw = ev.select(
+        F.concat(
+            F.lit("RAWS_R"), (F.col("user_id") % 45).cast("string")
+        ).alias("station"),
+        (F.col("ts") - F.expr(_BACK)).alias("time"),
+        F.col("value").alias("air_temp_set_1"),
+        (F.col("value") % 22.0).alias("dew_point_temperature_set_1"),
+        (F.col("value") % 900.0).alias("solar_radiation_set_1"),
+        (F.col("value") % 360.0).alias("wind_direction_set_1"),
+        (F.col("value") % 8.0).alias("precip_accum_set_1"),
+        F.col("event_type").alias("wind_direction_set_1_qc"),
+    )
+    out = clean_network(raw, "RAWS")
+    return out.select(
+        "station", "time", "tas", "tdps", "rsds", "sfcWind_dir", "pr",
+        "sfcWind_dir_qc",
+    )
+
+
+N_HADS_ORACLE = """
+SELECT 'HADS_H' || CAST(user_id % 35 AS VARCHAR) AS station,
+       ts - INTERVAL 10 YEAR AS time,
+       value % 60.0 AS pr_24h,
+       value % 30.0 AS pr_localmid,
+       value % 1.0 AS pr_5min,
+       value % 18.0 + 273.15 AS tdps_derived,
+       event_type AS pr_24h_qc
+FROM events
+"""
+
+
+@query("n_hads_clean", N_HADS_ORACLE)
+def n_hads_clean(spark, sf_dir):
+    """HADS via the shared Synoptic quirk table: all three remaining
+    precip-accumulation variants plus the derived dewpoint.
+
+    Reference: MADIS_clean.py:1295 (pr_24h), :1306 (pr_localmid),
+    :1340 (pr_5min), :1702 (tdps_derived °C→K).
+    """
+    ev = table(spark, sf_dir, "events")
+    raw = ev.select(
+        F.concat(
+            F.lit("HADS_H"), (F.col("user_id") % 35).cast("string")
+        ).alias("station"),
+        (F.col("ts") - F.expr(_BACK)).alias("time"),
+        (F.col("value") % 60.0).alias("precip_accum_24_hour_set_1"),
+        (F.col("value") % 30.0).alias(
+            "precip_accum_since_local_midnight_set_1"
+        ),
+        (F.col("value") % 1.0).alias("precip_accum_five_minute_set_1"),
+        (F.col("value") % 18.0).alias("dew_point_temperature_set_1d"),
+        F.col("event_type").alias("precip_accum_24_hour_set_1_qc"),
+    )
+    out = clean_network(raw, "HADS")
+    return out.select(
+        "station", "time", "pr_24h", "pr_localmid", "pr_5min",
+        "tdps_derived", "pr_24h_qc",
+    )
+
+
+N_CDEC_ORACLE = """
+WITH base AS (
+  SELECT 'CDEC_D' || CAST(user_id % 40 AS VARCHAR) AS station,
+         ts - INTERVAL 10 YEAR AS time,
+         CASE WHEN user_id % 2 = 0 AND value % 7.0 < 3.0
+              THEN 85000.0 + value ELSE NULL END AS ps,
+         101000.0 + (value % 500.0) AS psl_raw
+  FROM events)
+SELECT station, time, ps,
+       CASE WHEN count(ps) OVER (PARTITION BY station) > 0
+            THEN NULL ELSE psl_raw END AS psl
+FROM base
+"""
+
+
+@query("n_cdec_clean", N_CDEC_ORACLE)
+def n_cdec_clean(spark, sf_dir):
+    """CDEC via the shared Synoptic quirk table, exercising the
+    ps-over-psl preference: a station with ANY directly observed
+    station pressure drops sea-level pressure entirely (even rows
+    where its ps is null), stations with none keep psl.
+
+    Reference: MADIS_clean.py:1131-1160.
+    """
+    ev = table(spark, sf_dir, "events")
+    raw = ev.select(
+        F.concat(
+            F.lit("CDEC_D"), (F.col("user_id") % 40).cast("string")
+        ).alias("station"),
+        (F.col("ts") - F.expr(_BACK)).alias("time"),
+        F.when(
+            (F.col("user_id") % 2 == 0) & (F.col("value") % 7.0 < 3.0),
+            F.lit(85000.0) + F.col("value"),
+        ).alias("pressure_set_1"),
+        (F.lit(101000.0) + F.col("value") % 500.0).alias(
+            "sea_level_pressure_set_1"
+        ),
+    )
+    out = clean_network(raw, "CDEC")
+    return out.select("station", "time", "ps", "psl")
+
+
+N_NDBC_ORACLE = """
+SELECT 'NDBC_' || CAST(46000 + user_id % 70 AS VARCHAR) AS station,
+       ts - INTERVAL 10 YEAR AS time,
+       value % 28.0 + 273.15 AS tas,
+       value % 24.0 + 273.15 AS tdps,
+       (990.0 + value % 45.0) * 100.0 AS ps
+FROM events
+"""
+
+
+@query("n_ndbc_clean", N_NDBC_ORACLE)
+def n_ndbc_clean(spark, sf_dir):
+    """NDBC registered as its own addressable cleaner (alias of the
+    MARITIME quirks — MARITIME_clean.py pulls NDBC + CDIP buoys),
+    with raw pressure in hPa.
+
+    Reference: MARITIME_clean.py:637-653.
+    """
+    ev = table(spark, sf_dir, "events")
+    raw = ev.select(
+        F.concat(
+            F.lit("NDBC_"),
+            (F.lit(46000) + F.col("user_id") % 70).cast("string"),
+        ).alias("station"),
+        (F.col("ts") - F.expr(_BACK)).alias("time"),
+        (F.col("value") % 28.0).alias("tas"),
+        (F.col("value") % 24.0).alias("tdps"),
+        (F.lit(990.0) + F.col("value") % 45.0).alias("ps"),
+    )
+    out = clean_network(raw, "NDBC")
+    return out.select("station", "time", "tas", "tdps", "ps")
+
+
+N_ASOSAWOS_ORACLE = """
+WITH isd AS (
+  SELECT s_suppkey AS WBAN,
+         CAST(s_suppkey % 80 AS DOUBLE) + 0.125 AS LAT,
+         -CAST(s_suppkey % 160 AS DOUBLE) - 0.25 AS LON,
+         s_name AS isd_name
+  FROM supplier),
+asos_raw AS (
+  SELECT c_custkey AS WBAN,
+         CAST(c_custkey % 80 AS DOUBLE)
+           + CASE WHEN c_custkey % 3 = 0 THEN 0.125 ELSE 0.625 END AS LAT,
+         -CAST(c_custkey % 160 AS DOUBLE) - 0.25 AS LON,
+         c_custkey * 10 AS NCDCID,
+         '2001-0' || CAST(1 + c_custkey % 9 AS VARCHAR) || '-15'
+           AS STARTDATE,
+         'A' || CAST(c_custkey AS VARCHAR) AS asos_name
+  FROM customer
+  UNION ALL
+  SELECT c_custkey,
+         CAST(c_custkey % 80 AS DOUBLE)
+           + CASE WHEN c_custkey % 3 = 0 THEN 0.125 ELSE 0.625 END,
+         -CAST(c_custkey % 160 AS DOUBLE) - 0.25,
+         c_custkey * 10, NULL, 'A' || CAST(c_custkey AS VARCHAR)
+  FROM customer WHERE c_custkey % 10 = 0),
+asos_d AS (
+  SELECT WBAN, LAT, LON, NCDCID, STARTDATE, asos_name FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY WBAN, NCDCID
+      ORDER BY STARTDATE DESC NULLS LAST) AS rn
+    FROM asos_raw) WHERE rn = 1),
+asos AS (
+  SELECT WBAN, round(LAT, 3) AS LAT, round(LON, 3) AS LON,
+         NCDCID, STARTDATE, asos_name
+  FROM asos_d),
+matched AS (
+  SELECT i.WBAN, i.LAT, i.LON, i.isd_name,
+         a.NCDCID, a.STARTDATE, a.asos_name
+  FROM isd i JOIN asos a
+    ON i.WBAN = a.WBAN AND i.LAT = a.LAT AND i.LON = a.LON),
+missed AS (
+  SELECT i.* FROM isd i WHERE NOT EXISTS (
+    SELECT 1 FROM asos a
+    WHERE a.WBAN = i.WBAN AND a.LAT = i.LAT AND a.LON = i.LON)),
+asos_w AS (
+  SELECT WBAN, NCDCID, STARTDATE, asos_name FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY WBAN
+      ORDER BY STARTDATE DESC NULLS LAST) AS rn2
+    FROM asos) WHERE rn2 = 1)
+SELECT * FROM matched
+UNION ALL
+SELECT m.WBAN, m.LAT, m.LON, m.isd_name,
+       a.NCDCID, a.STARTDATE, a.asos_name
+FROM missed m LEFT JOIN asos_w a ON m.WBAN = a.WBAN
+"""
+
+
+@query("n_asosawos_stations", N_ASOSAWOS_ORACLE)
+def n_asosawos_stations(spark, sf_dir):
+    """ASOS/AWOS ↔ ISD station-list merge (two-tier priority join):
+    exact (WBAN, LAT, LON) first, WBAN-only fallback for relocated
+    stations, after dropping less-complete duplicate rows and
+    rounding coordinates to 3 decimals.
+
+    Reference: ASOSAWOS_clean.py:71-139 (merge_station_lists).
+    Synthetic lists: ISD from supplier, ASOSAWOS from customer
+    (coordinates agree only for custkey % 3 == 0, so both join tiers
+    carry rows; custkey % 10 == 0 contributes a null-STARTDATE
+    duplicate that the dedup must drop).
+    """
+    from ..sources.networks import merge_station_lists
+
+    sup = table(spark, sf_dir, "supplier")
+    cust = table(spark, sf_dir, "customer")
+    isd = sup.select(
+        F.col("s_suppkey").alias("WBAN"),
+        ((F.col("s_suppkey") % 80).cast("double") + F.lit(0.125)).alias(
+            "LAT"
+        ),
+        (-(F.col("s_suppkey") % 160).cast("double") - F.lit(0.25)).alias(
+            "LON"
+        ),
+        F.col("s_name").alias("isd_name"),
+    )
+    lat = (F.col("c_custkey") % 80).cast("double") + F.when(
+        F.col("c_custkey") % 3 == 0, F.lit(0.125)
+    ).otherwise(F.lit(0.625))
+    base = cust.select(
+        F.col("c_custkey").alias("WBAN"),
+        lat.alias("LAT"),
+        (-(F.col("c_custkey") % 160).cast("double") - F.lit(0.25)).alias(
+            "LON"
+        ),
+        (F.col("c_custkey") * 10).alias("NCDCID"),
+        F.concat(
+            F.lit("2001-0"),
+            (F.lit(1) + F.col("c_custkey") % 9).cast("string"),
+            F.lit("-15"),
+        ).alias("STARTDATE"),
+        F.concat(F.lit("A"), F.col("c_custkey").cast("string")).alias(
+            "asos_name"
+        ),
+    )
+    dup = base.where(F.col("WBAN") % 10 == 0).withColumn(
+        "STARTDATE", F.lit(None).cast("string")
+    )
+    asos_raw = base.unionByName(dup)
+    return merge_station_lists(isd, asos_raw)

@@ -69,6 +69,59 @@ class NetworkSpec:
     period: tuple[str, str] | None = V1_PERIOD
     # "ft" applies ft→m to the elevation column at clean time
     elevation_unit: str = "m"
+    # MADIS_clean.py:1131-1160: station pressure (ps) beats sea-level
+    # pressure — a station with ANY observed ps drops its psl column
+    # (per-station, so this is the one quirk that needs a shuffle)
+    psl_only_if_no_ps: bool = False
+
+
+# The Synoptic/MADIS variable vocabulary (MADIS_clean.py:1078-1702)
+# shared by every network pulled through the Synoptic API — the
+# reference cleans CWOP, RAWS, HADS, CDEC (and ~15 more,
+# MADIS_clean.py:1871-1873) with the SAME script; only the station
+# prefix and which sensors exist differ. Declaring one rename table
+# and instantiating per-network specs from it is the table-driven
+# equivalent.
+_SYNOPTIC_RENAMES: dict[str, str] = {
+    "air_temp_set_1": "tas",                                   # :1078
+    "dew_point_temperature_set_1": "tdps",                     # :1227
+    "dew_point_temperature_set_1d": "tdps_derived",            # :1702
+    "pressure_set_1": "ps",                                    # :1136
+    "pressure_set_1d": "ps_derived",                           # :1692
+    "sea_level_pressure_set_1": "psl",                         # :1153
+    "relative_humidity_set_1": "hurs",                         # :1524
+    "solar_radiation_set_1": "rsds",                           # :1551
+    "wind_speed_set_1": "sfcWind",                             # :1589
+    "wind_direction_set_1": "sfcWind_dir",                     # :1609
+    "precip_accum_24_hour_set_1": "pr_24h",                    # :1295
+    "precip_accum_since_local_midnight_set_1": "pr_localmid",  # :1306
+    "precip_accum_set_1": "pr",                                # :1318
+    "precip_accum_one_hour_set_1": "pr_1h",                    # :1328
+    "precip_accum_five_minute_set_1": "pr_5min",               # :1340
+}
+_SYNOPTIC_QC: dict[str, str] = {
+    f"{raw}_qc": f"{canon}_qc" for raw, canon in _SYNOPTIC_RENAMES.items()
+}
+# temps arrive in °C (→K); pressures already Pa; winds already m/s;
+# precip already mm (MADIS_clean.py units attrs)
+_SYNOPTIC_CONVERSIONS: dict[str, str] = {
+    "tas": "degC_to_K",
+    "tdps": "degC_to_K",
+    "tdps_derived": "degC_to_K",
+}
+
+
+def _synoptic_spec(name: str) -> NetworkSpec:
+    """One MADIS-family network: full Synoptic vocabulary, UTC raw
+    clocks, elevations in feet, ps-over-psl preference."""
+    return NetworkSpec(
+        name=name,
+        renames=_SYNOPTIC_RENAMES,
+        conversions=_SYNOPTIC_CONVERSIONS,
+        qc_renames=_SYNOPTIC_QC,
+        elevation_unit="ft",
+        psl_only_if_no_ps=True,
+    )
 
 
 NETWORKS: dict[str, NetworkSpec] = {
@@ -177,20 +230,31 @@ NETWORKS: dict[str, NetworkSpec] = {
         renames={"rainfall_in": "pr"},
         conversions={"pr": "in_to_mm"},
     ),
-    # MADIS_clean.py:1692-1694 (sensor-suffix renames), :1078/:1702
-    # (°C→K), :782 (elevation ft→m); the rest of the MADIS quirk set
-    # (header sniffing, sentinel cleanup) lives in
-    # sources/csv_obs.read_csv_obs, which this spec composes with.
-    "MADIS": NetworkSpec(
-        name="MADIS",
-        renames={
-            "dew_point_temperature_set_1d": "tdps_derived",
-            "pressure_set_1d": "ps_derived",
-            "relative_humidity_set_1": "hurs",
-            "air_temp_set_1": "tas",
+    # MADIS_clean.py: the generic Synoptic-API cleaner (renames
+    # :1078-1702, °C→K, elevation ft→m :782, ps-over-psl
+    # :1131-1160); the rest of the MADIS quirk set (header sniffing,
+    # sentinel cleanup) lives in sources/csv_obs.read_csv_obs, which
+    # this spec composes with.
+    "MADIS": _synoptic_spec("MADIS"),
+    # The reference cleans these networks with the SAME MADIS script
+    # (MADIS_clean.py:1871-1875 lists them; CWOP additionally batches
+    # its 7k stations by first letter at INGEST time — an
+    # orchestration detail that Spark's partitioning replaces, so the
+    # quirk table is identical):
+    "CWOP": _synoptic_spec("CWOP"),
+    "RAWS": _synoptic_spec("RAWS"),
+    "HADS": _synoptic_spec("HADS"),
+    "CDEC": _synoptic_spec("CDEC"),
+    # NDBC buoys are the MARITIME network (MARITIME_clean.py pulls
+    # NDBC + CDIP); registered under both names so a user can address
+    # the cleaner by either.
+    "NDBC": NetworkSpec(
+        name="NDBC",
+        conversions={
+            "tas": "degC_to_K",
+            "tdps": "degC_to_K",
+            "ps": "hPa_to_Pa",
         },
-        conversions={"tas": "degC_to_K", "tdps_derived": "degC_to_K"},
-        elevation_unit="ft",
     ),
 }
 
@@ -237,4 +301,88 @@ def clean_network(
             (F.col(time_col) >= F.lit(spec.period[0]).cast("timestamp"))
             & (F.col(time_col) < F.lit(spec.period[1]).cast("timestamp"))
         )
+    if (
+        spec.psl_only_if_no_ps
+        and "ps" in df.columns
+        and "psl" in df.columns
+        and "station" in df.columns
+    ):
+        # MADIS_clean.py:1131-1160: a station with ANY directly
+        # observed station pressure drops sea-level pressure (ps is
+        # authoritative; psl at those stations is Synoptic-derived).
+        # Per-station window count — the single shuffle in the
+        # cleaner, keyed the same way every downstream QAQC stage
+        # partitions, so at scale it coalesces with the next stage's
+        # exchange rather than adding one.
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("station")
+        df = df.withColumn(
+            "psl",
+            F.when(
+                F.count("ps").over(w) > 0, F.lit(None).cast("double")
+            ).otherwise(F.col("psl")),
+        )
     return df
+
+
+def merge_station_lists(
+    isd_list: DataFrame,
+    asosawos_list: DataFrame,
+    coord_decimals: int = 3,
+) -> DataFrame:
+    """The ASOS/AWOS ↔ ISD station-list merge
+    (ASOSAWOS_clean.py:71-139), as a two-tier priority join:
+
+    1. drop the less-complete row of any duplicated ASOSAWOS station
+       (the reference hard-codes one NCDCID with a null STARTDATE;
+       generically: within a (WBAN, NCDCID) duplicate group, null
+       STARTDATE rows lose);
+    2. round ASOSAWOS coordinates to ``coord_decimals`` (the two
+       lists disagree below ~100 m);
+    3. join ISD←ASOSAWOS on (WBAN, LAT, LON) first — exact sensor
+       match — and fall back to WBAN-only for ISD rows the precise
+       join missed (relocated stations keep their metadata).
+
+    Spark shape: both joins are on the dimension-sized station lists
+    (thousands of rows), so each side broadcasts; the fallback join
+    input is the anti-joined remainder, not a second full scan.
+    """
+    from pyspark.sql.window import Window
+
+    dup_w = F.row_number().over(
+        Window.partitionBy("WBAN", "NCDCID").orderBy(
+            F.col("STARTDATE").desc_nulls_last()
+        )
+    )
+    asos = (
+        asosawos_list.withColumn("__rn", dup_w)
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumn("LAT", F.round("LAT", coord_decimals))
+        .withColumn("LON", F.round("LON", coord_decimals))
+    )
+    # a sentinel marks real matches (any metadata column could be
+    # legitimately null, so probing one of them would misclassify)
+    exact = isd_list.join(
+        F.broadcast(asos.withColumn("__hit", F.lit(1))),
+        ["WBAN", "LAT", "LON"],
+        "left",
+    )
+    matched = exact.where(F.col("__hit").isNotNull()).drop("__hit")
+    missed = exact.where(F.col("__hit").isNull()).select(isd_list.columns)
+    # WBAN-only fallback: the ASOSAWOS side keyed on WBAN alone must
+    # be unique — keep the first by STARTDATE so the fallback is
+    # deterministic
+    wban_w = F.row_number().over(
+        Window.partitionBy("WBAN").orderBy(
+            F.col("STARTDATE").desc_nulls_last()
+        )
+    )
+    asos_by_wban = (
+        asos.withColumn("__rn", wban_w)
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "LAT", "LON")
+    )
+    fallback = missed.join(F.broadcast(asos_by_wban), ["WBAN"], "left")
+    return matched.unionByName(fallback, allowMissingColumns=True)

@@ -85,3 +85,84 @@ def test_cleaner_plan_is_shuffle_free(spark):
     )
     plan = clean_network(df, "CIMIS")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+NETWORK_QUERIES_R3 = [
+    "n_cwop_clean",
+    "n_raws_clean",
+    "n_hads_clean",
+    "n_cdec_clean",
+    "n_ndbc_clean",
+    "n_asosawos_stations",
+]
+
+
+@pytest.mark.parametrize("name", NETWORK_QUERIES_R3)
+def test_synoptic_roundtrip_matches_oracle(spark, oracle_con, name):
+    assert_matches_oracle(spark, oracle_con, name)
+
+
+def test_ps_preference_nulls_psl_per_station(spark):
+    """MADIS_clean.py:1131-1160 — a station with ANY observed ps
+    drops psl on every row; a station with none keeps psl."""
+    df = spark.createDataFrame(
+        [
+            ("CDEC_A", "2014-01-01 00:00:00", 85000.0, 101000.0),
+            ("CDEC_A", "2014-01-01 01:00:00", None, 101100.0),
+            ("CDEC_B", "2014-01-01 00:00:00", None, 101200.0),
+        ],
+        "station string, time string, pressure_set_1 double, "
+        "sea_level_pressure_set_1 double",
+    ).withColumn("time", F.to_timestamp("time"))
+    out = clean_network(df, "CDEC")
+    rows = {(r["station"], str(r["time"])): r for r in out.collect()}
+    assert rows[("CDEC_A", "2014-01-01 00:00:00")]["psl"] is None
+    assert rows[("CDEC_A", "2014-01-01 01:00:00")]["psl"] is None  # ANY, not row-wise
+    assert rows[("CDEC_B", "2014-01-01 00:00:00")]["psl"] == 101200.0
+
+
+def test_synoptic_specs_share_vocabulary():
+    """CWOP/RAWS/HADS/CDEC are the same cleaner as MADIS (the
+    reference runs one script over all of them)."""
+    m = NETWORKS["MADIS"]
+    for name in ["CWOP", "RAWS", "HADS", "CDEC"]:
+        s = NETWORKS[name]
+        assert s.renames == m.renames
+        assert s.conversions == m.conversions
+        assert s.qc_renames == m.qc_renames
+        assert s.psl_only_if_no_ps
+
+
+def test_merge_station_lists_tiers(spark):
+    from historical_obs_platform_spark.sources.networks import (
+        merge_station_lists,
+    )
+
+    isd = spark.createDataFrame(
+        [
+            (1, 10.125, -20.25, "exact-match"),
+            (2, 11.125, -21.25, "coord-mismatch"),
+            (3, 12.125, -22.25, "no-asos-row"),
+        ],
+        "WBAN int, LAT double, LON double, isd_name string",
+    )
+    asos = spark.createDataFrame(
+        [
+            # WBAN 1: exact coordinate match + a null-STARTDATE
+            # duplicate that must lose the dedup
+            (1, 10.1254, -20.2496, 100, "2001-05-15", "A1"),
+            (1, 10.1254, -20.2496, 100, None, "A1-dup"),
+            # WBAN 2: coordinates disagree -> WBAN-only fallback
+            (2, 99.0, -99.0, 200, "2002-06-15", "A2"),
+        ],
+        "WBAN int, LAT double, LON double, NCDCID int, "
+        "STARTDATE string, asos_name string",
+    )
+    out = merge_station_lists(isd, asos)
+    rows = {r["WBAN"]: r for r in out.collect()}
+    assert len(rows) == 3
+    assert rows[1]["asos_name"] == "A1"          # dedup kept dated row
+    assert rows[1]["NCDCID"] == 100              # tier-1 exact join
+    assert rows[2]["asos_name"] == "A2"          # tier-2 WBAN fallback
+    assert rows[2]["LAT"] == 11.125              # ISD coords survive
+    assert rows[3]["NCDCID"] is None             # no match -> nulls
