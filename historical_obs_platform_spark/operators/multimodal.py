@@ -83,6 +83,118 @@ class FakeDecoder:
         )
 
 
+class PpmBmpDecoder:
+    """Real (pure-Python) image decoder for the two headerful
+    uncompressed formats that need no codec library: binary PPM (P6)
+    and 24-bit uncompressed BMP. It exercises the SAME injectable
+    seam a PIL/libav decoder would use in production — proving the
+    plumbing (batch signature, None handling, schema) end-to-end on
+    genuinely decoded pixels, not the hash fake.
+
+    Feature vector (8 floats, all in [0, 1]):
+    [mean_R, mean_G, mean_B, std_luma, min_px, max_px,
+     width/4096, height/4096] — channel statistics over the decoded
+    pixel array (luma = Rec.601 0.299/0.587/0.114).
+
+    Undecodable content (unknown magic, truncated pixel data,
+    unsupported BMP bpp/compression) yields None fields, matching the
+    FakeDecoder contract for null content.
+    """
+
+    feature_dim = 8
+
+    @staticmethod
+    def _decode_one(raw: bytes):
+        import numpy as np
+
+        if raw[:2] == b"P6":
+            # header: magic, width, height, maxval — whitespace
+            # separated, '#' comments allowed between tokens
+            tokens, i = [], 2
+            while len(tokens) < 3 and i < len(raw):
+                c = raw[i : i + 1]
+                if c == b"#":
+                    while i < len(raw) and raw[i : i + 1] != b"\n":
+                        i += 1
+                elif c.isspace():
+                    i += 1
+                else:
+                    j = i
+                    while j < len(raw) and not raw[j : j + 1].isspace():
+                        j += 1
+                    tokens.append(raw[i:j])
+                    i = j
+            if len(tokens) < 3:
+                return None
+            w, h, maxval = (int(t) for t in tokens)
+            if maxval > 255 or w <= 0 or h <= 0:
+                return None
+            i += 1  # single whitespace after maxval
+            px = raw[i : i + w * h * 3]
+            if len(px) < w * h * 3:
+                return None
+            arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+            return w, h, arr
+        if raw[:2] == b"BM":
+            if len(raw) < 54:
+                return None
+            off = int.from_bytes(raw[10:14], "little")
+            w = int.from_bytes(raw[18:22], "little", signed=True)
+            h = int.from_bytes(raw[22:26], "little", signed=True)
+            bpp = int.from_bytes(raw[28:30], "little")
+            comp = int.from_bytes(raw[30:34], "little")
+            if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+                return None
+            flipped = h > 0  # positive height = bottom-up rows
+            h = abs(h)
+            stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+            if len(raw) < off + stride * h:
+                return None
+            rows = np.frombuffer(
+                raw[off : off + stride * h], dtype=np.uint8
+            ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+            if flipped:
+                rows = rows[::-1]
+            return w, h, rows[:, :, ::-1]  # BGR -> RGB
+        return None
+
+    def decode_batch(self, contents: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        feats, widths, heights = [], [], []
+        for raw in contents:
+            decoded = (
+                self._decode_one(bytes(raw)) if raw is not None else None
+            )
+            if decoded is None:
+                feats.append(None)
+                widths.append(None)
+                heights.append(None)
+                continue
+            w, h, arr = decoded
+            a = arr.astype(np.float64)
+            luma = (
+                0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+            )
+            feats.append(
+                [
+                    float(a[:, :, 0].mean() / 255.0),
+                    float(a[:, :, 1].mean() / 255.0),
+                    float(a[:, :, 2].mean() / 255.0),
+                    float(luma.std() / 255.0),
+                    float(a.min() / 255.0),
+                    float(a.max() / 255.0),
+                    w / 4096.0,
+                    h / 4096.0,
+                ]
+            )
+            widths.append(w)
+            heights.append(h)
+        return pd.DataFrame(
+            {"feature": feats, "width": widths, "height": heights}
+        )
+
+
 def decode_image(*_args, **_kwargs):
     """Real image decode — requires an image library not present in
     this environment. Inject a decoder into ``extract_features``
