@@ -205,3 +205,27 @@ def test_zorder_layout_enables_data_skipping(spark, tmp_path):
     # would leave `b` ranges full-width); measured 0.32/0.24 here
     assert fr_zo_a <= 0.45
     assert fr_zo_b <= 0.45
+
+
+def test_w13_pairing_convention():
+    """README 'non-SQL-expressible operators' contract: rows-only
+    queries are allowed ONLY when a decomposed hash-exact twin pins
+    the surrounding math. w13 is the single sanctioned case; any new
+    oracle-less registration must extend this list WITH its twin."""
+    from historical_obs_platform_spark import registry
+
+    registry.load_all()
+    sanctioned_rows_only = {
+        # runtime variant -> decomposed twin with an oracle
+        "w13_clim_outlier": "w13_clim_outlier_unfiltered",
+    }
+    no_oracle = {
+        n for n in registry.QUERIES if n not in registry.ORACLES
+    }
+    assert no_oracle == set(sanctioned_rows_only), (
+        "oracle-less queries must follow the w13 pairing convention "
+        f"(README); unsanctioned: {no_oracle - set(sanctioned_rows_only)}"
+    )
+    for runtime, twin in sanctioned_rows_only.items():
+        assert runtime in registry.QUERIES
+        assert twin in registry.QUERIES and twin in registry.ORACLES
