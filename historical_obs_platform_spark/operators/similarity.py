@@ -200,6 +200,124 @@ def lsh_ann_topk(
     )
 
 
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 2,
+    n_probes: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al., VLDB'07): besides its own
+    bucket, each query probes the ``n_probes`` Hamming-1 neighbor
+    buckets obtained by flipping the sign bits whose hyperplane dot
+    product is CLOSEST to zero — the planes most likely to have
+    hashed a true neighbor to the other side. Probing trades query
+    fan-out for hash tables: recall comparable to a larger
+    ``n_tables`` while the corpus is hashed (and shuffled) for fewer
+    tables — at 100 TB the corpus-side work is what matters, and it
+    is unchanged by probing (probes multiply only the broadcast-sized
+    query bucket list).
+
+    Deterministic end-to-end: md5-derived hyperplanes, probe order by
+    (|dot|, plane index) — the oracle replays plane dots, flip
+    selection, bucket join, exact cosine, rank.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("__cv"),
+    ).withColumn("__cn", norm(F.col("__cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec_col).alias("__qv"),
+    ).withColumn("__qn", norm(F.col("__qv")))
+    cand = None
+    for t in range(n_tables):
+        dots = [
+            _const_dot(
+                F.col("__cv"), _hyperplane_consts(dim, t * n_planes + p)
+            )
+            for p in range(n_planes)
+        ]
+        cbits = [
+            F.when(d > 0, F.lit("1")).otherwise(F.lit("0")) for d in dots
+        ]
+        cb = c.select(
+            "neighbor_id",
+            F.concat(F.lit(f"t{t}:"), *cbits).alias("__b"),
+        )
+        qdots = [
+            _const_dot(
+                F.col("__qv"), _hyperplane_consts(dim, t * n_planes + p)
+            )
+            for p in range(n_planes)
+        ]
+        qbits = [
+            F.when(d > 0, F.lit("1")).otherwise(F.lit("0")) for d in qdots
+        ]
+        flips = [
+            F.when(d > 0, F.lit("0")).otherwise(F.lit("1")) for d in qdots
+        ]
+        # probe order: ascending |dot| (margin), plane index breaks
+        # exact ties — sort_array on (margin, plane) structs
+        order = F.sort_array(
+            F.array(
+                *[
+                    F.struct(
+                        F.abs(qdots[p]).alias("m"), F.lit(p).alias("p")
+                    )
+                    for p in range(n_planes)
+                ]
+            )
+        )
+        keys = [F.concat(F.lit(f"t{t}:"), *qbits)]
+        for j in range(min(n_probes, n_planes)):
+            flip_p = F.element_at(order, j + 1).getField("p")
+            keys.append(
+                F.concat(
+                    F.lit(f"t{t}:"),
+                    *[
+                        F.when(flip_p == pos, flips[pos]).otherwise(
+                            qbits[pos]
+                        )
+                        for pos in range(n_planes)
+                    ],
+                )
+            )
+        qb = q.select(
+            "query_id", F.explode(F.array(*keys)).alias("__b")
+        ).distinct()
+        pairs = cb.join(F.broadcast(qb), "__b").select(
+            "query_id", "neighbor_id"
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.where(F.col("query_id") != F.col("neighbor_id")).distinct()
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn")),
+                round_to,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 # ------------------------------------------------------------ IVF ANN
 def _unit(vec: Column) -> Column:
     n = norm(vec)

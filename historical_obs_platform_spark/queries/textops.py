@@ -474,6 +474,233 @@ def s_lsh_ann_topk(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
+# Multi-probe LSH (Lv et al., VLDB'07) — the recall-vs-tables knob:
+# each query additionally probes the Hamming-1 buckets whose sign
+# bit had the smallest |dot| margin. Corpus-side hashing cost is per
+# TABLE (the 100 TB cost), so probing buys recall without growing it.
+# Deterministic: same md5 hyperplanes; probe order (|dot|, plane) is
+# bit-stable because _const_dot and list_dot_product fold in the
+# same order. The oracle replays dots → flip selection → buckets →
+# join → exact cosine → rank.
+# --------------------------------------------------------------------
+def _mp_topk_sql(
+    dim=64, n_planes=4, n_tables=2, n_probes=2, k=5
+) -> str:
+    """SELECT text for multi-probe top-k over CTEs c (corpus) and q
+    (queries), both (vec_id, e double-list)."""
+
+    def bucket(t):
+        bits = [
+            "(CASE WHEN list_dot_product(e, "
+            f"{_lsh_plane_literal(t * n_planes + p, dim)}) > 0 "
+            "THEN '1' ELSE '0' END)"
+            for p in range(n_planes)
+        ]
+        return f"'t{t}:' || " + " || ".join(bits)
+
+    cb = " UNION ALL ".join(
+        f"SELECT vec_id, {bucket(t)} AS b FROM c" for t in range(n_tables)
+    )
+    qd = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, {p} AS p, list_dot_product(e, "
+        f"{_lsh_plane_literal(t * n_planes + p, dim)}) AS d FROM q"
+        for t in range(n_tables)
+        for p in range(n_planes)
+    )
+    return f"""
+  mcb AS ({cb}),
+  mqd AS ({qd}),
+  mqbit AS (
+    SELECT vec_id, t, p,
+           CASE WHEN d > 0 THEN '1' ELSE '0' END AS bit,
+           CASE WHEN d > 0 THEN '0' ELSE '1' END AS flip,
+           abs(d) AS m
+    FROM mqd),
+  mfs AS (
+    SELECT vec_id, t, p AS flip_p FROM (
+      SELECT vec_id, t, p,
+             row_number() OVER (PARTITION BY vec_id, t ORDER BY m, p) AS j
+      FROM mqbit) WHERE j <= {n_probes}),
+  mbase AS (
+    SELECT vec_id, t,
+           't' || CAST(t AS VARCHAR) || ':' ||
+           string_agg(bit, '' ORDER BY p) AS b
+    FROM mqbit GROUP BY vec_id, t),
+  mprobe AS (
+    SELECT qb.vec_id, qb.t,
+           't' || CAST(qb.t AS VARCHAR) || ':' ||
+           string_agg(
+             CASE WHEN qb.p = fs.flip_p THEN qb.flip ELSE qb.bit END,
+             '' ORDER BY qb.p) AS b
+    FROM mqbit qb JOIN mfs fs
+      ON qb.vec_id = fs.vec_id AND qb.t = fs.t
+    GROUP BY qb.vec_id, qb.t, fs.flip_p),
+  mqb AS (
+    SELECT DISTINCT vec_id, b FROM (
+      SELECT vec_id, b FROM mbase
+      UNION ALL SELECT vec_id, b FROM mprobe)),
+  mcand AS (
+    SELECT DISTINCT qa.vec_id AS query_id, mcb.vec_id AS neighbor_id
+    FROM mcb JOIN mqb qa ON mcb.b = qa.b AND mcb.vec_id <> qa.vec_id),
+  mscored AS (
+    SELECT mcand.query_id, mcand.neighbor_id,
+           round(list_dot_product(qe.e, ce.e)
+                 / (sqrt(list_dot_product(qe.e, qe.e))
+                    * sqrt(list_dot_product(ce.e, ce.e))), 6) AS cosine_sim
+    FROM mcand JOIN c qe ON qe.vec_id = mcand.query_id
+               JOIN c ce ON ce.vec_id = mcand.neighbor_id),
+  mtopk AS (
+    SELECT query_id, neighbor_id, cosine_sim,
+           CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM mscored) WHERE rank <= {k})"""
+
+
+_MP_BASE = """
+WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+  q AS (SELECT * FROM c WHERE vec_id < 10),"""
+
+
+def _multiprobe_oracle(dim=64, n_planes=4, n_tables=2, n_probes=2, k=5):
+    return (
+        _MP_BASE
+        + _mp_topk_sql(dim, n_planes, n_tables, n_probes, k)
+        + "\nSELECT query_id, neighbor_id, cosine_sim, rank FROM mtopk"
+    )
+
+
+@query("s_lsh_multiprobe_topk", _multiprobe_oracle())
+def s_lsh_multiprobe_topk(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return SIM.lsh_multiprobe_topk(
+        emb, queries, dim=64, k=5, n_planes=4, n_tables=2, n_probes=2
+    )
+
+
+def _lsh_plain_topk_sql(dim=64, n_planes=4, n_tables=2, k=5) -> str:
+    """Plain-LSH top-k CTEs (prefix 'p') over c/q, for the recall
+    harness — same construction as _lsh_oracle at a parameterized
+    table count."""
+
+    def bucket(t):
+        bits = [
+            "(CASE WHEN list_dot_product(e, "
+            f"{_lsh_plane_literal(t * n_planes + p, dim)}) > 0 "
+            "THEN '1' ELSE '0' END)"
+            for p in range(n_planes)
+        ]
+        return f"'t{t}:' || " + " || ".join(bits)
+
+    cb = " UNION ALL ".join(
+        f"SELECT vec_id, {bucket(t)} AS b FROM c" for t in range(n_tables)
+    )
+    qb = " UNION ALL ".join(
+        f"SELECT vec_id, {bucket(t)} AS b FROM q" for t in range(n_tables)
+    )
+    return f"""
+  pcb AS ({cb}),
+  pqb AS ({qb}),
+  pcand AS (
+    SELECT DISTINCT pqb.vec_id AS query_id, pcb.vec_id AS neighbor_id
+    FROM pcb JOIN pqb ON pcb.b = pqb.b AND pcb.vec_id <> pqb.vec_id),
+  pscored AS (
+    SELECT pcand.query_id, pcand.neighbor_id,
+           round(list_dot_product(qe.e, ce.e)
+                 / (sqrt(list_dot_product(qe.e, qe.e))
+                    * sqrt(list_dot_product(ce.e, ce.e))), 6) AS cosine_sim
+    FROM pcand JOIN c qe ON qe.vec_id = pcand.query_id
+               JOIN c ce ON ce.vec_id = pcand.neighbor_id),
+  ptopk AS (
+    SELECT query_id, neighbor_id FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM pscored) WHERE rank <= {k})"""
+
+
+def _recall_oracle(dim=64, n_planes=4, n_tables=2, n_probes=2, k=5):
+    truth = f"""
+  tscored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_dot_product(q.e, c.e)
+                 / (sqrt(list_dot_product(q.e, q.e))
+                    * sqrt(list_dot_product(c.e, c.e))), 6) AS cosine_sim
+    FROM c, q WHERE c.vec_id <> q.vec_id),
+  truth AS (
+    SELECT query_id, neighbor_id FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM tscored) WHERE rank <= {k})"""
+    return (
+        _MP_BASE
+        + truth
+        + ","
+        + _lsh_plain_topk_sql(dim, n_planes, n_tables, k)
+        + ","
+        + _mp_topk_sql(dim, n_planes, n_tables, n_probes, k)
+        + f"""
+SELECT 'lsh_t{n_tables}' AS method,
+       CAST(t.n AS BIGINT) AS n_truth, CAST(h.n AS BIGINT) AS n_hit,
+       round(CAST(h.n AS DOUBLE) / t.n, 6) AS recall
+FROM (SELECT count(*) AS n FROM truth) t,
+     (SELECT count(*) AS n FROM truth JOIN ptopk
+        USING (query_id, neighbor_id)) h
+UNION ALL
+SELECT 'multiprobe_t{n_tables}p{n_probes}' AS method,
+       CAST(t.n AS BIGINT) AS n_truth, CAST(h.n AS BIGINT) AS n_hit,
+       round(CAST(h.n AS DOUBLE) / t.n, 6) AS recall
+FROM (SELECT count(*) AS n FROM truth) t,
+     (SELECT count(*) AS n FROM truth JOIN mtopk
+        USING (query_id, neighbor_id)) h
+"""
+    )
+
+
+@query("s_ann_recall_multiprobe", _recall_oracle())
+def s_ann_recall_multiprobe(spark, sf_dir):
+    """Recall@5 harness: plain LSH vs multi-probe at the SAME corpus
+    hashing cost (2 tables) against exact-cosine ground truth. The
+    documented knob: probing recovers the recall a third table would
+    buy without re-hashing/re-shuffling the corpus."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    truth = SIM.cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = SIM.lsh_ann_topk(
+        emb, queries, dim=64, k=5, n_planes=4, n_tables=2
+    ).select("query_id", "neighbor_id")
+    mp = SIM.lsh_multiprobe_topk(
+        emb, queries, dim=64, k=5, n_planes=4, n_tables=2, n_probes=2
+    ).select("query_id", "neighbor_id")
+
+    def row(method, approx):
+        n_truth = truth.agg(
+            F.count(F.lit(1)).cast("long").alias("n_truth")
+        )
+        n_hit = truth.join(
+            approx, ["query_id", "neighbor_id"], "left_semi"
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+        return n_truth.crossJoin(n_hit).select(
+            F.lit(method).alias("method"),
+            "n_truth",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_truth"), 6
+            ).alias("recall"),
+        )
+
+    return row("lsh_t2", lsh).unionByName(
+        row("multiprobe_t2p2", mp)
+    )
+
+
+# --------------------------------------------------------------------
 # IVF approximate top-k — coarse-quantizer cells (deterministic seeds
 # + one Lloyd step), nprobe-cell probing. Deterministic end-to-end:
 # seeds are the n_cells lowest-id vectors; cell assignment breaks

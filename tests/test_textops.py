@@ -339,3 +339,26 @@ def test_lang_confusion_partitions_corpus(spark):
     rows = QUERIES["t_lang_confusion"](spark, SF_DIR).collect()
     n_docs = table(spark, SF_DIR, "documents").count()
     assert sum(r["n"] for r in rows) == n_docs
+
+
+def test_multiprobe_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "s_lsh_multiprobe_topk")
+    assert_matches_oracle(spark, oracle_con, "s_ann_recall_multiprobe")
+
+
+def test_multiprobe_beats_plain_lsh_at_equal_tables(spark):
+    """The documented knob: Hamming-1 probing recovers recall without
+    growing corpus-side hashing. Candidate supersetting makes >= a
+    structural property; on this corpus the lift is large (0.26 ->
+    0.66 at sf0.01)."""
+    from historical_obs_platform_spark.registry import QUERIES
+
+    rows = {
+        r["method"]: r
+        for r in QUERIES["s_ann_recall_multiprobe"](spark, SF_DIR).collect()
+    }
+    lsh, mp = rows["lsh_t2"], rows["multiprobe_t2p2"]
+    assert lsh["n_truth"] == mp["n_truth"] > 0
+    assert mp["recall"] >= lsh["recall"]
+    assert mp["recall"] > 0.0
+    assert mp["recall"] <= 1.0
