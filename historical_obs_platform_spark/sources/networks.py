@@ -245,6 +245,24 @@ NETWORKS: dict[str, NetworkSpec] = {
     "RAWS": _synoptic_spec("RAWS"),
     "HADS": _synoptic_spec("HADS"),
     "CDEC": _synoptic_spec("CDEC"),
+    # the rest of the reference's MADIS roster
+    # (MADIS_clean.py:1871-1873) — same Synoptic vocabulary,
+    # addressable per network for per-network runs/audits
+    "CAHYDRO": _synoptic_spec("CAHYDRO"),
+    "CNRFC": _synoptic_spec("CNRFC"),
+    "CRN": _synoptic_spec("CRN"),
+    "HNXWFO": _synoptic_spec("HNXWFO"),
+    "HOLFUY": _synoptic_spec("HOLFUY"),
+    "HPWREN": _synoptic_spec("HPWREN"),
+    "LOXWFO": _synoptic_spec("LOXWFO"),
+    "MAP": _synoptic_spec("MAP"),
+    "MTRWFO": _synoptic_spec("MTRWFO"),
+    "NCAWOS": _synoptic_spec("NCAWOS"),
+    "NOS-NWLON": _synoptic_spec("NOS-NWLON"),
+    "NOS-PORTS": _synoptic_spec("NOS-PORTS"),
+    "SGXWFO": _synoptic_spec("SGXWFO"),
+    "SHASAVAL": _synoptic_spec("SHASAVAL"),
+    "VCAPCD": _synoptic_spec("VCAPCD"),
     # NDBC buoys are the MARITIME network (MARITIME_clean.py pulls
     # NDBC + CDIP); registered under both names so a user can address
     # the cleaner by either.

@@ -125,7 +125,13 @@ def test_synoptic_specs_share_vocabulary():
     """CWOP/RAWS/HADS/CDEC are the same cleaner as MADIS (the
     reference runs one script over all of them)."""
     m = NETWORKS["MADIS"]
-    for name in ["CWOP", "RAWS", "HADS", "CDEC"]:
+    roster = [
+        "CWOP", "RAWS", "HADS", "CDEC", "CAHYDRO", "CNRFC", "CRN",
+        "HNXWFO", "HOLFUY", "HPWREN", "LOXWFO", "MAP", "MTRWFO",
+        "NCAWOS", "NOS-NWLON", "NOS-PORTS", "SGXWFO", "SHASAVAL",
+        "VCAPCD",
+    ]
+    for name in roster:
         s = NETWORKS[name]
         assert s.renames == m.renames
         assert s.conversions == m.conversions
