@@ -172,3 +172,23 @@ def test_merge_station_lists_tiers(spark):
     assert rows[2]["asos_name"] == "A2"          # tier-2 WBAN fallback
     assert rows[2]["LAT"] == 11.125              # ISD coords survive
     assert rows[3]["NCDCID"] is None             # no match -> nulls
+
+
+def test_synoptic_cleaner_shuffle_free_without_pressure(spark):
+    """The ps-over-psl rule is the ONLY shuffle in the Synoptic
+    cleaner, and it must appear only when both pressure columns
+    exist — every other frame stays projection+filter."""
+    df = spark.range(10).select(
+        F.concat(F.lit("CWOP_"), F.col("id").cast("string")).alias(
+            "station"
+        ),
+        F.timestamp_seconds(F.lit(1400000000) + F.col("id")).alias("time"),
+        F.col("id").cast("double").alias("air_temp_set_1"),
+    )
+    plan = (
+        clean_network(df, "CWOP")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
