@@ -504,3 +504,115 @@ def n_asosawos_stations(spark, sf_dir):
     )
     asos_raw = base.unionByName(dup)
     return merge_station_lists(isd, asos_raw)
+
+
+N_STATION_AUDIT_ORACLE = """
+WITH st AS (
+  SELECT upper('CWOP_' || 'S' || CAST(c_custkey AS VARCHAR)) AS era_id,
+         'S' || CAST(c_custkey AS VARCHAR) AS STID,
+         c_name AS stn_name
+  FROM customer),
+cleaned AS (
+  SELECT 'CWOP_S' || CAST(c_custkey AS VARCHAR) AS ID,
+         '2023-01-' || lpad(CAST(1 + c_custkey % 28 AS VARCHAR), 2, '0')
+           || ' 00:00' AS Time_Cleaned
+  FROM customer WHERE c_custkey % 3 <> 1
+  UNION ALL
+  SELECT 'CWOP_X' || CAST(c_custkey AS VARCHAR),
+         '2023-01-' || lpad(CAST(1 + c_custkey % 28 AS VARCHAR), 2, '0')
+           || ' 00:00'
+  FROM customer WHERE c_custkey % 10 = 0),
+audited AS (
+  SELECT coalesce(s.era_id, c.ID) AS era_id, s.STID, s.stn_name,
+         CASE WHEN c.ID IS NULL THEN 'N' ELSE 'Y' END AS Cleaned,
+         c.Time_Cleaned
+  FROM st s FULL OUTER JOIN cleaned c ON s.era_id = c.ID),
+errs AS (
+  SELECT 'CWOP_S' || CAST(user_id % 150 AS VARCHAR) || '-'
+           || CAST(event_id AS VARCHAR) || '.csv' AS File,
+         '2023-01-' || lpad(CAST(1 + user_id % 28 AS VARCHAR), 2, '0')
+           || ' 00:00' AS Time,
+         event_type AS Error
+  FROM events WHERE event_id % 97 = 0),
+sfx AS (
+  -- single-underscore ids in this corpus: suffix = chars after CWOP_
+  SELECT era_id, substr(era_id, 6) AS s, Time_Cleaned FROM audited),
+m AS (
+  SELECT a.era_id, a.Time_Cleaned, e.File, e.Time, e.Error,
+         row_number() OVER (PARTITION BY e.File, e.Time, e.Error
+           ORDER BY length(a.s) DESC, a.era_id DESC) AS rn
+  FROM sfx a JOIN errs e ON instr(e.File, a.s) > 0),
+kept AS (
+  SELECT * FROM m WHERE rn = 1
+    AND (Time_Cleaned IS NULL OR Time IS NULL OR Time >= Time_Cleaned)),
+per AS (
+  SELECT era_id, count(*) AS n, min(Error) AS single,
+         string_agg(File || ': ' || Error, ' ' ORDER BY Time, File)
+           AS multi
+  FROM kept GROUP BY era_id)
+SELECT a.era_id, a.STID, a.stn_name, a.Cleaned, a.Time_Cleaned,
+       CASE WHEN p.n = 1 THEN p.single ELSE p.multi END AS Errors
+FROM audited a LEFT JOIN per p USING (era_id)
+"""
+
+
+@query("n_station_audit", N_STATION_AUDIT_ORACLE)
+def n_station_audit(spark, sf_dir):
+    """Post-clean station-list bookkeeping (stnlist_update_clean.py
+    clean_qa): ERA-ID standardization, Cleaned Y/N via full-outer
+    join with appended off-list cleaned ids, and error-log rows
+    attached by longest id-in-filename match, filtered to at/after
+    each station's clean time. Synthetic: stations from customer,
+    a third left uncleaned, every tenth id cleaned off-list, error
+    log sampled from events.
+    """
+    from ..sources.networks import station_clean_audit
+
+    cust = table(spark, sf_dir, "customer")
+    ev = table(spark, sf_dir, "events")
+    stations = cust.select(
+        F.concat(F.lit("S"), F.col("c_custkey").cast("string")).alias(
+            "STID"
+        ),
+        F.col("c_name").alias("stn_name"),
+    )
+    tc = F.concat(
+        F.lit("2023-01-"),
+        F.lpad((F.lit(1) + F.col("c_custkey") % 28).cast("string"), 2, "0"),
+        F.lit(" 00:00"),
+    )
+    cleaned = (
+        cust.where(F.col("c_custkey") % 3 != 1)
+        .select(
+            F.concat(
+                F.lit("CWOP_S"), F.col("c_custkey").cast("string")
+            ).alias("ID"),
+            tc.alias("Time_Cleaned"),
+        )
+        .unionByName(
+            cust.where(F.col("c_custkey") % 10 == 0).select(
+                F.concat(
+                    F.lit("CWOP_X"), F.col("c_custkey").cast("string")
+                ).alias("ID"),
+                tc.alias("Time_Cleaned"),
+            )
+        )
+    )
+    errors = ev.where(F.col("event_id") % 97 == 0).select(
+        F.concat(
+            F.lit("CWOP_S"),
+            (F.col("user_id") % 150).cast("string"),
+            F.lit("-"),
+            F.col("event_id").cast("string"),
+            F.lit(".csv"),
+        ).alias("File"),
+        F.concat(
+            F.lit("2023-01-"),
+            F.lpad(
+                (F.lit(1) + F.col("user_id") % 28).cast("string"), 2, "0"
+            ),
+            F.lit(" 00:00"),
+        ).alias("Time"),
+        F.col("event_type").alias("Error"),
+    )
+    return station_clean_audit(stations, cleaned, errors, "CWOP")

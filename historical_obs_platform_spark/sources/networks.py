@@ -404,3 +404,137 @@ def merge_station_lists(
     )
     fallback = missed.join(F.broadcast(asos_by_wban), ["WBAN"], "left")
     return matched.unionByName(fallback, allowMissingColumns=True)
+
+
+# Networks whose ERA-ID is the raw Synoptic STID
+# (stnlist_update_clean.py:228-248)
+_MADIS_ID_ROSTER = frozenset(
+    [
+        "CAHYDRO", "CDEC", "CNRFC", "CRN", "CWOP", "HADS", "HNXWFO",
+        "HOLFUY", "HPWREN", "LOXWFO", "MAP", "MTRWFO", "NCAWOS",
+        "NOS-NWLON", "NOS-PORTS", "RAWS", "SGXWFO", "SHASAVAL",
+        "VCAPCD",
+    ]
+)
+
+
+def era_id(network: str) -> Column:
+    """Standardized ERA-ID column for a network's raw station list
+    (stnlist_update_clean.py:214-257): ``<NETWORK>_<native id>``
+    uppercased, where the native id column/shape differs per network
+    family (ISD ids lose dashes, CIMIS numbers cast through int, CW3E
+    drops the 'C3' prefix, SCAN/SNOTEL take the first triplet
+    field)."""
+    n = "OtherISD" if "otherisd" in network.lower() else network.upper()
+    if "ASOS" in n or n == "OtherISD":
+        base = F.regexp_replace(F.col("`ISD-ID`"), "-", "")
+    elif "CIMIS" in n:
+        base = F.col("`Station Number`").cast("int").cast("string")
+    elif "CW3E" in n:
+        base = F.regexp_replace(F.col("STID"), "C3", "")
+    elif n in _MADIS_ID_ROSTER:
+        base = F.col("STID")
+    elif n in ("MARITIME", "NDBC"):
+        base = F.col("STATION_ID")
+    elif n in ("SCAN", "SNOTEL", "SCANSNOTEL"):
+        base = F.split(F.col("stationTriplet"), ":").getItem(0)
+    else:
+        raise ValueError(f"no ERA-ID rule for network {network!r}")
+    return F.upper(F.concat(F.lit(n + "_"), base))
+
+
+def station_clean_audit(
+    stations: DataFrame,
+    cleaned: DataFrame,
+    errors: DataFrame,
+    network: str,
+) -> DataFrame:
+    """The reference's post-clean station-list bookkeeping
+    (stnlist_update_clean.py ``clean_qa``), as set operations:
+
+    1. standardize ERA-IDs on the raw station list;
+    2. full-outer join against the cleaned-station ids — matched
+       stations get ``Cleaned='Y'`` + their clean time, unmatched get
+       'N', and cleaned ids absent from the list are appended (the
+       reference's manual concat, :266-279);
+    3. attach error-log rows to stations by id-in-filename match,
+       keeping only errors at/after the station's clean time (or
+       untimed ones); one error reports bare, several concatenate as
+       'File: Error' (:260-321).
+
+    ``errors`` is an operations log (KB-sized), so the containment
+    join broadcasts it — a nested-loop join over a broadcast of
+    dozens of rows, never corpus-shaped. Documented deviations from
+    the reference loop: an error matching several station suffixes
+    resolves to the LONGEST suffix (most specific), ties to the
+    greatest ERA-ID — the reference takes whichever station happens
+    to iterate last; multi-error concatenation orders by
+    (Time, File) instead of error-file row order. Times are
+    fixed-format sortable strings.
+
+    Columns in: stations (native id columns per network), cleaned
+    ``(ID, Time_Cleaned)``, errors ``(File, Time, Error)``.
+    Out: ``(era_id, Cleaned, Time_Cleaned, Errors)`` + station
+    metadata columns.
+    """
+    from pyspark.sql.window import Window
+
+    st = stations.withColumn("era_id", era_id(network)).where(
+        F.col("era_id").isNotNull()
+    )
+    joined = st.join(
+        cleaned.select(
+            F.col("ID").alias("__cid"), F.col("Time_Cleaned")
+        ),
+        st["era_id"] == F.col("__cid"),
+        "full_outer",
+    )
+    audited = joined.select(
+        F.coalesce(F.col("era_id"), F.col("__cid")).alias("era_id"),
+        *[c for c in st.columns if c != "era_id"],
+        F.when(F.col("__cid").isNull(), F.lit("N"))
+        .otherwise(F.lit("Y"))
+        .alias("Cleaned"),
+        "Time_Cleaned",
+    )
+    suffix = F.element_at(F.split(F.col("era_id"), "_"), -1)
+    stx = audited.select(
+        "era_id", suffix.alias("__sfx"), "Time_Cleaned"
+    )
+    matched = stx.join(
+        F.broadcast(errors),
+        F.instr(F.col("File"), F.col("__sfx")) > 0,
+    )
+    w = Window.partitionBy("File", "Time", "Error").orderBy(
+        F.length("__sfx").desc(), F.col("era_id").desc()
+    )
+    assigned = (
+        matched.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .where(
+            F.col("Time_Cleaned").isNull()
+            | F.col("Time").isNull()
+            | (F.col("Time") >= F.col("Time_Cleaned"))
+        )
+    )
+    per_station = assigned.groupBy("era_id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min("Error").alias("__single"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("Time", "File", "Error"))
+                ),
+                lambda s: F.concat(s["File"], F.lit(": "), s["Error"]),
+            ),
+        ).alias("__multi"),
+    )
+    return audited.join(
+        F.broadcast(per_station), "era_id", "left"
+    ).select(
+        *audited.columns,
+        F.when(F.col("__n") == 1, F.col("__single"))
+        .otherwise(F.col("__multi"))
+        .alias("Errors"),
+    )

@@ -192,3 +192,52 @@ def test_synoptic_cleaner_shuffle_free_without_pressure(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_station_clean_audit_semantics(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "n_station_audit")
+
+
+def test_station_clean_audit_edge_cases(spark):
+    """stnlist_update_clean.py clean_qa semantics: off-list cleaned
+    ids append with Cleaned=Y; pre-clean errors drop; one error
+    reports bare, several concatenate 'File: Error'; ambiguous
+    filename matches go to the longest suffix."""
+    from historical_obs_platform_spark.sources.networks import (
+        station_clean_audit,
+    )
+
+    stations = spark.createDataFrame(
+        [("S1", "one"), ("S12", "twelve")], "STID string, nm string"
+    )
+    cleaned = spark.createDataFrame(
+        [
+            ("CWOP_S1", "2023-01-10 00:00"),
+            ("CWOP_OFFLIST", "2023-01-05 00:00"),
+        ],
+        "ID string, Time_Cleaned string",
+    )
+    errors = spark.createDataFrame(
+        [
+            # matches both S1 and S12 -> longest suffix wins (S12)
+            ("CWOP_S12-a.csv", "2023-02-01 00:00", "bad header"),
+            ("CWOP_S12-b.csv", "2023-02-02 00:00", "bad row"),
+            # S1 errors: one before clean time (dropped), one after
+            ("CWOP_S1-c.csv", "2023-01-01 00:00", "stale"),
+            ("CWOP_S1-d.csv", "2023-01-20 00:00", "fresh"),
+        ],
+        "File string, Time string, Error string",
+    )
+    out = station_clean_audit(stations, cleaned, errors, "CWOP")
+    rows = {r["era_id"]: r for r in out.collect()}
+    assert set(rows) == {"CWOP_S1", "CWOP_S12", "CWOP_OFFLIST"}
+    assert rows["CWOP_OFFLIST"]["Cleaned"] == "Y"
+    assert rows["CWOP_OFFLIST"]["nm"] is None
+    assert rows["CWOP_S1"]["Cleaned"] == "Y"
+    # single surviving error -> bare message (pre-clean one dropped)
+    assert rows["CWOP_S1"]["Errors"] == "fresh"
+    # S12 never cleaned -> keeps both, multi format, time order
+    assert rows["CWOP_S12"]["Cleaned"] == "N"
+    assert rows["CWOP_S12"]["Errors"] == (
+        "CWOP_S12-a.csv: bad header CWOP_S12-b.csv: bad row"
+    )
