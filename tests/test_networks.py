@@ -241,3 +241,34 @@ def test_station_clean_audit_edge_cases(spark):
     assert rows["CWOP_S12"]["Errors"] == (
         "CWOP_S12-a.csv: bad header CWOP_S12-b.csv: bad row"
     )
+
+
+def test_era_id_families(spark):
+    """ERA-ID standardization rules per network family
+    (stnlist_update_clean.py:214-257)."""
+    from historical_obs_platform_spark.sources.networks import era_id
+
+    def one(network, schema, row):
+        df = spark.createDataFrame([row], schema)
+        return df.select(era_id(network).alias("e")).collect()[0]["e"]
+
+    assert (
+        one("ASOSAWOS", "`ISD-ID` string", ("724940-23234",))
+        == "ASOSAWOS_72494023234"
+    )
+    assert (
+        one("otherisd", "`ISD-ID` string", ("999999-00123",))
+        == "OTHERISD_99999900123"  # upper() applies to the whole id
+    )
+    assert one("CIMIS", "`Station Number` double", (7.0,)) == "CIMIS_7"
+    assert one("CW3E", "STID string", ("C3XYZ",)) == "CW3E_XYZ"
+    assert one("CWOP", "STID string", ("dw1234",)) == "CWOP_DW1234"
+    assert one("NDBC", "STATION_ID string", ("46042",)) == "NDBC_46042"
+    assert (
+        one("SCANSNOTEL", "stationTriplet string", ("356:CA:SNTL",))
+        == "SCANSNOTEL_356"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no ERA-ID rule"):
+        era_id("UNKNOWN_NETWORK")
