@@ -68,3 +68,51 @@ def zorder_layout(
         ),
     )
     return keyed.repartitionByRange(key_name).sortWithinPartitions(key_name)
+
+
+def zorder_key_n(cols: list[Column], bits: int = 8) -> Column:
+    """N-dimensional Morton key: round-robin bit interleaving of any
+    number of non-negative integer columns (dimension d's bit i lands
+    at position i*N + d). The 2-D ``zorder_key`` is the N=2 case;
+    N·bits must stay <= 63 to fit a BIGINT. Pure integer arithmetic —
+    identical in any engine, whole-stage codegen."""
+    n = len(cols)
+    if n < 1:
+        raise ValueError("zorder_key_n: need at least one column")
+    if n * bits > 63:
+        raise ValueError(
+            f"zorder_key_n: {n} dims x {bits} bits exceeds a BIGINT"
+        )
+    parts = []
+    for d, c in enumerate(cols):
+        for i in range(bits):
+            parts.append(
+                F.shiftleft(
+                    F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + d
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.bitwiseOR(p)
+    return out
+
+
+def zorder_layout_n(
+    df: DataFrame,
+    col_names: list[str],
+    bits: int = 8,
+    key_name: str = "zkey",
+) -> DataFrame:
+    """N-dimensional ``zorder_layout``: pmod-fold each dimension into
+    [0, 2**bits), interleave, range-partition + sort — parquet
+    row-group min/max stats then prune on ANY of the clustered
+    dimensions. Same wraparound contract as ``zorder_layout``."""
+    dom = F.lit(1 << bits)
+    keyed = df.withColumn(
+        key_name,
+        zorder_key_n(
+            [F.pmod(F.col(c).cast("long"), dom) for c in col_names],
+            bits,
+        ),
+    )
+    return keyed.repartitionByRange(key_name).sortWithinPartitions(key_name)

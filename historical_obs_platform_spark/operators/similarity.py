@@ -93,6 +93,65 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query, the top-k
+    most-similar corpus vectors carrying a DIFFERENT label — the
+    pairs a contrastive/embedding trainer wants as negatives because
+    the model currently confuses them. Same plan shape as
+    ``cosine_topk`` (queries broadcast, corpus streams once, window
+    top-k per query); the label inequality joins into the broadcast
+    condition so non-candidates are dropped before scoring.
+
+    Returns (query_id, query_label, neighbor_id, neighbor_label,
+    cosine_sim, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        as_double_array(vec_col).alias("__qv"),
+    ).withColumn("__qn", norm(F.col("__qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        as_double_array(vec_col).alias("__cv"),
+    ).withColumn("__cn", norm(F.col("__cv")))
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("query_label") != F.col("neighbor_label")),
+    ).withColumn(
+        "cosine_sim",
+        F.round(
+            dot(F.col("__qv"), F.col("__cv"))
+            / (F.col("__qn") * F.col("__cn")),
+            round_to,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "cosine_sim",
+            "rank",
+        )
+    )
+
+
 def _hyperplane_consts(dim: int, plane: int) -> list[float]:
     """Deterministic pseudo-random hyperplane: component d is the
     centered value of md5('p<plane>:d<d>')'s first hex digit — fully

@@ -1386,3 +1386,125 @@ def t_lang_confusion(spark, sf_dir):
         .groupBy("lang", "detected_lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --------------------------------------------------------------------
+# Contrastive hard-negative mining — for each query embedding, the
+# top-k most-similar vectors with a DIFFERENT label (the negatives an
+# embedding trainer actually wants: currently-confused pairs). Same
+# broadcast-queries/stream-corpus plan as s_cosine_topk.
+# --------------------------------------------------------------------
+HARD_NEG_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, label AS query_label,
+                  embedding AS qe
+           FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, q.query_label, c.vec_id AS neighbor_id,
+         c.label AS neighbor_label,
+         round({_DOT.format(a='q.qe', b='c.embedding')}
+               / (sqrt({_DOT.format(a='q.qe', b='q.qe')})
+                  * sqrt({_DOT.format(a='c.embedding', b='c.embedding')})),
+               6) AS cosine_sim
+  FROM embeddings c, q
+  WHERE c.vec_id <> q.query_id AND c.label <> q.query_label
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, cosine_sim,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@query("s_hard_negatives", HARD_NEG_ORACLE)
+def s_hard_negatives(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return SIM.hard_negatives(emb, queries, k=5)
+
+
+# --------------------------------------------------------------------
+# Bigram-LM probability scoring — the CCNet/perplexity-filter shape:
+# train add-one-smoothed bigram statistics on the corpus itself, then
+# score every document by its mean (and minimum) bigram probability.
+# Low mean = unnatural token sequences (boilerplate, mangled text);
+# min flags the single most surprising transition. Engine-exact by
+# construction: probabilities are integer parts-per-million from
+# exact BIGINT division — no transcendental functions, so no libm
+# divergence between engines (a log-space score would round-flake at
+# corpus scale). Shape at 100 TB: bigram explode is map-side; the
+# count tables are vocabulary²-bounded (shuffle on (w1,w2)); the
+# vocab scalar is one countDistinct (swap for the HLL register table
+# at real scale, same tradeoff as o13_table_profile).
+# --------------------------------------------------------------------
+BIGRAM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {TOKS} AS tk FROM documents WHERE len({TOKS}) >= 2),
+bg AS (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+  FROM t, unnest(generate_series(1, len(tk) - 1)) AS u(i)),
+c2t AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+  FROM bg GROUP BY w1, w2),
+c1t AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2t GROUP BY w1),
+vt AS (
+  SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM (
+    SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg)),
+scored AS (
+  SELECT bg.doc_id, (1000000 * (c2 + 1)) // (c1 + v) AS ppm
+  FROM bg JOIN c2t USING (w1, w2) JOIN c1t USING (w1) CROSS JOIN vt)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(ppm) // count(*) AS BIGINT) AS mean_ppm,
+       CAST(min(ppm) AS BIGINT) AS min_ppm
+FROM scored GROUP BY doc_id
+"""
+
+
+@query("t_bigram_prob", BIGRAM_ORACLE)
+def t_bigram_prob(spark, sf_dir):
+    """Self-trained bigram-LM fluency score per document: mean and
+    min smoothed bigram probability in exact integer ppm
+    (P(w2|w1) = (C(w1,w2)+1)/(C(w1·)+V), floored to parts-per-
+    million by BIGINT division — deliberately probability-space, not
+    log-space, so the score is hash-exact across engines)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", TX.tokens(F.col("text")).alias("__t")
+    ).where(F.size("__t") >= 2)
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(__t) - 2), "
+                "i -> struct(__t[i] AS w1, __t[i + 1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c2t = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c2")
+    )
+    c1t = c2t.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    vocab = (
+        bg.select(F.col("w1").alias("w"))
+        .unionByName(bg.select(F.col("w2").alias("w")))
+        .agg(F.countDistinct("w").cast("long").alias("v"))
+    )
+    scored = (
+        bg.join(c2t, ["w1", "w2"])
+        .join(c1t, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.expr("(1000000 * (c2 + 1)) div (c1 + v)").alias("ppm"),
+        )
+    )
+    # the mean stays in exact integer ppm (floor division): a rounded
+    # double mean landed exactly on a .0000005 boundary for 2 of 5000
+    # docs at sf0.1 and the engines' round() implementations split
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.expr("sum(ppm) div count(*)").cast("long").alias("mean_ppm"),
+        F.min("ppm").cast("long").alias("min_ppm"),
+    )

@@ -229,3 +229,59 @@ def test_w13_pairing_convention():
     for runtime, twin in sanctioned_rows_only.items():
         assert runtime in registry.QUERIES
         assert twin in registry.QUERIES and twin in registry.ORACLES
+
+
+def test_zorder_key_n_three_dims(spark):
+    """N-dim Morton interleave: verify against a python reference on
+    3 columns, and check the 2-D case degenerates to zorder_key."""
+    from pyspark.sql import functions as F
+
+    from historical_obs_platform_spark.operators.layout import (
+        zorder_key,
+        zorder_key_n,
+        zorder_layout_n,
+    )
+
+    rows = [(5, 9, 2), (255, 0, 17), (0, 255, 255)]
+    df = spark.createDataFrame(rows, ["a", "b", "c"])
+    got = {
+        (r.a, r.b, r.c): r.k
+        for r in df.select(
+            "a",
+            "b",
+            "c",
+            zorder_key_n([F.col("a"), F.col("b"), F.col("c")], 8).alias(
+                "k"
+            ),
+        ).collect()
+    }
+    for a, b, c in rows:
+        want = 0
+        for i in range(8):
+            want |= ((a >> i) & 1) << (i * 3)
+            want |= ((b >> i) & 1) << (i * 3 + 1)
+            want |= ((c >> i) & 1) << (i * 3 + 2)
+        assert got[(a, b, c)] == want
+    # N=2 equals the dedicated 2-D key
+    two = df.select(
+        (
+            zorder_key_n([F.col("a"), F.col("b")], 8)
+            == zorder_key(F.col("a"), F.col("b"), 8)
+        ).alias("eq")
+    ).collect()
+    assert all(r.eq for r in two)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exceeds a BIGINT"):
+        zorder_key_n([F.col("a")] * 8, 8)
+    # folding applies per dimension
+    df2 = spark.createDataFrame([(-1, 300, 256)], ["a", "b", "c"])
+    out = zorder_layout_n(df2, ["a", "b", "c"], bits=8).collect()[0]
+    fa, fb, fc = (-1) % 256, 300 % 256, 256 % 256
+    want = 0
+    for i in range(8):
+        want |= ((fa >> i) & 1) << (i * 3)
+        want |= ((fb >> i) & 1) << (i * 3 + 1)
+        want |= ((fc >> i) & 1) << (i * 3 + 2)
+    assert out.zkey == want
