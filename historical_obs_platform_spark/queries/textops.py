@@ -1508,3 +1508,100 @@ def t_bigram_prob(spark, sf_dir):
         F.expr("sum(ppm) div count(*)").cast("long").alias("mean_ppm"),
         F.min("ppm").cast("long").alias("min_ppm"),
     )
+
+
+# --------------------------------------------------------------------
+# Incremental near-dup ingest — THE 100 TB dedup access pattern: a
+# new crawl batch is checked against the existing corpus WITHOUT the
+# full-corpus self-join. The existing side's shingle/signature/bucket
+# tables are a stored index (built once per corpus version — here
+# recomputed from the shared handle because the test corpus is
+# small); only incoming documents are hashed fresh, candidates come
+# from incoming-buckets ⋈ stored-buckets (new×old only, never
+# old×old), and exact Jaccard confirms. Output: each incoming doc's
+# best existing match at τ≥0.8.
+# --------------------------------------------------------------------
+def _incremental_oracle(
+    n_hashes: int = LSH_N_HASHES, bands: int = LSH_BANDS
+) -> str:
+    rows = n_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        cat = " || '|' || ".join(
+            f"minhash_{b * rows + r}" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cat}) AS bucket FROM sigs"
+        )
+    buckets = " UNION ALL ".join(band_selects)
+    return f"""
+WITH {_shingle_cte()}, {_minhash_cte(n_hashes)},
+buckets AS ({buckets}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM buckets x JOIN buckets y
+    ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.doc_id < 1000000 AND y.doc_id >= 1000000
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS n_common
+  FROM cand c
+  JOIN shingles x ON x.doc_id = c.a
+  JOIN shingles y ON y.doc_id = c.b AND y.shingle = x.shingle
+  GROUP BY c.a, c.b
+),
+scored AS (
+  SELECT a, b,
+         round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON inter.a = sa.doc_id
+  JOIN sizes sb ON inter.b = sb.doc_id
+  WHERE round(n_common / (sa.sz + sb.sz - n_common), 6) >= 0.8
+)
+SELECT b AS new_id, a AS dup_of, jaccard FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY b ORDER BY jaccard DESC, a) AS rn
+  FROM scored) WHERE rn = 1
+"""
+
+
+@query("d_incremental_neardup", _incremental_oracle())
+def d_incremental_neardup(spark, sf_dir):
+    """Incoming batch (the +1e6 perturbed copies) deduped against the
+    stored corpus: candidates only from incoming×stored bucket
+    collisions, exact-Jaccard confirm at τ=0.8, best stored match per
+    incoming doc (max jaccard, smallest id breaks ties)."""
+    from pyspark.sql.window import Window
+
+    shingles, _ = _lsh_shared(spark, sf_dir)
+    sigs = DD.minhash_signatures(
+        shingles, "doc_id", n_hashes=LSH_N_HASHES
+    )
+    buckets = DD.lsh_buckets(
+        sigs, "doc_id", n_hashes=LSH_N_HASHES, bands=LSH_BANDS
+    )
+    old_b = buckets.where(F.col("doc_id") < 1000000)
+    new_b = buckets.where(F.col("doc_id") >= 1000000)
+    cand = (
+        old_b.select("band", "bucket", F.col("doc_id").alias("a"))
+        .join(
+            new_b.select("band", "bucket", F.col("doc_id").alias("b")),
+            ["band", "bucket"],
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    pairs = DD.jaccard_pairs(
+        shingles, "doc_id", min_jaccard=0.8, candidates=cand
+    )
+    w = Window.partitionBy("b").orderBy(F.desc("jaccard"), F.asc("a"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("b").alias("new_id"),
+            F.col("a").alias("dup_of"),
+            "jaccard",
+        )
+    )

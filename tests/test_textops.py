@@ -401,3 +401,21 @@ def test_bigram_prob_semantics(spark):
     )
     n_multi = docs.where(F.size("t") >= 2).count()
     assert len(pdf) == n_multi
+
+
+def test_incremental_neardup_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "d_incremental_neardup")
+
+
+def test_incremental_neardup_finds_planted_sources(spark):
+    """Each incoming (+1e6 perturbed) doc should resolve to its own
+    original as the best stored match, for the vast majority of docs
+    (LSH banding recall)."""
+    from historical_obs_platform_spark.registry import QUERIES
+
+    out = QUERIES["d_incremental_neardup"](spark, SF_DIR).toPandas()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(out) > 0.9 * n_docs
+    assert (out["dup_of"] == out["new_id"] - 1000000).all()
+    assert (out["jaccard"] >= 0.8).all()
+    assert out["new_id"].is_unique
