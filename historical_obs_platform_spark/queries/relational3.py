@@ -889,3 +889,41 @@ def o10_snapshot_diff(spark, sf_dir):
         "value_old",
         "value_new",
     )
+
+
+def _zorder3_oracle(bits: int = 8) -> str:
+    parts = []
+    for i in range(bits):
+        parts.append(f"(((a >> {i}) & 1) << {3 * i})")
+        parts.append(f"(((b >> {i}) & 1) << {3 * i + 1})")
+        parts.append(f"(((c >> {i}) & 1) << {3 * i + 2})")
+    expr = " | ".join(parts)
+    return f"""
+WITH d AS (
+  SELECT event_id, user_id % 256 AS a,
+         CAST(floor(value) AS BIGINT) % 256 AS b,
+         event_id % 256 AS c
+  FROM events
+)
+SELECT event_id, a, b, c, {expr} AS zkey FROM d
+"""
+
+
+@query("p_zorder_key3", _zorder3_oracle())
+def p_zorder_key3(spark, sf_dir):
+    """3-dimensional Morton key (operators/layout.zorder_key_n) —
+    the N-dim generalization, bit-for-bit against the oracle's
+    arithmetic restatement."""
+    from ..operators.layout import zorder_key_n
+
+    ev = table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_id",
+        (F.col("user_id") % 256).alias("a"),
+        (F.floor("value").cast("long") % 256).alias("b"),
+        (F.col("event_id") % 256).alias("c"),
+    )
+    return d.withColumn(
+        "zkey",
+        zorder_key_n([F.col("a"), F.col("b"), F.col("c")], bits=8),
+    )
