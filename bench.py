@@ -74,15 +74,20 @@ def main() -> None:
             except Exception as exc:  # pragma: no cover
                 runs.append(-1.0)
                 print(f"# {name} FAILED: {exc}", file=sys.stderr)
+            finally:
+                # drop cached/localCheckpoint blocks so earlier
+                # queries' state doesn't slow later ones (measured:
+                # ~2× drift across a 68-query session without this);
+                # runs in finally so a FAILED query's blocks don't
+                # pollute every subsequent timing either
+                spark.catalog.clearCache()
+                gc.collect()
+            if runs[-1] < 0:
                 break
-            # drop cached/localCheckpoint blocks so earlier queries'
-            # state doesn't slow later ones (measured: ~2× drift
-            # across a 68-query session without this)
-            spark.catalog.clearCache()
-            gc.collect()
         all_reps[name] = runs
-        ok = [t for t in runs if t >= 0]
-        timings[name] = min(ok) if ok else -1.0
+        # ANY failed rep marks the query failed (-1.0): a query that
+        # passes rep 1 and OOMs rep 2 is a real defect, not a timing
+        timings[name] = min(runs) if all(t >= 0 for t in runs) else -1.0
     wall_total = round(time.perf_counter() - t_all, 4)
     total = round(sum(t for t in timings.values() if t >= 0), 4)
 

@@ -31,19 +31,29 @@ def _check_distinct_io(args) -> None:
     destroying the corpus. Checked once in main() for any subcommand
     carrying both paths."""
     inp = getattr(args, "input", None)
-    out = getattr(args, "output", None)
-    if inp is None or out is None:
+    if inp is None:
         return
     import os
 
     ri = os.path.realpath(os.path.abspath(inp))
-    ro = os.path.realpath(os.path.abspath(out))
-    if ri == ro or ro.startswith(ri + os.sep) or ri.startswith(ro + os.sep):
-        raise SystemExit(
-            f"--output {out!r} resolves into --input {inp!r}: the "
-            "overwrite would delete the source before the lazy read "
-            "finishes. Write to a different path and move on success."
-        )
+    # every overwrite-mode sink the subcommand can write: the main
+    # --output plus the side-channel CSV sinks
+    for attr in ("output", "flag_counts", "station_list"):
+        out = getattr(args, attr, None)
+        if out is None:
+            continue
+        ro = os.path.realpath(os.path.abspath(out))
+        if (
+            ri == ro
+            or ro.startswith(ri + os.sep)
+            or ri.startswith(ro + os.sep)
+        ):
+            raise SystemExit(
+                f"--{attr.replace('_', '-')} {out!r} resolves into "
+                f"--input {inp!r}: the overwrite would delete the "
+                "source before the lazy read finishes. Write to a "
+                "different path and move on success."
+            )
 
 
 def _read(spark: SparkSession, path: str, station: str | None):

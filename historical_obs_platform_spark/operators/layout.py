@@ -85,6 +85,11 @@ def zorder_key_n(cols: list[Column], bits: int = 8) -> Column:
         )
     parts = []
     for d, c in enumerate(cols):
+        # cast to long HERE: Spark masks an int column's shift amount
+        # to 5 bits, so shiftleft(intCol, >=32) silently aliases high
+        # Morton positions onto low ones — the BIGINT-capacity guard
+        # above is only honest for long inputs
+        c = c.cast("long")
         for i in range(bits):
             parts.append(
                 F.shiftleft(

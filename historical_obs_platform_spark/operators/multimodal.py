@@ -163,9 +163,17 @@ class PpmBmpDecoder:
 
         feats, widths, heights = [], [], []
         for raw in contents:
-            decoded = (
-                self._decode_one(bytes(raw)) if raw is not None else None
-            )
+            try:
+                decoded = (
+                    self._decode_one(bytes(raw))
+                    if raw is not None
+                    else None
+                )
+            except Exception:
+                # a corrupt header (non-numeric PPM token, negative
+                # reshape, ...) must degrade to the documented None
+                # fields, not kill the executor task
+                decoded = None
             if decoded is None:
                 feats.append(None)
                 widths.append(None)

@@ -296,18 +296,14 @@ def lsh_multiprobe_topk(
     ).withColumn("__qn", norm(F.col("__qv")))
     cand = None
     for t in range(n_tables):
-        dots = [
-            _const_dot(
-                F.col("__cv"), _hyperplane_consts(dim, t * n_planes + p)
-            )
-            for p in range(n_planes)
-        ]
-        cbits = [
-            F.when(d > 0, F.lit("1")).otherwise(F.lit("0")) for d in dots
-        ]
+        # corpus side hashes through the SAME helper as lsh_ann_topk
+        # — the recall comparison assumes both paths bucket the
+        # corpus identically
         cb = c.select(
             "neighbor_id",
-            F.concat(F.lit(f"t{t}:"), *cbits).alias("__b"),
+            lsh_bucket_expr(F.col("__cv"), dim, n_planes, t).alias(
+                "__b"
+            ),
         )
         qdots = [
             _const_dot(

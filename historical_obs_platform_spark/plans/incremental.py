@@ -100,6 +100,9 @@ def merge_changeset(
     # Resolve deterministically: keep ONE row per key, ordered by the
     # non-key payload so the survivor is independent of partitioning.
     payload = [c for c in upserts.columns if c not in keys]
+    orderable_payload = [
+        c for c in payload if _orderable(upserts.schema[c].dataType)
+    ]
     if precedence is not None:
         order_cols = (
             [precedence] if isinstance(precedence, str) else list(precedence)
@@ -110,10 +113,15 @@ def merge_changeset(
                 f"merge_changeset: precedence columns {missing} not in "
                 f"changeset columns {upserts.columns}"
             )
-    else:
-        order_cols = [
-            c for c in payload if _orderable(upserts.schema[c].dataType)
+        # precedence ties still need a deterministic survivor: append
+        # the remaining orderable payload columns as tie-breakers so
+        # two rows with equal precedence don't resolve by shuffle
+        # arrival order
+        order_cols += [
+            c for c in orderable_payload if c not in order_cols
         ]
+    else:
+        order_cols = orderable_payload
     if order_cols:
         w = Window.partitionBy(*keys).orderBy(
             *[F.col(c).desc_nulls_last() for c in order_cols]

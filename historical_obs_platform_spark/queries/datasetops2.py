@@ -713,9 +713,8 @@ def w16_cusum_drift(spark, sf_dir):
         "event_id",
         "n",
         F.sum(
-            (F.col("cents") * F.col("n") - F.col("total")).cast(
-                "decimal(38,0)"
-            )
+            F.col("cents").cast("decimal(20,0)") * F.col("n")
+            - F.col("total")
         ).over(run).alias("ps"),
     )
     c = d.select(

@@ -431,7 +431,8 @@ def era_id(network: str) -> Column:
     elif "CIMIS" in n:
         base = F.col("`Station Number`").cast("int").cast("string")
     elif "CW3E" in n:
-        base = F.regexp_replace(F.col("STID"), "C3", "")
+        # anchored: only the 'C3' PREFIX drops, not every occurrence
+        base = F.regexp_replace(F.col("STID"), "^C3", "")
     elif n in _MADIS_ID_ROSTER:
         base = F.col("STID")
     elif n in ("MARITIME", "NDBC"):
@@ -497,7 +498,10 @@ def station_clean_audit(
         .alias("Cleaned"),
         "Time_Cleaned",
     )
-    suffix = F.element_at(F.split(F.col("era_id"), "_"), -1)
+    # native id = everything after the FIRST underscore (the
+    # '<NETWORK>_' prefix) — split-last would truncate native ids
+    # that themselves contain underscores
+    suffix = F.regexp_replace(F.col("era_id"), "^[^_]*_", "")
     stx = audited.select(
         "era_id", suffix.alias("__sfx"), "Time_Cleaned"
     )

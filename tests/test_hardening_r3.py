@@ -202,3 +202,134 @@ def test_buoy_blacklist_rules_size_guard(spark):
     # at/under the cap still works
     out = buoy_blacklist_check(obs, rules.limit(5), max_rules=10)
     assert out.count() == 1
+
+
+# ------------------------------------------ round-3 self-review fixes
+def test_decoder_corrupt_header_degrades_to_none(spark):
+    """A non-numeric PPM header or truncated BMP must yield None
+    fields, not crash the executor task."""
+    from historical_obs_platform_spark.operators import multimodal as MM
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(b"P6 abc 10 255 xxxx"), ("x", None, None, None)),
+            (2, bytearray(b"BM" + b"\x00" * 20), ("x", None, None, None)),
+            (3, bytearray(b"P6\n-3 2\n255\n" + b"\x00" * 64), ("x", None, None, None)),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    out = (
+        MM.extract_features(media, decoder=MM.PpmBmpDecoder())
+        .toPandas()
+        .set_index("media_id")
+    )
+    for mid in (1, 2, 3):
+        assert out.loc[mid, "feature"] is None
+
+
+def test_merge_changeset_precedence_ties_are_deterministic(spark):
+    """Equal-precedence upserts must resolve by the remaining
+    orderable payload, not shuffle arrival order."""
+    from historical_obs_platform_spark.plans.incremental import (
+        merge_changeset,
+    )
+
+    base = spark.createDataFrame(
+        [("s1", 1, "old", 0)], ["station", "time", "val", "version"]
+    )
+    changes = spark.createDataFrame(
+        [
+            ("s1", 1, "upsert", "alpha", 5),
+            ("s1", 1, "upsert", "zeta", 5),  # same version
+        ],
+        ["station", "time", "op", "val", "version"],
+    )
+    vals = {
+        merge_changeset(
+            base.repartition(p),
+            changes.repartition(p),
+            keys=("station", "time"),
+            precedence="version",
+        )
+        .collect()[0]["val"]
+        for p in (1, 3, 7)
+    }
+    assert vals == {"zeta"}  # max remaining payload, every layout
+
+
+def test_zorder_key_n_int_columns_high_positions(spark):
+    """IntegerType inputs must interleave correctly even when target
+    bit positions exceed 31 (Spark masks int shifts to 5 bits)."""
+    from pyspark.sql import functions as F
+
+    from historical_obs_platform_spark.operators.layout import (
+        zorder_key_n,
+    )
+
+    df = spark.createDataFrame(
+        [(255, 255, 255, 255, 255)],
+        "a int, b int, c int, d int, e int",
+    )
+    key = df.select(
+        zorder_key_n(
+            [F.col(x) for x in "abcde"], bits=8
+        ).alias("k")
+    ).collect()[0]["k"]
+    assert key == (1 << 40) - 1  # all 40 interleaved bits set
+
+
+def test_era_id_cw3e_prefix_only(spark):
+    from pyspark.sql import functions as F
+
+    from historical_obs_platform_spark.sources.networks import era_id
+
+    df = spark.createDataFrame([("C3AC3X",)], "STID string")
+    got = df.select(era_id("CW3E").alias("e")).collect()[0]["e"]
+    assert got == "CW3E_AC3X"  # only the prefix drops
+
+
+def test_station_audit_suffix_with_underscore_id(spark):
+    """A native id containing an underscore must match error files by
+    the FULL native id, not its last segment."""
+    from historical_obs_platform_spark.sources.networks import (
+        station_clean_audit,
+    )
+
+    stations = spark.createDataFrame(
+        [("AB_12", "x"), ("OTHER", "y")], "STID string, nm string"
+    )
+    cleaned = spark.createDataFrame(
+        [], "ID string, Time_Cleaned string"
+    )
+    errors = spark.createDataFrame(
+        [("CWOP_AB_12-file.csv", "2023-01-01 00:00", "boom")],
+        "File string, Time string, Error string",
+    )
+    out = station_clean_audit(stations, cleaned, errors, "CWOP")
+    rows = {r["era_id"]: r for r in out.collect()}
+    assert rows["CWOP_AB_12"]["Errors"] == "boom"
+    assert rows["CWOP_OTHER"]["Errors"] is None
+
+
+def test_cli_guards_side_channel_sinks(spark, tmp_path):
+    from historical_obs_platform_spark.cli import main
+
+    src = tmp_path / "obs"
+    spark.createDataFrame(
+        [("MADIS_A", "2020-01-01 00:00:00", 280.0)],
+        ["station", "time", "tas"],
+    ).write.parquet(str(src))
+    with pytest.raises(SystemExit, match="flag-counts"):
+        main(
+            [
+                "merge",
+                "--input",
+                str(src),
+                "--output",
+                str(tmp_path / "out"),
+                "--flag-counts",
+                str(src),
+            ],
+            spark=spark,
+        )
+    assert spark.read.parquet(str(src)).count() == 1
