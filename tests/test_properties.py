@@ -288,3 +288,119 @@ def test_minhash_hash_engine_parity(spark, shingles):
         for j, i in enumerate((0, 7, 15))
     }
     assert got == want
+
+
+# ---------------------------------------------- round-3 operator props
+station_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=8),    # WBAN
+        st.integers(min_value=0, max_value=3),    # lat bucket
+        st.booleans(),                            # coords agree?
+        st.booleans(),                            # null STARTDATE?
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(station_lists, station_lists)
+@settings(**SETTINGS)
+def test_merge_station_lists_preserves_isd_rows(spark, isd_rows, asos_rows):
+    """Every ISD row appears exactly once in the merge output (the
+    two join tiers partition the ISD side, never duplicate or drop),
+    regardless of how messy the ASOSAWOS side is."""
+    from historical_obs_platform_spark.sources.networks import (
+        merge_station_lists,
+    )
+
+    isd_pdf = pd.DataFrame(
+        [
+            (w, float(lb) + 0.125, -10.25, f"isd{i}")
+            for i, (w, lb, _, _) in enumerate(isd_rows)
+        ],
+        columns=["WBAN", "LAT", "LON", "isd_name"],
+    )
+    # ISD side is unique per station in the reference; dedup WBAN
+    isd_pdf = isd_pdf.drop_duplicates(["WBAN", "LAT", "LON"])
+    asos_pdf = pd.DataFrame(
+        [
+            (
+                w,
+                (float(lb) + 0.125) if agree else 99.5,
+                -10.25,
+                w * 100 + i,
+                None if null_sd else f"200{i % 10}-01-15",
+                f"a{i}",
+            )
+            for i, (w, lb, agree, null_sd) in enumerate(asos_rows)
+        ],
+        columns=["WBAN", "LAT", "LON", "NCDCID", "STARTDATE", "asos_name"],
+    )
+    isd = spark.createDataFrame(
+        isd_pdf.astype({"WBAN": "int64"})
+        if len(isd_pdf)
+        else pd.DataFrame(
+            {"WBAN": pd.Series(dtype="int64"),
+             "LAT": pd.Series(dtype="float64"),
+             "LON": pd.Series(dtype="float64"),
+             "isd_name": pd.Series(dtype="object")}
+        ),
+        "WBAN long, LAT double, LON double, isd_name string",
+    )
+    asos = spark.createDataFrame(
+        asos_pdf
+        if len(asos_pdf)
+        else pd.DataFrame(
+            {"WBAN": pd.Series(dtype="int64"),
+             "LAT": pd.Series(dtype="float64"),
+             "LON": pd.Series(dtype="float64"),
+             "NCDCID": pd.Series(dtype="int64"),
+             "STARTDATE": pd.Series(dtype="object"),
+             "asos_name": pd.Series(dtype="object")}
+        ),
+        "WBAN long, LAT double, LON double, NCDCID long, "
+        "STARTDATE string, asos_name string",
+    )
+    out = merge_station_lists(isd, asos).toPandas()
+    assert len(out) == len(isd_pdf)
+    assert sorted(out["WBAN"].tolist()) == sorted(isd_pdf["WBAN"].tolist())
+    # metadata, when attached, must come from a row with that WBAN
+    hit = out[out["NCDCID"].notna()]
+    assert (hit["NCDCID"] // 100 == hit["WBAN"]).all()
+
+
+zkey_points = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=255),
+    ),
+    min_size=1,
+    max_size=20,
+    unique=True,
+)
+
+
+@given(zkey_points)
+@settings(**SETTINGS)
+def test_zorder_key_n_bijective_on_domain(spark, pts):
+    """Distinct (a,b,c) triples always get distinct Morton keys, and
+    de-interleaving the key recovers the point exactly."""
+    from historical_obs_platform_spark.operators.layout import zorder_key_n
+
+    df = spark.createDataFrame(pts, "a long, b long, c long")
+    rows = df.select(
+        "a", "b", "c",
+        zorder_key_n([F.col("a"), F.col("b"), F.col("c")], 8).alias("k"),
+    ).collect()
+    seen = set()
+    for r in rows:
+        assert 0 <= r.k < 1 << 24
+        assert r.k not in seen
+        seen.add(r.k)
+        a = b = c = 0
+        for i in range(8):
+            a |= ((r.k >> (3 * i)) & 1) << i
+            b |= ((r.k >> (3 * i + 1)) & 1) << i
+            c |= ((r.k >> (3 * i + 2)) & 1) << i
+        assert (a, b, c) == (r.a, r.b, r.c)
