@@ -561,3 +561,175 @@ def st_topk_stream(spark, sf_dir):
     finally:
         q.stop()
     return spark.table("st_topk")
+
+
+# --------------------------------------------------------------------
+# Streaming incremental near-dup — the stream-static join pattern: a
+# document stream is deduped against the STATIC stored-corpus LSH
+# index with no stream-stream state. Everything per-document computes
+# IN-ROW (shingle array, 16 minhashes as array_min over the array, 4
+# band keys) — the batch groupBy-signature reshaped into array
+# expressions so the stream needs no aggregation until the single
+# final best-match state. Two stateless stream-static equi-joins
+# (skinny bucket match first, THEN fetch the matched doc's shingle
+# array by id — the array never rides the bucket table), row-local
+# exact-Jaccard confirm, one complete-mode max-struct aggregation.
+# Duplicate band collisions need no dropDuplicates: max() is
+# idempotent under them. The oracle is the BATCH incremental query's
+# oracle verbatim — the drained stream must converge to it.
+# --------------------------------------------------------------------
+def _inrow_signature(df, sh_col: str, n_hashes: int):
+    """Attach minhash_0..n as row-local array minima. Two passes:
+    the md5 digests compute ONCE per (shingle, md5-group) into
+    intermediate hex arrays (3 hash slices share each md5 — same
+    economy as the batch ``minhash_hash_col`` family; the naive
+    per-hash form recomputed every md5 three times, measured 2.6×
+    slower on the stream), then each hash is a slice+parse min over
+    its group's array."""
+    from ..operators.dedup import (
+        MINHASH_SLICE_HEX,
+        _minhash_md5_start,
+    )
+
+    groups = sorted({_minhash_md5_start(i)[0] for i in range(n_hashes)})
+    out = df.select(
+        "*",
+        *[
+            F.expr(
+                f"transform({sh_col}, shingle -> "
+                f"md5(concat('mh{m}:', shingle)))"
+            ).alias(f"__h{m}")
+            for m in groups
+        ],
+    )
+    sig = [
+        F.expr(
+            f"array_min(transform(__h{_minhash_md5_start(i)[0]}, h -> "
+            f"cast(conv(substring(h, {_minhash_md5_start(i)[1]}, "
+            f"{MINHASH_SLICE_HEX}), 16, 10) as bigint)))"
+        ).alias(f"minhash_{i}")
+        for i in range(n_hashes)
+    ]
+    return out.select(
+        *[c for c in df.columns], *sig
+    )
+
+
+def _st_neardup_oracle():
+    from .textops import _incremental_oracle
+
+    return _incremental_oracle()
+
+
+@query("st_neardup_stream", _st_neardup_oracle())
+@_with_stream_shuffle
+def st_neardup_stream(spark, sf_dir):
+    from ..operators import dedup as DD
+    from .textops import LSH_BANDS, LSH_N_HASHES, _lsh_shared
+
+    tune(spark)
+    # static stored index: buckets + per-doc shingle sets of the
+    # existing corpus (built once per corpus version in production)
+    shingles, _ = _lsh_shared(spark, sf_dir)
+    old_sh = shingles.where(F.col("doc_id") < 1000000)
+    sigs = DD.minhash_signatures(old_sh, "doc_id", n_hashes=LSH_N_HASHES)
+    idx_buckets = DD.lsh_buckets(
+        sigs, "doc_id", n_hashes=LSH_N_HASHES, bands=LSH_BANDS
+    ).select(F.col("doc_id").alias("a"), "band", "bucket")
+    idx_docs = old_sh.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("__sh_a"),
+        F.countDistinct("shingle").alias("sz_a"),
+    ).select(F.col("doc_id").alias("a"), "__sh_a", "sz_a")
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(
+        f"{sf_dir}/documents*.parquet"
+    )
+    incoming = src.select(
+        (F.col("doc_id") + 1000000).alias("new_id"),
+        F.concat(F.col("text"), F.lit(" zzextra")).alias("text"),
+    )
+    toked = incoming.select(
+        "new_id",
+        F.split(DD.normalize_text("text"), " ").alias("__toks"),
+    ).where(F.size("__toks") >= 2)
+    shingled = toked.select(
+        "new_id",
+        F.expr(
+            "filter(array_distinct(transform("
+            "sequence(1, size(__toks) - 1), "
+            "i -> concat_ws(' ', slice(__toks, i, 2)))), "
+            "x -> x != '')"
+        ).alias("__sh_b"),
+    ).where(F.size("__sh_b") > 0)
+    signed = _inrow_signature(
+        shingled.withColumn("sz_b", F.size("__sh_b")),
+        "__sh_b",
+        LSH_N_HASHES,
+    )
+    rows = LSH_N_HASHES // LSH_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"minhash_{b * rows + r}")
+                            for r in range(rows)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    keyed = signed.select(
+        "new_id", "__sh_b", "sz_b", F.explode(bands).alias("bb")
+    ).select("new_id", "__sh_b", "sz_b", "bb.band", "bb.bucket")
+    cand = keyed.join(idx_buckets, ["band", "bucket"]).join(
+        idx_docs, "a"
+    )
+    scored = cand.select(
+        "new_id",
+        "a",
+        F.size(F.array_intersect("__sh_b", "__sh_a")).cast("long").alias(
+            "n_common"
+        ),
+        "sz_a",
+        "sz_b",
+    ).where(F.col("n_common") > 0)
+    jac = scored.select(
+        "new_id",
+        "a",
+        F.round(
+            F.col("n_common")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+            6,
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= 0.8)
+    best = jac.groupBy("new_id").agg(
+        F.max(
+            F.struct(
+                F.col("jaccard").alias("j"), (-F.col("a")).alias("nega")
+            )
+        ).alias("b")
+    )
+    out = best.select(
+        "new_id",
+        (-F.col("b.nega")).alias("dup_of"),
+        F.col("b.j").alias("jaccard"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("st_neardup")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("st_neardup")

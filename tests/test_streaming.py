@@ -191,3 +191,22 @@ def test_restart_from_checkpoint_exactly_once(spark, tmp_path):
     # restart resumes from the committed offset: 160 total, not 260
     assert sum(second.values()) == 160
     assert second["S0"] + second["S1"] + second["S2"] == 160
+
+
+def test_st_neardup_stream_converges_to_batch(spark, oracle_con):
+    """The stream-static near-dup must equal both its DuckDB oracle
+    and the batch incremental query exactly."""
+    from .conftest import SF_DIR, assert_matches_oracle
+
+    assert_matches_oracle(spark, oracle_con, "st_neardup_stream")
+    from historical_obs_platform_spark.registry import QUERIES
+
+    got = {
+        (r["new_id"], r["dup_of"], r["jaccard"])
+        for r in QUERIES["st_neardup_stream"](spark, SF_DIR).collect()
+    }
+    batch = {
+        (r["new_id"], r["dup_of"], r["jaccard"])
+        for r in QUERIES["d_incremental_neardup"](spark, SF_DIR).collect()
+    }
+    assert got == batch
