@@ -969,3 +969,143 @@ def a16_moment_stats(spark, sf_dir):
             6,
         ).alias("kurtosis"),
     )
+
+
+# ------------------------------------------------- o14: sketch profile
+# o13's documented 100 TB swap, implemented and measured: per-column
+# distinct counts via mergeable HLL registers instead of exact
+# countDistinct — ONE scan (posexplode of the column array, the same
+# expand shape o13 uses), one (column, bucket) shuffle whose state is
+# 256 registers per column regardless of cardinality. The exact
+# counts ride along at test scale solely to report the realized
+# relative error; at 100 TB you drop the exact branch and keep the
+# registers (they also merge across corpus versions — hll_merge).
+_PROF_COLS = ["user_id", "event_type", "value"]
+
+
+def _o14_oracle(bucket_hex: int = 2, tail_hex: int = 12) -> str:
+    from ..operators.sketches import _rho_expr
+
+    m = 16 ** bucket_hex
+    alpha = 0.7213 / (1 + 1.079 / m)
+    # value renders through DECIMAL(18,2) so both engines hash the
+    # same string ('123.45' — raw double->varchar rendering differs)
+    srcs = " UNION ALL ".join(
+        [
+            "SELECT 0 AS cidx, CAST(user_id AS VARCHAR) AS val "
+            "FROM events WHERE user_id IS NOT NULL",
+            "SELECT 1, event_type FROM events "
+            "WHERE event_type IS NOT NULL",
+            "SELECT 2, CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) "
+            "FROM events WHERE value IS NOT NULL",
+        ]
+    )
+    rho = _rho_expr(f"substring(md5(val), {bucket_hex + 1}, {tail_hex})", tail_hex)
+    raw = f"{alpha * m * m!r} / (z_used + ({m} - n_used))"
+    return f"""
+WITH src AS ({srcs}),
+regs AS (
+  SELECT cidx, substring(md5(val), 1, {bucket_hex}) AS bucket,
+         max({rho}) AS M
+  FROM src GROUP BY cidx, 2
+),
+agg AS (
+  SELECT cidx, sum(power(CAST(2 AS DOUBLE), -M)) AS z_used,
+         count(*) AS n_used
+  FROM regs GROUP BY cidx
+),
+ex AS (SELECT cidx, count(DISTINCT val) AS exact_distinct
+       FROM src GROUP BY cidx),
+est AS (
+  SELECT cidx,
+         round(CASE
+           WHEN ({m} - n_used) > 0 AND {raw} <= {2.5 * m!r}
+             THEN {float(m)!r} * ln({float(m)!r} / ({m} - n_used))
+           ELSE {raw}
+         END, 6) AS approx_distinct
+  FROM agg
+)
+SELECT CASE cidx WHEN 0 THEN 'user_id' WHEN 1 THEN 'event_type'
+       ELSE 'value' END AS column_name,
+       est.approx_distinct,
+       CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+       round(abs(est.approx_distinct - ex.exact_distinct)
+             / ex.exact_distinct, 6) AS rel_err
+FROM est JOIN ex USING (cidx)
+"""
+
+
+@query("o14_profile_hll", _o14_oracle())
+def o14_profile_hll(spark, sf_dir):
+    """Sketch-based table profile: per-column HLL distinct estimates
+    from one scan + one 256-registers-per-column shuffle, with the
+    realized error vs exact reported alongside (drop the exact branch
+    at scale — the registers are the product, and they merge)."""
+    from ..operators.sketches import _rho_expr
+
+    bucket_hex, tail_hex = 2, 12
+    m = 16 ** bucket_hex
+    alpha = 0.7213 / (1 + 1.079 / m)
+    ev = table(spark, sf_dir, "events")
+    vals = ev.select(
+        F.posexplode(
+            F.array(
+                F.col("user_id").cast("string"),
+                F.col("event_type"),
+                F.col("value").cast("decimal(18,2)").cast("string"),
+            )
+        ).alias("cidx", "val")
+    ).where(F.col("val").isNotNull())
+    hashed = vals.select("cidx", "val", F.md5("val").alias("__h"))
+    regs = (
+        hashed.select(
+            "cidx",
+            F.substring("__h", 1, bucket_hex).alias("bucket"),
+            F.expr(
+                _rho_expr(
+                    f"substring(__h, {bucket_hex + 1}, {tail_hex})",
+                    tail_hex,
+                )
+            ).alias("rho"),
+        )
+        .groupBy("cidx", "bucket")
+        .agg(F.max("rho").alias("M"))
+    )
+    agg = regs.groupBy("cidx").agg(
+        F.sum(F.expr("power(cast(2 as double), -M)")).alias("z_used"),
+        F.count(F.lit(1)).alias("n_used"),
+    )
+    raw = F.lit(alpha * m * m) / (
+        F.col("z_used") + (F.lit(m) - F.col("n_used"))
+    )
+    est = agg.select(
+        "cidx",
+        F.round(
+            F.when(
+                ((F.lit(m) - F.col("n_used")) > 0)
+                & (raw <= F.lit(2.5 * m)),
+                F.lit(float(m))
+                * F.log(F.lit(float(m)) / (F.lit(m) - F.col("n_used"))),
+            ).otherwise(raw),
+            6,
+        ).alias("approx_distinct"),
+    )
+    exact = vals.groupBy("cidx").agg(
+        F.countDistinct("val").cast("long").alias("exact_distinct")
+    )
+    names = F.array(*[F.lit(c) for c in _PROF_COLS])
+    return (
+        est.join(exact, "cidx")
+        .select(
+            F.element_at(names, F.col("cidx") + 1).alias("column_name"),
+            "approx_distinct",
+            "exact_distinct",
+            F.round(
+                F.abs(
+                    F.col("approx_distinct") - F.col("exact_distinct")
+                )
+                / F.col("exact_distinct"),
+                6,
+            ).alias("rel_err"),
+        )
+    )

@@ -275,3 +275,21 @@ def test_moment_stats_match_numpy(spark):
         assert abs(got[et]["variance"] - var) < 1e-4
         assert abs(got[et]["skewness"] - skew) < 1e-4
         assert abs(got[et]["kurtosis"] - kurt) < 1e-4
+
+
+def test_o14_profile_hll_matches_oracle(spark, oracle_con):
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, oracle_con, "o14_profile_hll")
+
+
+def test_o14_profile_hll_error_bounds(spark):
+    """256-register HLL should land within ~10% of exact on every
+    column at test scale (theoretical sigma ~1.04/sqrt(256) = 6.5%)."""
+    from historical_obs_platform_spark.registry import QUERIES
+    from .conftest import SF_DIR
+
+    pdf = QUERIES["o14_profile_hll"](spark, SF_DIR).toPandas()
+    assert set(pdf["column_name"]) == {"user_id", "event_type", "value"}
+    assert (pdf["rel_err"] <= 0.15).all(), pdf
+    assert (pdf["exact_distinct"] > 0).all()
