@@ -79,9 +79,16 @@ def main() -> None:
                 # queries' state doesn't slow later ones (measured:
                 # ~2× drift across a 68-query session without this);
                 # runs in finally so a FAILED query's blocks don't
-                # pollute every subsequent timing either
-                spark.catalog.clearCache()
-                gc.collect()
+                # pollute every subsequent timing either. Cleanup
+                # itself must never abort the suite — after a
+                # session-fatal failure (dead gateway) the remaining
+                # queries will just record -1.0 and the final JSON
+                # line still prints.
+                try:
+                    spark.catalog.clearCache()
+                    gc.collect()
+                except Exception:
+                    pass
             if runs[-1] < 0:
                 break
         all_reps[name] = runs

@@ -30,30 +30,48 @@ def _check_distinct_io(args) -> None:
     source path deletes the input before/while the read executes,
     destroying the corpus. Checked once in main() for any subcommand
     carrying both paths."""
-    inp = getattr(args, "input", None)
-    if inp is None:
-        return
     import os
 
-    ri = os.path.realpath(os.path.abspath(inp))
+    def _canon(p):
+        return os.path.realpath(os.path.abspath(p))
+
+    def _overlap(x, y):
+        return (
+            x == y
+            or y.startswith(x + os.sep)
+            or x.startswith(y + os.sep)
+        )
+
+    inp = getattr(args, "input", None)
     # every overwrite-mode sink the subcommand can write: the main
     # --output plus the side-channel CSV sinks
-    for attr in ("output", "flag_counts", "station_list"):
-        out = getattr(args, attr, None)
-        if out is None:
-            continue
-        ro = os.path.realpath(os.path.abspath(out))
-        if (
-            ri == ro
-            or ro.startswith(ri + os.sep)
-            or ri.startswith(ro + os.sep)
-        ):
-            raise SystemExit(
-                f"--{attr.replace('_', '-')} {out!r} resolves into "
-                f"--input {inp!r}: the overwrite would delete the "
-                "source before the lazy read finishes. Write to a "
-                "different path and move on success."
-            )
+    sinks = [
+        (attr, getattr(args, attr, None))
+        for attr in ("output", "flag_counts", "station_list")
+        if getattr(args, attr, None) is not None
+    ]
+    if inp is not None:
+        ri = _canon(inp)
+        for attr, out in sinks:
+            if _overlap(ri, _canon(out)):
+                raise SystemExit(
+                    f"--{attr.replace('_', '-')} {out!r} resolves "
+                    f"into --input {inp!r}: the overwrite would "
+                    "delete the source before the lazy read "
+                    "finishes. Write to a different path and move "
+                    "on success."
+                )
+    # sinks must not clobber EACH OTHER either (e.g. --flag-counts
+    # equal to --output overwrites the merge result just written)
+    for i, (attr_a, a) in enumerate(sinks):
+        for attr_b, b in sinks[i + 1 :]:
+            if _overlap(_canon(a), _canon(b)):
+                raise SystemExit(
+                    f"--{attr_a.replace('_', '-')} and "
+                    f"--{attr_b.replace('_', '-')} resolve to "
+                    f"overlapping paths ({a!r}, {b!r}): the second "
+                    "write would destroy the first."
+                )
 
 
 def _read(spark: SparkSession, path: str, station: str | None):

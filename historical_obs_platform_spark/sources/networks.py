@@ -380,6 +380,21 @@ def merge_station_lists(
         .withColumn("LAT", F.round("LAT", coord_decimals))
         .withColumn("LON", F.round("LON", coord_decimals))
     )
+    # the exact tier must be 1:<=1 or an ISD row would DUPLICATE when
+    # two ASOS rows (different NCDCIDs) share rounded coordinates —
+    # keep one row per (WBAN, LAT, LON), newest STARTDATE first,
+    # smallest NCDCID breaking exact ties (deviation from the
+    # reference, which would silently fan out the join)
+    coord_w = F.row_number().over(
+        Window.partitionBy("WBAN", "LAT", "LON").orderBy(
+            F.col("STARTDATE").desc_nulls_last(), F.col("NCDCID")
+        )
+    )
+    asos = (
+        asos.withColumn("__rn", coord_w)
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     # a sentinel marks real matches (any metadata column could be
     # legitimately null, so probing one of them would misclassify)
     exact = isd_list.join(

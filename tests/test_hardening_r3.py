@@ -333,3 +333,51 @@ def test_cli_guards_side_channel_sinks(spark, tmp_path):
             spark=spark,
         )
     assert spark.read.parquet(str(src)).count() == 1
+
+
+def test_merge_station_lists_no_duplication_on_coord_collision(spark):
+    """Two ASOS rows sharing (WBAN, rounded coords) with different
+    NCDCIDs must NOT fan the exact-tier join out — one deterministic
+    winner, one output row per ISD row."""
+    from historical_obs_platform_spark.sources.networks import (
+        merge_station_lists,
+    )
+
+    isd = spark.createDataFrame(
+        [(1, 10.125, -20.25, "only")],
+        "WBAN int, LAT double, LON double, isd_name string",
+    )
+    asos = spark.createDataFrame(
+        [
+            (1, 10.125, -20.25, 100, "2001-05-15", "older"),
+            (1, 10.125, -20.25, 101, "2005-05-15", "newer"),
+        ],
+        "WBAN int, LAT double, LON double, NCDCID int, "
+        "STARTDATE string, asos_name string",
+    )
+    out = merge_station_lists(isd, asos).collect()
+    assert len(out) == 1
+    assert out[0]["asos_name"] == "newer"  # newest STARTDATE wins
+
+
+def test_cli_refuses_sink_vs_sink_collision(spark, tmp_path):
+    from historical_obs_platform_spark.cli import main
+
+    src = tmp_path / "obs"
+    spark.createDataFrame(
+        [("MADIS_A", "2020-01-01 00:00:00", 280.0)],
+        ["station", "time", "tas"],
+    ).write.parquet(str(src))
+    with pytest.raises(SystemExit, match="overlapping paths"):
+        main(
+            [
+                "merge",
+                "--input",
+                str(src),
+                "--output",
+                str(tmp_path / "out"),
+                "--flag-counts",
+                str(tmp_path / "out"),
+            ],
+            spark=spark,
+        )
