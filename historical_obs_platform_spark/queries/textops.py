@@ -1486,9 +1486,14 @@ def t_bigram_prob(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("c2")
     )
     c1t = c2t.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    # vocabulary from the (already distinct) bigram-count table, not
+    # a third+fourth tokenize-explode of the corpus: distinct(w1)∪
+    # distinct(w2) over c2t is the same token set at a fraction of
+    # the input — the corpus is tokenized exactly twice in this plan
+    # (count build + score join side)
     vocab = (
-        bg.select(F.col("w1").alias("w"))
-        .unionByName(bg.select(F.col("w2").alias("w")))
+        c2t.select(F.col("w1").alias("w"))
+        .unionByName(c2t.select(F.col("w2").alias("w")))
         .agg(F.countDistinct("w").cast("long").alias("v"))
     )
     scored = (
