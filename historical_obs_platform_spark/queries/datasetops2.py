@@ -980,7 +980,7 @@ def a16_moment_stats(spark, sf_dir):
 # counts ride along at test scale solely to report the realized
 # relative error; at 100 TB you drop the exact branch and keep the
 # registers (they also merge across corpus versions — hll_merge).
-_PROF_COLS = ["user_id", "event_type", "value"]
+_O14_COLS = ["user_id", "event_type", "value"]
 
 
 def _o14_oracle(bucket_hex: int = 2, tail_hex: int = 12) -> str:
@@ -1093,7 +1093,7 @@ def o14_profile_hll(spark, sf_dir):
     exact = vals.groupBy("cidx").agg(
         F.countDistinct("val").cast("long").alias("exact_distinct")
     )
-    names = F.array(*[F.lit(c) for c in _PROF_COLS])
+    names = F.array(*[F.lit(c) for c in _O14_COLS])
     return (
         est.join(exact, "cidx")
         .select(
