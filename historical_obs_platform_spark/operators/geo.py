@@ -172,6 +172,76 @@ def within_polygon_table(
     return df.join(F.broadcast(coords), [lat_col, lon_col], "left")
 
 
+def tag_polygons(
+    df: DataFrame,
+    polygons: DataFrame,
+    wkt_col: str = "wkt",
+    tag_col: str = "tag",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    out: str = "region_tag",
+    max_polygons: int = 100_000,
+) -> DataFrame:
+    """Label each point with the name of the containing polygon —
+    the state/region assignment step of the reference's public
+    station list (``public_facing_stationlist_cleanup.py``: geopandas
+    sjoin against the Tiger states shapefile). Same shape as
+    ``within_polygon_table``: the dimension-sized polygon table
+    collects on the driver (size-guarded), containment evaluates as a
+    vectorized pandas UDF over DISTINCT coordinates only, and the
+    labels broadcast-join back — the corpus never shuffles.
+
+    A point inside several polygons takes the first containing tag in
+    ASCENDING TAG ORDER (deterministic regardless of the polygon
+    table's row order); a point inside none gets NULL.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StringType
+
+    rows = (
+        polygons.select(tag_col, wkt_col)
+        .limit(max_polygons + 1)
+        .collect()
+    )
+    if len(rows) > max_polygons:
+        raise ValueError(
+            f"polygon table exceeds {max_polygons} rows — not a "
+            "dimension table; pre-dissolve the regions"
+        )
+    tagged = sorted(
+        (r[tag_col], parse_wkt(r[wkt_col])) for r in rows
+    )
+
+    @F.pandas_udf(StringType())
+    def _tag(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        out_ = [None] * len(lon)
+        for i, (x, y) in enumerate(zip(lon.values, lat.values)):
+            if x is None or y is None or np.isnan(x) or np.isnan(y):
+                continue
+            for tag, polys in tagged:
+                hit = False
+                for poly in polys:
+                    inside = False
+                    for ring in poly:  # even-odd: holes supported
+                        if _ray_cast(float(x), float(y), ring):
+                            inside = not inside
+                    if inside:
+                        hit = True
+                        break
+                if hit:
+                    out_[i] = tag
+                    break
+        return pd.Series(out_, dtype="object")
+
+    coords = (
+        df.select(lat_col, lon_col)
+        .distinct()
+        .withColumn(out, _tag(F.col(lon_col), F.col(lat_col)))
+    )
+    return df.join(F.broadcast(coords), [lat_col, lon_col], "left")
+
+
 def station_region_gate(
     df: DataFrame,
     polygons: list[list[tuple[float, float]]],

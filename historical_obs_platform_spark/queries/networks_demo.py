@@ -616,3 +616,232 @@ def n_station_audit(spark, sf_dir):
         F.col("event_type").alias("Error"),
     )
     return station_clean_audit(stations, cleaned, errors, "CWOP")
+
+
+N_STATIONLIST_UNION_ORACLE = """
+WITH a AS (
+  SELECT 'ASOSAWOS_' || CAST(s_suppkey AS VARCHAR) AS era_id,
+         s_name AS name,
+         CAST(s_suppkey % 80 AS DOUBLE) + 0.5 AS latitude,
+         -CAST(s_suppkey % 160 AS DOUBLE) - 0.5 AS longitude,
+         CAST(s_suppkey % 900 AS DOUBLE) AS elevation,
+         '199' || CAST(s_suppkey % 10 AS VARCHAR) || '-01-01'
+           AS start_time,
+         'ASOSAWOS' AS network
+  FROM supplier),
+b AS (
+  SELECT 'CWOP_S' || CAST(c_custkey AS VARCHAR) AS era_id,
+         c_name AS name,
+         CAST(c_custkey % 85 AS DOUBLE) + 0.25 AS latitude,
+         -CAST(c_custkey % 170 AS DOUBLE) - 0.25 AS longitude,
+         CAST(NULL AS DOUBLE) AS elevation,
+         '200' || CAST(c_custkey % 10 AS VARCHAR) || '-06-15'
+           AS start_time,
+         'CWOP' AS network
+  FROM customer),
+-- the overlap: every 10th supplier id also appears in the CWOP list
+-- but with NO metadata populated, so the fuller ASOSAWOS row wins
+b2 AS (
+  SELECT 'ASOSAWOS_' || CAST(s_suppkey AS VARCHAR) AS era_id,
+         CAST(NULL AS VARCHAR) AS name,
+         CAST(s_suppkey % 80 AS DOUBLE) + 0.5 AS latitude,
+         CAST(NULL AS DOUBLE) AS longitude,
+         CAST(NULL AS DOUBLE) AS elevation,
+         CAST(NULL AS VARCHAR) AS start_time,
+         'CWOP' AS network
+  FROM supplier WHERE s_suppkey % 10 = 0),
+u AS (SELECT * FROM a UNION ALL SELECT * FROM b
+      UNION ALL SELECT * FROM b2)
+SELECT era_id, name, latitude, longitude, elevation, start_time,
+       network
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY era_id
+    ORDER BY (CASE WHEN name IS NULL THEN 0 ELSE 1 END
+            + CASE WHEN latitude IS NULL THEN 0 ELSE 1 END
+            + CASE WHEN longitude IS NULL THEN 0 ELSE 1 END
+            + CASE WHEN elevation IS NULL THEN 0 ELSE 1 END
+            + CASE WHEN start_time IS NULL THEN 0 ELSE 1 END
+            + 1) DESC, network) AS rn
+  FROM u) WHERE rn = 1
+"""
+
+
+@query("n_stationlist_union", N_STATIONLIST_UNION_ORACLE)
+def n_stationlist_union(spark, sf_dir):
+    """Master station-list assembly (stationlist_generator.py):
+    per-network lists with different column spellings harmonized by
+    fuzzy column rules, unioned, one row per era_id (most-populated
+    row wins). The ASOSAWOS list spells columns 'ERA-ID'/'NAME'/
+    'LAT'/'LON'/'ELEV(M)'/'BEGIN'; the CWOP list spells them
+    'era-id'/'station name'/'latitude'/'longitude'/'elevation_m'/
+    'start_time' — both normalize to one schema."""
+    from ..sources.networks import harmonize_station_lists
+
+    sup = table(spark, sf_dir, "supplier")
+    cust = table(spark, sf_dir, "customer")
+    asos = sup.select(
+        F.concat(F.lit("ASOSAWOS_"), F.col("s_suppkey").cast("string"))
+        .alias("ERA-ID"),
+        F.col("s_name").alias("NAME"),
+        ((F.col("s_suppkey") % 80).cast("double") + 0.5).alias("LAT"),
+        (-(F.col("s_suppkey") % 160).cast("double") - 0.5).alias("LON"),
+        (F.col("s_suppkey") % 900).cast("double").alias("ELEV(M)"),
+        F.concat(
+            F.lit("199"),
+            (F.col("s_suppkey") % 10).cast("string"),
+            F.lit("-01-01"),
+        ).alias("BEGIN"),
+    )
+    cwop = cust.select(
+        F.concat(F.lit("CWOP_S"), F.col("c_custkey").cast("string"))
+        .alias("era-id"),
+        F.col("c_name").alias("station name"),
+        ((F.col("c_custkey") % 85).cast("double") + 0.25).alias(
+            "latitude"
+        ),
+        (-(F.col("c_custkey") % 170).cast("double") - 0.25).alias(
+            "longitude"
+        ),
+        F.lit(None).cast("double").alias("elevation_m"),
+        F.concat(
+            F.lit("200"),
+            (F.col("c_custkey") % 10).cast("string"),
+            F.lit("-06-15"),
+        ).alias("start_time"),
+    ).unionByName(
+        sup.where(F.col("s_suppkey") % 10 == 0).select(
+            F.concat(
+                F.lit("ASOSAWOS_"), F.col("s_suppkey").cast("string")
+            ).alias("era-id"),
+            F.lit(None).cast("string").alias("station name"),
+            ((F.col("s_suppkey") % 80).cast("double") + 0.5).alias(
+                "latitude"
+            ),
+            F.lit(None).cast("double").alias("longitude"),
+            F.lit(None).cast("double").alias("elevation_m"),
+            F.lit(None).cast("string").alias("start_time"),
+        )
+    )
+    out = harmonize_station_lists({"ASOSAWOS": asos, "CWOP": cwop})
+    return out.select(
+        "era_id", "name", "latitude", "longitude", "elevation",
+        "start_time", "network",
+    )
+
+
+_STATE_WKTS = [
+    ("CA", "POLYGON ((-4 0, 0 0, 0 4, -4 4, -4 0))"),
+    ("OR", "POLYGON ((-8 4, -4 4, -4 8, -8 8, -8 4))"),
+]
+
+N_PUBLIC_ORACLE = """
+WITH merged AS (
+  SELECT CASE WHEN c_custkey % 4 = 0
+              THEN 'ASOSAWOS_' || CAST(c_custkey AS VARCHAR) || 'X'
+              ELSE 'CWOP_S' || CAST(c_custkey AS VARCHAR) END AS era_id,
+         CASE WHEN c_custkey % 4 = 0 THEN 'ASOSAWOS'
+              ELSE 'CWOP' END AS network,
+         CAST(c_custkey % 8 AS DOUBLE) + 0.5 AS latitude,
+         -(CAST(c_custkey % 8 AS DOUBLE) + 0.5) AS longitude,
+         CASE WHEN c_custkey % 4 = 0 AND c_custkey % 12 = 0
+                THEN -30479.6952
+              WHEN c_custkey % 4 = 0 AND c_custkey % 12 = 4
+                THEN NULL
+              ELSE CAST(c_custkey AS DOUBLE) END AS elevation,
+         '1990-01-01' AS start_date, '2022-12-31' AS end_date,
+         c_custkey * 7 AS total_nobs,
+         CASE WHEN c_custkey % 5 = 0 THEN 'N' ELSE 'Y' END AS merged
+  FROM customer),
+src AS (
+  SELECT CAST(c_custkey AS VARCHAR) || '-X' AS isd_id,
+         CAST(c_custkey AS DOUBLE) + 0.25 AS src_elev,
+         'K' || CAST(c_custkey AS VARCHAR) AS icao
+  FROM customer WHERE c_custkey % 4 = 0),
+j AS (
+  SELECT m.*, s.src_elev, s.icao
+  FROM merged m LEFT JOIN src s
+    ON m.era_id = 'ASOSAWOS_' || replace(s.isd_id, '-', '')
+  WHERE m.merged = 'Y')
+SELECT era_id,
+       CASE WHEN network = 'ASOSAWOS' THEN icao
+            ELSE substring(era_id, length(network) + 2) END AS source_id,
+       network, latitude, longitude,
+       CASE WHEN latitude > 0 AND latitude < 4
+                 AND longitude > -4 AND longitude < 0 THEN 'CA'
+            WHEN latitude > 4 AND latitude < 8
+                 AND longitude > -8 AND longitude < -4 THEN 'OR'
+            ELSE NULL END AS state,
+       CASE WHEN network = 'ASOSAWOS'
+                 AND (elevation = -30479.6952 OR elevation IS NULL)
+                 AND src_elev IS NOT NULL
+            THEN src_elev ELSE elevation END AS elevation,
+       start_date, end_date,
+       CAST(total_nobs AS BIGINT) AS total_nobs,
+       'POINT (' || CAST(CAST(longitude AS DECIMAL(12,6)) AS VARCHAR)
+         || ' ' || CAST(CAST(latitude AS DECIMAL(12,6)) AS VARCHAR)
+         || ')' AS geometry
+FROM j
+"""
+
+
+@query("n_public_stations", N_PUBLIC_ORACLE)
+def n_public_stations(spark, sf_dir):
+    """Public-facing station directory
+    (public_facing_stationlist_cleanup.py): merged-only filter,
+    ASOSAWOS bad/missing elevation repaired from the raw ISD list,
+    source-id derivation (ICAO for ASOSAWOS, era suffix otherwise),
+    state assignment by point-in-polygon over a (state, wkt) table,
+    WKT point geometry. Every c_custkey%4==0 station is ASOSAWOS;
+    %12==0 carries the bad-elevation sentinel and %12==4 a null, both
+    repaired from the source list; %5==0 stations never merged and
+    drop out."""
+    from ..sources.networks import public_station_directory
+
+    cust = table(spark, sf_dir, "customer")
+    is_asos = F.col("c_custkey") % 4 == 0
+    merged = cust.select(
+        F.when(
+            is_asos,
+            F.concat(
+                F.lit("ASOSAWOS_"),
+                F.col("c_custkey").cast("string"),
+                F.lit("X"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("CWOP_S"), F.col("c_custkey").cast("string"))
+        )
+        .alias("era_id"),
+        F.when(is_asos, F.lit("ASOSAWOS"))
+        .otherwise(F.lit("CWOP"))
+        .alias("network"),
+        ((F.col("c_custkey") % 8).cast("double") + 0.5).alias("latitude"),
+        (-((F.col("c_custkey") % 8).cast("double") + 0.5)).alias(
+            "longitude"
+        ),
+        F.when(
+            is_asos & (F.col("c_custkey") % 12 == 0),
+            F.lit(-30479.6952),
+        )
+        .when(is_asos & (F.col("c_custkey") % 12 == 4), F.lit(None))
+        .otherwise(F.col("c_custkey").cast("double"))
+        .alias("elevation"),
+        F.lit("1990-01-01").alias("start_date"),
+        F.lit("2022-12-31").alias("end_date"),
+        (F.col("c_custkey") * 7).cast("long").alias("total_nobs"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("N"))
+        .otherwise(F.lit("Y"))
+        .alias("merged"),
+    )
+    src = cust.where(F.col("c_custkey") % 4 == 0).select(
+        F.concat(F.col("c_custkey").cast("string"), F.lit("-X")).alias(
+            "ISD-ID"
+        ),
+        (F.col("c_custkey").cast("double") + 0.25).alias("ELEV(M)"),
+        F.concat(F.lit("K"), F.col("c_custkey").cast("string")).alias(
+            "ICAO"
+        ),
+    )
+    states = spark.createDataFrame(_STATE_WKTS, "state string, wkt string")
+    return public_station_directory(merged, src, states)

@@ -557,3 +557,171 @@ def station_clean_audit(
         .otherwise(F.col("__multi"))
         .alias("Errors"),
     )
+
+
+# (substring candidates, canonical name) — specific rules first so
+# 'time_cleaned' matches its own rule before the bare 'cleaned' rule
+_HARMONIZE_RULES: list[tuple[tuple[str, ...], str]] = [
+    (("era-id", "era_id"), "era_id"),
+    (("time_checked",), "time_checked"),
+    (("time_cleaned",), "time_cleaned"),
+    (("time_qaqc",), "time_qaqc"),
+    (("time_merge",), "time_merged"),
+    (("name",), "name"),
+    (("lat",), "latitude"),
+    (("lon",), "longitude"),
+    (("elev",), "elevation"),
+    (("begin", "start", "connect"), "start_time"),
+    (("end", "disconnect"), "end_time"),
+    (("pulled",), "pulled"),
+    (("cleaned",), "cleaned"),
+    (("qaqc",), "qaqc"),
+    (("merged", "merge"), "merged"),
+]
+
+
+def harmonize_station_lists(
+    frames: Mapping[str, DataFrame]
+) -> DataFrame:
+    """The reference's master-station-list assembly
+    (``stationlist_generator.py:144-394``): per-network lists arrive
+    with DIFFERENT column spellings (LAT / latitude / lat_dd,
+    BEGIN / start_time, ...); normalize each by fuzzy column-name
+    rules, tag the network, union with missing columns as nulls, and
+    keep one row per era_id.
+
+    Deviations from the reference loop, both for determinism: an
+    exact (case-folded) name beats a substring match; the era_id
+    dedup keeps the row with the MOST populated fields (ties to
+    network name order) instead of input-file order, which Spark
+    does not have.
+    """
+    outs = []
+    for network in sorted(frames):
+        df = frames[network]
+        lower = {c: c.lower() for c in df.columns}
+        for old, new in lower.items():
+            if old != new:
+                df = df.withColumnRenamed(old, new)
+        for c in list(df.columns):
+            if "unnamed" in c:
+                df = df.drop(c)
+        taken: set[str] = set()
+        for subs, canon in _HARMONIZE_RULES:
+            if canon in df.columns:
+                taken.add(canon)
+                continue
+            cands = [
+                c
+                for c in df.columns
+                if c not in taken and any(s in c for s in subs)
+            ]
+            exact = [c for c in cands if c in subs]
+            pick = (exact or cands)[:1]
+            if pick:
+                df = df.withColumnRenamed(pick[0], canon)
+                taken.add(canon)
+        outs.append(df.withColumn("network", F.lit(network)))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o, allowMissingColumns=True)
+    payload = [c for c in out.columns if c != "era_id"]
+    completeness = sum(
+        F.when(F.col(c).isNotNull(), 1).otherwise(0) for c in payload
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("era_id").orderBy(
+        F.desc("__complete"), F.asc("network")
+    )
+    return (
+        out.withColumn("__complete", completeness)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__complete")
+    )
+
+
+def public_station_directory(
+    merged: DataFrame,
+    asosawos_isd: DataFrame,
+    states: DataFrame,
+    bad_elevations: tuple[float, ...] = (-30479.6952,),
+    geom_decimals: int = 6,
+) -> DataFrame:
+    """The reference's public-facing station list
+    (``public_facing_stationlist_cleanup.py``): keep merged stations,
+    repair bad/missing ASOSAWOS elevations from the raw ISD list,
+    derive source-id (ICAO for ASOSAWOS, the era_id suffix
+    otherwise), assign the containing state by point-in-polygon
+    (the geopandas ``sjoin`` as ``geo.tag_polygons`` — polygon table
+    broadcast, containment over distinct coordinates only), and emit
+    a WKT point geometry.
+
+    ``states`` is a (state, wkt) table. Geometry coordinates render
+    through DECIMAL(…, ``geom_decimals``) so the text is
+    engine-portable (raw double→string rendering is not).
+    """
+    from ..operators.geo import tag_polygons
+
+    src = asosawos_isd.select(
+        F.upper(
+            F.concat(
+                F.lit("ASOSAWOS_"),
+                F.regexp_replace(F.col("`ISD-ID`"), "-", ""),
+            )
+        ).alias("__src_era"),
+        F.col("`ELEV(M)`").cast("double").alias("__src_elev"),
+        F.col("ICAO").cast("string").alias("__icao"),
+    )
+    m = merged.where(F.col("merged") == "Y")
+    j = m.join(
+        F.broadcast(src), m["era_id"] == F.col("__src_era"), "left"
+    ).drop("__src_era")
+    elev = F.when(
+        (F.col("network") == "ASOSAWOS")
+        & (
+            F.col("elevation").isin(*[F.lit(b) for b in bad_elevations])
+            | F.col("elevation").isNull()
+        )
+        & F.col("__src_elev").isNotNull(),
+        F.col("__src_elev"),
+    ).otherwise(F.col("elevation"))
+    source_id = F.when(
+        F.col("network") == "ASOSAWOS", F.col("__icao")
+    ).otherwise(
+        F.expr("substring(era_id, length(network) + 2)")
+    )
+    dec_t = f"decimal(12,{geom_decimals})"
+    geom = F.concat(
+        F.lit("POINT ("),
+        F.col("longitude").cast(dec_t).cast("string"),
+        F.lit(" "),
+        F.col("latitude").cast(dec_t).cast("string"),
+        F.lit(")"),
+    )
+    staged = j.select(
+        "era_id",
+        source_id.alias("source_id"),
+        "network",
+        "latitude",
+        "longitude",
+        elev.alias("elevation"),
+        "start_date",
+        "end_date",
+        "total_nobs",
+        geom.alias("geometry"),
+    )
+    return tag_polygons(
+        staged,
+        states,
+        wkt_col="wkt",
+        tag_col="state",
+        lat_col="latitude",
+        lon_col="longitude",
+        out="state",
+    ).select(
+        "era_id", "source_id", "network", "latitude", "longitude",
+        "state", "elevation", "start_date", "end_date", "total_nobs",
+        "geometry",
+    )

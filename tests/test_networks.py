@@ -272,3 +272,56 @@ def test_era_id_families(spark):
 
     with _pytest.raises(ValueError, match="no ERA-ID rule"):
         era_id("UNKNOWN_NETWORK")
+
+
+def test_stationlist_union_and_public_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "n_stationlist_union")
+    assert_matches_oracle(spark, oracle_con, "n_public_stations")
+
+
+def test_harmonize_prefers_exact_and_specific_rules(spark):
+    """'time_cleaned' must land on its own canonical name, not the
+    bare 'cleaned' rule; an exact name beats a substring cousin."""
+    from historical_obs_platform_spark.sources.networks import (
+        harmonize_station_lists,
+    )
+
+    df = spark.createDataFrame(
+        [("X_1", "Y", "2020-01-01", 12.5, 40.0)],
+        "`ERA-ID` string, cleaned string, Time_Cleaned string, "
+        "`elevation_ft` double, `latitude` double",
+    )
+    out = harmonize_station_lists({"X": df})
+    cols = set(out.columns)
+    assert {"era_id", "cleaned", "time_cleaned", "elevation",
+            "latitude", "network"} <= cols
+    row = out.collect()[0]
+    assert row["time_cleaned"] == "2020-01-01"
+    assert row["cleaned"] == "Y"
+    assert row["latitude"] == 40.0  # exact match untouched
+
+
+def test_tag_polygons_first_tag_and_nulls(spark):
+    from historical_obs_platform_spark.operators.geo import tag_polygons
+
+    pts = spark.createDataFrame(
+        [(1, 1.5, -1.5), (2, 5.5, -5.5), (3, 20.0, -20.0), (4, None, -1.0)],
+        "id int, lat double, lon double",
+    )
+    # overlapping polygons: 'AA' and 'ZZ' both contain point 1 — the
+    # ascending-tag rule must pick 'AA' regardless of table row order
+    polys = spark.createDataFrame(
+        [
+            ("ZZ", "POLYGON ((-4 0, 0 0, 0 4, -4 4, -4 0))"),
+            ("AA", "POLYGON ((-2 1, -1 1, -1 2, -2 2, -2 1))"),
+            ("OR", "POLYGON ((-8 4, -4 4, -4 8, -8 8, -8 4))"),
+        ],
+        "tag string, wkt string",
+    )
+    out = {r["id"]: r["region_tag"] for r in tag_polygons(
+        pts, polys, tag_col="tag"
+    ).collect()}
+    assert out[1] == "AA"
+    assert out[2] == "OR"
+    assert out[3] is None
+    assert out[4] is None
