@@ -521,6 +521,62 @@ def ivf_ann_topk(
     )
 
 
+def semdedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iters: int = 1,
+    threshold: float = 0.95,
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering + within-cluster cosine
+    pruning. Embeddings are assigned to coarse k-means cells (the
+    same deterministic quantizer as ``ivf_centroids``: lowest-id
+    seeds, ``iters`` Lloyd steps, round-9 means); all-pairs cosine
+    runs only WITHIN a cell; of every pair with rounded cosine ≥
+    ``threshold`` the larger id is dropped (greedy keep-min-id, the
+    standard deterministic stand-in for the paper's keep-one rule).
+
+    Scale shape — the property that makes SemDeDup usable at 100 TB
+    where raw near-dup search is not: the corpus never self-joins
+    globally. Centroids are tiny and broadcast; assignment is
+    map-only; the single shuffle partitions by cell; the within-cell
+    Gram kernel (``blocked_cosine_pairs``) is quadratic only in the
+    cell size, which the quantizer bounds at ≈ corpus/n_cells — grow
+    ``n_cells`` with the corpus to hold cells constant.
+
+    Returns (id, cell, dropped) for every corpus row.
+    """
+    cent = ivf_centroids(corpus, id_col, vec_col, n_cells, iters)
+    vecs = corpus.select(
+        F.col(id_col).alias("__id"),
+        _unit(as_double_array(vec_col)).alias("__uv"),
+    )
+    assign = _assign_cells(vecs, cent, "__id").withColumnRenamed(
+        "__id", id_col
+    )
+    prepped = corpus.select(
+        F.col(id_col), as_double_array(vec_col).alias("__v")
+    ).join(assign, id_col)
+    pairs = blocked_cosine_pairs(
+        prepped, id_col, "__v", "cell", threshold
+    )
+    dropped = (
+        pairs.withColumn("cosine_sim", F.round("cosine_raw", round_to))
+        .where(F.col("cosine_sim") >= threshold)
+        .select(F.col("b").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return prepped.join(dropped, id_col, "left").select(
+        id_col,
+        "cell",
+        F.coalesce("__dropped", F.lit(False)).alias("dropped"),
+    )
+
+
 def blocked_cosine_pairs(
     df: DataFrame,
     id_col: str,

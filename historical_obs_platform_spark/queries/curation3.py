@@ -1,0 +1,122 @@
+"""Round-3 curation depth: semantic dedup (SemDeDup) and product
+quantization — the two embedding-side techniques a 100 TB curation
+pipeline runs after MinHash-style lexical dedup.
+
+Both follow the repo's determinism recipe (memory: every stochastic
+ingredient is replaced by an md5/lowest-id deterministic equivalent;
+cross-engine float sums are either exact-decimal or rounded well
+above ulp), so each query carries an exact DuckDB oracle that replays
+the full construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators import similarity as SIM
+from ..registry import query
+from .common import table
+
+# --------------------------------------------------------------------
+# SemDeDup — k-means cells + within-cell cosine pruning (Abbas et al.
+# 2023, arXiv:2303.09540). Exact copies are planted (vec_id +
+# 1,000,000) since the organic corpus has no near-dups; the planted
+# copy always lands in its original's cell (identical vector ⇒
+# identical assignment) and is dropped by the keep-min-id rule.
+# The oracle replays seed → assign → Lloyd mean → re-assign →
+# within-cell pairs → greedy drop, then the per-cell summary.
+# --------------------------------------------------------------------
+_N_CELLS = 16
+_SEM_THRESHOLD = 0.95
+_DOT = "list_dot_product({a}, {b})"
+
+
+def _semdedup_oracle(n_cells: int = _N_CELLS, thr: float = _SEM_THRESHOLD) -> str:
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings
+),
+c AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM corpus),
+cn AS (SELECT vec_id, e, sqrt({_DOT.format(a='e', b='e')}) AS nrm FROM c),
+u AS (SELECT vec_id, list_transform(e, x -> x / nrm) AS uv FROM cn),
+cent0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+         uv AS cent
+  FROM (SELECT * FROM u ORDER BY vec_id LIMIT {n_cells})
+),
+assign0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT u.vec_id, c0.cell,
+           row_number() OVER (PARTITION BY u.vec_id
+             ORDER BY {_DOT.format(a='u.uv', b='c0.cent')} DESC, c0.cell) AS r
+    FROM u CROSS JOIN cent0 c0) WHERE r = 1
+),
+means AS (
+  SELECT a.cell, t.i AS pos, round(avg(u.uv[t.i + 1]), 9) AS val
+  FROM u JOIN assign0 a USING (vec_id), range(64) t(i)
+  GROUP BY a.cell, t.i
+),
+cent1 AS (
+  SELECT cell,
+         list_transform(m, x -> x / sqrt({_DOT.format(a='m', b='m')})) AS cent
+  FROM (SELECT cell, list(val ORDER BY pos) AS m FROM means GROUP BY cell)
+),
+cellmap AS (
+  SELECT vec_id, cell FROM (
+    SELECT u.vec_id, c1.cell,
+           row_number() OVER (PARTITION BY u.vec_id
+             ORDER BY {_DOT.format(a='u.uv', b='c1.cent')} DESC, c1.cell) AS r
+    FROM u CROSS JOIN cent1 c1) WHERE r = 1
+),
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         round({_DOT.format(a='ae.e', b='be.e')} / (ae.nrm * be.nrm),
+               6) AS cs
+  FROM cellmap a JOIN cellmap b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN cn ae ON ae.vec_id = a.vec_id
+  JOIN cn be ON be.vec_id = b.vec_id
+),
+dropped AS (SELECT DISTINCT ib AS vec_id FROM pairs WHERE cs >= {thr})
+SELECT m.cell,
+       count(*) AS n_total,
+       CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+       CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN d.vec_id IS NULL THEN m.vec_id END) AS BIGINT)
+         AS kept_id_sum
+FROM cellmap m LEFT JOIN dropped d ON m.vec_id = d.vec_id
+GROUP BY m.cell
+"""
+
+
+@query("d_semdedup", _semdedup_oracle())
+def d_semdedup(spark, sf_dir):
+    """Per-cell SemDeDup summary on a planted-duplicate corpus.
+
+    The survivor set is hash-pinned by ``kept_id_sum`` (exact integer
+    checksum of kept ids per cell) without shipping the full kept
+    list through the comparator.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = emb.unionByName(
+        emb.withColumn("vec_id", F.col("vec_id") + 1000000)
+    )
+    sem = SIM.semdedup(
+        corpus,
+        n_cells=_N_CELLS,
+        iters=1,
+        threshold=_SEM_THRESHOLD,
+    )
+    return sem.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("dropped").cast("long")).alias("n_dropped"),
+        F.sum((~F.col("dropped")).cast("long")).alias("n_kept"),
+        F.sum(F.when(~F.col("dropped"), F.col("vec_id"))).alias(
+            "kept_id_sum"
+        ),
+    )

@@ -35,6 +35,7 @@ def load_all() -> None:
     """Import every query module so registration side-effects run."""
     from .queries import (  # noqa: F401
         chain_demo,
+        curation3,
         datasetops,
         datasetops2,
         networks_demo,

@@ -1,0 +1,48 @@
+"""Round-3 curation depth: SemDeDup and product quantization."""
+
+from __future__ import annotations
+
+from historical_obs_platform_spark import registry
+
+registry.load_all()
+
+from historical_obs_platform_spark.operators import similarity as SIM
+
+from .conftest import assert_matches_oracle
+
+
+def test_semdedup_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "d_semdedup")
+
+
+def test_semdedup_drops_planted_copy_keeps_originals(spark):
+    """An exact copy (larger id) is dropped; unrelated vectors
+    survive; the copy always shares its original's cell."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (10, [1.0, 0.0, 0.0, 0.0]),  # exact copy of 0
+        (11, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = SIM.semdedup(
+        df, n_cells=3, iters=1, threshold=0.95
+    ).toPandas().set_index("vec_id")
+    assert bool(out.loc[10, "dropped"])  # copy dropped
+    assert bool(out.loc[11, "dropped"])  # near-dup dropped
+    assert not bool(out.loc[0, "dropped"])  # canonical survives
+    assert not bool(out.loc[1, "dropped"])
+    assert not bool(out.loc[2, "dropped"])
+    assert out.loc[10, "cell"] == out.loc[0, "cell"]
+
+
+def test_semdedup_no_cross_cell_drops(spark):
+    """Orthogonal vectors land in different cells and nothing is
+    dropped even at a low threshold — pruning is strictly
+    within-cell."""
+    rows = [(i, [1.0 if d == i else 0.0 for d in range(4)]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = SIM.semdedup(df, n_cells=4, iters=1, threshold=0.5).toPandas()
+    assert not out["dropped"].any()
+    assert out["cell"].nunique() == 4
