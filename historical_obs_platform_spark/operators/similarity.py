@@ -521,6 +521,183 @@ def ivf_ann_topk(
     )
 
 
+# ------------------------------------------------- product quantization
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance as ``a·a − 2(a·b) + b·b`` — composed from
+    the same sequential-fold ``dot`` both engines share, in fixed
+    left-associative order, so Spark and DuckDB produce bit-identical
+    doubles (the expansion avoids a zip_with form DuckDB lacks)."""
+    return dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)
+
+
+def _subvectors(
+    df: DataFrame, id_name: str, vec: Column, m: int, sub_dim: int
+) -> DataFrame:
+    """(id, s, sv): the m contiguous sub_dim-length slices per vector
+    — map-only (explode of an in-row literal array of slices)."""
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice(vec, s * sub_dim + 1, sub_dim).alias("sv"),
+            )
+            for s in range(m)
+        ]
+    )
+    return df.select(F.col(id_name), F.explode(parts).alias("__p")).select(
+        id_name, F.col("__p.s").alias("s"), F.col("__p.sv").alias("sv")
+    )
+
+
+def _pq_assign(subs: DataFrame, cents: DataFrame, id_name: str) -> DataFrame:
+    """Nearest-centroid code per (id, s): broadcast the m·ksub
+    codebook rows, keep the min-(d2, j) struct — partial-agg shaped,
+    no window sort. Exact-distance ties break to the smallest code,
+    matching the oracle's ``ORDER BY d2, j``."""
+    scored = subs.join(F.broadcast(cents), "s").withColumn(
+        "__d2", l2sq(F.col("sv"), F.col("__cent"))
+    )
+    best = F.min(F.struct(F.col("__d2").alias("d"), F.col("j").alias("j")))
+    return scored.groupBy(id_name, "s").agg(
+        best.getField("j").alias("code")
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    ksub: int = 8,
+    sub_dim: int = 16,
+    iters: int = 1,
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou, Douze & Schmid, TPAMI
+    2011): each of the ``m`` sub-spaces gets its own ``ksub``-centroid
+    k-means, trained with the repo's deterministic recipe — seeds are
+    the sub-vectors of the ``ksub`` lowest-id corpus rows, refined by
+    ``iters`` Lloyd steps whose per-dimension means round to 9
+    decimals (above double-ulp, below signal) so Spark's and DuckDB's
+    partial-sum orders agree bitwise. Raw (unnormalized) vectors:
+    PQ approximates L2, not cosine.
+
+    Returns (s, j, __cent). Every seed assigns to itself at distance
+    0, so no cell ever empties.
+    """
+    vecs = corpus.select(
+        F.col(id_col).alias("__id"), as_double_array(vec_col).alias("__v")
+    )
+    subs = _subvectors(vecs, "__id", F.col("__v"), m, sub_dim)
+    wseed = Window.partitionBy("s").orderBy("__id")
+    cents = (
+        _subvectors(
+            vecs.orderBy("__id").limit(ksub), "__id", F.col("__v"), m, sub_dim
+        )
+        .withColumn("j", F.row_number().over(wseed) - 1)
+        .select("s", "j", F.col("sv").alias("__cent"))
+    )
+    for _ in range(iters):
+        assign = _pq_assign(subs, cents, "__id")
+        cents = (
+            subs.join(assign, ["__id", "s"])
+            .select("s", F.col("code").alias("j"), F.posexplode("sv").alias("pos", "val"))
+            .groupBy("s", "j", "pos")
+            .agg(F.round(F.avg("val"), 9).alias("val"))
+            .groupBy("s", "j")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                    lambda st: st["val"],
+                ).alias("__cent")
+            )
+        )
+    return cents
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 8,
+    sub_dim: int = 16,
+    iters: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the corpus is
+    compressed to ``m`` one-byte codes per vector; each query builds
+    an exact (s, j) distance table against the codebooks and the
+    approximate distance is the fixed-order sum of its ``m`` table
+    lookups.
+
+    The 100 TB plan — the reason PQ exists: corpus vectors are read
+    ONCE to encode (map-only after a broadcast of the m·ksub
+    codebook); at query time only the m-codes table (32 bytes/vector
+    here vs 512 for raw floats) is scanned, the per-query distance
+    table is broadcast-sized (queries·m·ksub rows), and scoring is
+    one broadcast join + partial agg — linear in the corpus, never a
+    corpus self-join. The fixed-order sum (term s0..s3 pivoted into
+    columns, added left-to-right) keeps the float result
+    engine-portable where a shuffled float SUM would not be.
+
+    Returns (query_id, neighbor_id, approx_dist, rank).
+    """
+    cents = pq_codebooks(corpus, id_col, vec_col, m, ksub, sub_dim, iters)
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("__v"),
+    )
+    codes = _pq_assign(
+        _subvectors(cvecs, "neighbor_id", F.col("__v"), m, sub_dim),
+        cents,
+        "neighbor_id",
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("__v")
+    )
+    qdist = (
+        _subvectors(qvecs, "query_id", F.col("__v"), m, sub_dim)
+        .join(F.broadcast(cents), "s")
+        .select(
+            "query_id",
+            "s",
+            "j",
+            l2sq(F.col("sv"), F.col("__cent")).alias("__d2"),
+        )
+    )
+    partial = codes.join(
+        F.broadcast(qdist),
+        (codes["s"] == qdist["s"]) & (codes["code"] == qdist["j"]),
+    ).select("query_id", "neighbor_id", codes["s"].alias("s"), "__d2")
+    terms = [
+        F.sum(F.when(F.col("s") == s, F.col("__d2"))).alias(f"__t{s}")
+        for s in range(m)
+    ]
+    total = F.col("__t0")
+    for s in range(1, m):
+        total = total + F.col(f"__t{s}")
+    scored = (
+        partial.groupBy("query_id", "neighbor_id")
+        .agg(*terms)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(total, round_to).alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dist", "rank")
+    )
+
+
 def semdedup(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -94,6 +94,95 @@ GROUP BY m.cell
 """
 
 
+# --------------------------------------------------------------------
+# Product quantization + asymmetric-distance top-k (Jégou et al.,
+# TPAMI 2011). Deterministic: per-subspace seeds are the sub-vectors
+# of the ksub lowest-id rows; Lloyd means round to 9 decimals; exact
+# L2² via the shared a·a − 2ab + b·b composition; the ADC sum is
+# pivoted into per-subspace columns and added in fixed order. The
+# oracle replays the whole construction per subspace.
+# --------------------------------------------------------------------
+def _pq_oracle(m=4, ksub=8, sub_dim=16, k=5) -> str:
+    def d2(a, b):
+        return (
+            f"(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b}))"
+        )
+
+    terms = ", ".join(
+        f"sum(CASE WHEN cd.s = {s} THEN q.d2 END) AS t{s}" for s in range(m)
+    )
+    total = " + ".join(f"t{s}" for s in range(m))
+    return f"""
+WITH c AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+sub AS (
+  SELECT vec_id, t.s, e[t.s * {sub_dim} + 1:(t.s + 1) * {sub_dim}] AS sv
+  FROM c, range({m}) t(s)
+),
+seeds AS (
+  SELECT s,
+         CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1
+              AS INTEGER) AS j,
+         sv AS cent
+  FROM sub
+  WHERE vec_id IN (SELECT vec_id FROM c ORDER BY vec_id LIMIT {ksub})
+),
+assign0 AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT sub.vec_id, sub.s, seeds.j,
+           row_number() OVER (PARTITION BY sub.vec_id, sub.s
+             ORDER BY {d2('sub.sv', 'seeds.cent')}, seeds.j) AS r
+    FROM sub JOIN seeds USING (s)) WHERE r = 1
+),
+means AS (
+  SELECT a.s, a.code AS j, t.i AS pos,
+         round(avg(sub.sv[t.i + 1]), 9) AS val
+  FROM sub JOIN assign0 a ON sub.vec_id = a.vec_id AND sub.s = a.s,
+       range({sub_dim}) t(i)
+  GROUP BY a.s, a.code, t.i
+),
+cent1 AS (
+  SELECT s, j, list(val ORDER BY pos) AS cent FROM means GROUP BY s, j
+),
+codes AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT sub.vec_id, sub.s, c1.j,
+           row_number() OVER (PARTITION BY sub.vec_id, sub.s
+             ORDER BY {d2('sub.sv', 'c1.cent')}, c1.j) AS r
+    FROM sub JOIN cent1 c1 USING (s)) WHERE r = 1
+),
+qdist AS (
+  SELECT sub.vec_id AS query_id, sub.s, c1.j,
+         {d2('sub.sv', 'c1.cent')} AS d2
+  FROM sub JOIN cent1 c1 USING (s) WHERE sub.vec_id < 10
+),
+adc AS (
+  SELECT q.query_id, cd.vec_id AS neighbor_id, {terms}
+  FROM codes cd JOIN qdist q ON cd.s = q.s AND cd.code = q.j
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, approx_dist, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT query_id, neighbor_id, round({total}, 6) AS approx_dist,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY round({total}, 6), neighbor_id) AS rank
+  FROM adc WHERE query_id <> neighbor_id
+) WHERE rank <= {k}
+"""
+
+
+@query("s_pq_adc_topk", _pq_oracle())
+def s_pq_adc_topk(spark, sf_dir):
+    """PQ-ADC approximate top-k for the first ten vectors."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return SIM.pq_adc_topk(
+        emb, queries, k=5, m=4, ksub=8, sub_dim=16, iters=1
+    )
+
+
 @query("d_semdedup", _semdedup_oracle())
 def d_semdedup(spark, sf_dir):
     """Per-cell SemDeDup summary on a planted-duplicate corpus.

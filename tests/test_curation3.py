@@ -37,6 +37,27 @@ def test_semdedup_drops_planted_copy_keeps_originals(spark):
     assert out.loc[10, "cell"] == out.loc[0, "cell"]
 
 
+def test_pq_adc_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "s_pq_adc_topk")
+
+
+def test_pq_adc_ranks_same_cluster_first(spark):
+    """With two well-separated clusters, every query's nearest ADC
+    neighbor comes from its own cluster and an exact copy of the
+    query ranks first (same codes ⇒ minimal table-lookup sum)."""
+    lo = [(i, [0.0 + i * 0.01] * 4) for i in range(4)]
+    hi = [(10 + i, [100.0 + i * 0.01] * 4) for i in range(4)]
+    df = spark.createDataFrame(
+        lo + hi, "vec_id long, embedding array<double>"
+    )
+    queries = df.where("vec_id IN (0, 10)")
+    out = SIM.pq_adc_topk(
+        df, queries, k=3, m=2, ksub=4, sub_dim=2, iters=1
+    ).toPandas()
+    top1 = out[out["rank"] == 1].set_index("query_id")["neighbor_id"]
+    assert top1[0] < 10 and top1[10] >= 10
+
+
 def test_semdedup_no_cross_cell_drops(spark):
     """Orthogonal vectors land in different cells and nothing is
     dropped even at a low threshold — pruning is strictly
