@@ -102,67 +102,81 @@ GROUP BY m.cell
 # pivoted into per-subspace columns and added in fixed order. The
 # oracle replays the whole construction per subspace.
 # --------------------------------------------------------------------
-def _pq_oracle(m=4, ksub=8, sub_dim=16, k=5) -> str:
-    def d2(a, b):
-        return (
-            f"(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
-            f" + list_dot_product({b}, {b}))"
-        )
+def _d2(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        f" + list_dot_product({b}, {b}))"
+    )
 
+
+def _pq_ctes(m=4, ksub=8, sub_dim=16, sfx="") -> str:
+    """The PQ WITH-body (without the leading ``WITH c``): raw
+    vectors → subspaces → seeds → one Lloyd step → codes →
+    per-query distance tables → ADC partials. ``sfx`` suffixes every
+    CTE name so two operating points can coexist in one oracle."""
+    d2 = _d2
     terms = ", ".join(
         f"sum(CASE WHEN cd.s = {s} THEN q.d2 END) AS t{s}" for s in range(m)
     )
-    total = " + ".join(f"t{s}" for s in range(m))
     return f"""
-WITH c AS (SELECT vec_id,
-                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-           FROM embeddings),
-sub AS (
+sub{sfx} AS (
   SELECT vec_id, t.s, e[t.s * {sub_dim} + 1:(t.s + 1) * {sub_dim}] AS sv
   FROM c, range({m}) t(s)
 ),
-seeds AS (
+seeds{sfx} AS (
   SELECT s,
          CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1
               AS INTEGER) AS j,
          sv AS cent
-  FROM sub
+  FROM sub{sfx}
   WHERE vec_id IN (SELECT vec_id FROM c ORDER BY vec_id LIMIT {ksub})
 ),
-assign0 AS (
+assign0{sfx} AS (
   SELECT vec_id, s, j AS code FROM (
     SELECT sub.vec_id, sub.s, seeds.j,
            row_number() OVER (PARTITION BY sub.vec_id, sub.s
              ORDER BY {d2('sub.sv', 'seeds.cent')}, seeds.j) AS r
-    FROM sub JOIN seeds USING (s)) WHERE r = 1
+    FROM sub{sfx} sub JOIN seeds{sfx} seeds USING (s)) WHERE r = 1
 ),
-means AS (
+means{sfx} AS (
   SELECT a.s, a.code AS j, t.i AS pos,
          round(avg(sub.sv[t.i + 1]), 9) AS val
-  FROM sub JOIN assign0 a ON sub.vec_id = a.vec_id AND sub.s = a.s,
+  FROM sub{sfx} sub
+  JOIN assign0{sfx} a ON sub.vec_id = a.vec_id AND sub.s = a.s,
        range({sub_dim}) t(i)
   GROUP BY a.s, a.code, t.i
 ),
-cent1 AS (
-  SELECT s, j, list(val ORDER BY pos) AS cent FROM means GROUP BY s, j
+cent1{sfx} AS (
+  SELECT s, j, list(val ORDER BY pos) AS cent
+  FROM means{sfx} GROUP BY s, j
 ),
-codes AS (
+codes{sfx} AS (
   SELECT vec_id, s, j AS code FROM (
     SELECT sub.vec_id, sub.s, c1.j,
            row_number() OVER (PARTITION BY sub.vec_id, sub.s
              ORDER BY {d2('sub.sv', 'c1.cent')}, c1.j) AS r
-    FROM sub JOIN cent1 c1 USING (s)) WHERE r = 1
+    FROM sub{sfx} sub JOIN cent1{sfx} c1 USING (s)) WHERE r = 1
 ),
-qdist AS (
+qdist{sfx} AS (
   SELECT sub.vec_id AS query_id, sub.s, c1.j,
          {d2('sub.sv', 'c1.cent')} AS d2
-  FROM sub JOIN cent1 c1 USING (s) WHERE sub.vec_id < 10
+  FROM sub{sfx} sub JOIN cent1{sfx} c1 USING (s) WHERE sub.vec_id < 10
 ),
-adc AS (
+adc{sfx} AS (
   SELECT q.query_id, cd.vec_id AS neighbor_id, {terms}
-  FROM codes cd JOIN qdist q ON cd.s = q.s AND cd.code = q.j
+  FROM codes{sfx} cd JOIN qdist{sfx} q ON cd.s = q.s AND cd.code = q.j
   GROUP BY 1, 2
-)
+)"""
+
+
+_C_CTE = """WITH c AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),"""
+
+
+def _pq_oracle(m=4, ksub=8, sub_dim=16, k=5) -> str:
+    total = " + ".join(f"t{s}" for s in range(m))
+    return f"""{_C_CTE}{_pq_ctes(m, ksub, sub_dim)}
 SELECT query_id, neighbor_id, approx_dist, CAST(rank AS INTEGER) AS rank
 FROM (
   SELECT query_id, neighbor_id, round({total}, 6) AS approx_dist,
@@ -181,6 +195,109 @@ def s_pq_adc_topk(spark, sf_dir):
     return SIM.pq_adc_topk(
         emb, queries, k=5, m=4, ksub=8, sub_dim=16, iters=1
     )
+
+
+_PQ_POINTS = [
+    {"m": 4, "ksub": 8, "sub_dim": 16, "sfx": "_a"},   # 12 bits/vector
+    {"m": 8, "ksub": 16, "sub_dim": 8, "sfx": "_b"},   # 32 bits/vector
+]
+
+
+def _pq_recall_oracle(k=5) -> str:
+    chains = ",".join(
+        _pq_ctes(p["m"], p["ksub"], p["sub_dim"], p["sfx"])
+        for p in _PQ_POINTS
+    )
+    rows = []
+    for p in _PQ_POINTS:
+        total = " + ".join(f"t{s}" for s in range(p["m"]))
+        sfx = p["sfx"]
+        rows.append(f"""
+SELECT 'pq_adc_m{p["m"]}k{p["ksub"]}' AS method,
+       CAST(t.n AS BIGINT) AS n_truth, CAST(h.n AS BIGINT) AS n_hit,
+       round(CAST(h.n AS DOUBLE) / t.n, 6) AS recall
+FROM (SELECT count(*) AS n FROM truth) t,
+     (SELECT count(*) AS n FROM truth JOIN (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY round({total}, 6), neighbor_id) AS rank
+          FROM adc{sfx} WHERE query_id <> neighbor_id) WHERE rank <= {k}
+      ) p USING (query_id, neighbor_id)) h""")
+    return f"""{_C_CTE}{chains},
+tscored AS (
+  SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
+         {_d2('q.e', 'c2.e')} AS d2
+  FROM c q, c c2 WHERE q.vec_id < 10 AND c2.vec_id <> q.vec_id
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY d2, neighbor_id) AS rank
+    FROM tscored) WHERE rank <= {k}
+)
+{" UNION ALL ".join(rows)}
+"""
+
+
+@query("s_pq_recall", _pq_recall_oracle())
+def s_pq_recall(spark, sf_dir):
+    """Recall@5 of PQ-ADC against exact L2 ground truth at two
+    operating points (12 vs 32 bits/vector) — the documented
+    compression-vs-accuracy knob. Ground truth uses the same
+    ``l2sq`` composition, so both engines rank identically."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    qvecs = queries.select(
+        F.col("vec_id").alias("query_id"),
+        SIM.as_double_array("embedding").alias("__qv"),
+    )
+    cvecs = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        SIM.as_double_array("embedding").alias("__cv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("__d2"), F.asc("neighbor_id")
+    )
+    truth = (
+        cvecs.join(
+            F.broadcast(qvecs), F.col("query_id") != F.col("neighbor_id")
+        )
+        .withColumn("__d2", SIM.l2sq(F.col("__qv"), F.col("__cv")))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+
+    def row(p):
+        approx = SIM.pq_adc_topk(
+            emb,
+            queries,
+            k=5,
+            m=p["m"],
+            ksub=p["ksub"],
+            sub_dim=p["sub_dim"],
+            iters=1,
+        ).select("query_id", "neighbor_id")
+        n_truth = truth.agg(
+            F.count(F.lit(1)).cast("long").alias("n_truth")
+        )
+        n_hit = truth.join(
+            approx, ["query_id", "neighbor_id"], "left_semi"
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+        return n_truth.crossJoin(n_hit).select(
+            F.lit(f"pq_adc_m{p['m']}k{p['ksub']}").alias("method"),
+            "n_truth",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_truth"), 6
+            ).alias("recall"),
+        )
+
+    out = row(_PQ_POINTS[0])
+    for p in _PQ_POINTS[1:]:
+        out = out.unionByName(row(p))
+    return out
 
 
 @query("d_semdedup", _semdedup_oracle())
