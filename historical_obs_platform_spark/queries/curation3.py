@@ -14,9 +14,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions import textfns as TX
 from ..operators import similarity as SIM
 from ..registry import query
 from .common import table
+from .textops import TOKS
 
 # --------------------------------------------------------------------
 # SemDeDup — k-means cells + within-cell cosine pruning (Abbas et al.
@@ -325,4 +327,61 @@ def d_semdedup(spark, sf_dir):
         F.sum(F.when(~F.col("dropped"), F.col("vec_id"))).alias(
             "kept_id_sum"
         ),
+    )
+
+
+# --------------------------------------------------------------------
+# Domain-mixture reweighting — the data-mixing planning step a
+# pretraining pipeline runs before sampling: compare each domain's
+# token share to a target mixture (uniform here) and emit the
+# sampling weight that would equalize it. One aggregation over the
+# corpus + a broadcast one-row total: the plan is two partial aggs at
+# any corpus size, never a second corpus scan.
+# --------------------------------------------------------------------
+_NTOK = (
+    f"sum(CASE WHEN len({TOKS}) = 1 AND {TOKS}[1] = '' THEN 0 "
+    f"ELSE len({TOKS}) END)"
+)
+
+REWEIGHT_ORACLE = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST({_NTOK} AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS t, count(*) AS nsrc FROM per
+)
+SELECT source, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / t, 6) AS token_share,
+       round(CAST(1 AS DOUBLE) / nsrc, 6) AS target_share,
+       round(CAST(t AS DOUBLE) / (nsrc * n_tokens), 6) AS weight
+FROM per, tot
+"""
+
+
+@query("p_domain_reweight", REWEIGHT_ORACLE)
+def p_domain_reweight(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count("text")).cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("long").alias("t"),
+        F.count(F.lit(1)).alias("nsrc"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("t"), 6
+        ).alias("token_share"),
+        F.round(F.lit(1.0) / F.col("nsrc"), 6).alias("target_share"),
+        F.round(
+            F.col("t").cast("double")
+            / (F.col("nsrc") * F.col("n_tokens")),
+            6,
+        ).alias("weight"),
     )

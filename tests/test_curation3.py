@@ -67,3 +67,23 @@ def test_semdedup_no_cross_cell_drops(spark):
     out = SIM.semdedup(df, n_cells=4, iters=1, threshold=0.5).toPandas()
     assert not out["dropped"].any()
     assert out["cell"].nunique() == 4
+
+
+def test_pq_recall_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "s_pq_recall")
+
+
+def test_domain_reweight_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "p_domain_reweight")
+
+
+def test_domain_reweight_shares_sum_to_one(spark):
+    from historical_obs_platform_spark.registry import QUERIES
+
+    out = QUERIES["p_domain_reweight"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    assert abs(out["token_share"].sum() - 1.0) < 1e-3
+    # weight is inversely proportional to token share
+    ordered = out.sort_values("token_share")
+    assert (ordered["weight"].diff().dropna() <= 1e-9).all()
