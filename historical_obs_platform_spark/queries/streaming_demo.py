@@ -733,3 +733,175 @@ def st_neardup_stream(spark, sf_dir):
     finally:
         q.stop()
     return spark.table("st_neardup")
+
+
+# --------------------------------------------------------------------
+# Streaming semantic dedup — SemDeDup's ingest half as a stream: new
+# embeddings are checked against the STATIC stored corpus' k-means
+# cell index. Cell assignment happens IN-ROW against the (tiny,
+# collected) centroid table rendered as literal arrays — the same
+# bounded-small-side move as the polygon gate — so the stream is
+# map-only until one stateless stream-static equi-join on cell and a
+# single complete-mode best-match aggregation. The batch-side
+# centroid table is bit-identical to the oracle's (round-9 Lloyd
+# means; proven by the s_ivf/d_semdedup family), so the drained
+# stream converges exactly to the batch recompute.
+# --------------------------------------------------------------------
+_ST_SEM_CELLS = 16
+_ST_SEM_THR = 0.95
+
+
+def _st_semdedup_oracle(n_cells=_ST_SEM_CELLS, thr=_ST_SEM_THR) -> str:
+    dot = "list_dot_product({a}, {b})"
+    return f"""
+WITH c AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+cn AS (SELECT vec_id, e, sqrt({dot.format(a='e', b='e')}) AS nrm FROM c),
+u AS (SELECT vec_id, list_transform(e, x -> x / nrm) AS uv FROM cn),
+cent0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+         uv AS cent
+  FROM (SELECT * FROM u ORDER BY vec_id LIMIT {n_cells})
+),
+assign0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT u.vec_id, c0.cell,
+           row_number() OVER (PARTITION BY u.vec_id
+             ORDER BY {dot.format(a='u.uv', b='c0.cent')} DESC, c0.cell) AS r
+    FROM u CROSS JOIN cent0 c0) WHERE r = 1
+),
+means AS (
+  SELECT a.cell, t.i AS pos, round(avg(u.uv[t.i + 1]), 9) AS val
+  FROM u JOIN assign0 a USING (vec_id), range(64) t(i)
+  GROUP BY a.cell, t.i
+),
+cent1 AS (
+  SELECT cell,
+         list_transform(m, x -> x / sqrt({dot.format(a='m', b='m')})) AS cent
+  FROM (SELECT cell, list(val ORDER BY pos) AS m FROM means GROUP BY cell)
+),
+stored AS (
+  SELECT vec_id AS a, cell FROM (
+    SELECT u.vec_id, c1.cell,
+           row_number() OVER (PARTITION BY u.vec_id
+             ORDER BY {dot.format(a='u.uv', b='c1.cent')} DESC, c1.cell) AS r
+    FROM u CROSS JOIN cent1 c1) WHERE r = 1
+),
+inc AS (
+  SELECT vec_id + 1000000 AS new_id, e, nrm,
+         list_transform(e, x -> x / nrm) AS uv
+  FROM cn
+),
+inc_cell AS (
+  SELECT new_id, cell FROM (
+    SELECT inc.new_id, c1.cell,
+           row_number() OVER (PARTITION BY inc.new_id
+             ORDER BY {dot.format(a='inc.uv', b='c1.cent')} DESC, c1.cell) AS r
+    FROM inc CROSS JOIN cent1 c1) WHERE r = 1
+),
+matches AS (
+  SELECT i.new_id, s.a,
+         round({dot.format(a='ie.e', b='ae.e')} / (ie.nrm * ae.nrm), 6)
+           AS cosine_sim
+  FROM inc_cell i JOIN stored s USING (cell)
+  JOIN cn ie ON ie.vec_id = i.new_id - 1000000
+  JOIN cn ae ON ae.vec_id = s.a
+)
+SELECT new_id, a AS dup_of, cosine_sim FROM (
+  SELECT new_id, a, cosine_sim,
+         row_number() OVER (PARTITION BY new_id
+           ORDER BY cosine_sim DESC, a) AS r
+  FROM matches WHERE cosine_sim >= {thr}
+) WHERE r = 1
+"""
+
+
+@query("st_semdedup_stream", _st_semdedup_oracle())
+@_with_stream_shuffle
+def st_semdedup_stream(spark, sf_dir):
+    from ..operators import similarity as SIM
+
+    tune(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = SIM.ivf_centroids(
+        emb, "vec_id", "embedding", n_cells=_ST_SEM_CELLS, iters=1
+    )
+    # bounded by construction (n_cells rows); rendered as literals so
+    # the stream side assigns cells in-row with no extra join. The
+    # collected doubles round-trip exactly, so re-materializing the
+    # table (instead of re-running the Lloyd lineage for the static
+    # assignment below) changes no value.
+    cent_rows = sorted(
+        ((r["cell"], r["__cent"]) for r in cent.collect()),
+        key=lambda t: t[0],
+    )
+    cent_df = spark.createDataFrame(
+        cent_rows, "cell int, __cent array<double>"
+    )
+
+    vecs = emb.select(
+        F.col("vec_id").alias("__id"),
+        SIM._unit(SIM.as_double_array("embedding")).alias("__uv"),
+    )
+    stored = (
+        SIM._assign_cells(vecs, cent_df, "__id")
+        .withColumnRenamed("__id", "a")
+        .join(
+            emb.select(
+                F.col("vec_id").alias("a"),
+                SIM.as_double_array("embedding").alias("__e_a"),
+            ),
+            "a",
+        )
+    )
+
+    schema = emb.schema
+    src = spark.readStream.schema(schema).parquet(
+        f"{sf_dir}/embeddings*.parquet"
+    )
+    inc = src.select(
+        (F.col("vec_id") + 1000000).alias("new_id"),
+        SIM.as_double_array("embedding").alias("__e_b"),
+    )
+    # in-row nearest centroid via the Arrow kernel (fold-order exact,
+    # ties to the smallest cell — see nearest_cell_arrow for why the
+    # literal-expression form is the wrong plan here)
+    keyed = inc.withColumn(
+        "cell", SIM.nearest_cell_arrow(F.col("__e_b"), cent_rows)
+    ).select("new_id", "cell", "__e_b")
+    # the within-cell confirm is the hot path (|cell| candidates per
+    # incoming row); the whole cosine runs in one Arrow kernel whose
+    # accumulation order replays the fold bit-exactly — composing it
+    # from pre-projected norm columns instead lets Catalyst collapse
+    # the projections into the join and re-fold both norms per pair
+    matched = keyed.join(stored, "cell").select(
+        "new_id",
+        "a",
+        F.round(
+            SIM.cosine_arrow(F.col("__e_b"), F.col("__e_a")), 6
+        ).alias("cosine_sim"),
+    ).where(F.col("cosine_sim") >= _ST_SEM_THR)
+    best = matched.groupBy("new_id").agg(
+        F.max(
+            F.struct(
+                F.col("cosine_sim").alias("c"), (-F.col("a")).alias("nega")
+            )
+        ).alias("b")
+    )
+    out = best.select(
+        "new_id",
+        (-F.col("b.nega")).alias("dup_of"),
+        F.col("b.c").alias("cosine_sim"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("st_semdedup")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("st_semdedup")

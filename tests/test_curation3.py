@@ -87,3 +87,62 @@ def test_domain_reweight_shares_sum_to_one(spark):
     # weight is inversely proportional to token share
     ordered = out.sort_values("token_share")
     assert (ordered["weight"].diff().dropna() <= 1e-9).all()
+
+
+def test_st_semdedup_stream_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "st_semdedup_stream")
+
+
+def test_arrow_kernels_bit_identical_to_folds(spark):
+    """cosine_arrow / dot_arrow replay the scalar fold's addition
+    order — results must be BIT-identical (==, not approx) to the
+    zip_with/aggregate composition, including the norm factors."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(17)],
+            [rnd.uniform(-1, 1) for _ in range(17)])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a array<double>, b array<double>"
+    )
+    from pyspark.sql import functions as F
+
+    got = df.select(
+        "id",
+        SIM.dot_arrow("a", "b").alias("d_arrow"),
+        SIM.dot(F.col("a"), F.col("b")).alias("d_fold"),
+        SIM.cosine_arrow("a", "b").alias("c_arrow"),
+        (
+            SIM.dot(F.col("a"), F.col("b"))
+            / (SIM.norm(F.col("a")) * SIM.norm(F.col("b")))
+        ).alias("c_fold"),
+    ).toPandas()
+    assert (got["d_arrow"] == got["d_fold"]).all()
+    assert (got["c_arrow"] == got["c_fold"]).all()
+
+
+def test_nearest_cell_arrow_matches_assign_cells(spark):
+    """The Arrow assignment agrees with the batch broadcast-join
+    assignment on every vector (same fold order, same smallest-cell
+    tie rule)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = SIM.ivf_centroids(emb, "vec_id", "embedding", n_cells=8, iters=1)
+    cent_rows = [(r["cell"], r["__cent"]) for r in cent.collect()]
+    vecs = emb.select(
+        F.col("vec_id").alias("__id"),
+        SIM._unit(SIM.as_double_array("embedding")).alias("__uv"),
+    )
+    batch = SIM._assign_cells(vecs, cent, "__id").toPandas()
+    arrow = emb.select(
+        F.col("vec_id").alias("__id"),
+        SIM.nearest_cell_arrow(
+            SIM.as_double_array("embedding"), cent_rows
+        ).alias("cell"),
+    ).toPandas()
+    merged = batch.merge(arrow, on="__id", suffixes=("_b", "_a"))
+    assert (merged["cell_b"] == merged["cell_a"]).all()
