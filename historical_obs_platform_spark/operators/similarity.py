@@ -686,10 +686,12 @@ def l2sq(a: Column, b: Column) -> Column:
 
 
 def _subvectors(
-    df: DataFrame, id_name: str, vec: Column, m: int, sub_dim: int
+    df: DataFrame, id_name, vec: Column, m: int, sub_dim: int
 ) -> DataFrame:
-    """(id, s, sv): the m contiguous sub_dim-length slices per vector
-    — map-only (explode of an in-row literal array of slices)."""
+    """(id…, s, sv): the m contiguous sub_dim-length slices per vector
+    — map-only (explode of an in-row literal array of slices).
+    ``id_name`` may be one column name or a list (composite key)."""
+    ids = [id_name] if isinstance(id_name, str) else list(id_name)
     parts = F.array(
         *[
             F.struct(
@@ -699,22 +701,68 @@ def _subvectors(
             for s in range(m)
         ]
     )
-    return df.select(F.col(id_name), F.explode(parts).alias("__p")).select(
-        id_name, F.col("__p.s").alias("s"), F.col("__p.sv").alias("sv")
-    )
+    return df.select(
+        *[F.col(c) for c in ids], F.explode(parts).alias("__p")
+    ).select(*ids, F.col("__p.s").alias("s"), F.col("__p.sv").alias("sv"))
 
 
 def _pq_assign(subs: DataFrame, cents: DataFrame, id_name: str) -> DataFrame:
-    """Nearest-centroid code per (id, s): broadcast the m·ksub
-    codebook rows, keep the min-(d2, j) struct — partial-agg shaped,
-    no window sort. Exact-distance ties break to the smallest code,
-    matching the oracle's ``ORDER BY d2, j``."""
-    scored = subs.join(F.broadcast(cents), "s").withColumn(
-        "__d2", l2sq(F.col("sv"), F.col("__cent"))
-    )
-    best = F.min(F.struct(F.col("__d2").alias("d"), F.col("j").alias("j")))
-    return scored.groupBy(id_name, "s").agg(
-        best.getField("j").alias("code")
+    """Nearest-centroid code per (id, s), map-only: the m·ksub
+    codebook (bounded driver-side by construction) is collected once
+    and every sub-vector scored in one Arrow pass. Exact-distance
+    ties break to the smallest code, matching the oracle's ``ORDER BY
+    d2, j``; the kernel replays ``l2sq``'s exact composition —
+    ``(a·a − 2(a·b)) + b·b`` with every dot a dimension-major
+    fold — so results are bit-identical to the previous
+    broadcast-join + interpreted-fold form (which paid ~3 folds per
+    (row, subspace, centroid))."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    rows = cents.select("s", "j", "__cent").limit(4097).collect()
+    if len(rows) > 4096:
+        raise ValueError(
+            "_pq_assign: codebook exceeds the 4096-row driver-side "
+            "bound; shard the quantizer instead"
+        )
+    by_s: dict[int, list] = {}
+    for r in rows:
+        by_s.setdefault(r["s"], []).append((r["j"], r["__cent"]))
+    cb = {
+        s: (
+            np.asarray([j for j, _ in sorted(ent)], dtype=np.int32),
+            np.stack([np.asarray(c, float) for _, c in sorted(ent)]),
+        )
+        for s, ent in by_s.items()
+    }
+
+    @pandas_udf("int")
+    def _code(ps, psv):
+        out = np.full(len(ps), -1, dtype=np.int32)
+        sval = ps.to_numpy()
+        for s, (jids, C) in cb.items():
+            mask = sval == s
+            if not mask.any():
+                continue
+            A = np.stack([np.asarray(v, float) for v in psv[mask]])
+            n, d = A.shape
+            aa = np.zeros(n)
+            bb = np.zeros(C.shape[0])
+            ab = np.zeros((n, C.shape[0]))
+            for i in range(d):
+                ca = A[:, i]
+                cc = C[:, i]
+                aa += ca * ca
+                bb += cc * cc
+                ab += ca[:, None] * cc[None, :]
+            d2 = (aa[:, None] - 2.0 * ab) + bb[None, :]
+            out[mask] = jids[np.argmin(d2, axis=1)]
+        return pd.Series(out)
+
+    ids = [id_name] if isinstance(id_name, str) else list(id_name)
+    return subs.select(
+        *ids, "s", _code(F.col("s"), F.col("sv")).alias("code")
     )
 
 
@@ -766,7 +814,15 @@ def pq_codebooks(
                 ).alias("__cent")
             )
         )
-    return cents
+    # materialize (m·ksub rows) locally: consumers collect the
+    # codebook anyway and would otherwise re-run the Lloyd lineage
+    rows = sorted(
+        ((r["s"], r["j"], r["__cent"]) for r in cents.collect()),
+        key=lambda t: (t[0], t[1]),
+    )
+    return corpus.sparkSession.createDataFrame(
+        rows, "s int, j int, __cent array<double>"
+    )
 
 
 def pq_adc_topk(
@@ -835,6 +891,143 @@ def pq_adc_topk(
         total = total + F.col(f"__t{s}")
     scored = (
         partial.groupBy("query_id", "neighbor_id")
+        .agg(*terms)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(total, round_to).alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dist", "rank")
+    )
+
+
+def ivfpq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    ksub: int = 8,
+    sub_dim: int = 16,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVFADC (Jégou, Douze & Schmid, TPAMI 2011 §V): the full
+    billion-scale ANN architecture — a coarse IVF quantizer routes
+    vectors to cells, product quantization encodes each vector's
+    RESIDUAL from its cell centroid, and queries probe ``nprobe``
+    cells computing one ADC distance table per (query, cell) against
+    the shared residual codebooks.
+
+    The 100 TB plan: the corpus is scanned once to assign + encode
+    (everything broadcast-joined, map-shaped); at query time only the
+    probed cells' code lists are touched (nprobe/n_cells of the
+    compressed corpus — and the codes are m bytes, not the raw
+    floats); the per-(query, cell) distance tables are
+    queries·nprobe·m·ksub rows, broadcast. No stage is quadratic in
+    the corpus, and residual encoding is what keeps PQ accurate once
+    cells localize the vectors.
+
+    Deterministic end-to-end by the repo's recipe (lowest-id seeds,
+    round-9 Lloyd means, fold-order float ops, fixed-order ADC sum,
+    ties to smaller ids/cells). Unit-sphere domain: vectors are
+    L2-normalized before coarse assignment, so ADC approximates the
+    unit-vector L2 distance (monotone in cosine).
+
+    Returns (query_id, neighbor_id, approx_dist, rank).
+    """
+    cent = ivf_centroids(corpus, id_col, vec_col, n_cells, iters=1)
+
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _unit(as_double_array(vec_col)).alias("__uv"),
+    )
+    # cellmap and the residual table are the INDEX — every later
+    # stage (codebook training, encoding, ADC) re-reads them, so
+    # materialize once instead of re-running the assignment kernel
+    # per consumer (measured 5 evaluations otherwise). At cluster
+    # scale these are the tables an index build persists anyway.
+    cellmap = _assign_cells(cvec, cent, "neighbor_id").localCheckpoint(
+        eager=False
+    )
+    res = (
+        cvec.join(cellmap, "neighbor_id")
+        .join(F.broadcast(cent), "cell")
+        .select(
+            "neighbor_id",
+            "cell",
+            F.zip_with(
+                F.col("__uv"), F.col("__cent"), lambda x, y: x - y
+            ).alias("__r"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cb = pq_codebooks(res, "neighbor_id", "__r", m, ksub, sub_dim, iters=1)
+    codes = _pq_assign(
+        _subvectors(res, "neighbor_id", F.col("__r"), m, sub_dim),
+        cb,
+        "neighbor_id",
+    )
+
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"),
+        _unit(as_double_array(vec_col)).alias("__uv"),
+    )
+    qscored = qvec.crossJoin(F.broadcast(cent)).withColumn(
+        "__s", dot(F.col("__uv"), F.col("__cent"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("__s"), F.asc("cell"))
+    qprobe = (
+        qscored.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= nprobe)
+        .select("query_id", "cell", "__cent")
+    )
+    qres = qprobe.join(qvec, "query_id").select(
+        "query_id",
+        "cell",
+        F.zip_with(
+            F.col("__uv"), F.col("__cent"), lambda x, y: x - y
+        ).alias("__r"),
+    )
+    qdist = (
+        _subvectors(qres, ["query_id", "cell"], F.col("__r"), m, sub_dim)
+        .join(F.broadcast(cb), "s")
+        .select(
+            "query_id",
+            "cell",
+            "s",
+            "j",
+            l2sq(F.col("sv"), F.col("__cent")).alias("__d2"),
+        )
+    )
+    coded = codes.join(
+        cellmap.withColumnRenamed("cell", "__ccell"), "neighbor_id"
+    )
+    joined = coded.join(
+        F.broadcast(qdist),
+        (coded["s"] == qdist["s"])
+        & (coded["code"] == qdist["j"])
+        & (coded["__ccell"] == qdist["cell"]),
+    ).select("query_id", "neighbor_id", coded["s"].alias("s"), "__d2")
+    terms = [
+        F.sum(F.when(F.col("s") == s, F.col("__d2"))).alias(f"__t{s}")
+        for s in range(m)
+    ]
+    total = F.col("__t0")
+    for s in range(1, m):
+        total = total + F.col(f"__t{s}")
+    scored = (
+        joined.groupBy("query_id", "neighbor_id")
         .agg(*terms)
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(

@@ -385,3 +385,147 @@ def p_domain_reweight(spark, sf_dir):
             6,
         ).alias("weight"),
     )
+
+
+# --------------------------------------------------------------------
+# IVFADC — IVF coarse cells + product quantization on RESIDUALS
+# (Jégou et al. TPAMI 2011 §V), the full billion-scale ANN
+# architecture. The oracle replays coarse seed → Lloyd → cell map →
+# residuals → residual-PQ training → codes → per-(query, probed-cell)
+# distance tables → fixed-order ADC sums.
+# --------------------------------------------------------------------
+def _ivfpq_oracle(
+    n_cells=16, nprobe=4, m=4, ksub=8, sub_dim=16, k=5, dim=64
+) -> str:
+    dot = "list_dot_product({a}, {b})"
+    terms = ", ".join(
+        f"sum(CASE WHEN cd.s = {s} THEN q.d2 END) AS t{s}" for s in range(m)
+    )
+    total = " + ".join(f"t{s}" for s in range(m))
+    return f"""
+WITH c AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+u AS (SELECT vec_id,
+             list_transform(e, x -> x / sqrt({dot.format(a='e', b='e')})) AS uv
+      FROM c),
+cent0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+         uv AS cent
+  FROM (SELECT * FROM u ORDER BY vec_id LIMIT {n_cells})
+),
+assign0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT u.vec_id, c0.cell,
+           row_number() OVER (PARTITION BY u.vec_id
+             ORDER BY {dot.format(a='u.uv', b='c0.cent')} DESC, c0.cell) AS r
+    FROM u CROSS JOIN cent0 c0) WHERE r = 1
+),
+means AS (
+  SELECT a.cell, t.i AS pos, round(avg(u.uv[t.i + 1]), 9) AS val
+  FROM u JOIN assign0 a USING (vec_id), range({dim}) t(i)
+  GROUP BY a.cell, t.i
+),
+cent1 AS (
+  SELECT cell,
+         list_transform(mm, x -> x / sqrt({dot.format(a='mm', b='mm')})) AS cent
+  FROM (SELECT cell, list(val ORDER BY pos) AS mm FROM means GROUP BY cell)
+),
+cellmap AS (
+  SELECT vec_id, cell FROM (
+    SELECT u.vec_id, c1.cell,
+           row_number() OVER (PARTITION BY u.vec_id
+             ORDER BY {dot.format(a='u.uv', b='c1.cent')} DESC, c1.cell) AS r
+    FROM u CROSS JOIN cent1 c1) WHERE r = 1
+),
+res AS (
+  SELECT u.vec_id, cm.cell,
+         list_transform(generate_series(1, {dim}),
+                        i -> u.uv[i] - c1.cent[i]) AS rr
+  FROM u JOIN cellmap cm USING (vec_id) JOIN cent1 c1 USING (cell)
+),
+rsub AS (
+  SELECT vec_id, t.s, rr[t.s * {sub_dim} + 1:(t.s + 1) * {sub_dim}] AS sv
+  FROM res, range({m}) t(s)
+),
+rseeds AS (
+  SELECT s,
+         CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1
+              AS INTEGER) AS j,
+         sv AS cent
+  FROM rsub
+  WHERE vec_id IN (SELECT vec_id FROM c ORDER BY vec_id LIMIT {ksub})
+),
+rassign0 AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT rsub.vec_id, rsub.s, rseeds.j,
+           row_number() OVER (PARTITION BY rsub.vec_id, rsub.s
+             ORDER BY {_d2('rsub.sv', 'rseeds.cent')}, rseeds.j) AS r
+    FROM rsub JOIN rseeds USING (s)) WHERE r = 1
+),
+rmeans AS (
+  SELECT a.s, a.code AS j, t.i AS pos,
+         round(avg(rsub.sv[t.i + 1]), 9) AS val
+  FROM rsub JOIN rassign0 a ON rsub.vec_id = a.vec_id AND rsub.s = a.s,
+       range({sub_dim}) t(i)
+  GROUP BY a.s, a.code, t.i
+),
+rcent1 AS (
+  SELECT s, j, list(val ORDER BY pos) AS cent FROM rmeans GROUP BY s, j
+),
+rcodes AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT rsub.vec_id, rsub.s, c1.j,
+           row_number() OVER (PARTITION BY rsub.vec_id, rsub.s
+             ORDER BY {_d2('rsub.sv', 'c1.cent')}, c1.j) AS r
+    FROM rsub JOIN rcent1 c1 USING (s)) WHERE r = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT u.vec_id, c1.cell,
+           row_number() OVER (PARTITION BY u.vec_id
+             ORDER BY {dot.format(a='u.uv', b='c1.cent')} DESC, c1.cell) AS r
+    FROM u CROSS JOIN cent1 c1 WHERE u.vec_id < 10) WHERE r <= {nprobe}
+),
+qres AS (
+  SELECT p.query_id, p.cell,
+         list_transform(generate_series(1, {dim}),
+                        i -> u.uv[i] - c1.cent[i]) AS rr
+  FROM qprobe p JOIN u ON u.vec_id = p.query_id
+  JOIN cent1 c1 USING (cell)
+),
+qrsub AS (
+  SELECT query_id, cell, t.s,
+         rr[t.s * {sub_dim} + 1:(t.s + 1) * {sub_dim}] AS sv
+  FROM qres, range({m}) t(s)
+),
+qdist AS (
+  SELECT qrsub.query_id, qrsub.cell, qrsub.s, c1.j,
+         {_d2('qrsub.sv', 'c1.cent')} AS d2
+  FROM qrsub JOIN rcent1 c1 USING (s)
+),
+adc AS (
+  SELECT q.query_id, cd.vec_id AS neighbor_id, {terms}
+  FROM rcodes cd
+  JOIN cellmap cm ON cd.vec_id = cm.vec_id
+  JOIN qdist q ON cm.cell = q.cell AND cd.s = q.s AND cd.code = q.j
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, approx_dist, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT query_id, neighbor_id, round({total}, 6) AS approx_dist,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY round({total}, 6), neighbor_id) AS rank
+  FROM adc WHERE query_id <> neighbor_id
+) WHERE rank <= {k}
+"""
+
+
+@query("s_ivfpq_adc_topk", _ivfpq_oracle())
+def s_ivfpq_adc_topk(spark, sf_dir):
+    """IVFADC approximate top-k for the first ten vectors."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return SIM.ivfpq_adc_topk(
+        emb, queries, k=5, n_cells=16, nprobe=4, m=4, ksub=8, sub_dim=16
+    )

@@ -146,3 +146,27 @@ def test_nearest_cell_arrow_matches_assign_cells(spark):
     ).toPandas()
     merged = batch.merge(arrow, on="__id", suffixes=("_b", "_a"))
     assert (merged["cell_b"] == merged["cell_a"]).all()
+
+
+def test_ivfpq_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "s_ivfpq_adc_topk")
+
+
+def test_ivfpq_ranks_same_cluster_first(spark):
+    """Two well-separated clusters: with nprobe=1 every query's
+    candidates come from its own coarse cell, and the top ADC
+    neighbor is a same-cluster vector."""
+    lo = [(i, [1.0 + i * 0.01, 2.0, 0.5, 1.0] * 2) for i in range(4)]
+    hi = [(10 + i, [-100.0 - i * 0.01, 3.0, 80.0, -7.0] * 2) for i in range(4)]
+    df = spark.createDataFrame(
+        lo + hi, "vec_id long, embedding array<double>"
+    )
+    queries = df.where("vec_id IN (0, 10)")
+    out = SIM.ivfpq_adc_topk(
+        df, queries, k=3, n_cells=2, nprobe=1, m=2, ksub=2, sub_dim=4
+    ).toPandas()
+    top1 = out[out["rank"] == 1].set_index("query_id")["neighbor_id"]
+    assert top1[0] < 10 and top1[10] >= 10
+    # nprobe=1 ⇒ no cross-cluster candidates at all
+    assert (out[out["query_id"] == 0]["neighbor_id"] < 10).all()
+    assert (out[out["query_id"] == 10]["neighbor_id"] >= 10).all()
