@@ -55,7 +55,15 @@ def cosine_arrow(a: Column, b: Column) -> Column:
     Catalyst collapses the projections into the join output, silently
     re-evaluating both 64-element norm folds per PAIR (measured ~3×
     the whole-query wall on the within-cell confirm). One UDF call
-    keeps the per-pair work in numpy. Null/ragged inputs → null."""
+    keeps the per-pair work in numpy. Null/ragged inputs → null.
+
+    The bit-identity claim holds for nonzero-norm vectors. A
+    zero-norm input is degenerate on every path, but degenerates
+    DIFFERENTLY: the scalar fold raises under ANSI (divide by zero —
+    see ``_unit``) or yields NaN with ANSI off, while this kernel's
+    NaN becomes NULL in the pandas→Arrow conversion (pandas cannot
+    carry a NaN-vs-null distinction). Filter zero vectors upstream
+    where the difference matters."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -117,7 +125,15 @@ def nearest_cell_arrow(vec: Column, cent_rows, normalize: bool = True) -> Column
     @pandas_udf("int")
     def _cell(pv):
         out = np.full(len(pv), -1, dtype=np.int32)
-        ok = pv.notna().to_numpy()
+        # null or wrong-dimension vectors degrade to a null cell (the
+        # pre-kernel form produced null scores for them) instead of
+        # crashing np.stack on a ragged batch
+        ok = np.array(
+            [
+                v is not None and len(v) == cmat.shape[1]
+                for v in pv
+            ]
+        )
         if ok.any():
             A = np.stack([np.asarray(v, float) for v in pv[ok]])
             if normalize:
@@ -528,12 +544,24 @@ def _assign_cells(
     + struct-max form (the kernel replays the fold's addition order),
     but without 1 interpreted 64-element fold per (vector, cell) —
     measured ~0.25 ms each, the dominant cost of every IVF-family
-    query. ``__uv`` is scored as-is (no renormalization)."""
+    query. ``__uv`` is scored as-is (no renormalization).
+
+    Past 4096 centroids the collect stops being driver-cheap and the
+    original distributed form takes over (broadcast crossJoin +
+    struct-max, value-identical) — so the documented "grow n_cells
+    with the corpus" recipe keeps working at any cell count."""
     rows = centroids.select("cell", "__cent").limit(4097).collect()
     if len(rows) > 4096:
-        raise ValueError(
-            "_assign_cells: centroid table exceeds the 4096-row "
-            "driver-side bound; shard the quantizer instead"
+        scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+            "__s", dot(F.col("__uv"), F.col("__cent"))
+        )
+        best = F.max(
+            F.struct(
+                F.col("__s").alias("s"), (-F.col("cell")).alias("negcell")
+            )
+        )
+        return scored.groupBy(id_name).agg(
+            (-best.getField("negcell")).alias("cell")
         )
     cent_rows = [(r["cell"], r["__cent"]) for r in rows]
     return vectors.select(
@@ -784,8 +812,14 @@ def pq_codebooks(
     partial-sum orders agree bitwise. Raw (unnormalized) vectors:
     PQ approximates L2, not cosine.
 
-    Returns (s, j, __cent). Every seed assigns to itself at distance
-    0, so no cell ever empties.
+    Returns (s, j, __cent). With fresh (pairwise-distinct) seed
+    sub-vectors and ``iters ≤ 1``, every seed assigns to itself at
+    distance 0 so all ksub codes survive the Lloyd step; duplicate
+    seed sub-vectors, or later iterations (centroids have moved), can
+    leave a code with zero members, and that (s, j) row then drops
+    from the codebook — deterministically on both engines, but
+    callers doing bits-per-vector accounting should count the
+    returned rows, not assume m·ksub.
     """
     vecs = corpus.select(
         F.col(id_col).alias("__id"), as_double_array(vec_col).alias("__v")
@@ -973,10 +1007,12 @@ def ivfpq_adc_topk(
         .localCheckpoint(eager=False)
     )
     cb = pq_codebooks(res, "neighbor_id", "__r", m, ksub, sub_dim, iters=1)
+    # carry cell through encoding (composite key) so ADC needs no
+    # second corpus-sized join to recover it
     codes = _pq_assign(
-        _subvectors(res, "neighbor_id", F.col("__r"), m, sub_dim),
+        _subvectors(res, ["neighbor_id", "cell"], F.col("__r"), m, sub_dim),
         cb,
-        "neighbor_id",
+        ["neighbor_id", "cell"],
     )
 
     qvec = queries.select(
@@ -1010,9 +1046,7 @@ def ivfpq_adc_topk(
             l2sq(F.col("sv"), F.col("__cent")).alias("__d2"),
         )
     )
-    coded = codes.join(
-        cellmap.withColumnRenamed("cell", "__ccell"), "neighbor_id"
-    )
+    coded = codes.withColumnRenamed("cell", "__ccell")
     joined = coded.join(
         F.broadcast(qdist),
         (coded["s"] == qdist["s"])
@@ -1085,8 +1119,16 @@ def semdedup(
     prepped = corpus.select(
         F.col(id_col), as_double_array(vec_col).alias("__v")
     ).join(assign, id_col)
+    # the prefilter margin must cover the caller's rounding step: a
+    # raw cosine up to 0.5·10^-round_to BELOW the threshold still
+    # rounds up to it, so it must survive the kernel's early cut
     pairs = blocked_cosine_pairs(
-        prepped, id_col, "__v", "cell", threshold
+        prepped,
+        id_col,
+        "__v",
+        "cell",
+        threshold,
+        margin=max(1e-6, 0.5 * 10.0 ** -round_to),
     )
     dropped = (
         pairs.withColumn("cosine_sim", F.round("cosine_raw", round_to))

@@ -261,6 +261,9 @@ def s_pq_recall(spark, sf_dir):
     w = Window.partitionBy("query_id").orderBy(
         F.asc("__d2"), F.asc("neighbor_id")
     )
+    # materialized once: the truth subplan (corpus × queries with
+    # three 64-element folds per pair) is read four times below
+    # (n_truth + n_hit per operating point)
     truth = (
         cvecs.join(
             F.broadcast(qvecs), F.col("query_id") != F.col("neighbor_id")
@@ -269,6 +272,7 @@ def s_pq_recall(spark, sf_dir):
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 5)
         .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
     )
 
     def row(p):

@@ -827,17 +827,12 @@ def st_semdedup_stream(spark, sf_dir):
     cent = SIM.ivf_centroids(
         emb, "vec_id", "embedding", n_cells=_ST_SEM_CELLS, iters=1
     )
-    # bounded by construction (n_cells rows); rendered as literals so
-    # the stream side assigns cells in-row with no extra join. The
-    # collected doubles round-trip exactly, so re-materializing the
-    # table (instead of re-running the Lloyd lineage for the static
-    # assignment below) changes no value.
+    # ivf_centroids already returns local rows, so this collect is a
+    # local-relation scan; the rows feed the stream side's in-row
+    # Arrow assignment (no extra join on the stream)
     cent_rows = sorted(
         ((r["cell"], r["__cent"]) for r in cent.collect()),
         key=lambda t: t[0],
-    )
-    cent_df = spark.createDataFrame(
-        cent_rows, "cell int, __cent array<double>"
     )
 
     vecs = emb.select(
@@ -845,7 +840,7 @@ def st_semdedup_stream(spark, sf_dir):
         SIM._unit(SIM.as_double_array("embedding")).alias("__uv"),
     )
     stored = (
-        SIM._assign_cells(vecs, cent_df, "__id")
+        SIM._assign_cells(vecs, cent, "__id")
         .withColumnRenamed("__id", "a")
         .join(
             emb.select(
