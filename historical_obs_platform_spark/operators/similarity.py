@@ -980,6 +980,29 @@ def ivfpq_adc_topk(
 
     Returns (query_id, neighbor_id, approx_dist, rank).
     """
+    cent, cb, codes = ivfpq_index(
+        corpus, id_col, vec_col, n_cells, m, ksub, sub_dim
+    )
+    return ivfpq_query(
+        cent, cb, codes, queries, id_col, vec_col, k, nprobe, m,
+        sub_dim, round_to,
+    )
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 4,
+    ksub: int = 8,
+    sub_dim: int = 16,
+):
+    """Build the IVFADC index once: coarse centroids, residual
+    codebooks, and per-vector (cell, m codes). Returns (cent, cb,
+    codes) — the tables a production index build persists; callers
+    can score any number of query batches / nprobe settings against
+    them without re-encoding the corpus."""
     cent = ivf_centroids(corpus, id_col, vec_col, n_cells, iters=1)
 
     cvec = corpus.select(
@@ -1014,7 +1037,24 @@ def ivfpq_adc_topk(
         cb,
         ["neighbor_id", "cell"],
     )
+    return cent, cb, codes
 
+
+def ivfpq_query(
+    cent: DataFrame,
+    cb: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+    m: int = 4,
+    sub_dim: int = 16,
+    round_to: int = 6,
+) -> DataFrame:
+    """Score a query batch against a prebuilt IVFADC index (see
+    ``ivfpq_index``); ``nprobe`` is the probed-cell knob."""
     qvec = queries.select(
         F.col(id_col).alias("query_id"),
         _unit(as_double_array(vec_col)).alias("__uv"),

@@ -398,14 +398,10 @@ def p_domain_reweight(spark, sf_dir):
 # residuals → residual-PQ training → codes → per-(query, probed-cell)
 # distance tables → fixed-order ADC sums.
 # --------------------------------------------------------------------
-def _ivfpq_oracle(
-    n_cells=16, nprobe=4, m=4, ksub=8, sub_dim=16, k=5, dim=64
-) -> str:
+def _ivfpq_base(n_cells=16, m=4, ksub=8, sub_dim=16, dim=64) -> str:
+    """Corpus-side IVFADC CTEs (shared by any probe setting): coarse
+    quantizer → cell map → residuals → residual codebooks → codes."""
     dot = "list_dot_product({a}, {b})"
-    terms = ", ".join(
-        f"sum(CASE WHEN cd.s = {s} THEN q.d2 END) AS t{s}" for s in range(m)
-    )
-    total = " + ".join(f"t{s}" for s in range(m))
     return f"""
 WITH c AS (SELECT vec_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -483,38 +479,56 @@ rcodes AS (
            row_number() OVER (PARTITION BY rsub.vec_id, rsub.s
              ORDER BY {_d2('rsub.sv', 'c1.cent')}, c1.j) AS r
     FROM rsub JOIN rcent1 c1 USING (s)) WHERE r = 1
-),
-qprobe AS (
+)"""
+
+
+def _ivfpq_qctes(nprobe=4, m=4, sub_dim=16, dim=64, sfx="") -> str:
+    """Query-side IVFADC CTEs for one probe setting (suffixed so
+    several settings share one corpus-side chain)."""
+    dot = "list_dot_product({a}, {b})"
+    terms = ", ".join(
+        f"sum(CASE WHEN cd.s = {s} THEN q.d2 END) AS t{s}" for s in range(m)
+    )
+    return f"""
+qprobe{sfx} AS (
   SELECT vec_id AS query_id, cell FROM (
     SELECT u.vec_id, c1.cell,
            row_number() OVER (PARTITION BY u.vec_id
              ORDER BY {dot.format(a='u.uv', b='c1.cent')} DESC, c1.cell) AS r
     FROM u CROSS JOIN cent1 c1 WHERE u.vec_id < 10) WHERE r <= {nprobe}
 ),
-qres AS (
+qres{sfx} AS (
   SELECT p.query_id, p.cell,
          list_transform(generate_series(1, {dim}),
                         i -> u.uv[i] - c1.cent[i]) AS rr
-  FROM qprobe p JOIN u ON u.vec_id = p.query_id
+  FROM qprobe{sfx} p JOIN u ON u.vec_id = p.query_id
   JOIN cent1 c1 USING (cell)
 ),
-qrsub AS (
+qrsub{sfx} AS (
   SELECT query_id, cell, t.s,
          rr[t.s * {sub_dim} + 1:(t.s + 1) * {sub_dim}] AS sv
-  FROM qres, range({m}) t(s)
+  FROM qres{sfx}, range({m}) t(s)
 ),
-qdist AS (
-  SELECT qrsub.query_id, qrsub.cell, qrsub.s, c1.j,
-         {_d2('qrsub.sv', 'c1.cent')} AS d2
-  FROM qrsub JOIN rcent1 c1 USING (s)
+qdist{sfx} AS (
+  SELECT q.query_id, q.cell, q.s, c1.j,
+         {_d2('q.sv', 'c1.cent')} AS d2
+  FROM qrsub{sfx} q JOIN rcent1 c1 USING (s)
 ),
-adc AS (
+adc{sfx} AS (
   SELECT q.query_id, cd.vec_id AS neighbor_id, {terms}
   FROM rcodes cd
   JOIN cellmap cm ON cd.vec_id = cm.vec_id
-  JOIN qdist q ON cm.cell = q.cell AND cd.s = q.s AND cd.code = q.j
+  JOIN qdist{sfx} q ON cm.cell = q.cell AND cd.s = q.s AND cd.code = q.j
   GROUP BY 1, 2
-)
+)"""
+
+
+def _ivfpq_oracle(
+    n_cells=16, nprobe=4, m=4, ksub=8, sub_dim=16, k=5, dim=64
+) -> str:
+    total = " + ".join(f"t{s}" for s in range(m))
+    return f"""{_ivfpq_base(n_cells, m, ksub, sub_dim, dim)},
+{_ivfpq_qctes(nprobe, m, sub_dim, dim)}
 SELECT query_id, neighbor_id, approx_dist, CAST(rank AS INTEGER) AS rank
 FROM (
   SELECT query_id, neighbor_id, round({total}, 6) AS approx_dist,
@@ -533,3 +547,110 @@ def s_ivfpq_adc_topk(spark, sf_dir):
     return SIM.ivfpq_adc_topk(
         emb, queries, k=5, n_cells=16, nprobe=4, m=4, ksub=8, sub_dim=16
     )
+
+
+_IVFPQ_PROBES = [(4, "_p4"), (16, "_pall")]
+
+
+def _ivfpq_recall_oracle(n_cells=16, m=4, ksub=8, sub_dim=16, k=5) -> str:
+    """Recall@5 vs exact unit-L2 (≡ cosine-order) ground truth at two
+    probe settings sharing one corpus-side index chain: nprobe=4 vs
+    exhaustive nprobe=n_cells — the residual-quantization accuracy
+    with and without the probe cut."""
+    total = " + ".join(f"t{s}" for s in range(m))
+    chains = ",".join(
+        _ivfpq_qctes(p, m, sub_dim, sfx=sfx) for p, sfx in _IVFPQ_PROBES
+    )
+    rows = []
+    for p, sfx in _IVFPQ_PROBES:
+        rows.append(f"""
+SELECT 'ivfpq_nprobe{p}' AS method,
+       CAST(t.n AS BIGINT) AS n_truth, CAST(h.n AS BIGINT) AS n_hit,
+       round(CAST(h.n AS DOUBLE) / t.n, 6) AS recall
+FROM (SELECT count(*) AS n FROM truth) t,
+     (SELECT count(*) AS n FROM truth JOIN (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY round({total}, 6), neighbor_id) AS rank
+          FROM adc{sfx} WHERE query_id <> neighbor_id) WHERE rank <= {k}
+      ) p USING (query_id, neighbor_id)) h""")
+    return f"""{_ivfpq_base(n_cells, m, ksub, sub_dim)},
+{chains},
+tscored AS (
+  SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
+         {_d2('q.uv', 'c2.uv')} AS d2
+  FROM u q, u c2 WHERE q.vec_id < 10 AND c2.vec_id <> q.vec_id
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY d2, neighbor_id) AS rank
+    FROM tscored) WHERE rank <= {k}
+)
+{" UNION ALL ".join(rows)}
+"""
+
+
+@query("s_ivfpq_recall", _ivfpq_recall_oracle())
+def s_ivfpq_recall(spark, sf_dir):
+    """IVFADC recall@5 against exact unit-L2 ground truth, nprobe=4
+    vs exhaustive (nprobe=n_cells), one shared index build — the
+    probe knob's measured cost in recall.
+
+    Measured takeaway on this corpus (isotropic random embeddings,
+    the ANN-hostile case): the probe cut is FREE — both rows match
+    exactly, because the ADC estimate penalizes far cells through
+    ‖q − c_cell‖, so every ADC-top-5 candidate already lives in the
+    query's nearest cells. The absolute recall is bounded by the
+    12-bit residual codes, not by probing (cf. ``s_pq_recall``)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    cent, cb, codes = SIM.ivfpq_index(
+        emb, n_cells=16, m=4, ksub=8, sub_dim=16
+    )
+    qvecs = queries.select(
+        F.col("vec_id").alias("query_id"),
+        SIM._unit(SIM.as_double_array("embedding")).alias("__qu"),
+    )
+    cvecs = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        SIM._unit(SIM.as_double_array("embedding")).alias("__cu"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("__d2"), F.asc("neighbor_id")
+    )
+    truth = (
+        cvecs.join(
+            F.broadcast(qvecs), F.col("query_id") != F.col("neighbor_id")
+        )
+        .withColumn("__d2", SIM.l2sq(F.col("__qu"), F.col("__cu")))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+
+    def row(nprobe):
+        approx = SIM.ivfpq_query(
+            cent, cb, codes, queries, k=5, nprobe=nprobe
+        ).select("query_id", "neighbor_id")
+        n_truth = truth.agg(
+            F.count(F.lit(1)).cast("long").alias("n_truth")
+        )
+        n_hit = truth.join(
+            approx, ["query_id", "neighbor_id"], "left_semi"
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+        return n_truth.crossJoin(n_hit).select(
+            F.lit(f"ivfpq_nprobe{nprobe}").alias("method"),
+            "n_truth",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_truth"), 6
+            ).alias("recall"),
+        )
+
+    out = row(_IVFPQ_PROBES[0][0])
+    for p, _ in _IVFPQ_PROBES[1:]:
+        out = out.unionByName(row(p))
+    return out

@@ -170,3 +170,27 @@ def test_ivfpq_ranks_same_cluster_first(spark):
     # nprobe=1 ⇒ no cross-cluster candidates at all
     assert (out[out["query_id"] == 0]["neighbor_id"] < 10).all()
     assert (out[out["query_id"] == 10]["neighbor_id"] >= 10).all()
+
+
+def test_ivfpq_recall_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "s_ivfpq_recall")
+
+
+def test_ivfpq_index_reuse_matches_one_shot(spark):
+    """ivfpq_index + ivfpq_query composes to exactly ivfpq_adc_topk
+    (the one-shot wrapper delegates, and the index is reusable)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where("vec_id < 5")
+    one = SIM.ivfpq_adc_topk(
+        emb, queries, k=3, n_cells=4, nprobe=2, m=2, ksub=4, sub_dim=32
+    ).toPandas()
+    cent, cb, codes = SIM.ivfpq_index(
+        emb, n_cells=4, m=2, ksub=4, sub_dim=32
+    )
+    two = SIM.ivfpq_query(
+        cent, cb, codes, queries, k=3, nprobe=2, m=2, sub_dim=32
+    ).toPandas()
+    key = ["query_id", "neighbor_id", "approx_dist", "rank"]
+    assert one.sort_values(key).reset_index(drop=True).equals(
+        two.sort_values(key).reset_index(drop=True)
+    )
