@@ -654,3 +654,139 @@ def s_ivfpq_recall(spark, sf_dir):
     for p, _ in _IVFPQ_PROBES[1:]:
         out = out.unionByName(row(p))
     return out
+
+
+# --------------------------------------------------------------------
+# Exact-substring span dedup (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better" — the ExactSubstr
+# component): find maximal VERBATIM token spans shared between
+# document pairs, the overlaps MinHash's bag-of-shingles view blurs.
+# Relational formulation: word 8-grams at every position → inverted
+# index join (posting lists capped, the documented skew guard) →
+# runs along the (a, b, pa−pb) diagonal via the row_number gap trick
+# → maximal spans with start positions. Planted excerpts (30 tokens
+# sliced from each long-enough doc) give known diagonals.
+# --------------------------------------------------------------------
+_SPAN_GRAM = 8
+_SPAN_MIN_RUN = 10
+_SPAN_MAX_POSTINGS = 50
+
+SUBSTR_SPAN_ORACLE = f"""
+WITH toks0 AS (SELECT doc_id, {TOKS} AS t FROM documents),
+corpus AS (
+  SELECT doc_id AS id, t FROM toks0
+  UNION ALL
+  SELECT doc_id + 1000000, t[6:35] FROM toks0 WHERE len(t) >= 40
+),
+g AS (
+  SELECT id, CAST(u.p AS BIGINT) AS p,
+         md5(array_to_string(t[u.p:u.p + {_SPAN_GRAM - 1}], ' ')) AS gram
+  FROM corpus, unnest(generate_series(1, len(t) - {_SPAN_GRAM - 1})) AS u(p)
+  WHERE len(t) >= {_SPAN_GRAM}
+),
+gcap AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT id) AS nd FROM g GROUP BY gram)
+  WHERE nd <= {_SPAN_MAX_POSTINGS}
+),
+m AS (
+  SELECT ga.id AS a, gb.id AS b, ga.p AS pa, gb.p AS pb
+  FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.id < gb.id
+  WHERE ga.gram IN (SELECT gram FROM gcap)
+),
+runs AS (
+  SELECT a, b, pa - pb AS diag, pa, pb,
+         pa - row_number() OVER (
+           PARTITION BY a, b, pa - pb ORDER BY pa) AS grp
+  FROM m
+),
+spans AS (
+  SELECT a, b, min(pa) AS a_start, min(pb) AS b_start,
+         CAST(count(*) AS BIGINT) AS n_grams
+  FROM runs GROUP BY a, b, diag, grp
+)
+SELECT a, b, a_start, b_start, n_grams,
+       n_grams + {_SPAN_GRAM - 1} AS span_tokens
+FROM spans WHERE n_grams >= {_SPAN_MIN_RUN}
+"""
+
+
+@query("d_substring_spans", SUBSTR_SPAN_ORACLE)
+def d_substring_spans(spark, sf_dir):
+    """Maximal shared verbatim spans on a planted-excerpt corpus.
+
+    Scale shape: the inverted-index join pairs only within a gram's
+    posting list, and the ``_SPAN_MAX_POSTINGS`` cap drops
+    boilerplate grams whose lists would explode quadratically (the
+    standard skew guard for this operator — dropped grams can only
+    split a span, never invent one). The diagonal-run sessionization
+    is one shuffle keyed by (a, b, diag)."""
+    from ..operators import dedup as DD
+
+    docs = table(spark, sf_dir, "documents")
+    toks0 = docs.select(
+        "doc_id", F.split(DD.normalize_text("text"), " ").alias("t")
+    )
+    corpus = toks0.select(F.col("doc_id").alias("id"), "t").unionByName(
+        toks0.where(F.size("t") >= 40).select(
+            (F.col("doc_id") + 1000000).alias("id"),
+            F.slice("t", 6, 30).alias("t"),
+        )
+    )
+    n = _SPAN_GRAM
+    g = (
+        corpus.where(F.size("t") >= n)
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                    lambda p: F.struct(
+                        p.cast("long").alias("p"),
+                        F.md5(
+                            F.concat_ws(" ", F.slice("t", p, n))
+                        ).alias("gram"),
+                    ),
+                )
+            ).alias("__g"),
+        )
+        .select("id", F.col("__g.p").alias("p"), F.col("__g.gram").alias("gram"))
+    )
+    gcap = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("id").alias("nd"))
+        .where(F.col("nd") <= _SPAN_MAX_POSTINGS)
+        .select("gram")
+    )
+    ga = g.select(F.col("id").alias("a"), F.col("p").alias("pa"), "gram")
+    gb = g.select(F.col("id").alias("b"), F.col("p").alias("pb"), "gram")
+    made = (
+        ga.join(gb, "gram")
+        .where(F.col("a") < F.col("b"))
+        .join(gcap, "gram", "left_semi")
+        .select("a", "b", "pa", "pb")
+    )
+    wrun = Window.partitionBy(
+        "a", "b", (F.col("pa") - F.col("pb"))
+    ).orderBy("pa")
+    runs = made.select(
+        "a",
+        "b",
+        (F.col("pa") - F.col("pb")).alias("diag"),
+        "pa",
+        "pb",
+        (F.col("pa") - F.row_number().over(wrun)).alias("grp"),
+    )
+    spans = runs.groupBy("a", "b", "diag", "grp").agg(
+        F.min("pa").alias("a_start"),
+        F.min("pb").alias("b_start"),
+        F.count(F.lit(1)).alias("n_grams"),
+    )
+    return spans.where(F.col("n_grams") >= _SPAN_MIN_RUN).select(
+        "a",
+        "b",
+        "a_start",
+        "b_start",
+        "n_grams",
+        (F.col("n_grams") + (n - 1)).alias("span_tokens"),
+    )

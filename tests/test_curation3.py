@@ -194,3 +194,27 @@ def test_ivfpq_index_reuse_matches_one_shot(spark):
     assert one.sort_values(key).reset_index(drop=True).equals(
         two.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_substring_spans_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "d_substring_spans")
+
+
+def test_substring_spans_finds_planted_excerpts(spark):
+    """Every planted 30-token excerpt is recovered as one maximal
+    span with the exact start positions (a_start=6, b_start=1) and
+    full length (23 grams → 30 tokens)."""
+    from historical_obs_platform_spark.registry import QUERIES
+
+    out = QUERIES["d_substring_spans"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    planted = out[(out["b"] - out["a"]) == 1000000]
+    assert len(planted) > 0
+    full = planted[
+        (planted["a_start"] == 6)
+        & (planted["b_start"] == 1)
+        & (planted["span_tokens"] == 30)
+    ]
+    # the excerpt span must be found for every planted doc pair
+    assert len(full) == planted["a"].nunique()
