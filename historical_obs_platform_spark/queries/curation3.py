@@ -790,3 +790,83 @@ def d_substring_spans(spark, sf_dir):
         "n_grams",
         (F.col("n_grams") + (n - 1)).alias("span_tokens"),
     )
+
+
+# --------------------------------------------------------------------
+# Snapshot-retention vacuum planning (o15) — the Iceberg/Delta
+# expire-snapshots + VACUUM decision: which data files does no
+# retained snapshot reference, and how many bytes does deleting them
+# reclaim? Completes the lake-maintenance family (o10 snapshot diff,
+# o11 MERGE changeset, o12 compaction planning). The manifest is
+# synthesized deterministically from orders (same convention as
+# o12's file-size synthesis): file i lives in snapshots
+# [added, removed−1]; with the newest R snapshots retained, a file
+# is deletable iff it was removed at or before S_max − R + 1.
+# --------------------------------------------------------------------
+_VAC_RETAIN = 3
+
+_VAC_ORACLE = f"""
+WITH manifest AS (
+  SELECT o_orderkey AS file_id,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS bytes,
+         CAST(o_orderkey % 12 AS BIGINT) AS added_snap,
+         CASE WHEN o_orderkey % 3 = 0
+              THEN CAST(o_orderkey % 12 + 1 + o_orderkey % 5 AS BIGINT)
+         END AS removed_snap
+  FROM orders
+),
+hwm AS (
+  SELECT max(CASE WHEN removed_snap IS NULL THEN added_snap
+                  ELSE removed_snap END) AS s_max
+  FROM manifest
+),
+judged AS (
+  SELECT m.*,
+         m.removed_snap IS NOT NULL
+         AND m.removed_snap <= hwm.s_max - {_VAC_RETAIN} + 1 AS deletable
+  FROM manifest m, hwm
+)
+SELECT removed_snap,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(bytes) AS BIGINT) AS bytes_reclaimed
+FROM judged WHERE deletable
+GROUP BY removed_snap
+"""
+
+
+@query("o15_vacuum_plan", _VAC_ORACLE)
+def o15_vacuum_plan(spark, sf_dir):
+    """Deletable-file summary per removal snapshot under a
+    keep-newest-{R}-snapshots policy. One scan + one scalar max
+    (broadcast) + one grouped sum — manifest-sized work, no data
+    files touched until the plan executes."""
+    orders = table(spark, sf_dir, "orders")
+    manifest = orders.select(
+        F.col("o_orderkey").alias("file_id"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("bytes"),
+        (F.col("o_orderkey") % 12).cast("long").alias("added_snap"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            (F.col("o_orderkey") % 12 + 1 + F.col("o_orderkey") % 5).cast(
+                "long"
+            ),
+        ).alias("removed_snap"),
+    )
+    hwm = manifest.agg(
+        F.max(
+            F.coalesce(F.col("removed_snap"), F.col("added_snap"))
+        ).alias("s_max")
+    )
+    judged = manifest.crossJoin(F.broadcast(hwm)).withColumn(
+        "deletable",
+        F.col("removed_snap").isNotNull()
+        & (F.col("removed_snap") <= F.col("s_max") - _VAC_RETAIN + 1),
+    )
+    return (
+        judged.where("deletable")
+        .groupBy("removed_snap")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").cast("long").alias("bytes_reclaimed"),
+        )
+    )

@@ -218,3 +218,23 @@ def test_substring_spans_finds_planted_excerpts(spark):
     ]
     # the excerpt span must be found for every planted doc pair
     assert len(full) == planted["a"].nunique()
+
+
+def test_vacuum_plan_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "o15_vacuum_plan")
+
+
+def test_vacuum_plan_never_deletes_retained_or_live(spark):
+    """No live file (removed_snap null) is deletable, and every
+    deletable file's last referencing snapshot is older than the
+    retention window."""
+    from historical_obs_platform_spark.registry import QUERIES
+
+    out = QUERIES["o15_vacuum_plan"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    assert out["removed_snap"].notna().all()
+    # s_max = 16 in the synthetic manifest (max removed 11+5); with
+    # R=3 the newest retained snapshot span starts at s_max-R+1=14
+    assert (out["removed_snap"] <= 14).all()
+    assert (out["n_files"] > 0).all() and (out["bytes_reclaimed"] > 0).all()
