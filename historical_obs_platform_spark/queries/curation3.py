@@ -1,6 +1,8 @@
-"""Round-3 curation depth: semantic dedup (SemDeDup) and product
-quantization — the two embedding-side techniques a 100 TB curation
-pipeline runs after MinHash-style lexical dedup.
+"""Round-3 curation depth: the embedding-side dedup/ANN techniques a
+100 TB curation pipeline runs after MinHash-style lexical dedup
+(SemDeDup, PQ-ADC, IVFADC + recall harnesses), exact-substring span
+dedup, domain-mixture reweighting, and the snapshot-retention vacuum
+planner that rounds out the o1x lake-maintenance family.
 
 Both follow the repo's determinism recipe (memory: every stochastic
 ingredient is replaced by an md5/lowest-id deterministic equivalent;
@@ -670,6 +672,9 @@ def s_ivfpq_recall(spark, sf_dir):
 _SPAN_GRAM = 8
 _SPAN_MIN_RUN = 10
 _SPAN_MAX_POSTINGS = 50
+_SPAN_MAX_POSITIONS = 200  # total occurrences — a repeated-token run
+# can put one gram at thousands of POSITIONS in two docs, and the
+# self-join is quadratic in positions, not docs
 
 SUBSTR_SPAN_ORACLE = f"""
 WITH toks0 AS (SELECT doc_id, {TOKS} AS t FROM documents),
@@ -686,8 +691,9 @@ g AS (
 ),
 gcap AS (
   SELECT gram FROM (
-    SELECT gram, count(DISTINCT id) AS nd FROM g GROUP BY gram)
-  WHERE nd <= {_SPAN_MAX_POSTINGS}
+    SELECT gram, count(DISTINCT id) AS nd, count(*) AS np
+    FROM g GROUP BY gram)
+  WHERE nd <= {_SPAN_MAX_POSTINGS} AND np <= {_SPAN_MAX_POSITIONS}
 ),
 m AS (
   SELECT ga.id AS a, gb.id AS b, ga.p AS pa, gb.p AS pb
@@ -754,8 +760,14 @@ def d_substring_spans(spark, sf_dir):
     )
     gcap = (
         g.groupBy("gram")
-        .agg(F.countDistinct("id").alias("nd"))
-        .where(F.col("nd") <= _SPAN_MAX_POSTINGS)
+        .agg(
+            F.countDistinct("id").alias("nd"),
+            F.count(F.lit(1)).alias("np"),
+        )
+        .where(
+            (F.col("nd") <= _SPAN_MAX_POSTINGS)
+            & (F.col("np") <= _SPAN_MAX_POSITIONS)
+        )
         .select("gram")
     )
     ga = g.select(F.col("id").alias("a"), F.col("p").alias("pa"), "gram")
