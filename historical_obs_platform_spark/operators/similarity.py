@@ -704,6 +704,137 @@ def ivf_ann_topk(
     )
 
 
+# ---------------------------------------------------------------- MIPS
+def mips_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact maximum-inner-product top-k (the retrieval scoring a
+    dot-product recommender / un-normalized embedding model needs —
+    cosine ranking is WRONG when vector norms carry signal). Same
+    plan shape as ``cosine_topk``: queries broadcast, corpus streams
+    once, per-query window top-k. Self-matches excluded."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec_col).alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("__cv"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).withColumn(
+        "inner_product",
+        F.round(dot(F.col("__qv"), F.col("__cv")), round_to),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("inner_product"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "inner_product", "rank")
+    )
+
+
+def mips_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate MIPS via the norm-augmentation reduction
+    (Bachrach et al. RecSys'14; cf. Shrivastava & Li NIPS'14
+    asymmetric LSH): corpus x → [x, √(M²−‖x‖²)] where M is the max
+    corpus norm (every augmented corpus vector has norm exactly M),
+    query q → [q, 0]; then q·x orders like the cosine of the
+    augmented pair, so the md5 sign-bit hyperplanes in dim+1 bucket
+    MIPS candidates. Candidates are scored by the EXACT original
+    inner product, so the only approximation is candidate recall.
+
+    100 TB shape: one scalar max (broadcast) to get M, corpus hashed
+    once per table map-only, queries broadcast into buckets — the
+    corpus never self-joins. ``greatest(0, M²−‖x‖²)`` guards the
+    float-sqrt of the max-norm row itself.
+    """
+    m = corpus.select(
+        F.max(norm(as_double_array(vec_col))).alias("__m")
+    )
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_array(vec_col).alias("__cv"),
+        )
+        .crossJoin(F.broadcast(m))
+        .withColumn(
+            "__aug",
+            F.concat(
+                F.col("__cv"),
+                F.array(
+                    F.sqrt(
+                        F.greatest(
+                            F.lit(0.0),
+                            F.col("__m") * F.col("__m")
+                            - dot(F.col("__cv"), F.col("__cv")),
+                        )
+                    )
+                ),
+            ),
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec_col).alias("__qv"),
+    ).withColumn(
+        "__aug", F.concat(F.col("__qv"), F.array(F.lit(0.0)))
+    )
+    cand = None
+    for t in range(n_tables):
+        cb = c.select(
+            "neighbor_id",
+            lsh_bucket_expr(F.col("__aug"), dim + 1, n_planes, t).alias(
+                "__b"
+            ),
+        )
+        qb = q.select(
+            "query_id",
+            lsh_bucket_expr(F.col("__aug"), dim + 1, n_planes, t).alias(
+                "__b"
+            ),
+        )
+        pairs = cb.join(F.broadcast(qb), "__b").select(
+            "query_id", "neighbor_id"
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.where(F.col("query_id") != F.col("neighbor_id")).distinct()
+    scored = (
+        cand.join(c.select("neighbor_id", "__cv"), "neighbor_id")
+        .join(F.broadcast(q.select("query_id", "__qv")), "query_id")
+        .withColumn(
+            "inner_product",
+            F.round(dot(F.col("__qv"), F.col("__cv")), round_to),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("inner_product"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "inner_product", "rank")
+    )
+
+
 # ------------------------------------------------- product quantization
 def l2sq(a: Column, b: Column) -> Column:
     """Squared L2 distance as ``a·a − 2(a·b) + b·b`` — composed from

@@ -882,3 +882,154 @@ def o15_vacuum_plan(spark, sf_dir):
             F.sum("bytes").cast("long").alias("bytes_reclaimed"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Token-budget mixture planning — the step after p_domain_reweight:
+# given a total token budget and the uniform target mixture, emit
+# per-domain integer sampling/epoch rates. All integer floor
+# arithmetic (Spark `div` == DuckDB `//` on non-negative BIGINTs),
+# so the plan is engine-exact with no float in sight.
+# --------------------------------------------------------------------
+_PLAN_BUDGET = 1_000_000  # tokens
+
+PLAN_ORACLE = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST({_NTOK} AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT count(*) AS nsrc FROM per)
+SELECT source, n_docs, n_tokens,
+       CAST({_PLAN_BUDGET} // nsrc AS BIGINT) AS target_tokens,
+       CAST(least(1000000,
+            ({_PLAN_BUDGET} // nsrc) * 1000000 // n_tokens) AS BIGINT)
+         AS sample_ppm,
+       CAST(({_PLAN_BUDGET} // nsrc) * 1000000 // n_tokens AS BIGINT)
+         AS epochs_ppm
+FROM per, tot
+"""
+
+
+@query("p_token_budget_plan", PLAN_ORACLE)
+def p_token_budget_plan(spark, sf_dir):
+    """Per-domain sampling plan for a fixed token budget: domains
+    with surplus tokens get a sub-1.0 sampling rate (ppm), deficit
+    domains an epochs multiplier — the numbers a mixture-weighted
+    training loader consumes."""
+    docs = table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count("text")).cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(F.count(F.lit(1)).alias("nsrc"))
+    tt = F.expr(f"{_PLAN_BUDGET} div nsrc")
+    rate = F.expr(
+        f"({_PLAN_BUDGET} div nsrc) * 1000000 div n_tokens"
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        tt.cast("long").alias("target_tokens"),
+        F.least(F.lit(1000000).cast("long"), rate.cast("long")).alias(
+            "sample_ppm"
+        ),
+        rate.cast("long").alias("epochs_ppm"),
+    )
+
+
+# --------------------------------------------------------------------
+# Maximum-inner-product search: exact broadcast top-k and the
+# norm-augmentation LSH reduction (Bachrach et al. RecSys'14) —
+# corpus x → [x, √(M²−‖x‖²)], query q → [q, 0], sign-bit buckets in
+# dim+1, exact-dot rescoring of candidates.
+# --------------------------------------------------------------------
+MIPS_ORACLE = f"""
+{_C_CTE}
+scored AS (
+  SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
+         round(list_dot_product(q.e, c2.e), 6) AS inner_product
+  FROM c q, c c2 WHERE q.vec_id < 10 AND c2.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, inner_product,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY inner_product DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@query("s_mips_topk", MIPS_ORACLE)
+def s_mips_topk(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return SIM.mips_topk(emb, queries, k=5)
+
+
+def _mips_lsh_oracle(dim=64, n_planes=4, n_tables=2, k=5) -> str:
+    def bucket(t, src):
+        bits = []
+        for p in range(n_planes):
+            consts = SIM._hyperplane_consts(dim + 1, t * n_planes + p)
+            lit = "[" + ", ".join(repr(v) for v in consts) + "]"
+            bits.append(
+                f"CASE WHEN list_dot_product({src}.aug, {lit}) > 0 "
+                f"THEN '1' ELSE '0' END"
+            )
+        return f"concat('t{t}:', {', '.join(bits)})"
+
+    cb = " UNION ALL ".join(
+        f"SELECT vec_id, {bucket(t, 'ca')} AS b FROM ca"
+        for t in range(n_tables)
+    )
+    qb = " UNION ALL ".join(
+        f"SELECT vec_id, {bucket(t, 'qa')} AS b FROM qa"
+        for t in range(n_tables)
+    )
+    return f"""
+{_C_CTE}
+mx AS (SELECT max(sqrt(list_dot_product(e, e))) AS m FROM c),
+ca AS (
+  SELECT vec_id, e,
+         list_concat(e, [sqrt(greatest(
+           0.0, mx.m * mx.m - list_dot_product(e, e)))]) AS aug
+  FROM c, mx
+),
+qa AS (
+  SELECT vec_id, e, list_concat(e, [CAST(0.0 AS DOUBLE)]) AS aug
+  FROM c WHERE vec_id < 10
+),
+cbk AS ({cb}),
+qbk AS ({qb}),
+cand AS (
+  SELECT DISTINCT qbk.vec_id AS query_id, cbk.vec_id AS neighbor_id
+  FROM cbk JOIN qbk ON cbk.b = qbk.b AND cbk.vec_id <> qbk.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(list_dot_product(qe.e, ce.e), 6) AS inner_product
+  FROM cand JOIN c qe ON qe.vec_id = cand.query_id
+            JOIN c ce ON ce.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, inner_product,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY inner_product DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+@query("s_mips_lsh_topk", _mips_lsh_oracle())
+def s_mips_lsh_topk(spark, sf_dir):
+    """Approximate MIPS: augmented-vector LSH candidates, exact-dot
+    rescoring — the only approximation is candidate recall."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return SIM.mips_lsh_topk(
+        emb, queries, dim=64, k=5, n_planes=4, n_tables=2
+    )

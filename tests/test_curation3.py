@@ -239,3 +239,32 @@ def test_vacuum_plan_never_deletes_retained_or_live(spark):
     # deletable bound is s_max-R+1 = 12
     assert (out["removed_snap"] <= 12).all()
     assert (out["n_files"] > 0).all() and (out["bytes_reclaimed"] > 0).all()
+
+
+def test_token_budget_plan_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "p_token_budget_plan")
+
+
+def test_mips_topk_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "s_mips_topk")
+
+
+def test_mips_lsh_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "s_mips_lsh_topk")
+
+
+def test_mips_prefers_norm_over_cosine(spark):
+    """The defining MIPS property: a big-norm vector with imperfect
+    direction beats a perfectly-aligned small vector — cosine
+    ranking would invert this."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),        # query
+        (1, [0.1, 0.0, 0.0, 0.0]),        # cosine 1.0, dot 0.1
+        (2, [8.0, 6.0, 0.0, 0.0]),        # cosine 0.8, dot 8.0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where("vec_id = 0")
+    mips = SIM.mips_topk(df, q, k=1).toPandas()
+    assert mips.loc[0, "neighbor_id"] == 2
+    cos = SIM.cosine_topk(df, q, k=1).toPandas()
+    assert cos.loc[0, "neighbor_id"] == 1
