@@ -278,3 +278,58 @@ def w_rolling_median(spark, sf_dir):
             "rolling_median"
         ),
     )
+
+
+# --------------------------------------------------------------------
+# W19: exponentially-weighted moving average with α = 1/2 — the one
+# EWMA that is CROSS-ENGINE EXACT: s_t = (s_{t-1} + x_t)/2 is an IEEE
+# addition followed by an exponent decrement (division by 2 is exact
+# in binary floats), so a sequential fold gives bit-identical doubles
+# on any engine. Spark runs the O(n) per-key fold in an
+# applyInPandas island (keys are the bounded dimension); the oracle
+# replays it with a per-row prefix list + list_reduce (O(n²) but
+# n ≤ ~100 per key in the test data).
+# --------------------------------------------------------------------
+EWMA_ORACLE = """
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS us, value FROM events
+),
+o AS (
+  SELECT user_id, us, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY us, value) AS rn
+  FROM t
+),
+p AS (
+  SELECT user_id, us, value,
+         list(value) OVER (PARTITION BY user_id ORDER BY rn
+                           ROWS UNBOUNDED PRECEDING) AS pre
+  FROM o
+)
+SELECT user_id, us, value,
+       list_reduce(pre, (acc, x) -> (acc + x) / 2) AS ewma
+FROM p
+"""
+
+
+@query("w19_ewma", EWMA_ORACLE)
+def w19_ewma(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us"), "value"
+    )
+
+    def per_user(pdf):
+        pdf = pdf.sort_values(
+            ["us", "value"], kind="mergesort", ignore_index=True
+        )
+        acc = None
+        out = []
+        for x in pdf["value"]:
+            acc = x if acc is None else (acc + x) / 2
+            out.append(acc)
+        pdf["ewma"] = out
+        return pdf
+
+    return ev.groupBy("user_id").applyInPandas(
+        per_user, "user_id bigint, us bigint, value double, ewma double"
+    )

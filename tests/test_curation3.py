@@ -268,3 +268,27 @@ def test_mips_prefers_norm_over_cosine(spark):
     assert mips.loc[0, "neighbor_id"] == 2
     cos = SIM.cosine_topk(df, q, k=1).toPandas()
     assert cos.loc[0, "neighbor_id"] == 1
+
+
+def test_ewma_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "w19_ewma")
+
+
+def test_ewma_halving_semantics(spark):
+    from historical_obs_platform_spark.registry import QUERIES
+
+    out = QUERIES["w19_ewma"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    g = out.sort_values("us").groupby("user_id")
+    first = g.head(1)
+    # s_1 = x_1 exactly
+    assert (first["ewma"] == first["value"]).all()
+    # every step: s_t = (s_{t-1} + x_t) / 2 exactly (bitwise)
+    for _, grp in out.sort_values("us").groupby("user_id"):
+        prev = None
+        for _, r in grp.iterrows():
+            want = r["value"] if prev is None else (prev + r["value"]) / 2
+            assert r["ewma"] == want
+            prev = r["ewma"]
+        break  # one station suffices for the recurrence check
