@@ -33,7 +33,7 @@ L1_ORACLE = """
 SELECT CAST(user_id AS VARCHAR) AS station, ts AS time,
        270.0 + value / 5 AS tas,
        270.0 + value / 5 - 10 + (value % 25.0) AS tdps,
-       CASE WHEN (value % 25.0) > 10 THEN 12.0 END AS tdps_eraqc
+       CASE WHEN (value % 25.0) > 10 THEN 12.0e0 END AS tdps_eraqc
 FROM events
 """
 
@@ -63,7 +63,7 @@ L6_ORACLE = """
 SELECT CAST(user_id AS VARCHAR) AS station, ts AS time,
        200.0 + value / 2 AS tas,
        CASE WHEN 200.0 + value / 2 < 210.15
-              OR 200.0 + value / 2 > 329.92 THEN 11.0 END AS tas_eraqc
+              OR 200.0 + value / 2 > 329.92 THEN 11.0e0 END AS tas_eraqc
 FROM events
 """
 
@@ -92,8 +92,8 @@ WITH obs AS (
 SELECT station, time, sfcWind,
   CASE WHEN sfcWind <> 0 AND sfcWind_dir = 0 THEN 360.0
        ELSE sfcWind_dir END AS sfcWind_dir,
-  CASE WHEN sfcWind = 0 AND sfcWind_dir <> 0 THEN 14.0
-       WHEN sfcWind <> 0 AND sfcWind_dir = 0 THEN 15.0
+  CASE WHEN sfcWind = 0 AND sfcWind_dir <> 0 THEN 14.0e0
+       WHEN sfcWind <> 0 AND sfcWind_dir = 0 THEN 15.0e0
   END AS sfcWind_dir_eraqc
 FROM obs
 """

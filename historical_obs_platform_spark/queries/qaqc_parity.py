@@ -64,7 +64,7 @@ WITH obs AS (
   FROM s WINDOW w AS (PARTITION BY station, run)
 )
 SELECT station, time, tas, tdps,
-       CASE WHEN pred = 1 AND span >= 86400 THEN 13.0 END AS tdps_eraqc
+       CASE WHEN pred = 1 AND span >= 86400 THEN 13.0e0 END AS tdps_eraqc
 FROM sp
 """
 
@@ -92,7 +92,7 @@ def l2_wetbulb_streak(spark, sf_dir):
 L3_ORACLE = """
 SELECT CAST(user_id AS VARCHAR) AS station, ts AS time,
        (value % 9.0) - 2 AS pr,
-       CASE WHEN (value % 9.0) - 2 < 0 THEN 10.0 END AS pr_eraqc
+       CASE WHEN (value % 9.0) - 2 < 0 THEN 10.0e0 END AS pr_eraqc
 FROM events
 """
 
@@ -121,12 +121,12 @@ WITH obs AS (
   FROM events
 )
 SELECT station, time, pr_5min, pr_1h, pr_24h, pr_localmid,
-  CASE WHEN pr_5min > pr_1h OR pr_5min > pr_24h THEN 16.0 END
+  CASE WHEN pr_5min > pr_1h OR pr_5min > pr_24h THEN 16.0e0 END
     AS pr_5min_eraqc,
-  CASE WHEN pr_1h < pr_5min OR pr_1h > pr_24h THEN 17.0 END
+  CASE WHEN pr_1h < pr_5min OR pr_1h > pr_24h THEN 17.0e0 END
     AS pr_1h_eraqc,
-  CASE WHEN pr_24h < pr_localmid THEN 18.0
-       WHEN pr_24h < pr_5min OR pr_24h < pr_1h THEN 17.0 END
+  CASE WHEN pr_24h < pr_localmid THEN 18.0e0
+       WHEN pr_24h < pr_5min OR pr_24h < pr_1h THEN 17.0e0 END
     AS pr_24h_eraqc
 FROM obs
 """
@@ -161,9 +161,9 @@ def l4_precip_ordering(spark, sf_dir):
 L8_ORACLE = """
 WITH obs AS (
   SELECT CAST(user_id AS VARCHAR) AS station, ts AS time,
-         CASE WHEN value % 50.0 < 1 THEN 200.0
-              WHEN value % 50.0 >= 49 THEN 150.0
-              ELSE 100.0 END AS elevation
+         CASE WHEN value % 50.0 < 1 THEN 200.0e0
+              WHEN value % 50.0 >= 49 THEN 150.0e0
+              ELSE 100.0e0 END AS elevation
   FROM events
 ), st AS (
   SELECT station, COUNT(DISTINCT elevation) AS n_elev,
@@ -183,7 +183,7 @@ SELECT o.station, o.time, o.elevation,
   CASE WHEN (st.n_elev > 2 AND st.rng > 50
              AND abs(o.elevation - st.med) > 50)
         OR (st.n_elev = 2 AND st.rng > 50 AND o.elevation = minr.minority)
-  THEN 36.0 END AS elevation_eraqc
+  THEN 36.0e0 END AS elevation_eraqc
 FROM obs o
 JOIN st USING (station) JOIN minr USING (station)
 """
@@ -214,14 +214,14 @@ L11_ORACLE = """
 WITH obs AS (
   SELECT CAST(user_id AS VARCHAR) AS station, ts AS time,
          280.0 + value / 10 AS tas, 20.0 + (value % 60.0) AS hurs,
-         CASE WHEN value > 45 THEN 11.0 END AS tas_eraqc
+         CASE WHEN value > 45 THEN 11.0e0 END AS tas_eraqc
   FROM events
 )
 SELECT station, time, tas, hurs, tas_eraqc,
   round(1.0 / (1.0/273.0 - 0.0001844 * ln(
       (0.611 * exp(5423.0 * (1.0/273.0 - 1.0/tas)) * hurs / 100.0)
       / 0.611)), 6) AS tdps_derived,
-  CASE WHEN tas_eraqc IS NOT NULL THEN 38.0 END AS tdps_derived_eraqc
+  CASE WHEN tas_eraqc IS NOT NULL THEN 38.0e0 END AS tdps_derived_eraqc
 FROM obs
 """
 
@@ -275,7 +275,7 @@ WITH obs AS (
     FROM s) WHERE n_days > 15
 )
 SELECT o.station, o.time, o.tas,
-       CASE WHEN bad.d IS NOT NULL THEN 27.0 END AS tas_eraqc
+       CASE WHEN bad.d IS NOT NULL THEN 27.0e0 END AS tas_eraqc
 FROM obs o
 LEFT JOIN bad ON o.station = bad.station AND hour(o.time) = bad.hh
              AND o.tas = bad.tas AND CAST(o.time AS DATE) = bad.d

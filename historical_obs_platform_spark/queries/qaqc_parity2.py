@@ -46,9 +46,9 @@ L7_ORACLE = """
 SELECT CAST(user_id AS VARCHAR) AS station, ts AS time,
        5.0 + (value % 20.0) AS sfcWind,
        CASE WHEN CAST(user_id AS VARCHAR) = '3'
-                 AND ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 2.0
+                 AND ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 2.0e0
             WHEN CAST(user_id AS VARCHAR) = '7'
-                 AND hour(ts) BETWEEN 6 AND 20 THEN 1.0
+                 AND hour(ts) BETWEEN 6 AND 20 THEN 1.0e0
        END AS sfcWind_eraqc
 FROM events
 """
@@ -99,8 +99,8 @@ WITH obs AS (
          CAST(-(user_id % 3) AS DOUBLE) AS lon,
          CASE WHEN user_id % 4 = 0 THEN NULL
               WHEN user_id % 4 = 1 AND value < 5 THEN NULL
-              WHEN user_id % 4 = 1 THEN 150.0
-              ELSE 120.0 END AS elevation
+              WHEN user_id % 4 = 1 THEN 150.0e0
+              ELSE 120.0e0 END AS elevation
   FROM events
 ), dem AS (
   SELECT CAST(k AS DOUBLE) AS lat, CAST(-k AS DOUBLE) AS lon,
@@ -122,9 +122,9 @@ SELECT o.station, o.time,
               ELSE 0.0 END
        ELSE o.elevation END AS elevation,
   CASE WHEN o.elevation IS NULL THEN
-         CASE WHEN j.n_elev > 0 THEN 4.0
-              WHEN j.dem IS NOT NULL THEN 3.0
-              ELSE 5.0 END
+         CASE WHEN j.n_elev > 0 THEN 4.0e0
+              WHEN j.dem IS NOT NULL THEN 3.0e0
+              ELSE 5.0e0 END
   END AS elevation_eraqc
 FROM obs o JOIN j USING (station)
 """
@@ -377,7 +377,7 @@ SELECT s.station, s.time, s.tas,
        CASE WHEN b.n2 > 5 AND b.z IS NOT NULL
                  AND (s.std < round(b.mu - b.z, 6)
                       OR s.std > round(b.mu + b.z, 6))
-            THEN 26.0 END AS tas_eraqc
+            THEN 26.0e0 END AS tas_eraqc
 FROM s JOIN b USING (station, mon, hh)
 """
 

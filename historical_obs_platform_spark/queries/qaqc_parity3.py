@@ -107,9 +107,9 @@ WITH obs AS (
     FROM yh) WHERE n > blk * 0.5 AND n > 15
 )
 SELECT b.station, b.time, b.tas,
-       CASE WHEN ab.bin IS NOT NULL THEN 24.0
-            WHEN sb.bin IS NOT NULL THEN 25.0
-            WHEN yb.bin IS NOT NULL THEN 25.0 END AS tas_eraqc
+       CASE WHEN ab.bin IS NOT NULL THEN 24.0e0
+            WHEN sb.bin IS NOT NULL THEN 25.0e0
+            WHEN yb.bin IS NOT NULL THEN 25.0e0 END AS tas_eraqc
 FROM b
 LEFT JOIN ab ON b.station = ab.station AND b.bin = ab.bin
 LEFT JOIN sb ON b.station = sb.station AND b.season = sb.season
@@ -151,14 +151,14 @@ WITH obs AS (
 ), pass1 AS (
   SELECT *,
          CASE WHEN tdps0 IS NOT NULL THEN tdps0
-              WHEN tas0 = 24.0 THEN 24.0
-              WHEN tas0 = 25.0 THEN 25.0 END AS tdps1
+              WHEN tas0 = 24.0 THEN 24.0e0
+              WHEN tas0 = 25.0 THEN 25.0e0 END AS tdps1
   FROM obs
 )
 SELECT station, time, tas, tdps,
        CASE WHEN tas0 IS NOT NULL THEN tas0
-            WHEN tdps1 = 24.0 THEN 24.0
-            WHEN tdps1 = 25.0 THEN 25.0 END AS tas_eraqc,
+            WHEN tdps1 = 24.0 THEN 24.0e0
+            WHEN tdps1 = 25.0 THEN 25.0e0 END AS tas_eraqc,
        tdps1 AS tdps_eraqc
 FROM pass1
 """
@@ -220,7 +220,7 @@ WITH obs AS (
   WHERE y.ymed < c.med - 5.0 * c.iqr OR y.ymed > c.med + 5.0 * c.iqr
 )
 SELECT o.station, o.time, o.tas,
-       CASE WHEN bad.moy IS NOT NULL THEN 21.0 END AS tas_eraqc
+       CASE WHEN bad.moy IS NOT NULL THEN 21.0e0 END AS tas_eraqc
 FROM o LEFT JOIN bad ON o.station = bad.station
     AND year(o.time) = bad.yr AND month(o.time) = bad.moy
 """
@@ -301,7 +301,7 @@ WITH obs AS (
     AND ((dhi IS NOT NULL AND bin >= dhi) OR (dlo IS NOT NULL AND bin <= dlo))
 )
 SELECT s.station, s.time, s.tas,
-       CASE WHEN b.bin IS NOT NULL THEN 22.0 END AS tas_eraqc
+       CASE WHEN b.bin IS NOT NULL THEN 22.0e0 END AS tas_eraqc
 FROM std s LEFT JOIN badb b
   ON s.station = b.station AND s.moy = b.moy AND s.bin = b.bin
 """
@@ -349,10 +349,10 @@ WITH o AS (
   FROM o GROUP BY station
 )
 SELECT o.station, o.time, o.tas, o.sfcWind,
-       CASE WHEN g.t_miss THEN 6.0
-            WHEN NOT g.t_within THEN 7.0 END AS tas_eraqc,
-       CASE WHEN g.w_miss THEN 8.0
-            WHEN NOT g.w_within THEN 9.0 END AS sfcWind_eraqc
+       CASE WHEN g.t_miss THEN 6.0e0
+            WHEN NOT g.t_within THEN 7.0e0 END AS tas_eraqc,
+       CASE WHEN g.w_miss THEN 8.0e0
+            WHEN NOT g.w_within THEN 9.0e0 END AS sfcWind_eraqc
 FROM o JOIN g USING (station)
 """
 

@@ -727,7 +727,7 @@ def w_rolling_24h(spark, sf_dir):
 # --------------------------------------------------------------------
 O8_ORACLE = """
 SELECT CAST(user_id AS VARCHAR) AS station,
-       date_trunc('day', ts) AS day,
+       strftime(ts, '%Y-%m-%d') AS day,
        COUNT(*) AS n_obs,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events
@@ -745,8 +745,10 @@ def o8_incremental_rollup(spark, sf_dir):
     cutoff = "2024-01-24"
 
     def rollup(df):
+        # ISO-string day key (determinism rule: DuckDB DATE vs Spark
+        # TIMESTAMP under date_trunc splits a strict comparator).
         return df.groupBy(
-            "station", F.date_trunc("day", F.col("ts")).alias("day")
+            "station", F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day")
         ).agg(
             F.count(F.lit(1)).alias("n_obs"),
             F.sum(dec("value")).alias("__dsum"),

@@ -156,13 +156,13 @@ def m_frame_sample(spark, sf_dir):
 # --------------------------------------------------------------------
 O9_ORACLE = """
 SELECT event_type,
-       date_trunc('month', ts) AS mon,
+       strftime(date_trunc('month', ts), '%Y-%m-%d') AS mon,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
        count(value) AS n_obs,
        round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
              / count(value), 6) AS avg_value
 FROM events
-GROUP BY event_type, mon
+GROUP BY event_type, date_trunc('month', ts)
 """
 
 
@@ -180,9 +180,11 @@ def o9_cascade_rollup(spark, sf_dir):
     monthly = daily.groupBy(
         "event_type", F.date_trunc("month", "d").alias("mon")
     ).agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+    # ISO-string month key on the way out (DuckDB month-trunc is DATE,
+    # Spark's is TIMESTAMP); the cascade itself stays on timestamps.
     return monthly.select(
         "event_type",
-        "mon",
+        F.date_format("mon", "yyyy-MM-dd").alias("mon"),
         F.col("s").cast("double").alias("total_value"),
         F.col("c").alias("n_obs"),
         F.round(F.col("s").cast("double") / F.col("c"), 6).alias(

@@ -31,7 +31,7 @@ WITH src AS (
 SELECT 'ASOSAWOS_' || lpad(CAST(user_id % 100 AS VARCHAR), 6, '0')
          || '00000' AS station,
        date_trunc('minute', ts) AS time,
-       40.123 AS lat, -120.5 AS lon,
+       40.123e0 AS lat, -120.5e0 AS lon,
        CAST(100 + user_id % 50 AS DOUBLE) AS elevation,
        CAST(dir_i AS DOUBLE) AS sfcWind_dir,
        spd_i / 10.0 AS sfcWind,

@@ -360,18 +360,21 @@ def a5_winsorized_climatology(spark, sf_dir):
 # A8: daily exact sums per key.
 # --------------------------------------------------------------------
 A8_ORACLE = """
-SELECT user_id, date_trunc('day', ts) AS day,
+SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS daily_sum,
        count(*) AS n_obs
-FROM events GROUP BY user_id, date_trunc('day', ts)
+FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')
 """
 
 
 @query("a8_daily_sums", A8_ORACLE)
 def a8_daily_sums(spark, sf_dir):
+    # Day keys are emitted as ISO strings on both sides: DuckDB
+    # date_trunc('day') yields DATE while Spark's yields TIMESTAMP,
+    # which diverges under a strict schema comparator.
     ev = _events(spark, sf_dir)
     return ev.groupBy(
-        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+        "user_id", F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day")
     ).agg(
         dsum("value").alias("daily_sum"),
         F.count(F.lit(1)).alias("n_obs"),
@@ -382,7 +385,7 @@ def a8_daily_sums(spark, sf_dir):
 # A9/A1: weekly median per key (interpolated, rounded both sides).
 # --------------------------------------------------------------------
 A9_ORACLE = """
-SELECT user_id, date_trunc('week', ts) AS week,
+SELECT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
        round(median(value), 6) AS med
 FROM events GROUP BY user_id, date_trunc('week', ts)
 """
@@ -390,9 +393,14 @@ FROM events GROUP BY user_id, date_trunc('week', ts)
 
 @query("a9_weekly_median", A9_ORACLE)
 def a9_weekly_median(spark, sf_dir):
+    # Week keys leave as ISO strings (DuckDB week-trunc is DATE,
+    # Spark's is TIMESTAMP — the determinism rule applies to every
+    # date_trunc granularity coarser than 'hour').
     ev = _events(spark, sf_dir)
     return ev.groupBy(
-        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+        "user_id",
+        F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
+        .alias("week"),
     ).agg(F.round(F.expr("percentile(value, 0.5)"), 6).alias("med"))
 
 

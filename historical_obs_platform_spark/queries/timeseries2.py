@@ -31,7 +31,7 @@ WITH copy_src AS (
          list_sort(list(value)) AS vec
   FROM corpus GROUP BY 1, 2
 )
-SELECT user_id, day
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day
 FROM (
   SELECT user_id, day,
          (vec = lag(vec) OVER w
@@ -70,10 +70,14 @@ def w5_day_vector_repeats(spark, sf_dir):
     rep = (F.col("vec") == F.lag("vec").over(w)) & (
         F.datediff(F.col("day"), F.lag("day").over(w)) == 1
     )
+    # The day key leaves the query as an ISO string (determinism rule:
+    # DuckDB DATE vs Spark TIMESTAMP would split a strict comparator).
     return (
         days.withColumn("rep", rep)
         .where(F.col("rep"))
-        .select("user_id", "day")
+        .select(
+            "user_id", F.date_format("day", "yyyy-MM-dd").alias("day")
+        )
     )
 
 
@@ -90,7 +94,8 @@ WITH daily AS (
   SELECT user_id, round(quantile_cont(daily_sum, 0.95), 6) AS p95
   FROM daily WHERE daily_sum > 0 GROUP BY user_id
 )
-SELECT d.user_id, d.day, d.daily_sum, p.p95
+SELECT d.user_id, strftime(d.day, '%Y-%m-%d') AS day,
+       d.daily_sum, p.p95
 FROM daily d JOIN p ON d.user_id = p.user_id
 WHERE d.daily_sum > 1.2 * p.p95
 """
@@ -112,7 +117,12 @@ def a10_p95_daily_outliers(spark, sf_dir):
     return (
         daily.join(p95, "user_id")
         .where(F.col("daily_sum") > 1.2 * F.col("p95"))
-        .select("user_id", "day", "daily_sum", "p95")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "daily_sum",
+            "p95",
+        )
     )
 
 
