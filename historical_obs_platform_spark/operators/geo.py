@@ -209,8 +209,18 @@ def tag_polygons(
             f"polygon table exceeds {max_polygons} rows — not a "
             "dimension table; pre-dissolve the regions"
         )
+    if any(r[tag_col] is None for r in rows):
+        raise ValueError(
+            "tag_polygons: NULL tag in polygon table — every region "
+            "needs a label for the first-containing-tag order to be "
+            "well-defined"
+        )
+    # key on the tag alone: tuple sort would fall through to comparing
+    # parsed coordinate lists on equal tags (wasted work, and fragile
+    # if geometry representations ever differ)
     tagged = sorted(
-        (r[tag_col], parse_wkt(r[wkt_col])) for r in rows
+        ((r[tag_col], parse_wkt(r[wkt_col])) for r in rows),
+        key=lambda t: t[0],
     )
 
     @F.pandas_udf(StringType())

@@ -129,7 +129,17 @@ class PpmBmpDecoder:
             w, h, maxval = (int(t) for t in tokens)
             if maxval > 255 or w <= 0 or h <= 0:
                 return None
-            i += 1  # single whitespace after maxval
+            # exactly ONE whitespace byte separates maxval from the
+            # pixel stream (netpbm spec). A non-whitespace byte there
+            # (truncated header) or a CRLF pair (non-conforming
+            # writer) would shift the pixel data and silently skew
+            # channel statistics — degrade to undecodable instead.
+            sep = raw[i : i + 1]
+            if not sep.isspace():
+                return None
+            if sep == b"\r" and raw[i + 1 : i + 2] == b"\n":
+                return None
+            i += 1
             px = raw[i : i + w * h * 3]
             if len(px) < w * h * 3:
                 return None

@@ -127,20 +127,34 @@ def nearest_cell_arrow(vec: Column, cent_rows, normalize: bool = True) -> Column
         out = np.full(len(pv), -1, dtype=np.int32)
         # null or wrong-dimension vectors degrade to a null cell (the
         # pre-kernel form produced null scores for them) instead of
-        # crashing np.stack on a ragged batch
-        ok = np.array(
-            [
+        # crashing np.stack on a ragged batch; dtype=bool keeps the
+        # mask invertible on an EMPTY batch (np.array over an empty
+        # list comprehension is float64, and ~float raises)
+        ok = np.fromiter(
+            (
                 v is not None and len(v) == cmat.shape[1]
                 for v in pv
-            ]
+            ),
+            dtype=bool,
+            count=len(pv),
         )
         if ok.any():
+            idx = np.flatnonzero(ok)
             A = np.stack([np.asarray(v, float) for v in pv[ok]])
             if normalize:
                 nrm = np.zeros(A.shape[0])
                 for d in range(A.shape[1]):
                     nrm += A[:, d] * A[:, d]
-                U = A / np.sqrt(nrm)[:, None]
+                # zero-norm (or non-finite) vectors have no direction:
+                # degrade them to a null cell like wrong-dimension
+                # inputs instead of letting NaN scores argmax to the
+                # first cell
+                good = np.isfinite(nrm) & (nrm > 0)
+                if not good.all():
+                    ok[idx[~good]] = False
+                    A = A[good]
+                    nrm = nrm[good]
+                U = A / np.sqrt(nrm)[:, None] if len(A) else A
             else:
                 # caller's vectors are ALREADY the exact values to
                 # score (e.g. `_unit` output) — renormalizing would

@@ -131,7 +131,19 @@ def merge_changeset(
             .where(F.col("__rn") == 1)
             .drop("__rn")
         )
+    elif payload:
+        # every payload column is unorderable (maps, etc.):
+        # dropDuplicates' survivor would depend on partitioning and
+        # execution order, breaking the deterministic-survivor
+        # contract — fail loudly instead of silently varying
+        raise ValueError(
+            "merge_changeset: no orderable payload column to resolve "
+            f"duplicate upserts deterministically (payload: {payload}); "
+            "pass precedence= naming an orderable column"
+        )
     else:
+        # key-only changeset: duplicate rows are identical, so any
+        # survivor is THE row — dropDuplicates is deterministic here
         upserts = upserts.dropDuplicates(keys)
     untouched = existing.join(
         recognized.select(*keys).distinct(), keys, "left_anti"
