@@ -175,6 +175,28 @@ def test_merge_changeset_key_only_dedupe(spark):
 
 
 # --------------------------------------------------------------------
+# w19_ewma's vectorized spelling: Series.ewm(alpha=1/2, adjust=False)
+# must be BIT-identical to the explicit (acc+x)/2 fold — halving is
+# exact and scaling by 2^-1 commutes with round-to-nearest, so
+# 0.5*s + 0.5*x rounds the same real value as (s+x)/2.
+# --------------------------------------------------------------------
+def test_ewm_half_alpha_bit_identical_to_fold():
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(20260814)
+    for _ in range(25):
+        n = int(rng.integers(1, 3000))
+        x = rng.standard_normal(n) * (10.0 ** float(rng.integers(-8, 9)))
+        fast = pd.Series(x).ewm(alpha=0.5, adjust=False).mean().to_numpy()
+        acc, out = None, []
+        for v in x:
+            acc = v if acc is None else (acc + v) / 2
+            out.append(acc)
+        assert (fast == np.array(out)).all()
+
+
+# --------------------------------------------------------------------
 # PpmBmpDecoder: the byte after maxval must be a single whitespace;
 # CRLF (or a header truncated at maxval) degrades to None instead of
 # shifting the pixel stream by one byte.
