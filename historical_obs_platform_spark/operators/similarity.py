@@ -1100,6 +1100,7 @@ def ivfpq_adc_topk(
     ksub: int = 8,
     sub_dim: int = 16,
     round_to: int = 6,
+    layout_dir: str | None = None,
 ) -> DataFrame:
     """IVFADC (Jégou, Douze & Schmid, TPAMI 2011 §V): the full
     billion-scale ANN architecture — a coarse IVF quantizer routes
@@ -1109,13 +1110,16 @@ def ivfpq_adc_topk(
     the shared residual codebooks.
 
     The 100 TB plan: the corpus is scanned once to assign + encode
-    (everything broadcast-joined, map-shaped); at query time only the
-    probed cells' code lists are touched (nprobe/n_cells of the
-    compressed corpus — and the codes are m bytes, not the raw
-    floats); the per-(query, cell) distance tables are
-    queries·nprobe·m·ksub rows, broadcast. No stage is quadratic in
-    the corpus, and residual encoding is what keeps PQ accurate once
-    cells localize the vectors.
+    (everything broadcast-joined, map-shaped); at query time the
+    codes table is restricted to the probed cells by a broadcast
+    semi-join BEFORE the ADC join — with ``layout_dir`` (codes
+    persisted partitioned by cell, the §V inverted-list layout) that
+    restriction is dynamic partition pruning, so only nprobe/n_cells
+    of the compressed corpus is read at all (and the codes are m
+    bytes, not the raw floats); the per-(query, cell) distance
+    tables are queries·nprobe·m·ksub rows, broadcast. No stage is
+    quadratic in the corpus, and residual encoding is what keeps PQ
+    accurate once cells localize the vectors.
 
     Deterministic end-to-end by the repo's recipe (lowest-id seeds,
     round-9 Lloyd means, fold-order float ops, fixed-order ADC sum,
@@ -1126,7 +1130,8 @@ def ivfpq_adc_topk(
     Returns (query_id, neighbor_id, approx_dist, rank).
     """
     cent, cb, codes = ivfpq_index(
-        corpus, id_col, vec_col, n_cells, m, ksub, sub_dim
+        corpus, id_col, vec_col, n_cells, m, ksub, sub_dim,
+        layout_dir=layout_dir,
     )
     return ivfpq_query(
         cent, cb, codes, queries, id_col, vec_col, k, nprobe, m,
@@ -1142,12 +1147,18 @@ def ivfpq_index(
     m: int = 4,
     ksub: int = 8,
     sub_dim: int = 16,
+    layout_dir: str | None = None,
 ):
     """Build the IVFADC index once: coarse centroids, residual
     codebooks, and per-vector (cell, m codes). Returns (cent, cb,
     codes) — the tables a production index build persists; callers
     can score any number of query batches / nprobe settings against
-    them without re-encoding the corpus."""
+    them without re-encoding the corpus.
+
+    ``layout_dir``: persist the codes table partitioned by ``cell``
+    (the on-disk inverted-list layout) and return the read-back
+    DataFrame, so the query path's probed-cell restriction becomes
+    PHYSICAL partition pruning instead of a post-scan filter."""
     cent = ivf_centroids(corpus, id_col, vec_col, n_cells, iters=1)
 
     cvec = corpus.select(
@@ -1182,6 +1193,27 @@ def ivfpq_index(
         cb,
         ["neighbor_id", "cell"],
     )
+    if layout_dir is not None:
+        # Persist the inverted lists AT REST partitioned by cell —
+        # the IVFADC §V layout. A probed-cell restriction then prunes
+        # whole directories out of the scan (asserted in
+        # tests/test_plan_hygiene.py), so nprobe/n_cells of the codes
+        # are READ, not just filtered — the saving the architecture
+        # promises at 100 TB.
+        spark = codes.sparkSession
+        cols = codes.columns
+        cell_type = codes.schema["cell"].dataType
+        codes.write.mode("overwrite").partitionBy("cell").parquet(
+            layout_dir
+        )
+        codes = (
+            spark.read.parquet(layout_dir)
+            # partition-dir inference types cell as int; restore the
+            # build-side type so downstream joins stay equi on equal
+            # types
+            .withColumn("cell", F.col("cell").cast(cell_type))
+            .select(*cols)
+        )
     return cent, cb, codes
 
 
@@ -1230,6 +1262,15 @@ def ivfpq_query(
             "j",
             l2sq(F.col("sv"), F.col("__cent")).alias("__d2"),
         )
+    )
+    # restrict the codes table to the PROBED cells before the ADC
+    # join: a broadcast semi-join on the cell key (≤ queries×nprobe
+    # distinct values). On an in-memory codes table this is a cheap
+    # row filter; on a ``layout_dir`` table partitioned by cell it
+    # becomes dynamic partition pruning — only the probed cells'
+    # inverted lists are read at all.
+    codes = codes.join(
+        F.broadcast(qprobe.select("cell").distinct()), "cell", "left_semi"
     )
     coded = codes.withColumnRenamed("cell", "__ccell")
     joined = coded.join(

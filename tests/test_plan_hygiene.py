@@ -176,3 +176,31 @@ def test_json_props_pruned_scan(spark):
     must not widen the read schema."""
     plan = _formatted(registry.QUERIES["s11_json_props"](spark, SF_DIR))
     assert "event_type" not in plan and "user_id" not in plan
+
+
+def test_ivfpq_layout_partition_pruning(spark, tmp_path):
+    """IVFADC codes persisted partitioned by cell (layout_dir): the
+    probed-cell semi-join must reach the parquet scan as DYNAMIC
+    PARTITION PRUNING — only the probed cells' inverted lists are
+    read at rest, making the nprobe/n_cells scan saving physical —
+    and the pruned path must return byte-identical results to the
+    in-memory path."""
+    from historical_obs_platform_spark.operators import similarity as SIM
+    from historical_obs_platform_spark.queries.common import table
+
+    emb = table(spark, SF_DIR, "embeddings")
+    queries = emb.where(emb.vec_id < 10)
+    mem = SIM.ivfpq_adc_topk(emb, queries, k=5, n_cells=16, nprobe=4)
+    disk = SIM.ivfpq_adc_topk(
+        emb, queries, k=5, n_cells=16, nprobe=4,
+        layout_dir=str(tmp_path / "ivf_codes"),
+    )
+    plan = _formatted(disk)
+    assert "dynamicpruning" in plan, (
+        "probed-cell restriction did not reach the codes scan as a "
+        "dynamic partition filter"
+    )
+    assert "PartitionFilters" in plan
+    got = sorted(map(tuple, disk.collect()))
+    want = sorted(map(tuple, mem.collect()))
+    assert got == want and len(got) > 0
