@@ -586,6 +586,35 @@ def _assign_cells(
     )
 
 
+def attach_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """``_assign_cells`` that KEEPS the caller's columns: appends the
+    nearest-centroid ``cell`` as an in-row kernel column instead of
+    returning an (id, cell) table the caller must join back — at
+    corpus scale that join is a corpus⋈corpus shuffle the map-only
+    form never pays. Same ≤4096-local / distributed-fallback split,
+    value-identical assignments (same kernel); expects ``__uv``."""
+    rows = centroids.select("cell", "__cent").limit(4097).collect()
+    if len(rows) > 4096:
+        scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+            "__s", dot(F.col("__uv"), F.col("__cent"))
+        )
+        best = F.max(
+            F.struct(
+                F.col("__s").alias("s"), (-F.col("cell")).alias("negcell")
+            )
+        )
+        keep = [c for c in vectors.columns]
+        return (
+            scored.groupBy(*keep)
+            .agg((-best.getField("negcell")).alias("cell"))
+        )
+    cent_rows = [(r["cell"], r["__cent"]) for r in rows]
+    return vectors.withColumn(
+        "cell",
+        nearest_cell_arrow(F.col("__uv"), cent_rows, normalize=False),
+    )
+
+
 def ivf_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -604,42 +633,96 @@ def ivf_centroids(
         F.col(id_col).alias("__id"),
         _unit(as_double_array(vec_col)).alias("__uv"),
     )
-    w = Window.orderBy("__id")
-    cent = (
-        vecs.orderBy("__id")
-        .limit(n_cells)
-        .withColumn("cell", F.row_number().over(w) - 1)
-        .select("cell", F.col("__uv").alias("__cent"))
-    )
-    for _ in range(iters):
-        assign = _assign_cells(vecs, cent, "__id")
-        means = (
-            vecs.join(assign, "__id")
-            .select("cell", F.posexplode("__uv").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            # round(avg, 9): Spark and DuckDB sum partial aggregates in
-            # different orders; rounding the mean well above double-ulp
-            # (but far below any signal) makes the refined centroids —
-            # and everything downstream — bit-identical across engines.
-            .agg(F.round(F.avg("val"), 9).alias("val"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
-                    lambda s: s["val"],
-                ).alias("__mean")
-            )
+    if n_cells > 4096:
+        # past the local-rows contract: distributed seed + Lloyd (the
+        # original form — value-identical, centroids stay a lineage)
+        w = Window.orderBy("__id")
+        cent = (
+            vecs.orderBy("__id")
+            .limit(n_cells)
+            .withColumn("cell", F.row_number().over(w) - 1)
+            .select("cell", F.col("__uv").alias("__cent"))
         )
-        cent = means.select("cell", _unit(F.col("__mean")).alias("__cent"))
-    # materialize the (n_cells-row) result as local rows: every
-    # consumer collects it anyway (_assign_cells, literal rendering),
-    # and without this the seed→Lloyd lineage re-executes per consumer
-    rows = sorted(
-        ((r["cell"], r["__cent"]) for r in cent.collect()),
-        key=lambda t: t[0],
+        for _ in range(iters):
+            assign = _assign_cells(vecs, cent, "__id")
+            means = (
+                vecs.join(assign, "__id")
+                .select("cell", F.posexplode("__uv").alias("pos", "val"))
+                .groupBy("cell", "pos")
+                .agg(F.round(F.avg("val"), 9).alias("val"))
+                .groupBy("cell")
+                .agg(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "val"))
+                        ),
+                        lambda s: s["val"],
+                    ).alias("__mean")
+                )
+            )
+            cent = means.select(
+                "cell", _unit(F.col("__mean")).alias("__cent")
+            )
+        return cent
+
+    # ≤4096 cells (the documented local-rows regime): exactly TWO
+    # jobs per build — a limit-n seed collect and one Lloyd-mean
+    # aggregation per iteration — instead of a window over the seed
+    # lineage re-executed per consumer plus a corpus⋈corpus join of
+    # vectors against their assignments (measured: the join + extra
+    # stages were ~half of every IVF-family query's fixed cost).
+    import math
+
+    def _unit_local(v):
+        # replays the JVM fold bit-for-bit: left-to-right acc + x*x
+        # from an explicit 0.0, IEEE sqrt, per-element divide
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        n = math.sqrt(acc)
+        return [x / n for x in v]
+
+    seeds = (
+        corpus.select(
+            F.col(id_col).alias("__id"),
+            as_double_array(vec_col).alias("__v"),
+        )
+        .orderBy("__id")
+        .limit(n_cells)
+        .collect()
     )
+    cent_rows = [
+        (i, _unit_local(r["__v"]))
+        for i, r in enumerate(sorted(seeds, key=lambda r: r["__id"]))
+    ]
+    for _ in range(iters):
+        # assignment rides INSIDE the aggregation scan (the Arrow
+        # kernel is map-only), so each Lloyd step is one job:
+        # scan → assign → posexplode → partial-agg shuffle → collect.
+        # round(avg, 9): Spark and DuckDB sum partial aggregates in
+        # different orders; rounding the mean well above double-ulp
+        # (but far below any signal) makes the refined centroids —
+        # and everything downstream — bit-identical across engines.
+        agg_rows = (
+            vecs.select(
+                nearest_cell_arrow(
+                    F.col("__uv"), cent_rows, normalize=False
+                ).alias("cell"),
+                F.posexplode("__uv").alias("pos", "val"),
+            )
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("val"), 9).alias("val"))
+            .collect()
+        )
+        by_cell: dict = {}
+        for r in agg_rows:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["val"]
+        cent_rows = [
+            (cell, _unit_local([d[p] for p in sorted(d)]))
+            for cell, d in sorted(by_cell.items())
+        ]
     return corpus.sparkSession.createDataFrame(
-        rows, "cell int, __cent array<double>"
+        cent_rows, "cell int, __cent array<double>"
     )
 
 
@@ -670,7 +753,9 @@ def ivf_ann_topk(
         as_double_array(vec_col).alias("__cv"),
     ).withColumn("__cn", norm(F.col("__cv")))
     c = c.withColumn("__uv", F.transform("__cv", lambda x: x / F.col("__cn")))
-    c_cells = _assign_cells(c, cent, "neighbor_id")
+    # cell rides the corpus rows (map-only kernel) so candidates carry
+    # their vectors — no (id, cell)⋈corpus join to recover them
+    c_cells = attach_cells(c, cent)
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -690,14 +775,14 @@ def ivf_ann_topk(
         .select("query_id", "cell")
     )
 
-    cand = (
+    # every corpus vector lives in exactly ONE cell and q_probe is
+    # distinct per (query, cell), so the probe join cannot duplicate a
+    # (query, neighbor) pair — no distinct needed, and the candidates
+    # already carry __cv/__cn for scoring
+    scored = (
         c_cells.join(F.broadcast(q_probe), "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
-    scored = (
-        cand.join(c.select("neighbor_id", "__cv", "__cn"), "neighbor_id")
+        .select("query_id", "neighbor_id", "__cv", "__cn")
         .join(F.broadcast(q.select("query_id", "__qv", "__qn")), "query_id")
         .withColumn(
             "cosine_sim",
@@ -1165,16 +1250,15 @@ def ivfpq_index(
         F.col(id_col).alias("neighbor_id"),
         _unit(as_double_array(vec_col)).alias("__uv"),
     )
-    # cellmap and the residual table are the INDEX — every later
-    # stage (codebook training, encoding, ADC) re-reads them, so
-    # materialize once instead of re-running the assignment kernel
-    # per consumer (measured 5 evaluations otherwise). At cluster
-    # scale these are the tables an index build persists anyway.
-    cellmap = _assign_cells(cvec, cent, "neighbor_id").localCheckpoint(
-        eager=False
-    )
+    # the residual table is the INDEX — every later stage (codebook
+    # training, encoding, ADC) re-reads it, so materialize once
+    # instead of re-running the assignment kernel per consumer
+    # (measured 5 evaluations otherwise). At cluster scale this is
+    # the table an index build persists anyway. The cell assignment
+    # rides the corpus rows in-map (attach_cells), so no
+    # corpus⋈cellmap join is ever paid.
     res = (
-        cvec.join(cellmap, "neighbor_id")
+        attach_cells(cvec, cent)
         .join(F.broadcast(cent), "cell")
         .select(
             "neighbor_id",

@@ -835,21 +835,16 @@ def st_semdedup_stream(spark, sf_dir):
         key=lambda t: t[0],
     )
 
-    vecs = emb.select(
-        F.col("vec_id").alias("__id"),
-        SIM._unit(SIM.as_double_array("embedding")).alias("__uv"),
-    )
-    stored = (
-        SIM._assign_cells(vecs, cent, "__id")
-        .withColumnRenamed("__id", "a")
-        .join(
-            emb.select(
-                F.col("vec_id").alias("a"),
-                SIM.as_double_array("embedding").alias("__e_a"),
-            ),
-            "a",
-        )
-    )
+    # cell assignment rides the stored rows in-map (attach_cells), so
+    # the static side is one scan — no (id, cell)⋈corpus join
+    stored = SIM.attach_cells(
+        emb.select(
+            F.col("vec_id").alias("a"),
+            SIM.as_double_array("embedding").alias("__e_a"),
+            SIM._unit(SIM.as_double_array("embedding")).alias("__uv"),
+        ),
+        cent,
+    ).select("a", "cell", "__e_a")
 
     schema = emb.schema
     src = spark.readStream.schema(schema).parquet(
