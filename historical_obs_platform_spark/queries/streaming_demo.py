@@ -621,9 +621,13 @@ def _st_neardup_oracle():
     return _incremental_oracle()
 
 
-@query("st_neardup_stream", _st_neardup_oracle())
-@_with_stream_shuffle
-def st_neardup_stream(spark, sf_dir):
+def _neardup_jaccard_stream(spark, sf_dir):
+    """Shared near-dup ingest pipeline: the (new_id, a, jaccard ≥ 0.8)
+    candidate STREAM against the static stored-corpus LSH index, plus
+    a deterministic per-document event time ``ev`` (doc_id minutes
+    from a fixed epoch) for watermark-based variants. Everything up
+    to the final best-match aggregation — the complete-mode and
+    append-mode queries differ only in how they aggregate this."""
     from ..operators import dedup as DD
     from .textops import LSH_BANDS, LSH_N_HASHES, _lsh_shared
 
@@ -646,16 +650,27 @@ def st_neardup_stream(spark, sf_dir):
     src = spark.readStream.schema(schema).parquet(
         f"{sf_dir}/documents*.parquet"
     )
+    # the watermark attaches at the SOURCE projection so it tracks
+    # every incoming document's event time — downstream filters
+    # (short docs, no candidate ≥ threshold) must not hold the
+    # watermark back. Complete-mode consumers ignore it; append-mode
+    # consumers use it to finalize + evict window state.
     incoming = src.select(
         (F.col("doc_id") + 1000000).alias("new_id"),
+        (
+            F.lit("2024-01-01").cast("timestamp")
+            + F.make_interval(mins=F.col("doc_id").cast("int"))
+        ).alias("ev"),
         F.concat(F.col("text"), F.lit(" zzextra")).alias("text"),
-    )
+    ).withWatermark("ev", "0 seconds")
     toked = incoming.select(
         "new_id",
+        "ev",
         F.split(DD.normalize_text("text"), " ").alias("__toks"),
     ).where(F.size("__toks") >= 2)
     shingled = toked.select(
         "new_id",
+        "ev",
         F.expr(
             "filter(array_distinct(transform("
             "sequence(1, size(__toks) - 1), "
@@ -687,13 +702,14 @@ def st_neardup_stream(spark, sf_dir):
         ]
     )
     keyed = signed.select(
-        "new_id", "__sh_b", "sz_b", F.explode(bands).alias("bb")
-    ).select("new_id", "__sh_b", "sz_b", "bb.band", "bb.bucket")
+        "new_id", "ev", "__sh_b", "sz_b", F.explode(bands).alias("bb")
+    ).select("new_id", "ev", "__sh_b", "sz_b", "bb.band", "bb.bucket")
     cand = keyed.join(idx_buckets, ["band", "bucket"]).join(
         idx_docs, "a"
     )
     scored = cand.select(
         "new_id",
+        "ev",
         "a",
         F.size(F.array_intersect("__sh_b", "__sh_a")).cast("long").alias(
             "n_common"
@@ -703,6 +719,7 @@ def st_neardup_stream(spark, sf_dir):
     ).where(F.col("n_common") > 0)
     jac = scored.select(
         "new_id",
+        "ev",
         "a",
         F.round(
             F.col("n_common")
@@ -710,6 +727,13 @@ def st_neardup_stream(spark, sf_dir):
             6,
         ).alias("jaccard"),
     ).where(F.col("jaccard") >= 0.8)
+    return jac
+
+
+@query("st_neardup_stream", _st_neardup_oracle())
+@_with_stream_shuffle
+def st_neardup_stream(spark, sf_dir):
+    jac = _neardup_jaccard_stream(spark, sf_dir)
     best = jac.groupBy("new_id").agg(
         F.max(
             F.struct(
@@ -820,6 +844,37 @@ SELECT new_id, a AS dup_of, cosine_sim FROM (
 @query("st_semdedup_stream", _st_semdedup_oracle())
 @_with_stream_shuffle
 def st_semdedup_stream(spark, sf_dir):
+    matched = _semdedup_matches_stream(spark, sf_dir)
+    best = matched.groupBy("new_id").agg(
+        F.max(
+            F.struct(
+                F.col("cosine_sim").alias("c"), (-F.col("a")).alias("nega")
+            )
+        ).alias("b")
+    )
+    out = best.select(
+        "new_id",
+        (-F.col("b.nega")).alias("dup_of"),
+        F.col("b.c").alias("cosine_sim"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("st_semdedup")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("st_semdedup")
+
+
+def _semdedup_matches_stream(spark, sf_dir):
+    """Shared semantic-dedup ingest pipeline: the (new_id, a,
+    cosine_sim ≥ thr) candidate STREAM against the static k-means
+    cell index, plus a deterministic per-vector event time ``ev``
+    (vec_id minutes from a fixed epoch) for watermark variants."""
     from ..operators import similarity as SIM
 
     tune(spark)
@@ -850,29 +905,195 @@ def st_semdedup_stream(spark, sf_dir):
     src = spark.readStream.schema(schema).parquet(
         f"{sf_dir}/embeddings*.parquet"
     )
+    # watermark at the source projection (see _neardup_jaccard_stream)
     inc = src.select(
         (F.col("vec_id") + 1000000).alias("new_id"),
+        (
+            F.lit("2024-01-01").cast("timestamp")
+            + F.make_interval(mins=F.col("vec_id").cast("int"))
+        ).alias("ev"),
         SIM.as_double_array("embedding").alias("__e_b"),
-    )
+    ).withWatermark("ev", "0 seconds")
     # in-row nearest centroid via the Arrow kernel (fold-order exact,
     # ties to the smallest cell — see nearest_cell_arrow for why the
     # literal-expression form is the wrong plan here)
     keyed = inc.withColumn(
         "cell", SIM.nearest_cell_arrow(F.col("__e_b"), cent_rows)
-    ).select("new_id", "cell", "__e_b")
+    ).select("new_id", "ev", "cell", "__e_b")
     # the within-cell confirm is the hot path (|cell| candidates per
     # incoming row); the whole cosine runs in one Arrow kernel whose
     # accumulation order replays the fold bit-exactly — composing it
     # from pre-projected norm columns instead lets Catalyst collapse
     # the projections into the join and re-fold both norms per pair
-    matched = keyed.join(stored, "cell").select(
+    return keyed.join(stored, "cell").select(
         "new_id",
+        "ev",
         "a",
         F.round(
             SIM.cosine_arrow(F.col("__e_b"), F.col("__e_a")), 6
         ).alias("cosine_sim"),
     ).where(F.col("cosine_sim") >= _ST_SEM_THR)
-    best = matched.groupBy("new_id").agg(
+
+
+# --------------------------------------------------------------------
+# Append-mode twins — the BOUNDED-STATE contract for unbounded
+# streams. The complete-mode demos above keep one state row per key
+# forever (fine for drained ingest batches, unbounded on a forever
+# stream). Each twin keys the same aggregation by a watermarked
+# event-time window, runs in APPEND mode, and lets the watermark
+# finalize + EVICT closed windows: state is bounded by (keys in the
+# open window) × (state-store partitions), independent of stream
+# length. The finite test stream converges to the batch recompute
+# restricted to FINALIZED windows — the restriction is part of the
+# oracle, so the watermark semantics themselves are hash-checked.
+# Boundary note: a window whose end equals the final watermark
+# exactly is engine-semantics-sensitive; the synthetic event times
+# (id-minutes, max ids never multiples of 60; event maxima never on
+# the hour) keep every SF off that boundary.
+# --------------------------------------------------------------------
+ST_TOPK_APPEND_ORACLE = """
+WITH h AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+           AS hour_start,
+         date_trunc('hour', ts) + INTERVAL 1 HOUR AS hend,
+         event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM events GROUP BY 1, 2, 3),
+fin AS (SELECT * FROM h WHERE hend <= (SELECT max(ts) FROM events)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY hour_start
+    ORDER BY total DESC, event_type) AS rk
+  FROM fin)
+SELECT hour_start, event_type, n, total FROM ranked WHERE rk <= 3
+"""
+
+
+@query("st_topk_windowed_append", ST_TOPK_APPEND_ORACLE)
+@_with_stream_shuffle
+def st_topk_windowed_append(spark, sf_dir):
+    """Hourly top-3 leaderboard with BOUNDED state: watermarked
+    tumbling windows in append mode — closed hours emit once and
+    their state is evicted, so a forever-stream holds only the open
+    hour's (event_type) rows. The per-hour ranking runs as a batch
+    query over the emitted sink (ranking is not an incremental
+    operator; the sink-then-serve split is the production shape).
+    The unfinalized last hour is absent by watermark semantics and
+    the oracle encodes that."""
+    from pyspark.sql.window import Window
+
+    tune(spark)
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(
+        f"{sf_dir}/events*.parquet"
+    )
+    ev = src.select(_time_col(schema), "event_type", "value")
+    agg = (
+        ev.withWatermark("time", "0 seconds")
+        .groupBy(F.window("time", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("st_topk_app")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sink = spark.table("st_topk_app")
+    w = Window.partitionBy("hour_start").orderBy(
+        F.desc("total"), F.asc("event_type")
+    )
+    return (
+        sink.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("hour_start", "event_type", "n", "total")
+    )
+
+
+def _st_neardup_append_oracle() -> str:
+    return f"""
+WITH full_result AS ({_st_neardup_oracle()})
+SELECT * FROM full_result
+WHERE new_id - 1000000 <
+      (SELECT 60 * (max(doc_id) // 60) FROM documents)
+"""
+
+
+@query("st_neardup_append", _st_neardup_append_oracle())
+@_with_stream_shuffle
+def st_neardup_append(spark, sf_dir):
+    """Near-dup ingest with BOUNDED state: the same candidate stream
+    as st_neardup_stream, but the best-match aggregation keys on a
+    watermarked 60-minute window of the deterministic per-document
+    event time and runs in APPEND mode — each document's best match
+    emits once when its window closes and the state row is evicted.
+    On a forever stream the state is one row per document in the
+    OPEN window, not one per document ever. The oracle is the batch
+    recompute restricted to finalized windows (ids below the last
+    closed 60-id boundary)."""
+    jac = _neardup_jaccard_stream(spark, sf_dir)
+    best = jac.groupBy(F.window("ev", "60 minutes"), "new_id").agg(
+        F.max(
+            F.struct(
+                F.col("jaccard").alias("j"), (-F.col("a")).alias("nega")
+            )
+        ).alias("b")
+    )
+    out = best.select(
+        "new_id",
+        (-F.col("b.nega")).alias("dup_of"),
+        F.col("b.j").alias("jaccard"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("st_neardup_app")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("st_neardup_app")
+
+
+def _st_semdedup_append_oracle() -> str:
+    return f"""
+WITH full_result AS ({_st_semdedup_oracle()})
+SELECT * FROM full_result
+WHERE new_id - 1000000 <
+      (SELECT 60 * (max(vec_id) // 60) FROM embeddings)
+"""
+
+
+@query("st_semdedup_append", _st_semdedup_append_oracle())
+@_with_stream_shuffle
+def st_semdedup_append(spark, sf_dir):
+    """Semantic-dedup ingest with BOUNDED state: st_semdedup_stream's
+    candidate stream aggregated per watermarked 60-minute window in
+    APPEND mode — closed windows emit + evict, so state holds only
+    the open window's vectors. Oracle = batch recompute over
+    finalized windows."""
+    matched = _semdedup_matches_stream(spark, sf_dir)
+    best = matched.groupBy(F.window("ev", "60 minutes"), "new_id").agg(
         F.max(
             F.struct(
                 F.col("cosine_sim").alias("c"), (-F.col("a")).alias("nega")
@@ -886,12 +1107,12 @@ def st_semdedup_stream(spark, sf_dir):
     )
     q = (
         out.writeStream.format("memory")
-        .queryName("st_semdedup")
-        .outputMode("complete")
+        .queryName("st_semdedup_app")
+        .outputMode("append")
         .start()
     )
     try:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table("st_semdedup")
+    return spark.table("st_semdedup_app")

@@ -210,3 +210,38 @@ def test_st_neardup_stream_converges_to_batch(spark, oracle_con):
         for r in QUERIES["d_incremental_neardup"](spark, SF_DIR).collect()
     }
     assert got == batch
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "st_topk_windowed_append",
+        "st_neardup_append",
+        "st_semdedup_append",
+    ],
+)
+def test_append_mode_twins_match_oracle(spark, oracle_con, name):
+    """The bounded-state append-mode twins: watermarked windowed
+    aggregation must emit exactly the finalized windows the oracle's
+    batch recompute predicts (watermark eviction semantics are part
+    of the hash)."""
+    assert_matches_oracle(spark, oracle_con, name)
+
+
+def test_append_twin_is_subset_of_complete(spark):
+    """The append twin emits finalized windows only — a strict subset
+    of the complete-mode result, identical on every emitted key."""
+    from historical_obs_platform_spark.registry import QUERIES
+
+    from .conftest import SF_DIR
+
+    comp = {
+        r["new_id"]: (r["dup_of"], r["cosine_sim"])
+        for r in QUERIES["st_semdedup_stream"](spark, SF_DIR).collect()
+    }
+    app = {
+        r["new_id"]: (r["dup_of"], r["cosine_sim"])
+        for r in QUERIES["st_semdedup_append"](spark, SF_DIR).collect()
+    }
+    assert set(app) < set(comp)
+    assert all(comp[k] == v for k, v in app.items())
