@@ -1390,6 +1390,64 @@ def ivfpq_query(
     )
 
 
+def ivfpq_rerank_topk(
+    cent: DataFrame,
+    cb: DataFrame,
+    codes: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    kprime: int = 25,
+    nprobe: int = 4,
+    m: int = 4,
+    sub_dim: int = 16,
+    round_to: int = 6,
+) -> DataFrame:
+    """Residual re-ranking on top of ADC (the standard second stage
+    of a compressed-vector retriever, Jégou TPAMI'11 §V.D): take the
+    ADC top-``kprime`` candidates (cheap, code-width-bounded
+    accuracy), then score ONLY those with exact unit-L2 distances
+    and keep the top-``k``. Recall is then limited by whether the
+    true neighbors survive the kprime cut, not by the 12-bit codes —
+    measured lift on this corpus in ``s_ivfpq_rerank_recall``.
+
+    Scale shape: the candidate table is queries×kprime rows
+    (broadcast); the exact pass is one map-only broadcast join over
+    the corpus — corpus vectors are touched once, no shuffle, no
+    quadratic stage. Returns (query_id, neighbor_id, exact_d2,
+    rank)."""
+    cand = ivfpq_query(
+        cent, cb, codes, queries, id_col, vec_col, kprime, nprobe, m,
+        sub_dim, round_to,
+    ).select("query_id", "neighbor_id")
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _unit(as_double_array(vec_col)).alias("__cu"),
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"),
+        _unit(as_double_array(vec_col)).alias("__qu"),
+    )
+    scored = (
+        cvec.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn(
+            "exact_d2",
+            F.round(l2sq(F.col("__qu"), F.col("__cu")), round_to),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("exact_d2"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "exact_d2", "rank")
+    )
+
+
 def semdedup(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -611,6 +611,24 @@ def s_ivfpq_recall(spark, sf_dir):
     cent, cb, codes = SIM.ivfpq_index(
         emb, n_cells=16, m=4, ksub=8, sub_dim=16
     )
+    truth = _ivfpq_truth(emb, queries)
+
+    def row(nprobe):
+        approx = SIM.ivfpq_query(
+            cent, cb, codes, queries, k=5, nprobe=nprobe
+        ).select("query_id", "neighbor_id")
+        return _recall_row(truth, approx, f"ivfpq_nprobe{nprobe}")
+
+    out = row(_IVFPQ_PROBES[0][0])
+    for p, _ in _IVFPQ_PROBES[1:]:
+        out = out.unionByName(row(p))
+    return out
+
+
+def _ivfpq_truth(emb, queries, k: int = 5):
+    """Exact unit-L2 top-k ground truth for the first-ten queries —
+    the shared yardstick of every IVFADC recall row (checkpointed:
+    two recall methods re-read it)."""
     qvecs = queries.select(
         F.col("vec_id").alias("query_id"),
         SIM._unit(SIM.as_double_array("embedding")).alias("__qu"),
@@ -622,40 +640,116 @@ def s_ivfpq_recall(spark, sf_dir):
     w = Window.partitionBy("query_id").orderBy(
         F.asc("__d2"), F.asc("neighbor_id")
     )
-    truth = (
+    return (
         cvecs.join(
             F.broadcast(qvecs), F.col("query_id") != F.col("neighbor_id")
         )
         .withColumn("__d2", SIM.l2sq(F.col("__qu"), F.col("__cu")))
         .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 5)
+        .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=False)
     )
 
-    def row(nprobe):
-        approx = SIM.ivfpq_query(
-            cent, cb, codes, queries, k=5, nprobe=nprobe
-        ).select("query_id", "neighbor_id")
-        n_truth = truth.agg(
-            F.count(F.lit(1)).cast("long").alias("n_truth")
-        )
-        n_hit = truth.join(
-            approx, ["query_id", "neighbor_id"], "left_semi"
-        ).agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
-        return n_truth.crossJoin(n_hit).select(
-            F.lit(f"ivfpq_nprobe{nprobe}").alias("method"),
-            "n_truth",
-            "n_hit",
-            F.round(
-                F.col("n_hit").cast("double") / F.col("n_truth"), 6
-            ).alias("recall"),
-        )
 
-    out = row(_IVFPQ_PROBES[0][0])
-    for p, _ in _IVFPQ_PROBES[1:]:
-        out = out.unionByName(row(p))
-    return out
+def _recall_row(truth, pairs, method: str):
+    n_truth = truth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth")
+    )
+    n_hit = truth.join(
+        pairs, ["query_id", "neighbor_id"], "left_semi"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    return n_truth.crossJoin(n_hit).select(
+        F.lit(method).alias("method"),
+        "n_truth",
+        "n_hit",
+        F.round(
+            F.col("n_hit").cast("double") / F.col("n_truth"), 6
+        ).alias("recall"),
+    )
+
+
+def _ivfpq_rerank_oracle(
+    n_cells=16, m=4, ksub=8, sub_dim=16, k=5, kprime=25
+) -> str:
+    """Recall@5 with and without exact residual re-ranking of the ADC
+    top-kprime — the second-stage knob: re-ranked recall is bounded
+    by the kprime cut, not the code width."""
+    total = " + ".join(f"t{s}" for s in range(m))
+
+    def topn(n):
+        return f"""(
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY round({total}, 6), neighbor_id) AS rank
+    FROM adc WHERE query_id <> neighbor_id) WHERE rank <= {n})"""
+
+    def recall(method, src):
+        return f"""
+SELECT '{method}' AS method,
+       CAST(t.n AS BIGINT) AS n_truth, CAST(h.n AS BIGINT) AS n_hit,
+       round(CAST(h.n AS DOUBLE) / t.n, 6) AS recall
+FROM (SELECT count(*) AS n FROM truth) t,
+     (SELECT count(*) AS n FROM truth
+      JOIN {src} p USING (query_id, neighbor_id)) h"""
+
+    return f"""{_ivfpq_base(n_cells, m, ksub, sub_dim)},
+{_ivfpq_qctes(4, m, sub_dim)},
+cand AS {topn(kprime)},
+rr AS (
+  SELECT c.query_id, c.neighbor_id,
+         round({_d2('qu.uv', 'nu.uv')}, 6) AS exact_d2
+  FROM cand c JOIN u qu ON qu.vec_id = c.query_id
+       JOIN u nu ON nu.vec_id = c.neighbor_id
+),
+rtop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY exact_d2, neighbor_id) AS rank
+    FROM rr) WHERE rank <= {k}
+),
+tscored AS (
+  SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
+         {_d2('q.uv', 'c2.uv')} AS d2
+  FROM u q, u c2 WHERE q.vec_id < 10 AND c2.vec_id <> q.vec_id
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY d2, neighbor_id) AS rank
+    FROM tscored) WHERE rank <= {k}
+)
+{recall(f'ivfpq_adc@{k}', topn(k))}
+UNION ALL
+{recall(f'ivfpq_rerank{kprime}@{k}', 'rtop')}
+"""
+
+
+@query("s_ivfpq_rerank_recall", _ivfpq_rerank_oracle())
+def s_ivfpq_rerank_recall(spark, sf_dir):
+    """Recall@5 of plain ADC vs ADC + exact re-ranking of the top-25
+    candidates (``ivfpq_rerank_topk``), one shared index build. The
+    measured knob: re-ranking replaces the 12-bit-code distance with
+    the true distance on a kprime-bounded candidate set, so recall
+    rises to the fraction of true neighbors surviving the kprime cut
+    — at 100 TB the extra cost is one broadcast map-only pass over
+    the corpus, no shuffle (see ``ivfpq_rerank_topk``)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    cent, cb, codes = SIM.ivfpq_index(
+        emb, n_cells=16, m=4, ksub=8, sub_dim=16
+    )
+    truth = _ivfpq_truth(emb, queries)
+    adc5 = SIM.ivfpq_query(
+        cent, cb, codes, queries, k=5, nprobe=4
+    ).select("query_id", "neighbor_id")
+    rr5 = SIM.ivfpq_rerank_topk(
+        cent, cb, codes, emb, queries, k=5, kprime=25, nprobe=4
+    ).select("query_id", "neighbor_id")
+    return _recall_row(truth, adc5, "ivfpq_adc@5").unionByName(
+        _recall_row(truth, rr5, "ivfpq_rerank25@5")
+    )
 
 
 # --------------------------------------------------------------------

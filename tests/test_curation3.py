@@ -292,3 +292,18 @@ def test_ewma_halving_semantics(spark):
             assert r["ewma"] == want
             prev = r["ewma"]
         break  # one station suffices for the recurrence check
+
+
+def test_ivfpq_rerank_recall_oracle_and_lift(spark, oracle_con):
+    """Residual re-ranking matches its oracle AND measurably lifts
+    recall over plain ADC (the knob must do something)."""
+    assert_matches_oracle(spark, oracle_con, "s_ivfpq_rerank_recall")
+    from historical_obs_platform_spark.registry import QUERIES
+
+    from .conftest import SF_DIR
+
+    rows = {
+        r["method"]: r["recall"]
+        for r in QUERIES["s_ivfpq_rerank_recall"](spark, SF_DIR).collect()
+    }
+    assert rows["ivfpq_rerank25@5"] > rows["ivfpq_adc@5"]
