@@ -1089,6 +1089,46 @@ def pq_codebooks(
     )
 
 
+def pq_codebooks_sharded(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    ksub: int = 8,
+    sub_dim: int = 16,
+    n_shards: int = 2,
+    iters: int = 1,
+) -> DataFrame:
+    """MERGE-able PQ index build: train an independent ``ksub``-code
+    codebook per data shard (``id % n_shards``) and merge by CODEBOOK
+    UNION — shard sh's code ``j`` becomes ``sh·ksub + j``. Shards
+    never exchange data during training (the same embarrassing
+    parallelism as the sketch merges: each shard's Lloyd step sees
+    only its own rows), and the merged book is a plain union; the one
+    corpus-wide pass is the re-assignment every codebook build needs
+    anyway (map-only). The result is a valid (m, n_shards·ksub)
+    codebook — recall vs the same-budget global book is measured in
+    ``s_pq_shard_merge_recall``. Returns (s, j, __cent) local rows,
+    exchangeable with ``pq_codebooks`` output."""
+    books = []
+    for sh in range(n_shards):
+        shard = corpus.where(
+            F.pmod(F.col(id_col), F.lit(n_shards)) == sh
+        )
+        cb = pq_codebooks(
+            shard, id_col, vec_col, m, ksub, sub_dim, iters
+        )
+        books.append(
+            cb.select(
+                "s", (F.col("j") + sh * ksub).alias("j"), "__cent"
+            )
+        )
+    merged = books[0]
+    for b in books[1:]:
+        merged = merged.unionByName(b)
+    return merged
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1100,6 +1140,7 @@ def pq_adc_topk(
     sub_dim: int = 16,
     iters: int = 1,
     round_to: int = 6,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: the corpus is
     compressed to ``m`` one-byte codes per vector; each query builds
@@ -1117,9 +1158,14 @@ def pq_adc_topk(
     columns, added left-to-right) keeps the float result
     engine-portable where a shuffled float SUM would not be.
 
-    Returns (query_id, neighbor_id, approx_dist, rank).
+    Returns (query_id, neighbor_id, approx_dist, rank). Pass
+    ``cents`` to score against a prebuilt codebook (e.g. the
+    shard-merged one from ``pq_codebooks_sharded``).
     """
-    cents = pq_codebooks(corpus, id_col, vec_col, m, ksub, sub_dim, iters)
+    if cents is None:
+        cents = pq_codebooks(
+            corpus, id_col, vec_col, m, ksub, sub_dim, iters
+        )
     cvecs = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(vec_col).alias("__v"),

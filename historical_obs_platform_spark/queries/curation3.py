@@ -252,30 +252,10 @@ def s_pq_recall(spark, sf_dir):
     ``l2sq`` composition, so both engines rank identically."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    qvecs = queries.select(
-        F.col("vec_id").alias("query_id"),
-        SIM.as_double_array("embedding").alias("__qv"),
-    )
-    cvecs = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        SIM.as_double_array("embedding").alias("__cv"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("__d2"), F.asc("neighbor_id")
-    )
     # materialized once: the truth subplan (corpus × queries with
     # three 64-element folds per pair) is read four times below
     # (n_truth + n_hit per operating point)
-    truth = (
-        cvecs.join(
-            F.broadcast(qvecs), F.col("query_id") != F.col("neighbor_id")
-        )
-        .withColumn("__d2", SIM.l2sq(F.col("__qv"), F.col("__cv")))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=False)
-    )
+    truth = _pq_truth(emb, queries)
 
     def row(p):
         approx = SIM.pq_adc_topk(
@@ -287,25 +267,187 @@ def s_pq_recall(spark, sf_dir):
             sub_dim=p["sub_dim"],
             iters=1,
         ).select("query_id", "neighbor_id")
-        n_truth = truth.agg(
-            F.count(F.lit(1)).cast("long").alias("n_truth")
-        )
-        n_hit = truth.join(
-            approx, ["query_id", "neighbor_id"], "left_semi"
-        ).agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
-        return n_truth.crossJoin(n_hit).select(
-            F.lit(f"pq_adc_m{p['m']}k{p['ksub']}").alias("method"),
-            "n_truth",
-            "n_hit",
-            F.round(
-                F.col("n_hit").cast("double") / F.col("n_truth"), 6
-            ).alias("recall"),
+        return _recall_row(
+            truth, approx, f"pq_adc_m{p['m']}k{p['ksub']}"
         )
 
     out = row(_PQ_POINTS[0])
     for p in _PQ_POINTS[1:]:
         out = out.unionByName(row(p))
     return out
+
+
+def _pq_truth(emb, queries, k: int = 5):
+    """Exact RAW-vector L2 top-k truth (PQ approximates L2, not
+    cosine — no unit normalization here, unlike ``_ivfpq_truth``)."""
+    qvecs = queries.select(
+        F.col("vec_id").alias("query_id"),
+        SIM.as_double_array("embedding").alias("__qv"),
+    )
+    cvecs = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        SIM.as_double_array("embedding").alias("__cv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("__d2"), F.asc("neighbor_id")
+    )
+    return (
+        cvecs.join(
+            F.broadcast(qvecs), F.col("query_id") != F.col("neighbor_id")
+        )
+        .withColumn("__d2", SIM.l2sq(F.col("__qv"), F.col("__cv")))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+
+
+def _pq_train_ctes(src: str, m=4, ksub=8, sub_dim=16, sfx="") -> str:
+    """Training-only PQ CTEs (subspaces → seeds → one Lloyd step →
+    codebook) from an arbitrary source CTE ``src`` — the per-shard
+    building block of the merge oracle."""
+    d2 = _d2
+    return f"""
+sub{sfx} AS (
+  SELECT vec_id, t.s, e[t.s * {sub_dim} + 1:(t.s + 1) * {sub_dim}] AS sv
+  FROM {src}, range({m}) t(s)
+),
+seeds{sfx} AS (
+  SELECT s,
+         CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1
+              AS INTEGER) AS j,
+         sv AS cent
+  FROM sub{sfx}
+  WHERE vec_id IN (SELECT vec_id FROM {src} ORDER BY vec_id LIMIT {ksub})
+),
+assign0{sfx} AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT sub.vec_id, sub.s, seeds.j,
+           row_number() OVER (PARTITION BY sub.vec_id, sub.s
+             ORDER BY {d2('sub.sv', 'seeds.cent')}, seeds.j) AS r
+    FROM sub{sfx} sub JOIN seeds{sfx} seeds USING (s)) WHERE r = 1
+),
+means{sfx} AS (
+  SELECT a.s, a.code AS j, t.i AS pos,
+         round(avg(sub.sv[t.i + 1]), 9) AS val
+  FROM sub{sfx} sub
+  JOIN assign0{sfx} a ON sub.vec_id = a.vec_id AND sub.s = a.s,
+       range({sub_dim}) t(i)
+  GROUP BY a.s, a.code, t.i
+),
+cent1{sfx} AS (
+  SELECT s, j, list(val ORDER BY pos) AS cent
+  FROM means{sfx} GROUP BY s, j
+)"""
+
+
+def _pq_shard_merge_oracle(
+    m=4, ksub=8, sub_dim=16, k=5, n_shards=2
+) -> str:
+    total = " + ".join(f"t{s}" for s in range(m))
+    terms = ", ".join(
+        f"sum(CASE WHEN cd.s = {s} THEN q.d2 END) AS t{s}"
+        for s in range(m)
+    )
+    shard_chains = ",".join(
+        f"""
+c_s{sh} AS (SELECT * FROM c WHERE vec_id % {n_shards} = {sh}),{
+            _pq_train_ctes(f"c_s{sh}", m, ksub, sub_dim, f"_s{sh}")}"""
+        for sh in range(n_shards)
+    )
+    union = " UNION ALL ".join(
+        f"SELECT s, j + {sh * ksub} AS j, cent FROM cent1_s{sh}"
+        for sh in range(n_shards)
+    )
+
+    def recall(method, src):
+        return f"""
+SELECT '{method}' AS method,
+       CAST(t.n AS BIGINT) AS n_truth, CAST(h.n AS BIGINT) AS n_hit,
+       round(CAST(h.n AS DOUBLE) / t.n, 6) AS recall
+FROM (SELECT count(*) AS n FROM truth) t,
+     (SELECT count(*) AS n FROM truth
+      JOIN {src} p USING (query_id, neighbor_id)) h"""
+
+    def topk(adc):
+        return f"""(
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY round({total}, 6), neighbor_id) AS rank
+    FROM {adc} WHERE query_id <> neighbor_id) WHERE rank <= {k})"""
+
+    return f"""{_C_CTE}{shard_chains},
+centm AS ({union}),
+subm AS (
+  SELECT vec_id, t.s, e[t.s * {sub_dim} + 1:(t.s + 1) * {sub_dim}] AS sv
+  FROM c, range({m}) t(s)
+),
+codesm AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT sub.vec_id, sub.s, cm.j,
+           row_number() OVER (PARTITION BY sub.vec_id, sub.s
+             ORDER BY {_d2('sub.sv', 'cm.cent')}, cm.j) AS r
+    FROM subm sub JOIN centm cm USING (s)) WHERE r = 1
+),
+qdistm AS (
+  SELECT sub.vec_id AS query_id, sub.s, cm.j,
+         {_d2('sub.sv', 'cm.cent')} AS d2
+  FROM subm sub JOIN centm cm USING (s) WHERE sub.vec_id < 10
+),
+adcm AS (
+  SELECT q.query_id, cd.vec_id AS neighbor_id, {terms}
+  FROM codesm cd JOIN qdistm q ON cd.s = q.s AND cd.code = q.j
+  GROUP BY 1, 2
+),{_pq_ctes(m, ksub, sub_dim, "_g")},
+tscored AS (
+  SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
+         {_d2('q.e', 'c2.e')} AS d2
+  FROM c q, c c2 WHERE q.vec_id < 10 AND c2.vec_id <> q.vec_id
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY d2, neighbor_id) AS rank
+    FROM tscored) WHERE rank <= {k}
+)
+{recall(f'pq_global_k{ksub}', topk('adc_g'))}
+UNION ALL
+{recall(f'pq_merge{n_shards}x{ksub}', topk('adcm'))}
+"""
+
+
+@query("s_pq_shard_merge_recall", _pq_shard_merge_oracle())
+def s_pq_shard_merge_recall(spark, sf_dir):
+    """Merge-able PQ index build, recall-checked: codebooks trained
+    INDEPENDENTLY on two id-sharded halves of the corpus (no data
+    exchange during training — the sketch-merge shape applied to an
+    ANN index) and merged by codebook union with re-indexed codes,
+    vs one global book of the same per-shard budget. The union book
+    has n_shards·ksub codes per subspace for the same training
+    wall-clock. Measured takeaway on this corpus (isotropic random
+    embeddings): recall PARITY — structure-free vectors don't reward
+    finer codes, so the merge costs nothing and the build
+    parallelizes freely; on clustered real embeddings the extra
+    codes are where the lift would come from. The corpus-wide
+    re-assignment is the one map-only pass every codebook build
+    needs anyway."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    truth = _pq_truth(emb, queries)
+    glob = SIM.pq_adc_topk(
+        emb, queries, k=5, m=4, ksub=8, sub_dim=16, iters=1
+    ).select("query_id", "neighbor_id")
+    merged_cb = SIM.pq_codebooks_sharded(
+        emb, m=4, ksub=8, sub_dim=16, n_shards=2, iters=1
+    )
+    merged = SIM.pq_adc_topk(
+        emb, queries, k=5, m=4, ksub=8, sub_dim=16, cents=merged_cb
+    ).select("query_id", "neighbor_id")
+    return _recall_row(truth, glob, "pq_global_k8").unionByName(
+        _recall_row(truth, merged, "pq_merge2x8")
+    )
 
 
 @query("d_semdedup", _semdedup_oracle())

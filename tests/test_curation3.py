@@ -307,3 +307,18 @@ def test_ivfpq_rerank_recall_oracle_and_lift(spark, oracle_con):
         for r in QUERIES["s_ivfpq_rerank_recall"](spark, SF_DIR).collect()
     }
     assert rows["ivfpq_rerank25@5"] > rows["ivfpq_adc@5"]
+
+
+def test_pq_shard_merge_recall_oracle(spark, oracle_con):
+    """Shard-trained + union-merged codebook matches its oracle; the
+    merged book must contain both shards' code ranges (0..7, 8..15)."""
+    assert_matches_oracle(spark, oracle_con, "s_pq_shard_merge_recall")
+    from historical_obs_platform_spark.operators import similarity as SIM
+    from historical_obs_platform_spark.queries.common import table
+
+    from .conftest import SF_DIR
+
+    emb = table(spark, SF_DIR, "embeddings")
+    cb = SIM.pq_codebooks_sharded(emb, m=4, ksub=8, sub_dim=16, n_shards=2)
+    js = {r["j"] for r in cb.select("j").distinct().collect()}
+    assert js == set(range(16))
