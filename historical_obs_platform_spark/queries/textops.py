@@ -1610,3 +1610,71 @@ def d_incremental_neardup(spark, sf_dir):
             "jaccard",
         )
     )
+
+
+# --------------------------------------------------------------------
+# Leakage-safe train/val/test split: a document's split is a pure
+# function of its near-dup CLUSTER representative, so two near-
+# duplicate documents can never straddle train and test — the
+# group-aware split that keeps eval contamination out (the failure
+# p_split_assign's per-doc hash allows: a dup pair hashing into
+# different splits leaks test content into training). Scale shape:
+# the component table is ∝ the duplicate subset (tiny), broadcast-
+# joined onto the corpus; split assignment stays a stateless
+# projection; singletons (no near-dup) key on their own id. Oracle:
+# the recursive-CTE components + the same 48-bit md5 fraction.
+# --------------------------------------------------------------------
+from ..operators.sketches import _hash_fraction_sql  # noqa: E402
+
+_LSPLIT_FRAC = _hash_fraction_sql(
+    "md5(concat('lsplit:', cast(grp as string)))"
+)
+_LSPLIT_CASE = (
+    f"CASE WHEN {_LSPLIT_FRAC} < 0.8 THEN 'train' "
+    f"WHEN {_LSPLIT_FRAC} < 0.9 THEN 'val' ELSE 'test' END"
+)
+
+
+def _leakage_safe_split_oracle() -> str:
+    return (
+        _components_cte()
+        + f""",
+rep AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS grp
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+)
+SELECT {_LSPLIT_CASE} AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+FROM rep GROUP BY 1
+"""
+    )
+
+
+def leakage_safe_split(spark, sf_dir):
+    """Per-document (doc_id, grp, split) assignment — the reusable
+    building block; the registered query audits it per split."""
+    shingles, cand = _lsh_shared(spark, sf_dir)
+    pairs = DD.jaccard_pairs(
+        shingles, "doc_id", min_jaccard=0.5, candidates=cand
+    ).select("a", "b")
+    comp = DD.connected_components(pairs).withColumnRenamed(
+        "node", "doc_id"
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    rep = docs.join(F.broadcast(comp), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("grp"),
+    )
+    return rep.withColumn("split", F.expr(_LSPLIT_CASE))
+
+
+@query("p_leakage_safe_split", _leakage_safe_split_oracle())
+def p_leakage_safe_split(spark, sf_dir):
+    assigned = leakage_safe_split(spark, sf_dir)
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("grp").alias("n_groups"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+    )

@@ -419,3 +419,26 @@ def test_incremental_neardup_finds_planted_sources(spark):
     assert (out["dup_of"] == out["new_id"] - 1000000).all()
     assert (out["jaccard"] >= 0.8).all()
     assert out["new_id"].is_unique
+
+
+def test_leakage_safe_split_oracle_and_invariant(spark, oracle_con):
+    """Group-aware split matches its oracle; no near-dup cluster may
+    straddle two splits (the leakage guarantee), and near-dup pairs
+    provably co-locate."""
+    from pyspark.sql import functions as F
+
+    from historical_obs_platform_spark.queries.textops import (
+        leakage_safe_split,
+    )
+
+    from .conftest import SF_DIR, assert_matches_oracle
+
+    assert_matches_oracle(spark, oracle_con, "p_leakage_safe_split")
+    assigned = leakage_safe_split(spark, SF_DIR)
+    span = (
+        assigned.groupBy("grp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .count()
+    )
+    assert span == 0
