@@ -1,0 +1,494 @@
+"""Round-4 curation depth: document-quality gating, temperature-scaled
+mixture sampling, label propagation (k-NN classify), a fully-relational
+naive-Bayes domain classifier (train + score in one plan), and the
+per-source duplication report a corpus owner reads first.
+
+Each query is backed by a DuckDB oracle computing the identical
+definition; floating-point results are either integer-exact (the NB
+scorer uses fixed-point ppm arithmetic) or rounded to 6 decimals after
+a deterministic fold order, per the repo's determinism rules.
+
+Reference parity: the reference has no LLM-curation surface; these are
+the "beyond reference" training-data operators (SURVEY.md §2.11),
+modeled on public recipes — Gopher quality rules (Rae et al. 2021,
+Table A1), temperature-scaled multilingual sampling (Conneau et al.
+2020 §3.1 / mT5), SemDeDup-style label-vote curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import textfns as TX
+from ..operators import dedup as DD
+from ..operators import similarity as SIM
+from ..registry import query
+from .common import table
+from .textops import NORM, TOKS
+
+_SW_SQL = "('" + "', '".join(TX.STOPWORDS) + "')"
+
+
+# --------------------------------------------------------------------
+# Gopher-style document quality gates (Rae et al. 2021, Table A1 —
+# the subset computable without a tokenizer model): word-count
+# bounds, mean-word-length bounds, alphabetic-word fraction, stopword
+# floor, and a top-token repetition cap. One explode → two hash
+# aggregations (both map-side combinable); no window, no UDF. At
+# 100 TB this is the same shape as a word-count: shuffle on
+# (doc_id, tok) then on doc_id.
+# --------------------------------------------------------------------
+GOPHER_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS}) AS tok FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+),
+m AS (
+  SELECT doc_id,
+         CAST(sum(tf) AS BIGINT) AS n_tokens,
+         round(sum(length(tok) * tf) * 1.0 / sum(tf), 6) AS mean_word_len,
+         round(sum(CASE WHEN regexp_matches(tok, '[a-z]') THEN tf
+                        ELSE 0 END) * 1.0 / sum(tf), 6) AS frac_alpha,
+         CAST(sum(CASE WHEN tok IN {_SW_SQL} THEN tf ELSE 0 END)
+              AS BIGINT) AS n_stopwords,
+         round(max(tf) * 1.0 / sum(tf), 6) AS top_token_frac
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, mean_word_len, frac_alpha, n_stopwords,
+       top_token_frac,
+       CAST(n_tokens BETWEEN 50 AND 100000 AS INTEGER) AS pass_word_count,
+       CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INTEGER) AS pass_mean_wl,
+       CAST(frac_alpha >= 0.8 AS INTEGER) AS pass_alpha,
+       CAST(n_stopwords >= 2 AS INTEGER) AS pass_stopwords,
+       CAST(top_token_frac <= 0.2 AS INTEGER) AS pass_repetition,
+       CAST(n_tokens BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND frac_alpha >= 0.8
+            AND n_stopwords >= 2
+            AND top_token_frac <= 0.2 AS INTEGER) AS pass_all
+FROM m
+"""
+
+
+@query("t_gopher_rules", GOPHER_ORACLE)
+def t_gopher_rules(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(DD.normalize_text("text"), " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    is_stop = F.col("tok").isin(list(TX.STOPWORDS))
+    m = tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum(F.length("tok") * F.col("tf")) / F.sum("tf"), 6
+        ).alias("mean_word_len"),
+        F.round(
+            F.sum(F.when(F.col("tok").rlike("[a-z]"), F.col("tf")).otherwise(0))
+            / F.sum("tf"),
+            6,
+        ).alias("frac_alpha"),
+        F.sum(F.when(is_stop, F.col("tf")).otherwise(0))
+        .cast("long")
+        .alias("n_stopwords"),
+        F.round(F.max("tf") / F.sum("tf"), 6).alias("top_token_frac"),
+    )
+    g_wc = F.col("n_tokens").between(50, 100000)
+    g_wl = F.col("mean_word_len").between(3.0, 10.0)
+    g_al = F.col("frac_alpha") >= 0.8
+    g_sw = F.col("n_stopwords") >= 2
+    g_rep = F.col("top_token_frac") <= 0.2
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "mean_word_len",
+        "frac_alpha",
+        "n_stopwords",
+        "top_token_frac",
+        g_wc.cast("int").alias("pass_word_count"),
+        g_wl.cast("int").alias("pass_mean_wl"),
+        g_al.cast("int").alias("pass_alpha"),
+        g_sw.cast("int").alias("pass_stopwords"),
+        g_rep.cast("int").alias("pass_repetition"),
+        (g_wc & g_wl & g_al & g_sw & g_rep).cast("int").alias("pass_all"),
+    )
+
+
+# --------------------------------------------------------------------
+# Temperature-scaled mixture sampling (Conneau et al. 2020 §3.1;
+# mT5): q_s ∝ p_s^α flattens the domain distribution; weight
+# q_s / p_s is the per-domain up/down-sampling factor. Two partial
+# aggregations + a broadcast one-row total — never a second corpus
+# scan. The normalizer Σ p^α is folded over a source-sorted array so
+# the float sum order is identical in both engines.
+# --------------------------------------------------------------------
+_ALPHA = 0.3
+_NTOK = (
+    f"sum(CASE WHEN len({TOKS}) = 1 AND {TOKS}[1] = '' THEN 0 "
+    f"ELSE len({TOKS}) END)"
+)
+
+TEMPERATURE_ORACLE = f"""
+WITH per AS (
+  SELECT source, CAST({_NTOK} AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per),
+p AS (
+  SELECT source, n_tokens,
+         CAST(n_tokens AS DOUBLE) / t AS p_s
+  FROM per, tot
+),
+z AS (
+  SELECT list_aggregate(
+           list_transform(list(pow(p_s, {_ALPHA}) ORDER BY source),
+                          x -> x),
+           'sum') AS z
+  FROM p
+)
+SELECT source, n_tokens,
+       round(p_s, 6) AS token_share,
+       round(pow(p_s, {_ALPHA}) / z, 6) AS temp_share,
+       round(pow(p_s, {_ALPHA}) / z / p_s, 6) AS weight,
+       CAST(floor(pow(p_s, {_ALPHA}) / z * 1000000) AS BIGINT)
+         AS budget_tokens_1m
+FROM p, z
+"""
+
+
+@query("p_temperature_mixture", TEMPERATURE_ORACLE)
+def p_temperature_mixture(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(TX.token_count("text")).cast("long").alias("n_tokens")
+    )
+    tot = per.agg(F.sum("n_tokens").cast("long").alias("t"))
+    p = per.crossJoin(F.broadcast(tot)).withColumn(
+        "p_s", F.col("n_tokens").cast("double") / F.col("t")
+    )
+    # deterministic normalizer: fold pow(p, alpha) in source order
+    z = p.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("source"), F.pow("p_s", _ALPHA).alias("pa"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["pa"],
+        ).alias("z")
+    )
+    q_s = F.pow("p_s", _ALPHA) / F.col("z")
+    return p.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_tokens",
+        F.round("p_s", 6).alias("token_share"),
+        F.round(q_s, 6).alias("temp_share"),
+        F.round(q_s / F.col("p_s"), 6).alias("weight"),
+        F.floor(q_s * 1000000).cast("long").alias("budget_tokens_1m"),
+    )
+
+
+# --------------------------------------------------------------------
+# k-NN label classification (label propagation / curation-by-vote):
+# the 20 lowest-id vectors are the "unlabeled" queries; each takes
+# the majority label of its top-5 cosine neighbors in the remaining
+# corpus (ties: larger vote count, then smaller label). Queries are
+# broadcast; the corpus streams through one stage — the exact
+# brute-force baseline whose ANN scale path is the IVF/PQ family.
+# --------------------------------------------------------------------
+_DOT = (
+    "list_aggregate(list_transform(list_zip({a}, {b}), "
+    "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')"
+)
+
+KNN_ORACLE = f"""
+WITH q AS (SELECT * FROM embeddings WHERE vec_id < 20),
+c AS (SELECT * FROM embeddings WHERE vec_id >= 20),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS true_label,
+         c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         round({_DOT.format(a='q.embedding', b='c.embedding')}
+           / (sqrt({_DOT.format(a='q.embedding', b='q.embedding')})
+              * sqrt({_DOT.format(a='c.embedding', b='c.embedding')})),
+           6) AS cosine_sim
+  FROM q JOIN c ON true
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+    FROM scored
+  ) WHERE rnk <= 5
+),
+votes AS (
+  SELECT query_id, true_label, neighbor_label,
+         count(*) AS n_votes
+  FROM topk GROUP BY query_id, true_label, neighbor_label
+)
+SELECT query_id, true_label,
+       neighbor_label AS predicted_label,
+       CAST(n_votes AS BIGINT) AS n_votes,
+       CAST(neighbor_label = true_label AS INTEGER) AS correct
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY n_votes DESC, neighbor_label) AS vr
+  FROM votes
+) WHERE vr = 1
+"""
+
+
+@query("s_knn_classify", KNN_ORACLE)
+def s_knn_classify(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    corpus = emb.where(F.col("vec_id") >= 20)
+    topk = SIM.cosine_topk(corpus, queries, k=5)
+    labeled = topk.join(
+        F.broadcast(
+            queries.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("true_label"),
+            )
+        ),
+        "query_id",
+    ).join(
+        corpus.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+        ),
+        "neighbor_id",
+    )
+    votes = labeled.groupBy(
+        "query_id", "true_label", "neighbor_label"
+    ).agg(F.count(F.lit(1)).alias("n_votes"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("neighbor_label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(w))
+        .where(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("neighbor_label").alias("predicted_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+            (F.col("neighbor_label") == F.col("true_label"))
+            .cast("int")
+            .alias("correct"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Naive-Bayes domain classifier, trained AND applied in one
+# relational plan — the fastText-classifier role (quality/domain
+# tagging) without a model artifact. Scoring is fixed-point: the
+# Laplace-smoothed token likelihood is quantized to parts-per-million
+# with INTEGER division, so scores are BIGINT-exact across engines
+# (a float log-sum would be ulp-divergent; the repo rule is
+# integer-exact scores where rounding could split engines). The
+# scorer is linear in likelihood space — sum of tf·ppm(tok|class) —
+# which preserves the argmax behavior a smoothed unigram voter needs
+# while staying exactly reproducible.
+#
+# Plan shape at 100 TB: token table shuffles on tok to meet the
+# (tok × class) likelihood table (vocab-sized, hash join — AQE
+# broadcasts it when small); per-doc score is one map-side-combinable
+# aggregation on (doc_id, class). Nothing is corpus-quadratic; the
+# class dimension (20) rides as a broadcast cross of class constants.
+# --------------------------------------------------------------------
+NB_ORACLE = f"""
+WITH tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest({TOKS}) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY doc_id, tok
+),
+truth AS (SELECT doc_id, source FROM documents),
+vocab AS (SELECT count(DISTINCT tok) AS v FROM tf),
+cls AS (
+  SELECT t.source AS class, CAST(sum(f.tf) AS BIGINT) AS tot,
+         count(DISTINCT t.doc_id) AS n_docs
+  FROM tf f JOIN truth t USING (doc_id) GROUP BY t.source
+),
+alldocs AS (SELECT count(*) AS n FROM documents),
+prior AS (
+  SELECT class, (n_docs * 1000000) // n AS prior_ppm,
+         tot FROM cls, alldocs
+),
+ccnt AS (
+  SELECT t.source AS class, f.tok, CAST(sum(f.tf) AS BIGINT) AS cnt
+  FROM tf f JOIN truth t USING (doc_id) GROUP BY t.source, f.tok
+),
+lik AS (
+  SELECT c.class, c.tok,
+         ((c.cnt + 1) * 1000000) // (p.tot + v.v) AS ppm
+  FROM ccnt c JOIN prior p USING (class) CROSS JOIN vocab v
+),
+dflt AS (
+  SELECT p.class, 1000000 // (p.tot + v.v) AS ppm0
+  FROM prior p CROSS JOIN vocab v
+),
+scored AS (
+  SELECT f.doc_id, d.class,
+         CAST(max(p.prior_ppm)
+              + sum(f.tf * coalesce(l.ppm, d.ppm0)) AS BIGINT) AS score
+  FROM tf f
+  CROSS JOIN dflt d
+  LEFT JOIN lik l ON l.class = d.class AND l.tok = f.tok
+  JOIN prior p ON p.class = d.class
+  GROUP BY f.doc_id, d.class
+)
+SELECT s.doc_id, t.source AS true_source,
+       s.class AS predicted_source, s.score,
+       CAST(s.class = t.source AS INTEGER) AS correct
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, class) AS r
+  FROM scored
+) s JOIN truth t USING (doc_id)
+WHERE s.r = 1
+"""
+
+
+@query("t_nb_domain_classify", NB_ORACLE)
+def t_nb_domain_classify(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(DD.normalize_text("text"), " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    truth = docs.select("doc_id", "source")
+    vocab = tf.agg(F.countDistinct("tok").alias("v"))
+    labeled = tf.join(truth, "doc_id")
+    cls = labeled.groupBy(F.col("source").alias("class")).agg(
+        F.sum("tf").cast("long").alias("tot"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    alldocs = docs.agg(F.count(F.lit(1)).alias("n"))
+    prior = cls.crossJoin(F.broadcast(alldocs)).select(
+        "class",
+        F.expr("(n_docs * 1000000) div n").alias("prior_ppm"),
+        "tot",
+    )
+    ccnt = labeled.groupBy(
+        F.col("source").alias("class"), "tok"
+    ).agg(F.sum("tf").cast("long").alias("cnt"))
+    lik = (
+        ccnt.join(F.broadcast(prior), "class")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "class",
+            "tok",
+            F.expr("((cnt + 1) * 1000000) div (tot + v)").alias("ppm"),
+        )
+    )
+    dflt = (
+        prior.crossJoin(F.broadcast(vocab))
+        .select("class", F.expr("1000000 div (tot + v)").alias("ppm0"))
+    )
+    scored = (
+        tf.crossJoin(F.broadcast(dflt))
+        .join(lik, ["class", "tok"], "left")
+        .join(F.broadcast(prior.select("class", "prior_ppm")), "class")
+        .groupBy("doc_id", "class")
+        .agg(
+            (
+                F.max("prior_ppm")
+                + F.sum(F.col("tf") * F.coalesce("ppm", "ppm0"))
+            )
+            .cast("long")
+            .alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("class"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .join(truth, "doc_id")
+        .select(
+            "doc_id",
+            F.col("source").alias("true_source"),
+            F.col("class").alias("predicted_source"),
+            "score",
+            (F.col("class") == F.col("source")).cast("int").alias("correct"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Per-source duplication report — the first table a corpus owner
+# reads: for each source, how many docs, how many are non-canonical
+# members of a near-dup cluster (would be removed keeping the min-id
+# representative), and the dup rate. Reuses the shared LSH candidate
+# index + jaccard confirm + min-label components; the report itself
+# is one broadcast-joined aggregation.
+# --------------------------------------------------------------------
+def _dup_by_source_oracle() -> str:
+    from .textops import _components_cte
+
+    return (
+        _components_cte()
+        + """
+, planted AS (
+  SELECT doc_id, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, source FROM documents
+)
+SELECT p.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN c.node IS NOT NULL AND c.node <> c.component
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       round(sum(CASE WHEN c.node IS NOT NULL AND c.node <> c.component
+                      THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_rate
+FROM planted p LEFT JOIN comp c ON c.node = p.doc_id
+GROUP BY p.source
+"""
+    )
+
+
+@query("report_dup_rate_by_source", _dup_by_source_oracle())
+def report_dup_rate_by_source(spark, sf_dir):
+    from .textops import _lsh_shared
+
+    docs = table(spark, sf_dir, "documents")
+    planted = docs.select("doc_id", "source").unionByName(
+        docs.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "source"
+        )
+    )
+    shingles, cand = _lsh_shared(spark, sf_dir)
+    pairs = DD.jaccard_pairs(
+        shingles, "doc_id", min_jaccard=0.5, candidates=cand
+    ).select("a", "b")
+    comp = DD.connected_components(pairs)
+    is_dup = F.col("node").isNotNull() & (
+        F.col("node") != F.col("component")
+    )
+    return (
+        planted.join(comp, planted.doc_id == comp.node, "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(is_dup.cast("long")).cast("long").alias("n_dup"),
+            F.round(
+                F.sum(is_dup.cast("long")) / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+        )
+    )

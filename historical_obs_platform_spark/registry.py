@@ -36,6 +36,7 @@ def load_all() -> None:
     from .queries import (  # noqa: F401
         chain_demo,
         curation3,
+        curation4,
         datasetops,
         datasetops2,
         networks_demo,

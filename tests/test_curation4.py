@@ -1,0 +1,93 @@
+"""Round-4 curation depth: quality gates, temperature mixture, k-NN
+classify, relational naive Bayes, per-source dup report."""
+
+from __future__ import annotations
+
+from historical_obs_platform_spark import registry
+
+registry.load_all()
+
+from .conftest import assert_matches_oracle
+
+
+def test_gopher_rules_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "t_gopher_rules")
+
+
+def test_gopher_gates_are_conjunctive(spark, oracle_con):
+    from historical_obs_platform_spark.registry import QUERIES
+
+    df = QUERIES["t_gopher_rules"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    gates = [
+        "pass_word_count",
+        "pass_mean_wl",
+        "pass_alpha",
+        "pass_stopwords",
+        "pass_repetition",
+    ]
+    assert (
+        df["pass_all"] == df[gates].min(axis=1)
+    ).all(), "pass_all must be the AND of the individual gates"
+    # the corpus must exercise both branches of at least one gate
+    assert df["pass_all"].nunique() >= 1
+    assert df[gates].to_numpy().min() == 0
+    assert df[gates].to_numpy().max() == 1
+
+
+def test_temperature_mixture_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "p_temperature_mixture")
+
+
+def test_temperature_flattens_mixture(spark):
+    """α<1 up-weights rare domains and down-weights common ones:
+    weight > 1 iff token_share below the (geometric) pivot, and the
+    temp shares still sum to ~1."""
+    from historical_obs_platform_spark.registry import QUERIES
+
+    df = QUERIES["p_temperature_mixture"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    assert abs(df["temp_share"].sum() - 1.0) < 1e-4
+    small = df[df["token_share"] < df["token_share"].mean()]
+    big = df[df["token_share"] > df["token_share"].mean()]
+    assert (
+        small["weight"].mean() > big["weight"].mean()
+    ), "temperature sampling must up-weight rare domains"
+
+
+def test_knn_classify_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "s_knn_classify")
+
+
+def test_nb_domain_classify_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "t_nb_domain_classify")
+
+
+def test_nb_scores_are_integer_exact(spark):
+    from historical_obs_platform_spark.registry import QUERIES
+
+    df = QUERIES["t_nb_domain_classify"](
+        spark, "/root/testdata/sf0.001"
+    )
+    assert dict(df.dtypes)["score"] == "bigint"
+    pdf = df.toPandas()
+    assert len(pdf) == pdf["doc_id"].nunique()  # one prediction/doc
+
+
+def test_dup_rate_by_source_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "report_dup_rate_by_source")
+
+
+def test_dup_rate_finds_planted_duplicates(spark):
+    """Every doc is planted with a perturbed copy; the per-source dup
+    rate must be strictly positive for sources whose docs pair up."""
+    from historical_obs_platform_spark.registry import QUERIES
+
+    df = QUERIES["report_dup_rate_by_source"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    assert (df["n_dup"] <= df["n_docs"]).all()
+    assert df["n_dup"].sum() > 0
+    assert ((df["dup_rate"] >= 0) & (df["dup_rate"] <= 1)).all()
