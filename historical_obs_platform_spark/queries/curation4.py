@@ -440,6 +440,140 @@ def t_nb_domain_classify(spark, sf_dir):
 # index + jaccard confirm + min-label components; the report itself
 # is one broadcast-joined aggregation.
 # --------------------------------------------------------------------
+# --------------------------------------------------------------------
+# Cosine range search (radius query): ALL corpus neighbors above a
+# similarity threshold, not a fixed k — what retrieval-augmented
+# filtering and clone detection actually ask ("everything at least
+# this close"). Same broadcast-queries / one-corpus-stream shape as
+# cosine_topk but with a threshold filter instead of a window, so the
+# plan has NO shuffle at all: scan → score → filter. The LSH/IVF
+# bucket families are the scale path when the query set is large.
+# --------------------------------------------------------------------
+_RANGE_TAU = 0.3
+
+RANGE_ORACLE = f"""
+WITH q AS (SELECT * FROM embeddings WHERE vec_id < 20),
+c AS (SELECT * FROM embeddings WHERE vec_id >= 20)
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       round({_DOT.format(a='q.embedding', b='c.embedding')}
+         / (sqrt({_DOT.format(a='q.embedding', b='q.embedding')})
+            * sqrt({_DOT.format(a='c.embedding', b='c.embedding')})),
+         6) AS cosine_sim
+FROM q JOIN c ON true
+WHERE round({_DOT.format(a='q.embedding', b='c.embedding')}
+        / (sqrt({_DOT.format(a='q.embedding', b='q.embedding')})
+           * sqrt({_DOT.format(a='c.embedding', b='c.embedding')})),
+        6) >= {_RANGE_TAU}
+"""
+
+
+@query("s_range_search", RANGE_ORACLE)
+def s_range_search(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        SIM.as_double_array("embedding").alias("__qv"),
+    ).withColumn("__qn", SIM.norm(F.col("__qv")))
+    c = emb.where(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("neighbor_id"),
+        SIM.as_double_array("embedding").alias("__cv"),
+    ).withColumn("__cn", SIM.norm(F.col("__cv")))
+    return (
+        c.join(F.broadcast(q))
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                SIM.dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ),
+        )
+        .where(F.col("cosine_sim") >= _RANGE_TAU)
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+
+
+# --------------------------------------------------------------------
+# Curriculum buckets: quality-quartile planning (easy→hard ordering
+# for curriculum training). Buckets are defined by VALUE thresholds
+# (exact interpolated quartiles of the rounded quality score,
+# themselves rounded), not by ntile — a global ntile window is a
+# single-partition sort, which dies at corpus scale; threshold
+# bucketing is one aggregate + one broadcast + one grouped pass.
+# --------------------------------------------------------------------
+_Q_SCORE_SQL = f"""
+    round(0.4 * least(len({TOKS}) / 100.0, 1.0)
+      + 0.2 * (CASE WHEN
+          round(list_aggregate(list_transform({TOKS}, w -> length(w)),
+                'sum') / greatest(len({TOKS}), 1), 6) BETWEEN 3.0 AND 8.0
+          THEN 1.0 ELSE 0.5 END)
+      + 0.2 * least(round(len(list_filter({TOKS},
+            w -> w IN ('the','a','of','and','to','in','is','it')))
+            / greatest(len({TOKS}), 1), 6) * 4.0, 1.0)
+      + 0.2 * (1.0 - least(round((length(text)
+            - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+            / greatest(length(text), 1), 6) * 5.0, 1.0)), 6)
+"""
+
+CURRICULUM_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, {_Q_SCORE_SQL} AS quality,
+         len({TOKS}) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT round(quantile_cont(quality, 0.25), 6) AS q1,
+         round(quantile_cont(quality, 0.50), 6) AS q2,
+         round(quantile_cont(quality, 0.75), 6) AS q3
+  FROM scored
+)
+SELECT CAST(1 + CAST(quality > q1 AS INTEGER)
+              + CAST(quality > q2 AS INTEGER)
+              + CAST(quality > q3 AS INTEGER) AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(min(quality), 6) AS min_quality,
+       round(max(quality), 6) AS max_quality
+FROM scored, b
+GROUP BY 1
+"""
+
+
+@query("p_curriculum_buckets", CURRICULUM_ORACLE)
+def p_curriculum_buckets(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        TX.quality_score("text").alias("quality"),
+        TX.token_count("text").alias("n_tokens"),
+    )
+    b = scored.agg(
+        F.round(F.expr("percentile(quality, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(quality, 0.50)"), 6).alias("q2"),
+        F.round(F.expr("percentile(quality, 0.75)"), 6).alias("q3"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(b))
+        .select(
+            (
+                F.lit(1)
+                + (F.col("quality") > F.col("q1")).cast("int")
+                + (F.col("quality") > F.col("q2")).cast("int")
+                + (F.col("quality") > F.col("q3")).cast("int")
+            ).alias("bucket"),
+            "n_tokens",
+            "quality",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.min("quality"), 6).alias("min_quality"),
+            F.round(F.max("quality"), 6).alias("max_quality"),
+        )
+    )
+
+
 def _dup_by_source_oracle() -> str:
     from .textops import _components_cte
 

@@ -39,6 +39,7 @@ def load_all() -> None:
         curation4,
         datasetops,
         datasetops2,
+        graph,
         networks_demo,
         qaqc_demo,
         qaqc_parity,

