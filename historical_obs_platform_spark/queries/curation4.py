@@ -574,6 +574,236 @@ def p_curriculum_buckets(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------
+# LSH candidate recall — "measure, don't guess" for the dedup family:
+# how many of the TRUE near-dup pairs (exact Jaccard ≥ 0.5) does the
+# banded MinHash index actually surface as candidates? Ground truth
+# is computed exactly on a SAMPLED pair universe (pairs touching the
+# 100 lowest original doc ids) via a sample-side inverted index, so
+# the exact computation is sample × corpus, never corpus² — the same
+# asymmetry that makes the harness runnable at any scale while the
+# LSH index under test stays whole-corpus.
+# --------------------------------------------------------------------
+def _lsh_recall_oracle() -> str:
+    from .textops import _shingle_cte
+
+    return f"""
+WITH {_shingle_cte()},
+sample_sh AS (
+  SELECT doc_id, shingle FROM shingles WHERE doc_id % 1000000 < 100
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT least(s.doc_id, o.doc_id) AS a,
+         greatest(s.doc_id, o.doc_id) AS b,
+         count(DISTINCT s.shingle) AS n_common
+  FROM sample_sh s JOIN shingles o
+    ON s.shingle = o.shingle AND s.doc_id <> o.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.a, i.b
+  FROM inter i
+  JOIN sizes sa ON i.a = sa.doc_id
+  JOIN sizes sb ON i.b = sb.doc_id
+  WHERE round(n_common / (sa.sz + sb.sz - n_common), 6) >= 0.5
+),
+{{CAND}}
+hit AS (
+  SELECT t.a FROM truth t
+  JOIN cand_norm c ON c.a = t.a AND c.b = t.b
+)
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+       round((SELECT count(*) FROM hit) * 1.0
+             / greatest((SELECT count(*) FROM truth), 1), 6) AS recall
+"""
+
+
+def _lsh_recall_oracle_full() -> str:
+    # candidate pairs restricted + normalized, from the same banded
+    # index the Spark side uses (textops._lsh_pairs_oracle CTEs)
+    from .textops import LSH_BANDS, LSH_N_HASHES, _minhash_cte
+
+    rows = LSH_N_HASHES // LSH_BANDS
+    band_selects = []
+    for b in range(LSH_BANDS):
+        cat = " || '|' || ".join(
+            f"minhash_{b * rows + r}" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cat}) AS bucket FROM sigs"
+        )
+    buckets = " UNION ALL ".join(band_selects)
+    cand = f"""
+{_minhash_cte()},
+buckets AS ({buckets}),
+cand_norm AS (
+  SELECT DISTINCT least(x.doc_id, y.doc_id) AS a,
+         greatest(x.doc_id, y.doc_id) AS b
+  FROM buckets x JOIN buckets y
+    ON x.band = y.band AND x.bucket = y.bucket
+   AND x.doc_id < y.doc_id
+  WHERE x.doc_id % 1000000 < 100 OR y.doc_id % 1000000 < 100
+),
+"""
+    return _lsh_recall_oracle().replace("{CAND}", cand)
+
+
+@query("d_lsh_recall", _lsh_recall_oracle_full())
+def d_lsh_recall(spark, sf_dir):
+    from .textops import _lsh_shared
+
+    shingles, cand = _lsh_shared(spark, sf_dir)
+    in_sample = lambda c: F.col(c) % 1000000 < 100  # noqa: E731
+    sample_sh = shingles.where(in_sample("doc_id")).select(
+        F.col("doc_id").alias("s_doc"), "shingle"
+    )
+    sizes = shingles.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    inter = (
+        sample_sh.join(
+            shingles.select(F.col("doc_id").alias("o_doc"), "shingle"),
+            "shingle",
+        )
+        .where(F.col("s_doc") != F.col("o_doc"))
+        .select(
+            F.least("s_doc", "o_doc").alias("a"),
+            F.greatest("s_doc", "o_doc").alias("b"),
+            "shingle",
+        )
+        .distinct()
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    truth = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza")),
+            "a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb")),
+            "b",
+        )
+        .where(
+            F.round(
+                F.col("n_common")
+                / (F.col("sza") + F.col("szb") - F.col("n_common")),
+                6,
+            )
+            >= 0.5
+        )
+        .select("a", "b")
+    )
+    cand_norm = (
+        cand.where(in_sample("a") | in_sample("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    hit = truth.join(cand_norm, ["a", "b"])
+    return (
+        truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+        .crossJoin(hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit")))
+        .select(
+            "n_truth",
+            "n_hit",
+            F.round(
+                F.col("n_hit") / F.greatest(F.col("n_truth"), F.lit(1)), 6
+            ).alias("recall"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# OOD / mislabel detection: cosine of each vector against its OWN
+# label's centroid direction. The centroid is the exact integer sum
+# of micro-quantized components (floor(val·1e6) summed in
+# decimal(38,0) — associative, order-free), so the score's inputs are
+# BIGINT-exact on both engines and the only float ops are the final
+# sqrt/divide on identical integers. cos < 0 ⇒ the vector points
+# away from its class: a label-noise candidate for curation review.
+# Plan: one (label,pos) aggregation builds the labels×dim centroid
+# table (broadcast-sized), one map-side join scores every vector.
+# --------------------------------------------------------------------
+OOD_ORACLE = """
+WITH vq AS (
+  SELECT vec_id, label, pos,
+         CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000000)
+              AS BIGINT) AS q
+  FROM embeddings,
+       unnest(generate_series(1, len(embedding))) AS u(pos)
+),
+cent AS (
+  SELECT label, pos, sum(q) AS cq FROM vq GROUP BY label, pos
+),
+cnorm AS (
+  SELECT label, sum(cq * cq) AS cn FROM cent GROUP BY label
+),
+scored AS (
+  SELECT v.vec_id, v.label,
+         sum(CAST(v.q AS HUGEINT) * c.cq) AS dvc,
+         sum(CAST(v.q AS HUGEINT) * v.q) AS vn
+  FROM vq v JOIN cent c ON c.label = v.label AND c.pos = v.pos
+  GROUP BY v.vec_id, v.label
+)
+SELECT s.vec_id, s.label,
+       round(CAST(s.dvc AS DOUBLE)
+             / (sqrt(CAST(s.vn AS DOUBLE))
+                * sqrt(CAST(n.cn AS DOUBLE))), 6) AS cos_centroid,
+       CAST(CAST(s.dvc AS DOUBLE)
+            / (sqrt(CAST(s.vn AS DOUBLE))
+               * sqrt(CAST(n.cn AS DOUBLE))) < 0 AS INTEGER) AS is_ood
+FROM scored s JOIN cnorm n ON n.label = s.label
+"""
+
+
+@query("s_ood_centroid", OOD_ORACLE)
+def s_ood_centroid(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    vq = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "val"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("val").cast("double") * 1000000)
+        .cast("long")
+        .alias("q"),
+    )
+    cent = vq.groupBy("label", "pos").agg(F.sum("q").alias("cq"))
+    dec = "decimal(38,0)"
+    cnorm = cent.groupBy("label").agg(
+        F.sum(F.col("cq").cast(dec) * F.col("cq").cast(dec)).alias("cn")
+    )
+    scored = (
+        vq.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("q").cast(dec) * F.col("cq").cast(dec)).alias(
+                "dvc"
+            ),
+            F.sum(F.col("q").cast(dec) * F.col("q").cast(dec)).alias(
+                "vn"
+            ),
+        )
+    )
+    cos = F.col("dvc").cast("double") / (
+        F.sqrt(F.col("vn").cast("double"))
+        * F.sqrt(F.col("cn").cast("double"))
+    )
+    return scored.join(F.broadcast(cnorm), "label").select(
+        "vec_id",
+        "label",
+        F.round(cos, 6).alias("cos_centroid"),
+        (cos < 0).cast("int").alias("is_ood"),
+    )
+
+
 def _dup_by_source_oracle() -> str:
     from .textops import _components_cte
 

@@ -147,3 +147,55 @@ def test_pagerank_conserves_mass_and_ranks_hubs(spark):
     supp = df[df["node_type"] == "supplier"]["rank_ppb"].mean()
     cust = df[df["node_type"] == "customer"]["rank_ppb"].mean()
     assert supp > cust
+
+
+def test_lsh_recall_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "d_lsh_recall")
+
+
+def test_lsh_recall_finds_planted_pairs(spark):
+    """The planted perturbed copies are true near-dups inside the
+    sampled universe, so truth is non-empty and the banded index must
+    surface a non-zero fraction."""
+    from historical_obs_platform_spark.registry import QUERIES
+
+    row = (
+        QUERIES["d_lsh_recall"](spark, "/root/testdata/sf0.001")
+        .collect()[0]
+        .asDict()
+    )
+    assert row["n_truth"] > 0
+    assert 0 < row["n_hit"] <= row["n_truth"]
+    assert 0 < row["recall"] <= 1.0
+
+
+def test_ood_centroid_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "s_ood_centroid")
+
+
+def test_ood_centroid_flags_planted_outlier(spark):
+    """A vector pointing against its label centroid scores cos<0 and
+    is flagged; aligned vectors are not."""
+    from historical_obs_platform_spark.registry import QUERIES, ORACLES
+    import duckdb
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 1),
+        (1, [0.9, 0.1, 0.0], 1),
+        (2, [-1.0, -0.05, 0.0], 1),  # anti-aligned: OOD
+        (3, [0.0, 1.0, 0.0], 2),
+        (4, [0.0, 0.95, 0.05], 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    path = os.path.join(d, "embeddings.parquet")
+    df.toPandas().to_parquet(path)
+    out = (
+        QUERIES["s_ood_centroid"](spark, d).toPandas().set_index("vec_id")
+    )
+    assert out.loc[2, "is_ood"] == 1
+    assert out.loc[0, "is_ood"] == 0
+    assert out.loc[3, "is_ood"] == 0
