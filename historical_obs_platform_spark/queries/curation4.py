@@ -856,3 +856,303 @@ def report_dup_rate_by_source(spark, sf_dir):
             ).alias("dup_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Token-yield report: the number a corpus owner actually budgets with.
+# For each source, total tokens, tokens surviving exact dedup (one
+# keeper per identical normalized text), and tokens surviving
+# near-dup removal (the chain_neardup_removal keep rule), plus floor
+# ppm yields. Exact dedup groups on md5(normalized text) so the
+# shuffle key is 32 bytes, never the document body; near-dup keepers
+# come from the shared LSH -> confirm -> components pipeline, whose
+# component table is proportional to the duplicated subset only.
+# Everything is BIGINT counts; the ppm divisions are floor integer
+# division on non-negative values, bit-identical across engines.
+# --------------------------------------------------------------------
+def _dedup_yield_oracle() -> str:
+    from .textops import _components_cte
+
+    return (
+        _components_cte()
+        + """
+, ntext AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM corpus
+),
+tokc AS (
+  SELECT doc_id,
+         CASE WHEN norm = '' THEN 0
+              ELSE len(string_split(norm, ' ')) END AS tok
+  FROM ntext
+),
+ekeep AS (
+  SELECT min(doc_id) AS keeper FROM ntext GROUP BY md5(norm)
+),
+marked AS (
+  SELECT c.doc_id,
+         d.source,
+         t.tok,
+         CASE WHEN e.keeper IS NOT NULL THEN 1 ELSE 0 END AS keep_exact,
+         CASE WHEN comp.node IS NULL OR comp.component = c.doc_id
+              THEN 1 ELSE 0 END AS keep_near
+  FROM corpus c
+  JOIN documents d ON d.doc_id = c.doc_id % 1000000
+  JOIN tokc t ON t.doc_id = c.doc_id
+  LEFT JOIN ekeep e ON e.keeper = c.doc_id
+  LEFT JOIN comp ON comp.node = c.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS tok_total,
+       CAST(sum(keep_exact * tok) AS BIGINT) AS tok_exact,
+       CAST(sum(keep_near * tok) AS BIGINT) AS tok_neardup,
+       CAST((CAST(sum(keep_exact * tok) AS HUGEINT) * 1000000)
+            // greatest(sum(tok), 1) AS BIGINT) AS yield_exact_ppm,
+       CAST((CAST(sum(keep_near * tok) AS HUGEINT) * 1000000)
+            // greatest(sum(tok), 1) AS BIGINT) AS yield_neardup_ppm
+FROM marked GROUP BY source
+"""
+    )
+
+
+@query("t_dedup_yield", _dedup_yield_oracle())
+def t_dedup_yield(spark, sf_dir):
+    from .textops import _lsh_shared, _near_corpus_spark
+
+    corpus = _near_corpus_spark(spark, sf_dir)
+    norm = TX.normalize_text(F.col("text"))
+    base = corpus.select(
+        "doc_id",
+        F.md5(norm).alias("nh"),
+        TX.token_count(F.col("text")).cast("long").alias("tok"),
+    )
+    ekeep = base.groupBy("nh").agg(F.min("doc_id").alias("keeper"))
+    shingles, cand = _lsh_shared(spark, sf_dir)
+    pairs = DD.jaccard_pairs(
+        shingles, "doc_id", min_jaccard=0.5, candidates=cand
+    ).select("a", "b")
+    comp = DD.connected_components(pairs).withColumnRenamed(
+        "node", "doc_id"
+    )
+    src = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("orig_id"), "source"
+    )
+    marked = (
+        base.join(
+            ekeep.select(F.col("keeper").alias("doc_id")).withColumn(
+                "keep_exact", F.lit(1)
+            ),
+            "doc_id",
+            "left",
+        )
+        .join(comp, "doc_id", "left")
+        .withColumn(
+            "keep_near",
+            (
+                F.col("component").isNull()
+                | (F.col("component") == F.col("doc_id"))
+            ).cast("int"),
+        )
+        .withColumn("orig_id", F.col("doc_id") % 1000000)
+        .join(src, "orig_id")
+    )
+    hug = "decimal(38,0)"
+    te = F.sum(F.coalesce(F.col("keep_exact"), F.lit(0)) * F.col("tok"))
+    tn = F.sum(F.col("keep_near") * F.col("tok"))
+    tt = F.sum("tok")
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        tt.cast("long").alias("tok_total"),
+        te.cast("long").alias("tok_exact"),
+        tn.cast("long").alias("tok_neardup"),
+        F.expr(
+            f"CAST((CAST(sum(coalesce(keep_exact, 0) * tok) AS {hug})"
+            f" * 1000000) div greatest(sum(tok), 1) AS BIGINT)"
+        ).alias("yield_exact_ppm"),
+        F.expr(
+            f"CAST((CAST(sum(keep_near * tok) AS {hug})"
+            f" * 1000000) div greatest(sum(tok), 1) AS BIGINT)"
+        ).alias("yield_neardup_ppm"),
+    )
+
+
+# --------------------------------------------------------------------
+# Join-key skew diagnosis: the report you run BEFORE a big join. For
+# the heaviest 20 values of lineitem.l_suppkey: row count, corpus
+# share in ppm, whether the key alone exceeds one ideal partition of
+# a 32-way shuffle, and the salt fan-out that would level it
+# (ceil(cnt * 32 / total)). Top-k is orderBy+limit — Spark plans
+# TakeOrderedAndProject (per-partition heaps + driver merge of 20-row
+# tops), never a global sort; the rank window runs on the 20
+# surviving rows only. All integer arithmetic.
+# --------------------------------------------------------------------
+SKEW_REPORT_ORACLE = """
+WITH counts AS (
+  SELECT l_suppkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1
+),
+tot AS (SELECT sum(cnt) AS total FROM counts),
+top AS (
+  SELECT key, cnt FROM counts ORDER BY cnt DESC, key LIMIT 20
+)
+SELECT row_number() OVER (ORDER BY cnt DESC, key) AS rank,
+       key, cnt,
+       CAST((CAST(cnt AS HUGEINT) * 1000000) // total AS BIGINT)
+         AS share_ppm,
+       CAST(cnt * 32 > total AS INTEGER) AS exceeds_partition,
+       CAST(greatest((CAST(cnt AS HUGEINT) * 32 + total - 1) // total,
+                     1) AS BIGINT) AS salt_factor
+FROM top, tot
+"""
+
+
+@query("o16_skew_report", SKEW_REPORT_ORACLE)
+def o16_skew_report(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    counts = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = counts.agg(F.sum("cnt").alias("total"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(20)
+    hug = "decimal(38,0)"
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.orderBy(F.desc("cnt"), F.asc("key"))
+            ),
+        )
+        .select(
+            "rank",
+            "key",
+            "cnt",
+            F.expr(
+                f"CAST((CAST(cnt AS {hug}) * 1000000) div total"
+                f" AS BIGINT)"
+            ).alias("share_ppm"),
+            (F.col("cnt") * 32 > F.col("total"))
+            .cast("int")
+            .alias("exceeds_partition"),
+            F.expr(
+                f"CAST(greatest((CAST(cnt AS {hug}) * 32 + total - 1)"
+                f" div total, 1) AS BIGINT)"
+            ).alias("salt_factor"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Top principal direction of the embedding second-moment matrix via
+# fixed-point power iteration — the whitening/PCA primitive a
+# curation pipeline runs before SemDeDup-style clustering. Same
+# fixed-iteration discipline as g_pagerank_fixed: micro-quantized
+# components (floor(val*1e6)) make the dim x dim moment matrix an
+# exact integer aggregate; each of the 8 sweeps is one join of the
+# 4096-row matrix against the 64-row vector plus one tiny shuffle
+# (sweep count is a knob: convergence ~ (lambda2/lambda1)^k, so
+# near-isotropic spectra need more sweeps — the engines agree
+# bit-exactly at ANY count);
+# rescaling divides by max|w| with sign-split floor division so both
+# engines truncate identically on negatives. At 100 TB the moment
+# matrix build is the only corpus-scale stage (one partial-agg scan,
+# d^2 accumulator); the iteration cost is independent of corpus size.
+# --------------------------------------------------------------------
+def _pca_oracle(iters: int = 8) -> str:
+    head = """
+WITH vq AS (
+  SELECT vec_id, pos,
+         CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000000)
+              AS BIGINT) AS q
+  FROM embeddings,
+       unnest(generate_series(1, len(embedding))) AS u(pos)
+),
+cmat AS (
+  SELECT a.pos AS i, b.pos AS j,
+         sum(CAST(a.q AS HUGEINT) * b.q) AS c
+  FROM vq a JOIN vq b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
+),
+v0 AS (
+  SELECT DISTINCT pos, CAST(1000000 AS HUGEINT) AS v FROM vq
+)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+w{k} AS (
+  SELECT cmat.i AS pos, sum(cmat.c * v.v) AS w
+  FROM cmat JOIN v{k - 1} v ON v.pos = cmat.j
+  GROUP BY 1
+),
+m{k} AS (SELECT max(abs(w)) AS m FROM w{k}),
+v{k} AS (
+  SELECT pos,
+         CASE WHEN w < 0 THEN -((-w * 1000000) // m)
+              ELSE (w * 1000000) // m END AS v
+  FROM w{k}, m{k}
+)""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+SELECT pos, CAST(v AS BIGINT) AS v_fixed FROM v{iters}
+"""
+    )
+
+
+@query("s_pca_topdir", _pca_oracle())
+def s_pca_topdir(spark, sf_dir, iters: int = 8):
+    emb = table(spark, sf_dir, "embeddings")
+    hug = "decimal(38,0)"
+    vq = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("val").cast("double") * 1000000)
+        .cast("long")
+        .alias("q"),
+    )
+    cmat = (
+        vq.alias("a")
+        .join(vq.alias("b"), "vec_id")
+        .groupBy(
+            F.col("a.pos").alias("i"), F.col("b.pos").alias("j")
+        )
+        .agg(
+            F.sum(
+                F.col("a.q").cast(hug) * F.col("b.q").cast(hug)
+            ).alias("c")
+        )
+        .localCheckpoint(eager=False)
+    )
+    v = vq.select("pos").distinct().select(
+        "pos", F.lit(1000000).cast(hug).alias("v")
+    )
+    for _ in range(iters):
+        w = (
+            cmat.join(
+                F.broadcast(v.withColumnRenamed("pos", "vj")),
+                cmat.j == F.col("vj"),
+            )
+            .select(F.col("i").alias("pos"), (F.col("c") * F.col("v")).alias("cv"))
+            .groupBy("pos")
+            .agg(F.sum("cv").alias("w"))
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = w.crossJoin(F.broadcast(m)).select(
+            "pos",
+            F.when(
+                F.col("w") < 0,
+                -F.expr("(-w * 1000000) div m"),
+            )
+            .otherwise(F.expr("(w * 1000000) div m"))
+            .cast(hug)
+            .alias("v"),
+        ).localCheckpoint(eager=False)
+    return v.select("pos", F.col("v").cast("long").alias("v_fixed"))

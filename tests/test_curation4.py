@@ -199,3 +199,102 @@ def test_ood_centroid_flags_planted_outlier(spark):
     assert out.loc[2, "is_ood"] == 1
     assert out.loc[0, "is_ood"] == 0
     assert out.loc[3, "is_ood"] == 0
+
+
+def test_dedup_yield_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "t_dedup_yield")
+
+
+def test_dedup_yield_monotone(spark):
+    """Near-dup removal subsumes exact removal (identical texts are
+    Jaccard-1 pairs), so per source: tok_neardup <= tok_exact <=
+    tok_total, yields <= 1e6, and the planted corpus doubles docs."""
+    from historical_obs_platform_spark.registry import QUERIES
+
+    df = QUERIES["t_dedup_yield"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    assert (df["tok_neardup"] <= df["tok_exact"]).all()
+    assert (df["tok_exact"] <= df["tok_total"]).all()
+    assert (df["yield_exact_ppm"] <= 1000000).all()
+    assert (df["yield_neardup_ppm"] <= df["yield_exact_ppm"]).all()
+    assert (df["n_docs"] % 2 == 0).all()  # original + planted copy
+
+
+def test_skew_report_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "o16_skew_report")
+
+
+def test_skew_report_ranks_and_salts(spark):
+    from historical_obs_platform_spark.registry import QUERIES
+
+    df = (
+        QUERIES["o16_skew_report"](spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .sort_values("rank")
+    )
+    assert list(df["rank"]) == list(range(1, len(df) + 1))
+    assert (df["cnt"].diff().dropna() <= 0).all()  # descending
+    assert (df["salt_factor"] >= 1).all()
+    # salt_factor levels the key: cnt / salt_factor <= total / 32
+    total = (df["cnt"] * 1000000 / df["share_ppm"]).iloc[0]
+    assert (df["cnt"] / df["salt_factor"] <= total / 32 + 1).all()
+
+
+def test_pca_topdir_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "s_pca_topdir")
+
+
+def test_pca_topdir_pins_scale(spark):
+    """The rescale pins max|v| to exactly 1e6 on real data (the
+    synthetic corpus is near-isotropic — lambda2/lambda1 ~ 0.93 — so
+    alignment there is a property of the data, not the operator; the
+    planted test below checks alignment where a gap exists)."""
+    import numpy as np
+    from historical_obs_platform_spark.registry import QUERIES
+
+    out = (
+        QUERIES["s_pca_topdir"](spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .sort_values("pos")
+    )
+    v = out["v_fixed"].to_numpy(dtype=float)
+    assert np.abs(v).max() == 1000000
+    assert len(v) == 64
+
+
+def test_pca_topdir_aligns_on_planted_direction(spark):
+    """With a dominant planted direction (big spectral gap) the
+    8-sweep fixed-point iterate aligns with the float eigenvector."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    from historical_obs_platform_spark.registry import QUERIES
+
+    rng = np.random.RandomState(7)
+    d, n = 16, 200
+    direction = rng.randn(d)
+    direction /= np.linalg.norm(direction)
+    X = (
+        np.outer(rng.randn(n) * 5.0, direction)
+        + rng.randn(n, d) * 0.3
+    ).astype(np.float32)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(X),
+            "label": np.zeros(n, dtype=np.int32),
+        }
+    )
+    tmp = tempfile.mkdtemp()
+    df.to_parquet(os.path.join(tmp, "embeddings.parquet"))
+    out = (
+        QUERIES["s_pca_topdir"](spark, tmp).toPandas().sort_values("pos")
+    )
+    v = out["v_fixed"].to_numpy(dtype=float)
+    C = X.astype(float).T @ X.astype(float)
+    top = np.linalg.eigh(C)[1][:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.99, cos
