@@ -37,6 +37,7 @@ def load_all() -> None:
         chain_demo,
         curation3,
         curation4,
+        curation5,
         datasetops,
         datasetops2,
         graph,

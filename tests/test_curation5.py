@@ -1,0 +1,112 @@
+"""Round-4 pipeline-engineering ops: matched-control sampling, join
+cardinality estimation, embedding drift, Benford audit."""
+
+from __future__ import annotations
+
+from historical_obs_platform_spark import registry
+
+registry.load_all()
+
+from .conftest import assert_matches_oracle
+
+
+def test_matched_control_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "p_matched_control")
+
+
+def test_matched_control_respects_length_and_lang(spark):
+    """Every matched control is from the pool, same lang, with
+    n_chars <= the treatment doc (backward match)."""
+    import pandas as pd
+    from historical_obs_platform_spark.registry import QUERIES
+
+    out = QUERIES["p_matched_control"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    matched = out.dropna(subset=["control_doc_id"])
+    assert len(matched) > 0
+    pool = docs.set_index("doc_id")
+    for _, r in matched.iterrows():
+        c = pool.loc[int(r["control_doc_id"])]
+        assert c["source"] != "src0"
+        assert c["lang"] == r["lang"]
+        assert c["n_chars"] <= r["n_chars"] or (
+            c["n_chars"] == r["n_chars"]
+        )
+        assert int(r["control_n_chars"]) == int(c["n_chars"])
+
+
+def test_join_cardinality_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "o17_join_cardinality_est")
+
+
+def test_join_cardinality_exact_is_true_join_size(spark):
+    """exact_pairs equals the actual self-join row count, and the
+    heavy-hitter estimator lands within 10% on this corpus."""
+    from historical_obs_platform_spark.queries.common import table
+    from historical_obs_platform_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    row = QUERIES["o17_join_cardinality_est"](spark, sf).collect()[0]
+    li = table(spark, sf, "lineitem").select("l_partkey")
+    true_size = li.alias("a").join(li.alias("b"), "l_partkey").count()
+    assert row["exact_pairs"] == true_size
+    assert abs(row["err_ppm"]) < 100000  # within 10%
+
+
+def test_embed_drift_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "s_embed_drift")
+
+
+def test_embed_drift_detects_planted_shift(spark):
+    """Shifting one dimension of the odd shard must surface as the
+    max abs_drift on exactly that dimension."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    from historical_obs_platform_spark.registry import QUERIES
+
+    rng = np.random.RandomState(3)
+    n, d = 400, 8
+    X = rng.randn(n, d).astype(np.float32) * 0.1
+    X[1::2, 4] += 2.0  # planted shift in dim index 4 (pos 5)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(X),
+            "label": np.zeros(n, dtype=np.int32),
+        }
+    )
+    tmp = tempfile.mkdtemp()
+    df.to_parquet(os.path.join(tmp, "embeddings.parquet"))
+    out = QUERIES["s_embed_drift"](spark, tmp).toPandas()
+    top = out.sort_values("abs_drift", ascending=False).iloc[0]
+    assert top["pos"] == 5
+    assert top["abs_drift"] > 1.5
+
+
+def test_benford_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "a17_benford_audit")
+
+
+def test_benford_shares_sum_and_reference_constants(spark):
+    from historical_obs_platform_spark.queries.curation5 import (
+        _BENFORD_PPM,
+    )
+    from historical_obs_platform_spark.registry import QUERIES
+
+    df = QUERIES["a17_benford_audit"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    assert sorted(df["digit"]) == list(range(1, 10))
+    # floor-ppm shares sum to within 9 ulps of 1e6
+    assert 1000000 - 9 <= df["share_ppm"].sum() <= 1000000
+    assert (
+        df.set_index("digit")["benford_ppm"].to_dict() == _BENFORD_PPM
+    )
+    assert (
+        df["dev_ppm"] == df["share_ppm"] - df["benford_ppm"]
+    ).all()
