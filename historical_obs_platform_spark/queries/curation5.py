@@ -348,3 +348,229 @@ def a17_benford_audit(spark, sf_dir):
             ).alias("dev_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003 —
+# the MOSS algorithm): hash every token 3-gram, slide a window of 4
+# consecutive gram hashes, keep each window's minimum; the distinct
+# selected hashes are the document's fingerprint set. Guarantees any
+# shared run of >= k+w-1 tokens between two docs shares at least one
+# fingerprint, at ~2/(w+1) storage density — the local substring-
+# match primitive between MinHash (whole-doc) and ExactSubstr (span).
+# Hashes are the repo's 40-bit md5-slice family, so both engines
+# compute identical BIGINTs. Plan: explode -> two lead() + one
+# sliding-min window per doc partition (O(n) merge-scan per doc,
+# no self-join), then one distinct-aggregate. Docs shorter than
+# k+w-1 = 6 tokens have no window and are absent on both sides.
+# --------------------------------------------------------------------
+WINNOW_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, i, t[i] AS tok, len(t) AS n
+  FROM (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)),
+                        '\\s+', ' ', 'g'), ' ') AS t
+    FROM documents
+  ), unnest(generate_series(1, len(t))) AS u(i)
+),
+grams AS (
+  SELECT doc_id, i,
+         tok || ' ' || lead(tok, 1) OVER w || ' '
+             || lead(tok, 2) OVER w AS gram,
+         n - 2 AS n_grams
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY i <= n - 2
+),
+hashes AS (
+  SELECT doc_id, i, n_grams,
+         CAST('0x' || substring(md5('wn:' || gram), 1, 10)
+              AS BIGINT) AS h
+  FROM grams
+),
+winmin AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+           AS fp
+  FROM hashes
+  QUALIFY i <= n_grams - 3
+)
+SELECT doc_id,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_fp,
+       CAST(sum(DISTINCT fp) AS BIGINT) AS fp_checksum
+FROM winmin GROUP BY doc_id
+"""
+
+
+@query("t_winnow_fingerprints", WINNOW_ORACLE)
+def t_winnow_fingerprints(spark, sf_dir):
+    from ..functions.textfns import normalize_text
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("t")
+    )
+    toks = docs.select(
+        "doc_id",
+        F.size("t").alias("n"),
+        F.posexplode("t").alias("i0", "tok"),
+    ).select("doc_id", "n", (F.col("i0") + 1).alias("i"), "tok")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    grams = (
+        toks.withColumn(
+            "gram",
+            F.concat_ws(
+                " ",
+                F.col("tok"),
+                F.lead("tok", 1).over(w),
+                F.lead("tok", 2).over(w),
+            ),
+        )
+        .where(F.col("i") <= F.col("n") - 2)
+        .withColumn("n_grams", F.col("n") - 2)
+    )
+    hashes = grams.select(
+        "doc_id",
+        "i",
+        "n_grams",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wn:"), F.col("gram"))), 1, 10
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    wmin = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, 3)
+    )
+    winmin = hashes.withColumn("fp", F.min("h").over(wmin)).where(
+        F.col("i") <= F.col("n_grams") - 3
+    )
+    return winmin.groupBy("doc_id").agg(
+        F.countDistinct("fp").cast("long").alias("n_fp"),
+        F.sum_distinct(F.col("fp")).cast("long").alias("fp_checksum"),
+    )
+
+
+# --------------------------------------------------------------------
+# Layout-pruning effectiveness: WOULD a z-order rewrite help? Assign
+# every event row to one of 32 simulated files two ways — natural
+# (event_id value ranges: arrival order) and z-order (Morton key of
+# (user_id%256, floor(value)%256) value ranges) — record each file's
+# min/max of the probe column a, then replay 16 deterministic point
+# probes against the min/max index. avg files touched per probe is
+# THE data-skipping metric a table owner reads before paying for a
+# rewrite. Everything is map-only + two tiny aggregations; the file
+# assignment is a pure-arithmetic range bucket (no global sort — a
+# real write would use repartitionByRange, same boundaries).
+# --------------------------------------------------------------------
+def _layout_pruning_oracle(bits: int = 8) -> str:
+    parts = []
+    for i in range(bits):
+        parts.append(f"(((a >> {i}) & 1) << {2 * i})")
+        parts.append(f"(((b >> {i}) & 1) << {2 * i + 1})")
+    zexpr = " | ".join(parts)
+    return f"""
+WITH d AS (
+  SELECT event_id, user_id % 256 AS a,
+         CAST(floor(value) AS BIGINT) % 256 AS b
+  FROM events
+),
+z AS (SELECT event_id, a, b, {zexpr} AS zkey FROM d),
+mx AS (SELECT max(event_id) AS me FROM d),
+files AS (
+  SELECT 'natural' AS layout,
+         CAST((CAST(event_id AS HUGEINT) * 32) // (me + 1) AS BIGINT)
+           AS file_id, a
+  FROM z, mx
+  UNION ALL
+  SELECT 'zorder' AS layout, zkey // 2048 AS file_id, a FROM z
+),
+stats AS (
+  SELECT layout, file_id, min(a) AS min_a, max(a) AS max_a
+  FROM files GROUP BY layout, file_id
+),
+probes AS (SELECT unnest(generate_series(0, 255, 16)) AS v),
+hits AS (
+  SELECT s.layout, p.v, count(*) AS files_hit
+  FROM probes p JOIN stats s
+    ON p.v BETWEEN s.min_a AND s.max_a
+  GROUP BY s.layout, p.v
+)
+SELECT layout,
+       CAST((SELECT count(*) FROM stats s2
+             WHERE s2.layout = hits.layout) AS BIGINT) AS n_files,
+       CAST(sum(files_hit) AS BIGINT) AS total_probe_hits,
+       round(sum(files_hit) / 16.0, 6) AS avg_files_scanned
+FROM hits GROUP BY layout
+"""
+
+
+@query("o18_layout_pruning_stats", _layout_pruning_oracle())
+def o18_layout_pruning_stats(spark, sf_dir):
+    from ..operators.layout import zorder_key
+
+    ev = table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_id",
+        (F.col("user_id") % 256).alias("a"),
+        (F.floor("value").cast("long") % 256).alias("b"),
+    )
+    z = d.withColumn(
+        "zkey", zorder_key(F.col("a"), F.col("b"), bits=8)
+    )
+    mx = d.agg(F.max("event_id").alias("me"))
+    nat = z.crossJoin(F.broadcast(mx)).select(
+        F.lit("natural").alias("layout"),
+        F.expr(
+            "CAST((CAST(event_id AS decimal(38,0)) * 32)"
+            " div (me + 1) AS BIGINT)"
+        ).alias("file_id"),
+        "a",
+    )
+    zor = z.select(
+        F.lit("zorder").alias("layout"),
+        F.expr("zkey div 2048").cast("long").alias("file_id"),
+        "a",
+    )
+    stats = (
+        nat.unionByName(zor)
+        .groupBy("layout", "file_id")
+        .agg(F.min("a").alias("min_a"), F.max("a").alias("max_a"))
+        .localCheckpoint(eager=False)
+    )
+    probes = ev.sparkSession.range(0, 256, 16).select(
+        F.col("id").alias("v")
+    )
+    hits = (
+        F.broadcast(probes)
+        .join(
+            stats,
+            (F.col("v") >= F.col("min_a"))
+            & (F.col("v") <= F.col("max_a")),
+        )
+        .groupBy("layout", "v")
+        .agg(F.count(F.lit(1)).alias("files_hit"))
+    )
+    nfiles = stats.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_files")
+    )
+    return (
+        hits.groupBy("layout")
+        .agg(
+            F.sum("files_hit").alias("tph"),
+        )
+        .join(F.broadcast(nfiles), "layout")
+        .select(
+            "layout",
+            F.col("n_files").cast("long").alias("n_files"),
+            F.col("tph").cast("long").alias("total_probe_hits"),
+            F.round(F.col("tph") / 16.0, 6).alias("avg_files_scanned"),
+        )
+    )

@@ -110,3 +110,81 @@ def test_benford_shares_sum_and_reference_constants(spark):
     assert (
         df["dev_ppm"] == df["share_ppm"] - df["benford_ppm"]
     ).all()
+
+
+def test_winnow_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "t_winnow_fingerprints")
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """Two docs sharing a run of >= k+w-1 = 6 tokens must share at
+    least one fingerprint (the winnowing guarantee); disjoint docs
+    share none."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    from historical_obs_platform_spark.registry import QUERIES
+    from historical_obs_platform_spark.queries.curation5 import (
+        WINNOW_ORACLE,
+    )
+    import duckdb
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, f"intro words here {shared} tail one two", "en", "s", 1),
+        (1, f"completely different head {shared} other ending", "en", "s", 1),
+        (2, "nothing in common with them at all whatsoever", "en", "s", 1),
+    ]
+    df = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    tmp = tempfile.mkdtemp()
+    df.to_parquet(os.path.join(tmp, "documents.parquet"))
+    # fingerprint SETS via the oracle definition (exact), per doc
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(tmp, 'documents.parquet')}'"
+    )
+    sets = {}
+    inner = WINNOW_ORACLE.replace(
+        "SELECT doc_id,\n       CAST(count(DISTINCT fp) AS BIGINT) AS n_fp,\n"
+        "       CAST(sum(DISTINCT fp) AS BIGINT) AS fp_checksum\n"
+        "FROM winmin GROUP BY doc_id",
+        "SELECT DISTINCT doc_id, fp FROM winmin",
+    )
+    for r in con.sql(inner).fetchall():
+        sets.setdefault(r[0], set()).add(r[1])
+    assert sets[0] & sets[1], "shared 6-token run must share a fp"
+    assert not (sets[0] & sets[2])
+    # and the Spark side agrees with the oracle on this corpus
+    got = (
+        QUERIES["t_winnow_fingerprints"](spark, tmp)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert got.loc[0, "n_fp"] == len(sets[0])
+    assert got.loc[1, "fp_checksum"] == sum(sets[1])
+
+
+def test_layout_pruning_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "o18_layout_pruning_stats")
+
+
+def test_layout_pruning_zorder_prunes_better(spark):
+    """On a corpus whose natural order is uncorrelated with the probe
+    column, z-order file ranges must touch fewer files per probe."""
+    from historical_obs_platform_spark.registry import QUERIES
+
+    df = (
+        QUERIES["o18_layout_pruning_stats"](
+            spark, "/root/testdata/sf0.01"
+        )
+        .toPandas()
+        .set_index("layout")
+    )
+    assert df.loc["zorder", "avg_files_scanned"] < (
+        df.loc["natural", "avg_files_scanned"]
+    )
+    assert (df["n_files"] <= 32).all()
