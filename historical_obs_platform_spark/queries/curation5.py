@@ -574,3 +574,72 @@ def o18_layout_pruning_stats(spark, sf_dir):
             F.round(F.col("tph") / 16.0, 6).alias("avg_files_scanned"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# N-gram novelty: the fraction of a document's DISTINCT token
+# 3-grams that occur in no other document — high novelty separates
+# original content from boilerplate/templated text, and its inverse
+# ranks memorization risk. Inverted-index shape: one explode to
+# (gram, doc) pairs, document frequency per gram, fraction with
+# df = 1 per doc. Both aggregations are map-side combinable; the
+# gram shuffle key is the gram string (hash it to 64-bit at 100 TB —
+# same plan, narrower key). Ratio is floor ppm on exact integers.
+# --------------------------------------------------------------------
+NGRAM_NOVELTY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)),
+                      '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+),
+df AS (SELECT g, count(*) AS df FROM grams GROUP BY g)
+SELECT grams.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(*) FILTER (WHERE df.df = 1) AS BIGINT)
+         AS n_unique,
+       CAST(count(*) FILTER (WHERE df.df = 1) * 1000000 // count(*)
+            AS BIGINT) AS novelty_ppm
+FROM grams JOIN df ON df.g = grams.g
+GROUP BY grams.doc_id
+"""
+
+
+@query("t_ngram_novelty", NGRAM_NOVELTY_ORACLE)
+def t_ngram_novelty(spark, sf_dir):
+    from ..functions.textfns import normalize_text
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("t")
+    )
+    grams = (
+        docs.where(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3),"
+                    " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    df = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        grams.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.count_if(F.col("df") == 1).cast("long").alias("n_unique"),
+            F.expr(
+                "CAST(count_if(df = 1) * 1000000 div count(1)"
+                " AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+    )

@@ -188,3 +188,36 @@ def test_layout_pruning_zorder_prunes_better(spark):
         df.loc["natural", "avg_files_scanned"]
     )
     assert (df["n_files"] <= 32).all()
+
+
+def test_ngram_novelty_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "t_ngram_novelty")
+
+
+def test_ngram_novelty_planted_extremes(spark):
+    """A doc duplicated verbatim has zero novelty; a doc with unique
+    vocabulary has full novelty."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    from historical_obs_platform_spark.registry import QUERIES
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "s", 1),
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s", 1),
+        (2, "zyx wvu tsr qpo nml kji hgf", "en", "s", 1),
+    ]
+    df = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    tmp = tempfile.mkdtemp()
+    df.to_parquet(os.path.join(tmp, "documents.parquet"))
+    out = (
+        QUERIES["t_ngram_novelty"](spark, tmp)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "novelty_ppm"] == 0
+    assert out.loc[1, "novelty_ppm"] == 0
+    assert out.loc[2, "novelty_ppm"] == 1000000
