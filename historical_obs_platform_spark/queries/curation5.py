@@ -25,8 +25,9 @@ from .common import table
 # with the greatest composite match key m = n_chars*1e9 + doc_id that
 # is <= the treatment's own m — a backward as-of match on document
 # length with a built-in deterministic tie-break (doc_id makes m
-# unique). Used to build length-balanced eval/control sets so a
-# quality comparison isn't confounded by doc length.
+# unique; the packing requires doc_id < 1e9 — widen the multiplier
+# for larger id spaces). Used to build length-balanced eval/control
+# sets so a quality comparison isn't confounded by doc length.
 #
 # Spark plan: union-tag both sides, ONE window per lang ordered by
 # (m, side) carrying last(control m, ignorenulls) — O(n log n) per
