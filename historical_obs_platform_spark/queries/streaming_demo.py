@@ -633,17 +633,33 @@ def _neardup_jaccard_stream(spark, sf_dir):
 
     tune(spark)
     # static stored index: buckets + per-doc shingle sets of the
-    # existing corpus (built once per corpus version in production)
-    shingles, _ = _lsh_shared(spark, sf_dir)
-    old_sh = shingles.where(F.col("doc_id") < 1000000)
-    sigs = DD.minhash_signatures(old_sh, "doc_id", n_hashes=LSH_N_HASHES)
-    idx_buckets = DD.lsh_buckets(
-        sigs, "doc_id", n_hashes=LSH_N_HASHES, bands=LSH_BANDS
-    ).select(F.col("doc_id").alias("a"), "band", "bucket")
-    idx_docs = old_sh.groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("__sh_a"),
-        F.countDistinct("shingle").alias("sz_a"),
-    ).select(F.col("doc_id").alias("a"), "__sh_a", "sz_a")
+    # existing corpus — built ONCE per (session, corpus version) and
+    # localCheckpointed, exactly as production persists an index;
+    # both the complete-mode and append-mode consumers join the same
+    # materialized static side (deterministic build, so the memo is
+    # observation-free).
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _NEARDUP_STATIC:
+        shingles, _ = _lsh_shared(spark, sf_dir)
+        old_sh = shingles.where(F.col("doc_id") < 1000000)
+        sigs = DD.minhash_signatures(
+            old_sh, "doc_id", n_hashes=LSH_N_HASHES
+        )
+        _NEARDUP_STATIC[key] = (
+            DD.lsh_buckets(
+                sigs, "doc_id", n_hashes=LSH_N_HASHES, bands=LSH_BANDS
+            )
+            .select(F.col("doc_id").alias("a"), "band", "bucket")
+            .localCheckpoint(eager=False),
+            old_sh.groupBy("doc_id")
+            .agg(
+                F.collect_set("shingle").alias("__sh_a"),
+                F.countDistinct("shingle").alias("sz_a"),
+            )
+            .select(F.col("doc_id").alias("a"), "__sh_a", "sz_a")
+            .localCheckpoint(eager=False),
+        )
+    idx_buckets, idx_docs = _NEARDUP_STATIC[key]
 
     path = f"{sf_dir}/documents.parquet"
     schema = spark.read.parquet(path).schema
@@ -772,6 +788,11 @@ def st_neardup_stream(spark, sf_dir):
 # stream converges exactly to the batch recompute.
 # --------------------------------------------------------------------
 _ST_SEM_CELLS = 16
+
+# static near-dup index memo: (applicationId, sf_dir) -> (buckets,
+# per-doc shingle sets), shared by the complete- and append-mode
+# near-dup ingest queries (see _neardup_jaccard_stream)
+_NEARDUP_STATIC: dict = {}
 _ST_SEM_THR = 0.95
 
 
