@@ -644,3 +644,82 @@ def t_ngram_novelty(spark, sf_dir):
             ).alias("novelty_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# The corpus -> training-set chain, end to end in ONE query: Gopher
+# quality gates (pass_all) ∘ near-dup removal (cluster-representative
+# survivors) ∘ leakage-safe train/val/test split (split is a function
+# of the near-dup cluster, so no dup pair straddles a boundary), then
+# the table a pipeline owner signs off on — per (split, source) doc
+# counts, token totals, and an id checksum pinning the exact survivor
+# set. Composes three verified subsystems (t_gopher_rules,
+# chain_neardup_removal's keep rule, p_leakage_safe_split) without
+# re-deriving any of them: the survivor rule is grp == doc_id (the
+# cluster representative IS the split group key), so no extra join
+# beyond quality ⋈ split. At 100 TB every stage is the already-
+# audited plan of its subsystem; this adds two broadcast-sized joins
+# and one final aggregation.
+# --------------------------------------------------------------------
+def _training_set_oracle() -> str:
+    from .curation4 import _SW_SQL
+    from .textops import TOKS, _components_cte
+    from .textops import _LSPLIT_CASE
+
+    return (
+        _components_cte()
+        + f""",
+gtf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest({TOKS}) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY doc_id, tok
+),
+gm AS (
+  SELECT doc_id,
+         CAST(sum(tf) AS BIGINT) AS n_tokens,
+         (sum(tf) BETWEEN 50 AND 100000
+          AND round(sum(length(tok) * tf) * 1.0 / sum(tf), 6)
+              BETWEEN 3.0 AND 10.0
+          AND round(sum(CASE WHEN regexp_matches(tok, '[a-z]') THEN tf
+                             ELSE 0 END) * 1.0 / sum(tf), 6) >= 0.8
+          AND sum(CASE WHEN tok IN {_SW_SQL} THEN tf ELSE 0 END) >= 2
+          AND round(max(tf) * 1.0 / sum(tf), 6) <= 0.2) AS pass_all
+  FROM gtf GROUP BY doc_id
+),
+rep AS (
+  SELECT d.doc_id, d.source,
+         coalesce(c.component, d.doc_id) AS grp
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+)
+SELECT {_LSPLIT_CASE} AS split, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(rep.doc_id) AS BIGINT) AS survivor_checksum
+FROM rep JOIN gm ON gm.doc_id = rep.doc_id
+WHERE rep.grp = rep.doc_id AND gm.pass_all
+GROUP BY 1, 2
+"""
+    )
+
+
+@query("chain_training_set", _training_set_oracle())
+def chain_training_set(spark, sf_dir):
+    from .curation4 import t_gopher_rules
+    from .textops import leakage_safe_split
+
+    gates = t_gopher_rules(spark, sf_dir).select(
+        "doc_id", "n_tokens", "pass_all"
+    )
+    assigned = leakage_safe_split(spark, sf_dir)
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        assigned.where(F.col("grp") == F.col("doc_id"))
+        .join(gates.where(F.col("pass_all") == 1), "doc_id")
+        .join(src, "doc_id")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("doc_id").cast("long").alias("survivor_checksum"),
+        )
+    )

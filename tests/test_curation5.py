@@ -221,3 +221,27 @@ def test_ngram_novelty_planted_extremes(spark):
     assert out.loc[0, "novelty_ppm"] == 0
     assert out.loc[1, "novelty_ppm"] == 0
     assert out.loc[2, "novelty_ppm"] == 1000000
+
+
+def test_training_set_chain_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "chain_training_set")
+
+
+def test_training_set_chain_consistent_with_parts(spark):
+    """The chain's totals must reconcile with its subsystems: split
+    totals are a subset of p_leakage_safe_split's doc counts, and
+    every (split, source) row only counts pass_all survivors."""
+    from historical_obs_platform_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    chain = QUERIES["chain_training_set"](spark, sf).toPandas()
+    split_full = (
+        QUERIES["p_leakage_safe_split"](spark, sf)
+        .toPandas()
+        .set_index("split")["n_docs"]
+    )
+    per_split = chain.groupby("split")["n_docs"].sum()
+    for s, n in per_split.items():
+        assert n <= split_full[s]
+    assert set(chain["split"]) <= {"train", "val", "test"}
+    assert (chain["n_tokens"] >= 50 * chain["n_docs"]).all()  # gate floor
