@@ -723,3 +723,242 @@ def chain_training_set(spark, sf_dir):
             F.sum("doc_id").cast("long").alias("survivor_checksum"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# MinHash estimator error — "measure, don't guess" for the signature
+# itself: over the LSH candidate pairs, compare the 16-hash agreement
+# fraction (the MinHash Jaccard ESTIMATE, floor ppm) against the
+# exact shingle-set Jaccard (integer ppm from n_common and set
+# sizes). One row: pair count, mean/max absolute error, mean of each
+# side — the calibration table that justifies every threshold the
+# dedup family uses. All arithmetic is BIGINT; the signature join is
+# candidates ⋈ sigs twice (signature table is one row per doc).
+# --------------------------------------------------------------------
+def _minhash_err_oracle() -> str:
+    from .textops import LSH_N_HASHES, _lsh_pairs_oracle
+
+    base = _lsh_pairs_oracle()  # full WITH ... SELECT of (a, b)
+    cand_cte = base[base.index("WITH ") + 5 :]
+    # the FINAL SELECT DISTINCT is the pair projection (the shingles
+    # CTE contains an inner one, hence rindex)
+    sel = cand_cte.rindex("SELECT DISTINCT")
+    agree = " + ".join(
+        f"CASE WHEN sa.minhash_{i} = sb.minhash_{i} THEN 1 ELSE 0 END"
+        for i in range(LSH_N_HASHES)
+    )
+    return f"""
+WITH {cand_cte[:sel]},
+cand AS ({cand_cte[sel:]}),
+sizes AS (
+  SELECT doc_id, count(DISTINCT shingle) AS sz
+  FROM shingles GROUP BY doc_id
+),
+inter AS (
+  SELECT c.a, c.b, count(DISTINCT x.shingle) AS n_common
+  FROM cand c
+  JOIN shingles x ON x.doc_id = c.a
+  JOIN shingles y ON y.doc_id = c.b AND y.shingle = x.shingle
+  GROUP BY c.a, c.b
+),
+per_pair AS (
+  SELECT i.a, i.b,
+         ({agree}) * 1000000 // {LSH_N_HASHES} AS est_ppm,
+         i.n_common * 1000000 // (sa2.sz + sb2.sz - i.n_common)
+           AS true_ppm
+  FROM inter i
+  JOIN sigs sa ON sa.doc_id = i.a
+  JOIN sigs sb ON sb.doc_id = i.b
+  JOIN sizes sa2 ON sa2.doc_id = i.a
+  JOIN sizes sb2 ON sb2.doc_id = i.b
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(abs(est_ppm - true_ppm)) // count(*) AS BIGINT)
+         AS mean_abs_err_ppm,
+       CAST(max(abs(est_ppm - true_ppm)) AS BIGINT) AS max_abs_err_ppm,
+       CAST(sum(est_ppm) // count(*) AS BIGINT) AS mean_est_ppm,
+       CAST(sum(true_ppm) // count(*) AS BIGINT) AS mean_true_ppm
+FROM per_pair
+"""
+
+
+@query("d_minhash_estimate_error", _minhash_err_oracle())
+def d_minhash_estimate_error(spark, sf_dir):
+    from ..operators import dedup as DD
+    from .textops import LSH_N_HASHES, _lsh_shared
+
+    shingles, cand = _lsh_shared(spark, sf_dir)
+    pairs = DD.jaccard_pairs(
+        shingles, "doc_id", min_jaccard=0.0, candidates=cand
+    ).select("a", "b", "n_common", "sz_a", "sz_b")
+    sigs = DD.minhash_signatures(
+        shingles, "doc_id", n_hashes=LSH_N_HASHES
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("a"),
+        *[
+            F.col(f"minhash_{i}").alias(f"ma_{i}")
+            for i in range(LSH_N_HASHES)
+        ],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("b"),
+        *[
+            F.col(f"minhash_{i}").alias(f"mb_{i}")
+            for i in range(LSH_N_HASHES)
+        ],
+    )
+    agree = sum(
+        (F.col(f"ma_{i}") == F.col(f"mb_{i}")).cast("long")
+        for i in range(LSH_N_HASHES)
+    )
+    per_pair = (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            (agree * 1000000 / LSH_N_HASHES)
+            .cast("long")
+            .alias("est_ppm"),
+            F.expr(
+                "n_common * 1000000 div (sz_a + sz_b - n_common)"
+            ).alias("true_ppm"),
+        )
+    )
+    err = F.abs(F.col("est_ppm") - F.col("true_ppm"))
+    return per_pair.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr(
+            "CAST(sum(abs(est_ppm - true_ppm)) div count(1) AS BIGINT)"
+        ).alias("mean_abs_err_ppm"),
+        F.max(err).cast("long").alias("max_abs_err_ppm"),
+        F.expr("CAST(sum(est_ppm) div count(1) AS BIGINT)").alias(
+            "mean_est_ppm"
+        ),
+        F.expr("CAST(sum(true_ppm) div count(1) AS BIGINT)").alias(
+            "mean_true_ppm"
+        ),
+    )
+
+
+# --------------------------------------------------------------------
+# Incremental stats maintenance: per-column (count, sum, min, max)
+# computed on a 90% base and a 10% delta, merged by pure algebra
+# (counts/sums add, min/max fold), and checked against the full-scan
+# stats — the lake-maintenance guarantee that table statistics are
+# MERGEABLE, so an ingest updates them without rescanning the table
+# (the same associativity contract the sketch family proves for
+# distinct counts). Sums are decimal(38,4), so base+delta == full is
+# EXACT, not float-approximate. Long-form output, one row per
+# (column, stat).
+# --------------------------------------------------------------------
+STATS_MAINT_ORACLE = """
+WITH base AS (SELECT * FROM lineitem WHERE l_orderkey % 10 <> 0),
+delta AS (SELECT * FROM lineitem WHERE l_orderkey % 10 = 0),
+s AS (
+  SELECT 'base' AS part, col, cnt, sm, mn, mx FROM (
+    SELECT 'l_quantity' AS col, count(l_quantity) AS cnt,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS sm,
+           CAST(min(l_quantity) AS DOUBLE) AS mn,
+           CAST(max(l_quantity) AS DOUBLE) AS mx FROM base
+    UNION ALL
+    SELECT 'l_extendedprice', count(l_extendedprice),
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS VARCHAR),
+           CAST(min(l_extendedprice) AS DOUBLE),
+           CAST(max(l_extendedprice) AS DOUBLE) FROM base)
+  UNION ALL
+  SELECT 'delta', col, cnt, sm, mn, mx FROM (
+    SELECT 'l_quantity' AS col, count(l_quantity) AS cnt,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS sm,
+           CAST(min(l_quantity) AS DOUBLE) AS mn,
+           CAST(max(l_quantity) AS DOUBLE) AS mx FROM delta
+    UNION ALL
+    SELECT 'l_extendedprice', count(l_extendedprice),
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS VARCHAR),
+           CAST(min(l_extendedprice) AS DOUBLE),
+           CAST(max(l_extendedprice) AS DOUBLE) FROM delta)
+),
+merged AS (
+  SELECT col,
+         sum(cnt) AS cnt,
+         CAST(sum(CAST(sm AS DECIMAL(38,4))) AS VARCHAR) AS sm,
+         min(mn) AS mn, max(mx) AS mx
+  FROM s GROUP BY col
+),
+full_scan AS (
+  SELECT 'l_quantity' AS col, count(l_quantity) AS cnt,
+         CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS sm,
+         CAST(min(l_quantity) AS DOUBLE) AS mn,
+         CAST(max(l_quantity) AS DOUBLE) AS mx FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', count(l_extendedprice),
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS VARCHAR),
+         CAST(min(l_extendedprice) AS DOUBLE),
+         CAST(max(l_extendedprice) AS DOUBLE) FROM lineitem
+)
+SELECT m.col,
+       CAST(m.cnt AS BIGINT) AS cnt,
+       m.sm AS sum_str, m.mn AS min_val, m.mx AS max_val,
+       CAST(m.cnt = f.cnt AND m.sm = f.sm
+            AND m.mn = f.mn AND m.mx = f.mx AS INTEGER) AS matches_full
+FROM merged m JOIN full_scan f ON f.col = m.col
+"""
+
+
+@query("o20_stats_maintenance", STATS_MAINT_ORACLE)
+def o20_stats_maintenance(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    dec = "decimal(38,4)"
+
+    def stats(df, part):
+        out = None
+        for col in ["l_quantity", "l_extendedprice"]:
+            one = df.agg(
+                F.count(col).alias("cnt"),
+                F.sum(F.col(col).cast(dec)).cast(dec).alias("sm"),
+                F.min(col).cast("double").alias("mn"),
+                F.max(col).cast("double").alias("mx"),
+            ).select(
+                F.lit(part).alias("part"), F.lit(col).alias("col"),
+                "cnt", "sm", "mn", "mx",
+            )
+            out = one if out is None else out.unionByName(one)
+        return out
+
+    base = li.where(F.col("l_orderkey") % 10 != 0)
+    delta = li.where(F.col("l_orderkey") % 10 == 0)
+    s = stats(base, "base").unionByName(stats(delta, "delta"))
+    merged = s.groupBy("col").agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sm").cast(dec).alias("sm"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+    full = (
+        stats(li, "full")
+        .select(
+            F.col("col").alias("fcol"),
+            F.col("cnt").alias("fcnt"),
+            F.col("sm").alias("fsm"),
+            F.col("mn").alias("fmn"),
+            F.col("mx").alias("fmx"),
+        )
+    )
+    return merged.join(
+        F.broadcast(full), merged.col == F.col("fcol")
+    ).select(
+        "col",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("sm").cast("string").alias("sum_str"),
+        F.col("mn").alias("min_val"),
+        F.col("mx").alias("max_val"),
+        (
+            (F.col("cnt") == F.col("fcnt"))
+            & (F.col("sm") == F.col("fsm"))
+            & (F.col("mn") == F.col("fmn"))
+            & (F.col("mx") == F.col("fmx"))
+        )
+        .cast("int")
+        .alias("matches_full"),
+    )

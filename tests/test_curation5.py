@@ -245,3 +245,41 @@ def test_training_set_chain_consistent_with_parts(spark):
         assert n <= split_full[s]
     assert set(chain["split"]) <= {"train", "val", "test"}
     assert (chain["n_tokens"] >= 50 * chain["n_docs"]).all()  # gate floor
+
+
+def test_minhash_estimate_error_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "d_minhash_estimate_error")
+
+
+def test_minhash_estimate_is_calibrated(spark):
+    """Over LSH candidates (planted near-dups, true J ~ 0.9+), the
+    16-hash estimate must track exact Jaccard: mean error well under
+    one hash quantum (62500 ppm) x 2 and means within one quantum."""
+    from historical_obs_platform_spark.registry import QUERIES
+
+    row = (
+        QUERIES["d_minhash_estimate_error"](
+            spark, "/root/testdata/sf0.001"
+        )
+        .collect()[0]
+        .asDict()
+    )
+    assert row["n_pairs"] > 0
+    assert row["mean_abs_err_ppm"] < 125000
+    assert abs(row["mean_est_ppm"] - row["mean_true_ppm"]) < 62500
+
+
+def test_stats_maintenance_matches_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "o20_stats_maintenance")
+
+
+def test_stats_maintenance_merge_is_exact(spark):
+    """Merged base+delta stats must equal full-scan stats exactly
+    (decimal sums — no float drift)."""
+    from historical_obs_platform_spark.registry import QUERIES
+
+    df = QUERIES["o20_stats_maintenance"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    assert (df["matches_full"] == 1).all()
+    assert set(df["col"]) == {"l_quantity", "l_extendedprice"}
