@@ -1137,3 +1137,106 @@ def st_semdedup_append(spark, sf_dir):
     finally:
         q.stop()
     return spark.table("st_semdedup_app")
+
+
+# --------------------------------------------------------------------
+# Streaming drift monitor — the batch s_embed_drift as a live check:
+# an embedding STREAM (planted +0.5 shift on dimension 5, so there is
+# something to catch) aggregated per dimension in complete mode, then
+# compared against the STATIC stored-corpus per-dimension means. The
+# stream side is one explode + one 64-key aggregation (micro-quantized
+# integer sums, map-side combinable); the static side is computed once
+# per trigger-free batch read. Oracle = exact batch recompute of the
+# same quantized means. drift_flag marks dims whose mean moved by
+# more than 0.1 in original units — the alert a pipeline owner pages
+# on before training ingests a shifted batch.
+# --------------------------------------------------------------------
+ST_DRIFT_ORACLE = """
+WITH inc AS (
+  SELECT vec_id + 1000000 AS new_id, pos,
+         CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000000)
+              AS BIGINT)
+         + CASE WHEN pos = 5 THEN 500000 ELSE 0 END AS q
+  FROM embeddings,
+       unnest(generate_series(1, len(embedding))) AS u(pos)
+),
+stored AS (
+  SELECT pos,
+         CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000000)
+              AS BIGINT) AS q
+  FROM embeddings,
+       unnest(generate_series(1, len(embedding))) AS u(pos)
+),
+ia AS (SELECT pos, sum(q) AS qs, count(*) AS n FROM inc GROUP BY pos),
+sa AS (SELECT pos, sum(q) AS qs, count(*) AS n FROM stored GROUP BY pos)
+SELECT ia.pos,
+       CAST(ia.n AS BIGINT) AS n_incoming,
+       round(ia.qs / (ia.n * 1000000.0), 6) AS mean_incoming,
+       round(sa.qs / (sa.n * 1000000.0), 6) AS mean_stored,
+       round(abs(ia.qs / (ia.n * 1000000.0)
+                 - sa.qs / (sa.n * 1000000.0)), 6) AS abs_drift,
+       CAST(abs(ia.qs / (ia.n * 1000000.0)
+                - sa.qs / (sa.n * 1000000.0)) > 0.1 AS INTEGER)
+         AS drift_flag
+FROM ia JOIN sa ON sa.pos = ia.pos
+"""
+
+
+@query("st_drift_stream", ST_DRIFT_ORACLE)
+@_with_stream_shuffle
+def st_drift_stream(spark, sf_dir):
+    tune(spark)
+    path = f"{sf_dir}/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    schema = emb.schema
+    q_expr = (
+        F.floor(F.col("val").cast("double") * 1000000).cast("long")
+        + F.when(F.col("pos") == 5, F.lit(500000))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    src = spark.readStream.schema(schema).parquet(
+        f"{sf_dir}/embeddings*.parquet"
+    )
+    inc = (
+        src.select(
+            (F.col("vec_id") + 1000000).alias("new_id"),
+            F.posexplode("embedding").alias("pos0", "val"),
+        )
+        .select("new_id", (F.col("pos0") + 1).alias("pos"), "val")
+        .withColumn("q", q_expr)
+        .groupBy("pos")
+        .agg(F.sum("q").alias("qs"), F.count(F.lit(1)).alias("n"))
+    )
+    qy = (
+        inc.writeStream.format("memory")
+        .queryName("st_drift")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        qy.processAllAvailable()
+    finally:
+        qy.stop()
+    ia = spark.table("st_drift")
+    sa = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos0", "val"))
+        .select(
+            (F.col("pos0") + 1).alias("pos"),
+            F.floor(F.col("val").cast("double") * 1000000)
+            .cast("long")
+            .alias("q"),
+        )
+        .groupBy("pos")
+        .agg(F.sum("q").alias("sqs"), F.count(F.lit(1)).alias("sn"))
+    )
+    mi = F.col("qs") / (F.col("n") * 1000000.0)
+    ms = F.col("sqs") / (F.col("sn") * 1000000.0)
+    return ia.join(sa, "pos").select(
+        "pos",
+        F.col("n").cast("long").alias("n_incoming"),
+        F.round(mi, 6).alias("mean_incoming"),
+        F.round(ms, 6).alias("mean_stored"),
+        F.round(F.abs(mi - ms), 6).alias("abs_drift"),
+        (F.abs(mi - ms) > 0.1).cast("int").alias("drift_flag"),
+    )

@@ -245,3 +245,23 @@ def test_append_twin_is_subset_of_complete(spark):
     }
     assert set(app) < set(comp)
     assert all(comp[k] == v for k, v in app.items())
+
+
+def test_drift_stream_matches_oracle(spark, oracle_con):
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, oracle_con, "st_drift_stream")
+
+
+def test_drift_stream_flags_only_planted_dim(spark):
+    """The +0.5 planted shift on dimension 5 is the only flagged dim,
+    and its measured drift is ~0.5."""
+    from historical_obs_platform_spark.registry import QUERIES
+
+    df = QUERIES["st_drift_stream"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    flagged = df[df["drift_flag"] == 1]
+    assert list(flagged["pos"]) == [5]
+    assert abs(flagged["abs_drift"].iloc[0] - 0.5) < 1e-6
+    assert (df[df["pos"] != 5]["abs_drift"] < 0.01).all()
