@@ -680,3 +680,84 @@ def report_flag_rates_hourly(spark, sf_dir):
         (F.col("n") / F.col("total_obs_count")).alias("flag_rate"),
         "total_obs_count",
     )
+
+
+# --------------------------------------------------------------------
+# The reference's station-coverage report data layer
+# (notebooks/plot_station_coverage.ipynb, scripts/misc/
+# station_coverage_figure.py render per-station temporal coverage):
+# for each (station, calendar month), how many of the month's hours
+# carry at least one observation. Coverage is integer fixed-point
+# (ppm, floor division on non-negative counts) so both engines hash
+# identically; the month key is an ISO string per the repo's
+# no-DATE-columns determinism rule. One shuffle on (station, month);
+# at 100 TB the distinct-hour count is a partial aggregate on the
+# same key, so the report stays one exchange regardless of record
+# length.
+# --------------------------------------------------------------------
+COVERAGE_ORACLE = """
+WITH o AS (
+  SELECT CAST(user_id AS VARCHAR) AS station, ts FROM events
+),
+agg AS (
+  SELECT station,
+         strftime(ts, '%Y-%m') AS month,
+         CAST(count(*) AS BIGINT) AS n_obs,
+         CAST(count(DISTINCT date_trunc('hour', ts)) AS BIGINT)
+           AS n_hours,
+         min(ts) AS __any
+  FROM o GROUP BY 1, 2
+)
+SELECT station, month, n_obs, n_hours,
+       CAST(24 * date_diff('day', date_trunc('month', __any),
+            date_trunc('month', __any) + INTERVAL 1 MONTH) AS BIGINT)
+         AS expected_hours,
+       CAST((n_hours * 1000000) // (24 * date_diff('day',
+            date_trunc('month', __any),
+            date_trunc('month', __any) + INTERVAL 1 MONTH)) AS BIGINT)
+         AS coverage_ppm
+FROM agg
+"""
+
+
+@query("report_station_coverage", COVERAGE_ORACLE)
+def report_station_coverage(spark, sf_dir):
+    """Per-(station, month) temporal coverage: hours with >=1 obs vs
+    the month's calendar hours, as integer ppm.
+
+    Reference: notebooks/plot_station_coverage.ipynb and
+    scripts/misc/station_coverage_figure.py plot station coverage;
+    this is the table those figures consume. Plan: one groupBy on
+    (station, month) computes the row count, the distinct-hour count
+    (map-side partial agg on the same key), and min(ts) — from which
+    the month's day count is derived exactly on both engines
+    (datediff to the next month start). coverage_ppm uses integer
+    floor division on non-negative counts, which Spark DIV and DuckDB
+    // compute identically.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("station"), "ts"
+    )
+    agg = ev.groupBy(
+        "station", F.date_format("ts", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.countDistinct(F.date_trunc("hour", F.col("ts")))
+        .cast("long")
+        .alias("n_hours"),
+        F.min("ts").alias("__any"),
+    )
+    month_start = F.date_trunc("month", F.col("__any"))
+    days = F.datediff(F.add_months(month_start, 1), month_start.cast("date"))
+    return agg.select(
+        "station",
+        "month",
+        "n_obs",
+        "n_hours",
+        (F.lit(24) * days).cast("long").alias("expected_hours"),
+        F.floor(
+            (F.col("n_hours") * F.lit(1000000)) / (F.lit(24) * days)
+        )
+        .cast("long")
+        .alias("coverage_ppm"),
+    )

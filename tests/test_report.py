@@ -58,3 +58,21 @@ def test_report_is_one_shuffle(spark):
         .toString()
     )
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_station_coverage_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "report_station_coverage")
+
+
+def test_station_coverage_bounds(spark):
+    out = registry.QUERIES["report_station_coverage"](spark, SF_DIR)
+    rows = out.collect()
+    assert rows, "coverage report is empty"
+    for r in rows:
+        # an hour with >=1 obs can never exceed the month's hours
+        assert 0 < r["n_hours"] <= r["expected_hours"]
+        assert 0 < r["coverage_ppm"] <= 1_000_000
+        assert r["n_obs"] >= r["n_hours"]
+        # expected_hours is a whole number of 24-hour days, 28..31
+        assert r["expected_hours"] % 24 == 0
+        assert 28 <= r["expected_hours"] // 24 <= 31
