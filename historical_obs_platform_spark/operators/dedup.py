@@ -323,6 +323,84 @@ def hamming_distance(a: Column, b: Column, bits: int = 32) -> Column:
     return total
 
 
+def simhash_neardup_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Banded Hamming near-dup join over simhash signatures — the
+    scalable simhash dedup stage (Manku, Jain & Das Sarma, WWW'07):
+    split the signature into ``bands`` contiguous bit bands; by
+    pigeonhole any pair within Hamming distance ``bands - 1`` agrees
+    exactly on at least one band, so candidates come from ``bands``
+    equi-joins on the band value — never an all-pairs comparison —
+    and the exact popcount confirm trims false candidates.
+
+    Requires ``max_hamming <= bands - 1`` for completeness (asserted).
+    Shuffle is keyed on (band, band value); bucket population is
+    ~n / 2**band_width, so at larger corpora widen the signature and
+    the bands together (e.g. 64-bit simhash with 16-bit bands keeps
+    the within-bucket candidate blowup sub-quadratic at web scale),
+    exactly like LSH band tuning in ``lsh_bands``.
+
+    Returns distinct (id_a, id_b, hamming) with ``id_a < id_b``.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} not covered by {bands} bands; "
+            "banding only guarantees recall up to bands - 1"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = sig.select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col(hash_col), width * b)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__bk"),
+    ).select(id_col, hash_col, "__bk.band", "__bk.key")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.key") == F.col("r.key"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col(f"l.{hash_col}").alias("__x"),
+            F.col(f"r.{hash_col}").alias("__y"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            hamming_distance(F.col("__x"), F.col("__y"), bits).cast("int"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a: str = "a",

@@ -369,6 +369,47 @@ def d_simhash(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
+# Banded Hamming near-dup join over the simhash signatures (Manku et
+# al. WWW'07): 4 bands of 8 bits — pigeonhole-complete for Hamming
+# <= 3 — generate candidates by band equi-join, confirm with the
+# exact popcount. The oracle restates the banding relationally on the
+# identical signature CTE, so both engines see the same candidate
+# set and the same confirm.
+# --------------------------------------------------------------------
+SIMHASH_NEARDUP_ORACLE = f"""
+WITH sigs AS ({_simhash_oracle()}),
+banded AS (
+  SELECT doc_id, simhash, t.b AS band,
+         (simhash >> (8 * t.b)) & 255 AS key
+  FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS b) t
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS x, b.simhash AS y
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(x, y)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(x, y)) <= 3
+"""
+
+
+@query("d_simhash_neardup", SIMHASH_NEARDUP_ORACLE)
+def d_simhash_neardup(spark, sf_dir):
+    """Simhash near-dup pairs at Hamming <= 3 via 4×8-bit banding —
+    candidates only within equal-band buckets (one shuffle keyed on
+    (band, band value)), never all-pairs; exact popcount confirm.
+    At web scale the signature and bands widen together (64-bit / 4×16
+    keeps bucket populations ~n/65536), same knob family as MinHash
+    LSH banding."""
+    docs = table(spark, sf_dir, "documents")
+    sig = DD.simhash(docs, "doc_id", "text", bits=32)
+    return DD.simhash_neardup_pairs(
+        sig, "doc_id", "simhash", bits=32, bands=4, max_hamming=3
+    )
+
+
+# --------------------------------------------------------------------
 # Brute-force cosine top-k (exact ANN baseline). Queries = vec_id<10.
 # --------------------------------------------------------------------
 _DOT = (

@@ -442,3 +442,52 @@ def test_leakage_safe_split_oracle_and_invariant(spark, oracle_con):
         .count()
     )
     assert span == 0
+
+
+def test_simhash_neardup_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "d_simhash_neardup")
+
+
+def test_simhash_neardup_banding_complete(spark):
+    """Pigeonhole recall guarantee: 4x8-bit banding at Hamming <= 3
+    finds EXACTLY the brute-force all-pairs result (banding is a
+    candidate filter, never a loss), and rejects an uncovered
+    max_hamming."""
+    import pytest as _pytest
+
+    from historical_obs_platform_spark.operators.dedup import (
+        hamming_distance,
+        simhash,
+        simhash_neardup_pairs,
+    )
+    from historical_obs_platform_spark.queries.common import table
+
+    docs = table(spark, SF_DIR, "documents").limit(120)
+    sig = simhash(docs, "doc_id", "text", bits=32).localCheckpoint()
+
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_neardup_pairs(
+            sig, "doc_id", "simhash", bits=32, bands=4, max_hamming=3
+        ).collect()
+    }
+    a, b = sig.alias("a"), sig.alias("b")
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            hamming_distance(
+                F.col("a.simhash"), F.col("b.simhash"), 32
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute and brute
+
+    with _pytest.raises(ValueError):
+        simhash_neardup_pairs(sig, max_hamming=4, bands=4)
