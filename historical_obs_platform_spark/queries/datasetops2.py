@@ -1109,3 +1109,115 @@ def o14_profile_hll(spark, sf_dir):
             ).alias("rel_err"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Data-contract validation (the Deequ-style constraint suite, Schelter
+# et al. VLDB'18): a declarative set of per-column constraints checked
+# in ONE scan — every violation count is a conditional partial
+# aggregate in the same pass, the wide row unpivots to the report, and
+# nothing reruns per check. Violations are integer ppm (floor div on
+# non-negative counts, engine-identical); the value range bound is
+# deliberately tighter than the data so the report shows a failing
+# contract line alongside the passing ones.
+# --------------------------------------------------------------------
+_CONTRACT = [
+    # (check, col, bad-row SQL predicate, threshold_ppm)
+    ("not_null", "event_id", "event_id IS NULL", 0),
+    ("not_null", "ts", "ts IS NULL", 0),
+    ("null_rate_max", "value", "value IS NULL", 50000),
+    ("vocab", "event_type",
+     "event_type IS NULL OR event_type NOT IN "
+     "('click','error','purchase','signup','view')", 0),
+    ("range", "value", "value < 0.0 OR value > 500.0", 0),
+    ("non_negative", "user_id", "user_id < 0", 0),
+    ("freshness", "ts",
+     "ts < TIMESTAMP '2024-01-01' OR ts >= TIMESTAMP '2024-02-01'", 0),
+]
+
+_CONTRACT_ORACLE = (
+    "WITH agg AS (SELECT CAST(count(*) AS BIGINT) AS total, "
+    + ", ".join(
+        f"CAST(count(*) FILTER (WHERE {pred}) AS BIGINT) AS bad_{i}"
+        for i, (_, _, pred, _) in enumerate(_CONTRACT)
+    )
+    + ", CAST(count(*) - count(DISTINCT event_id) AS BIGINT)"
+    " AS bad_unique FROM events) "
+    + " UNION ALL ".join(
+        f"""
+SELECT '{chk}' AS chk, '{col}' AS col,
+       (bad_{i} * 1000000) // total AS observed_ppm,
+       CAST({thr} AS BIGINT) AS threshold_ppm,
+       CAST(CASE WHEN (bad_{i} * 1000000) // total <= {thr}
+            THEN 1 ELSE 0 END AS INTEGER) AS pass
+FROM agg"""
+        for i, (chk, col, _, thr) in enumerate(_CONTRACT)
+    )
+    + """
+UNION ALL
+SELECT 'unique', 'event_id',
+       (bad_unique * 1000000) // total,
+       CAST(0 AS BIGINT),
+       CAST(CASE WHEN bad_unique = 0 THEN 1 ELSE 0 END AS INTEGER)
+FROM agg"""
+)
+
+
+@query("o21_contract_checks", _CONTRACT_ORACLE)
+def o21_contract_checks(spark, sf_dir):
+    """Declarative data-contract report over events: not-null, max
+    null rate, vocabulary membership, numeric range, non-negativity,
+    freshness window, and key uniqueness — all counted in one
+    partial-aggregating scan (conditional counts + one distinct),
+    then unpivoted to (chk, col, observed_ppm, threshold_ppm, pass).
+    At 100 TB this is the same single-exchange shape as
+    ``o13_table_profile``: no per-check rescan, no shuffle beyond the
+    final 8-row aggregate. Violations are floor-div ppm so both
+    engines emit identical integers."""
+    ev = table(spark, sf_dir, "events")
+    aggs = [F.count(F.lit(1)).cast("long").alias("total")]
+    for i, (_, _, pred, _) in enumerate(_CONTRACT):
+        aggs.append(
+            F.count_if(F.expr(pred)).cast("long").alias(f"bad_{i}")
+        )
+    aggs.append(
+        (F.count(F.lit(1)) - F.countDistinct("event_id"))
+        .cast("long")
+        .alias("bad_unique")
+    )
+    wide = ev.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(chk).alias("chk"),
+            F.lit(col).alias("col"),
+            F.expr(f"(bad_{i} * 1000000) DIV total").alias(
+                "observed_ppm"
+            ),
+            F.lit(thr).cast("long").alias("threshold_ppm"),
+            F.when(
+                F.expr(f"(bad_{i} * 1000000) DIV total") <= F.lit(thr),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("pass"),
+        )
+        for i, (chk, col, _, thr) in enumerate(_CONTRACT)
+    ]
+    rows.append(
+        F.struct(
+            F.lit("unique").alias("chk"),
+            F.lit("event_id").alias("col"),
+            F.expr("(bad_unique * 1000000) DIV total").alias(
+                "observed_ppm"
+            ),
+            F.lit(0).cast("long").alias("threshold_ppm"),
+            F.when(F.col("bad_unique") == 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("pass"),
+        )
+    )
+    return wide.select(
+        F.explode(F.array(*rows)).alias("r")
+    ).select("r.chk", "r.col", "r.observed_ppm", "r.threshold_ppm", "r.pass")

@@ -293,3 +293,33 @@ def test_o14_profile_hll_error_bounds(spark):
     assert set(pdf["column_name"]) == {"user_id", "event_type", "value"}
     assert (pdf["rel_err"] <= 0.15).all(), pdf
     assert (pdf["exact_distinct"] > 0).all()
+
+
+def test_contract_checks_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "o21_contract_checks")
+
+
+def test_contract_checks_semantics(spark):
+    """The suite runs in one scan, covers every declared constraint,
+    and pass/fail reflects observed vs threshold exactly."""
+    from historical_obs_platform_spark.registry import QUERIES
+    from .conftest import SF_DIR
+
+    pdf = QUERIES["o21_contract_checks"](spark, SF_DIR).toPandas()
+    assert len(pdf) == 8
+    # pass is exactly the threshold comparison
+    assert (
+        (pdf["pass"] == 1) == (pdf["observed_ppm"] <= pdf["threshold_ppm"])
+    ).all(), pdf
+    # only the deliberately tight range bound may fail
+    failing = pdf[pdf["pass"] == 0]
+    assert set(zip(failing["chk"], failing["col"])) <= {("range", "value")}
+    assert (pdf["observed_ppm"] >= 0).all()
+    assert (pdf["observed_ppm"] <= 1_000_000).all()
+    # at sf0.1 the data exceeds the 500 bound, so the failing-line
+    # path is exercised (max value 560.21 there; 490 at sf0.01)
+    big = QUERIES["o21_contract_checks"](
+        spark, "/root/testdata/sf0.1"
+    ).toPandas()
+    bad = big[big["pass"] == 0]
+    assert set(zip(bad["chk"], bad["col"])) == {("range", "value")}
