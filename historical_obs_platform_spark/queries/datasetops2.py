@@ -1221,3 +1221,92 @@ def o21_contract_checks(spark, sf_dir):
     return wide.select(
         F.explode(F.array(*rows)).alias("r")
     ).select("r.chk", "r.col", "r.observed_ppm", "r.threshold_ppm", "r.pass")
+
+
+# --------------------------------------------------------------------
+# Exact two-sample Kolmogorov-Smirnov drift statistic in pure integer
+# arithmetic: D = max_x |F_A(x) - F_B(x)| becomes
+# max |cumA(x)*NB - cumB(x)*NA| over the pooled support, so both
+# engines compare identical BIGINTs and only the final ppm is a floor
+# division. The heavy stage is the distributed groupBy on the
+# (2-decimal-quantized, hence bounded-cardinality) value; the CDF
+# cumsum window then runs over <=56k distinct values — a deliberately
+# tiny single-partition tail, not a full-data global sort.
+# --------------------------------------------------------------------
+_KS_ORACLE = """
+WITH g AS (
+  SELECT value,
+         CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+           AS n_a,
+         CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+           AS n_b
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY value
+),
+c AS (
+  SELECT sum(n_a) OVER (ORDER BY value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         sum(n_b) OVER (ORDER BY value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+         sum(n_a) OVER () AS tot_a,
+         sum(n_b) OVER () AS tot_b
+  FROM g
+)
+SELECT CAST(max(tot_a) AS BIGINT) AS n_click,
+       CAST(max(tot_b) AS BIGINT) AS n_view,
+       CAST(max(abs(cum_a * tot_b - cum_b * tot_a)) AS BIGINT)
+         AS ks_scaled,
+       CAST(max(abs(cum_a * tot_b - cum_b * tot_a)) * 1000000
+            // (max(tot_a) * max(tot_b)) AS BIGINT) AS ks_ppm
+FROM c
+"""
+
+
+@query("a18_ks_drift", _KS_ORACLE)
+def a18_ks_drift(spark, sf_dir):
+    """Exact two-sample KS distance between the click and view value
+    distributions. D's comparisons run entirely in BIGINT
+    (|cumA*NB - cumB*NA|), so the statistic is cross-engine exact;
+    ks_ppm = floor(scaled * 1e6 / (NA*NB)). Plan: the distributed
+    stage is one groupBy on the quantized value (bounded domain →
+    bounded group count); the CDF window then covers only the
+    distinct-value table, so the unpartitioned cumsum is a
+    constant-size tail at any corpus scale, not a global data sort."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "view"))
+        .groupBy("value")
+        .agg(
+            F.count_if(F.col("event_type") == "click")
+            .cast("long")
+            .alias("n_a"),
+            F.count_if(F.col("event_type") == "view")
+            .cast("long")
+            .alias("n_b"),
+        )
+    )
+    w_cdf = (
+        Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    c = ev.select(
+        F.sum("n_a").over(w_cdf).alias("cum_a"),
+        F.sum("n_b").over(w_cdf).alias("cum_b"),
+        F.sum("n_a").over(w_all).alias("tot_a"),
+        F.sum("n_b").over(w_all).alias("tot_b"),
+    )
+    diff = F.abs(
+        F.col("cum_a") * F.col("tot_b") - F.col("cum_b") * F.col("tot_a")
+    )
+    return (
+        c.groupBy("tot_a", "tot_b")
+        .agg(F.max(diff).cast("long").alias("ks_scaled"))
+        .select(
+            F.col("tot_a").cast("long").alias("n_click"),
+            F.col("tot_b").cast("long").alias("n_view"),
+            "ks_scaled",
+            F.expr("CAST(ks_scaled * 1000000 DIV (tot_a * tot_b) AS BIGINT)")
+            .alias("ks_ppm"),
+        )
+    )

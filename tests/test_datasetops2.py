@@ -323,3 +323,49 @@ def test_contract_checks_semantics(spark):
     ).toPandas()
     bad = big[big["pass"] == 0]
     assert set(zip(bad["chk"], bad["col"])) == {("range", "value")}
+
+
+def test_ks_drift_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "a18_ks_drift")
+
+
+def test_ks_drift_matches_bruteforce(spark):
+    """The integer KS equals a direct pandas CDF computation, and a
+    planted shift drives it toward 1e6 ppm."""
+    import numpy as np
+    import pandas as pd
+
+    from historical_obs_platform_spark.registry import QUERIES
+    from historical_obs_platform_spark.queries.common import table
+    from .conftest import SF_DIR
+
+    row = QUERIES["a18_ks_drift"](spark, SF_DIR).collect()[0]
+    ev = (
+        table(spark, SF_DIR, "events")
+        .where(F.col("event_type").isin("click", "view"))
+        .select("event_type", "value")
+        .toPandas()
+    )
+    a = np.sort(ev[ev.event_type == "click"].value.values)
+    b = np.sort(ev[ev.event_type == "view"].value.values)
+    support = np.unique(np.concatenate([a, b]))
+    cum_a = np.searchsorted(a, support, side="right").astype(np.int64)
+    cum_b = np.searchsorted(b, support, side="right").astype(np.int64)
+    scaled = np.abs(cum_a * len(b) - cum_b * len(a)).max()
+    assert row["ks_scaled"] == scaled
+    assert row["n_click"] == len(a) and row["n_view"] == len(b)
+    assert row["ks_ppm"] == scaled * 1_000_000 // (len(a) * len(b))
+    assert 0 <= row["ks_ppm"] <= 1_000_000
+    # planted drift: compare the bottom half of click against the top
+    # half of view — CDFs separate almost completely
+    lo = np.sort(a[a <= np.median(a)])
+    hi = np.sort(b[b >= np.median(b)])
+    sup2 = np.unique(np.concatenate([lo, hi]))
+    c1 = np.searchsorted(lo, sup2, side="right").astype(np.int64)
+    c2 = np.searchsorted(hi, sup2, side="right").astype(np.int64)
+    drift_ppm = (
+        np.abs(c1 * len(hi) - c2 * len(lo)).max()
+        * 1_000_000
+        // (len(lo) * len(hi))
+    )
+    assert drift_ppm > 900_000 > row["ks_ppm"]
