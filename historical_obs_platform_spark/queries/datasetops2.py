@@ -1310,3 +1310,116 @@ def a18_ks_drift(spark, sf_dir):
             .alias("ks_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Population Stability Index between the click and view value
+# distributions — the industry-standard ML-ops drift score — over 20
+# fixed equi-width bins with add-one smoothing (so empty bins are
+# well-defined without epsilon hacks). Every per-bin probability is
+# one IEEE division of exact integers (identical in both engines);
+# the only libm call is ln, whose <=1-ulp spread is absorbed by the
+# final round(...,6); and the 20-term sum folds in bin order on both
+# sides (list ORDER BY b / aggregate over a sorted array), per the
+# repo's fold-order rule for float sums.
+# --------------------------------------------------------------------
+_PSI_ORACLE = """
+WITH ev AS (
+  SELECT value, event_type FROM events
+  WHERE event_type IN ('click', 'view')
+),
+g AS (
+  SELECT CAST(least(floor(value / 30), 19) AS BIGINT) AS b,
+         CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+           AS n_a,
+         CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+           AS n_b
+  FROM ev GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+           AS tot_a,
+         CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+           AS tot_b
+  FROM ev
+),
+d AS (
+  SELECT t.b AS b, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+  FROM (SELECT unnest(range(20)) AS b) t LEFT JOIN g ON g.b = t.b
+),
+terms AS (
+  SELECT d.b,
+         (CAST(n_a + 1 AS DOUBLE) / (tot_a + 20)
+          - CAST(n_b + 1 AS DOUBLE) / (tot_b + 20))
+         * ln((CAST(n_a + 1 AS DOUBLE) / (tot_a + 20))
+              / (CAST(n_b + 1 AS DOUBLE) / (tot_b + 20))) AS t,
+         tot_a, tot_b
+  FROM d, tot
+)
+SELECT CAST(max(tot_a) AS BIGINT) AS n_click,
+       CAST(max(tot_b) AS BIGINT) AS n_view,
+       CAST(20 AS INTEGER) AS n_bins,
+       round(list_aggregate(list(t ORDER BY b), 'sum'), 6) AS psi
+FROM terms
+"""
+
+
+@query("a19_psi_drift", _PSI_ORACLE)
+def a19_psi_drift(spark, sf_dir):
+    """PSI drift between two sources' value distributions: 20 fixed
+    equi-width bins, add-one smoothing, per-bin
+    (pA - pB)·ln(pA/pB) summed in bin order. Distributed work is one
+    groupBy on the bin id; the 20-bin densify join and the ordered
+    fold are constant-size at any corpus scale. PSI > 0.25 is the
+    conventional retrain/page threshold."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    )
+    g = ev.groupBy(
+        F.least(F.floor(F.col("value") / 30), F.lit(19))
+        .cast("long")
+        .alias("b")
+    ).agg(
+        F.count_if(F.col("event_type") == "click")
+        .cast("long")
+        .alias("n_a"),
+        F.count_if(F.col("event_type") == "view")
+        .cast("long")
+        .alias("n_b"),
+    )
+    tot = ev.agg(
+        F.count_if(F.col("event_type") == "click")
+        .cast("long")
+        .alias("tot_a"),
+        F.count_if(F.col("event_type") == "view")
+        .cast("long")
+        .alias("tot_b"),
+    )
+    bins = spark.range(20).select(F.col("id").alias("b"))
+    d = (
+        bins.join(g, "b", "left")
+        .na.fill(0, ["n_a", "n_b"])
+        .crossJoin(F.broadcast(tot))
+    )
+    pa = (F.col("n_a") + 1).cast("double") / (F.col("tot_a") + 20)
+    pb = (F.col("n_b") + 1).cast("double") / (F.col("tot_b") + 20)
+    terms = d.select(
+        "b",
+        "tot_a",
+        "tot_b",
+        ((pa - pb) * F.log(pa / pb)).alias("t"),
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("b"), F.col("t")))
+    )
+    return terms.groupBy().agg(
+        F.max("tot_a").cast("long").alias("n_click"),
+        F.max("tot_b").cast("long").alias("n_view"),
+        F.lit(20).cast("int").alias("n_bins"),
+        F.round(
+            F.aggregate(
+                arr, F.lit(0.0), lambda acc, x: acc + x["t"]
+            ),
+            6,
+        ).alias("psi"),
+    )

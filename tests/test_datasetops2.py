@@ -369,3 +369,38 @@ def test_ks_drift_matches_bruteforce(spark):
         // (len(lo) * len(hi))
     )
     assert drift_ppm > 900_000 > row["ks_ppm"]
+
+
+def test_psi_drift_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "a19_psi_drift")
+
+
+def test_psi_drift_matches_numpy(spark):
+    """PSI equals a direct numpy recompute (same bins, same smoothing,
+    same bin-ordered fold) to the rounded precision, and is ~0 for
+    the near-identical click/view split."""
+    import numpy as np
+
+    from historical_obs_platform_spark.registry import QUERIES
+    from .conftest import SF_DIR
+
+    row = QUERIES["a19_psi_drift"](spark, SF_DIR).collect()[0]
+    ev = (
+        table(spark, SF_DIR, "events")
+        .where(F.col("event_type").isin("click", "view"))
+        .select("event_type", "value")
+        .toPandas()
+    )
+    a = ev[ev.event_type == "click"].value.values
+    b = ev[ev.event_type == "view"].value.values
+    bins = lambda x: np.minimum(np.floor(x / 30).astype(int), 19)
+    na = np.bincount(bins(a), minlength=20).astype(np.int64)
+    nb = np.bincount(bins(b), minlength=20).astype(np.int64)
+    pa = (na + 1) / (len(a) + 20)
+    pb = (nb + 1) / (len(b) + 20)
+    psi = 0.0
+    for i in range(20):  # bin-ordered fold, like both engines
+        psi += (pa[i] - pb[i]) * np.log(pa[i] / pb[i])
+    assert abs(row["psi"] - round(psi, 6)) <= 1e-6
+    assert row["n_click"] == len(a) and row["n_view"] == len(b)
+    assert 0 <= row["psi"] < 0.25  # far below the retrain threshold
