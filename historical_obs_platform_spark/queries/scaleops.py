@@ -381,3 +381,72 @@ def m_resize_plan(spark, sf_dir):
         F.encode("text", "UTF-8").alias("content"),
     )
     return MM.resize_plan(media, target=256, decoder=MM.FakeDecoder())
+
+
+# --------------------------------------------------------------------
+# Entity-resolution linkage (record-linkage blocking, Fellegi-Sunter
+# style candidate generation): near-identical catalog names found by
+# (a) collapsing the row table to the DISTINCT-entity table first —
+# entity resolution never runs over rows, only over the vocabulary —
+# (b) blocking candidates on the first name token so the pair join is
+# within-block only, and (c) confirming with exact Levenshtein
+# distance (an O(len^2)-per-pair metric affordable precisely because
+# blocking bounds the pair count). Row impact attaches back from the
+# per-name counts, broadcast-sized by construction.
+# --------------------------------------------------------------------
+_LINK_ORACLE = """
+WITH counts AS (
+  SELECT p_name, CAST(count(*) AS BIGINT) AS n_rows
+  FROM part GROUP BY p_name
+),
+blocked AS (
+  SELECT p_name, n_rows, string_split(p_name, ' ')[1] AS blk
+  FROM counts
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist,
+       a.n_rows AS n_rows_a, b.n_rows AS n_rows_b
+FROM blocked a JOIN blocked b
+  ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+"""
+
+
+@query("j13_entity_link", _LINK_ORACLE)
+def j13_entity_link(spark, sf_dir):
+    """Catalog-variant linkage: distinct names -> first-token blocks
+    -> within-block pairs -> Levenshtein <= 3 confirm, with per-name
+    row counts attached. The distinct-entity collapse is the scale
+    move: the quadratic stage sees the vocabulary (64 names here),
+    never the row table, and at 100 TB the entity table is still
+    dimension-sized while the one heavy stage — the groupBy collapse
+    — is a plain distributed aggregation."""
+    counts = (
+        table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    blocked = counts.select(
+        "p_name",
+        "n_rows",
+        F.element_at(F.split("p_name", " "), 1).alias("blk"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.blk") == F.col("b.blk"),
+                F.col("a.p_name") < F.col("b.p_name"),
+            ],
+        )
+        .where(dist.between(1, 3))
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.cast("int").alias("edit_dist"),
+            F.col("a.n_rows").alias("n_rows_a"),
+            F.col("b.n_rows").alias("n_rows_b"),
+        )
+    )

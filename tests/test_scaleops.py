@@ -231,3 +231,22 @@ def test_bloom_build_rejects_mismatched_bits(spark):
     df = spark.range(3).selectExpr("cast(id as string) AS k")
     with pytest.raises(ValueError, match="n_bits"):
         bloom_build(df, "k", n_bits=1024)
+
+
+def test_entity_link_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "j13_entity_link")
+
+
+def test_entity_link_blocking_semantics(spark):
+    """Pairs share their blocking token, distances respect the
+    confirm band, and the pair table is canonical (a < b)."""
+    from historical_obs_platform_spark.registry import QUERIES
+    from .conftest import SF_DIR
+
+    rows = QUERIES["j13_entity_link"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["name_a"] < r["name_b"]
+        assert 1 <= r["edit_dist"] <= 3
+        assert r["name_a"].split(" ")[0] == r["name_b"].split(" ")[0]
+        assert r["n_rows_a"] > 0 and r["n_rows_b"] > 0
