@@ -1347,6 +1347,47 @@ def ivfpq_index(
     return cent, cb, codes
 
 
+def ivfpq_encode(
+    cent: DataFrame,
+    cb: DataFrame,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    sub_dim: int = 16,
+) -> DataFrame:
+    """Encode NEW vectors against a prebuilt IVFADC index (see
+    ``ivfpq_index``) — index maintenance without retraining: each
+    delta vector is assigned to its nearest existing coarse cell
+    (in-map Arrow kernel, no join), its residual is quantized with
+    the EXISTING per-subspace codebooks, and the resulting
+    (id, cell, m codes) rows union straight into the stored codes
+    table. Map-only + one broadcast of the (tiny) centroid/codebook
+    tables, so ingest cost is linear in the delta alone — the corpus
+    is never touched, which is what keeps a 100 TB index fresh
+    between (rare) retrains."""
+    cvec = delta.select(
+        F.col(id_col).alias("neighbor_id"),
+        _unit(as_double_array(vec_col)).alias("__uv"),
+    )
+    res = (
+        attach_cells(cvec, cent)
+        .join(F.broadcast(cent), "cell")
+        .select(
+            "neighbor_id",
+            "cell",
+            F.zip_with(
+                F.col("__uv"), F.col("__cent"), lambda x, y: x - y
+            ).alias("__r"),
+        )
+    )
+    return _pq_assign(
+        _subvectors(res, ["neighbor_id", "cell"], F.col("__r"), m, sub_dim),
+        cb,
+        ["neighbor_id", "cell"],
+    )
+
+
 def ivfpq_query(
     cent: DataFrame,
     cb: DataFrame,

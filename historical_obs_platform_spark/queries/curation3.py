@@ -542,7 +542,9 @@ def p_domain_reweight(spark, sf_dir):
 # residuals → residual-PQ training → codes → per-(query, probed-cell)
 # distance tables → fixed-order ADC sums.
 # --------------------------------------------------------------------
-def _ivfpq_base(n_cells=16, m=4, ksub=8, sub_dim=16, dim=64) -> str:
+def _ivfpq_base(
+    n_cells=16, m=4, ksub=8, sub_dim=16, dim=64, train_pred="TRUE"
+) -> str:
     """Corpus-side IVFADC CTEs (shared by any probe setting): coarse
     quantizer → cell map → residuals → residual codebooks → codes."""
     dot = "list_dot_product({a}, {b})"
@@ -556,14 +558,14 @@ u AS (SELECT vec_id,
 cent0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
          uv AS cent
-  FROM (SELECT * FROM u ORDER BY vec_id LIMIT {n_cells})
+  FROM (SELECT * FROM u WHERE {train_pred} ORDER BY vec_id LIMIT {n_cells})
 ),
 assign0 AS (
   SELECT vec_id, cell FROM (
     SELECT u.vec_id, c0.cell,
            row_number() OVER (PARTITION BY u.vec_id
              ORDER BY {dot.format(a='u.uv', b='c0.cent')} DESC, c0.cell) AS r
-    FROM u CROSS JOIN cent0 c0) WHERE r = 1
+    FROM u CROSS JOIN cent0 c0 WHERE {train_pred}) WHERE r = 1
 ),
 means AS (
   SELECT a.cell, t.i AS pos, round(avg(u.uv[t.i + 1]), 9) AS val
@@ -598,14 +600,17 @@ rseeds AS (
               AS INTEGER) AS j,
          sv AS cent
   FROM rsub
-  WHERE vec_id IN (SELECT vec_id FROM c ORDER BY vec_id LIMIT {ksub})
+  WHERE vec_id IN (SELECT vec_id FROM c WHERE {train_pred}
+                   ORDER BY vec_id LIMIT {ksub})
 ),
 rassign0 AS (
   SELECT vec_id, s, j AS code FROM (
     SELECT rsub.vec_id, rsub.s, rseeds.j,
            row_number() OVER (PARTITION BY rsub.vec_id, rsub.s
              ORDER BY {_d2('rsub.sv', 'rseeds.cent')}, rseeds.j) AS r
-    FROM rsub JOIN rseeds USING (s)) WHERE r = 1
+    FROM rsub JOIN rseeds USING (s)
+    WHERE rsub.vec_id IN (SELECT vec_id FROM c WHERE {train_pred}))
+  WHERE r = 1
 ),
 rmeans AS (
   SELECT a.s, a.code AS j, t.i AS pos,
@@ -668,10 +673,11 @@ adc{sfx} AS (
 
 
 def _ivfpq_oracle(
-    n_cells=16, nprobe=4, m=4, ksub=8, sub_dim=16, k=5, dim=64
+    n_cells=16, nprobe=4, m=4, ksub=8, sub_dim=16, k=5, dim=64,
+    train_pred="TRUE",
 ) -> str:
     total = " + ".join(f"t{s}" for s in range(m))
-    return f"""{_ivfpq_base(n_cells, m, ksub, sub_dim, dim)},
+    return f"""{_ivfpq_base(n_cells, m, ksub, sub_dim, dim, train_pred)},
 {_ivfpq_qctes(nprobe, m, sub_dim, dim)}
 SELECT query_id, neighbor_id, approx_dist, CAST(rank AS INTEGER) AS rank
 FROM (
@@ -1303,3 +1309,36 @@ def s_mips_lsh_topk(spark, sf_dir):
     return SIM.mips_lsh_topk(
         emb, queries, dim=64, k=5, n_planes=4, n_tables=2
     )
+
+
+# --------------------------------------------------------------------
+# Incremental IVFADC index maintenance: coarse centroids + residual
+# codebooks train on the 90% base shard only (vec_id % 10 <> 0); the
+# 10% delta is then encoded against the EXISTING index parts —
+# nearest stored cell, existing codebooks — and its codes union into
+# the stored list, exactly how a production index absorbs an ingest
+# batch without retraining (Jégou et al. TPAMI'11 keep the quantizers
+# fixed between rebuilds). The oracle trains its quantizer CTEs under
+# the same predicate and encodes everything, so Spark's
+# build-then-encode must equal the oracle's single chain bit for bit.
+# --------------------------------------------------------------------
+@query(
+    "s_ivfpq_incremental",
+    _ivfpq_oracle(train_pred="vec_id % 10 <> 0"),
+)
+def s_ivfpq_incremental(spark, sf_dir):
+    """ADC top-k served from an index whose quantizers never saw the
+    delta shard: build on vec_id % 10 <> 0, ivfpq_encode the rest
+    (map-only, broadcast centroids/codebooks, corpus untouched),
+    union the code lists, query as usual."""
+    emb = table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 10 != 0)
+    delta = emb.where(F.col("vec_id") % 10 == 0)
+    queries = emb.where(F.col("vec_id") < 10)
+    cent, cb, codes0 = SIM.ivfpq_index(
+        base, n_cells=16, m=4, ksub=8, sub_dim=16
+    )
+    codes = codes0.unionByName(
+        SIM.ivfpq_encode(cent, cb, delta, m=4, sub_dim=16)
+    )
+    return SIM.ivfpq_query(cent, cb, codes, queries, k=5, nprobe=4)

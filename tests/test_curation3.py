@@ -322,3 +322,28 @@ def test_pq_shard_merge_recall_oracle(spark, oracle_con):
     cb = SIM.pq_codebooks_sharded(emb, m=4, ksub=8, sub_dim=16, n_shards=2)
     js = {r["j"] for r in cb.select("j").distinct().collect()}
     assert js == set(range(16))
+
+
+def test_ivfpq_incremental_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "s_ivfpq_incremental")
+
+
+def test_ivfpq_encode_idempotent(spark):
+    """ivfpq_encode against a prebuilt index reproduces the build-time
+    codes exactly when fed the same vectors — the invariant that makes
+    incremental ingest == full re-encode."""
+    from pyspark.sql import functions as F
+
+    from historical_obs_platform_spark.operators import similarity as SIM
+    from historical_obs_platform_spark.queries.common import table
+    from .conftest import SF_DIR
+
+    emb = table(spark, SF_DIR, "embeddings")
+    base = emb.where(F.col("vec_id") % 10 != 0)
+    cent, cb, codes0 = SIM.ivfpq_index(
+        base, n_cells=16, m=4, ksub=8, sub_dim=16
+    )
+    re_encoded = SIM.ivfpq_encode(cent, cb, base, m=4, sub_dim=16)
+    a = {tuple(r) for r in codes0.collect()}
+    b = {tuple(r) for r in re_encoded.collect()}
+    assert a == b and a
