@@ -1240,3 +1240,91 @@ def st_drift_stream(spark, sf_dir):
         F.round(F.abs(mi - ms), 6).alias("abs_drift"),
         (F.abs(mi - ms) > 0.1).cast("int").alias("drift_flag"),
     )
+
+
+# --------------------------------------------------------------------
+# Streaming data-contract monitor — o21_contract_checks live on the
+# ingest stream: the seven predicate constraints (not-null, max null
+# rate, vocabulary, range, non-negative, freshness) counted by ONE
+# global streaming aggregate in complete mode, snapshot unpivoted to
+# the same ppm pass/fail report. The batch suite's unique-key check is
+# deliberately absent here: exact COUNT(DISTINCT) is unsupported in a
+# streaming aggregate — the batch query remains the uniqueness
+# authority (or a keyed dedup_keep_first_stream feeds a violation
+# counter upstream). State is ONE row of counters however large the
+# stream — the cheapest possible always-on quality gate.
+# --------------------------------------------------------------------
+from .datasetops2 import _CONTRACT  # noqa: E402
+
+ST_CONTRACT_ORACLE = (
+    "WITH agg AS (SELECT CAST(count(*) AS BIGINT) AS total, "
+    + ", ".join(
+        f"CAST(count(*) FILTER (WHERE {pred}) AS BIGINT) AS bad_{i}"
+        for i, (_, _, pred, _) in enumerate(_CONTRACT)
+    )
+    + " FROM events) "
+    + " UNION ALL ".join(
+        f"""
+SELECT '{chk}' AS chk, '{col}' AS col,
+       (bad_{i} * 1000000) // total AS observed_ppm,
+       CAST({thr} AS BIGINT) AS threshold_ppm,
+       CAST(CASE WHEN (bad_{i} * 1000000) // total <= {thr}
+            THEN 1 ELSE 0 END AS INTEGER) AS pass
+FROM agg"""
+        for i, (chk, col, _, thr) in enumerate(_CONTRACT)
+    )
+)
+
+
+@query("st_contract_stream", ST_CONTRACT_ORACLE)
+@_with_stream_shuffle
+def st_contract_stream(spark, sf_dir):
+    tune(spark)
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(
+        f"{sf_dir}/events*.parquet"
+    )
+    if isinstance(schema["ts"].dataType, T.LongType):
+        src = src.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    aggs = [F.count(F.lit(1)).cast("long").alias("total")]
+    for i, (_, _, pred, _) in enumerate(_CONTRACT):
+        aggs.append(
+            F.count_if(F.expr(pred)).cast("long").alias(f"bad_{i}")
+        )
+    wide = src.groupBy().agg(*aggs)
+    q = (
+        wide.writeStream.format("memory")
+        .queryName("st_contract")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    snap = spark.table("st_contract")
+    rows = [
+        F.struct(
+            F.lit(chk).alias("chk"),
+            F.lit(col).alias("col"),
+            F.expr(f"(bad_{i} * 1000000) DIV total").alias(
+                "observed_ppm"
+            ),
+            F.lit(thr).cast("long").alias("threshold_ppm"),
+            F.when(
+                F.expr(f"(bad_{i} * 1000000) DIV total")
+                <= F.lit(thr),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("pass"),
+        )
+        for i, (chk, col, _, thr) in enumerate(_CONTRACT)
+    ]
+    return snap.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.chk", "r.col", "r.observed_ppm", "r.threshold_ppm", "r.pass"
+    )

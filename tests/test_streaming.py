@@ -265,3 +265,26 @@ def test_drift_stream_flags_only_planted_dim(spark):
     assert list(flagged["pos"]) == [5]
     assert abs(flagged["abs_drift"].iloc[0] - 0.5) < 1e-6
     assert (df[df["pos"] != 5]["abs_drift"] < 0.01).all()
+
+
+def test_contract_stream_matches_oracle(spark, oracle_con):
+    """Streaming twin of o21_contract_checks (7 predicate rows)."""
+    assert_matches_oracle(spark, oracle_con, "st_contract_stream")
+
+
+def test_contract_stream_equals_batch_subset(spark):
+    """The streaming snapshot equals the batch suite row-for-row on
+    the seven predicate checks (unique-key is batch-only)."""
+    from historical_obs_platform_spark.registry import QUERIES
+    from .conftest import SF_DIR
+
+    st = {
+        (r["chk"], r["col"]): (r["observed_ppm"], r["pass"])
+        for r in QUERIES["st_contract_stream"](spark, SF_DIR).collect()
+    }
+    bt = {
+        (r["chk"], r["col"]): (r["observed_ppm"], r["pass"])
+        for r in QUERIES["o21_contract_checks"](spark, SF_DIR).collect()
+        if r["chk"] != "unique"
+    }
+    assert st == bt and len(st) == 7
