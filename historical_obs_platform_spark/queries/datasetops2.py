@@ -1423,3 +1423,90 @@ def a19_psi_drift(spark, sf_dir):
             6,
         ).alias("psi"),
     )
+
+
+# --------------------------------------------------------------------
+# Exact Spearman rank correlation, per language group, between
+# document length (n_chars) and vocabulary richness (distinct token
+# count): ranks are row_number with a doc_id tiebreak (deterministic,
+# engine-identical integers — no average-rank rationals), so
+# sum(d^2) is exact BIGINT and rho lands as one truncating integer
+# division: rho_ppm = (n(n^2-1) - 6*sum_d2) * 1e6 div n(n^2-1)
+# (Spark DIV and DuckDB // both truncate toward zero, so the signed
+# quotient is engine-identical). Per-group ranking keeps the window
+# partitioned — the global-sort variant is the one sequential step a
+# distributed rank would range-partition at 100 TB.
+# --------------------------------------------------------------------
+_SP_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+_SPEARMAN_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(len(list_distinct(string_split({_SP_NORM}, ' ')))
+              AS BIGINT) AS vocab
+  FROM documents
+),
+r AS (
+  SELECT lang,
+         CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY n_chars, doc_id) AS BIGINT) AS rx,
+         CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY vocab, doc_id) AS BIGINT) AS ry
+  FROM m
+),
+agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+  FROM r GROUP BY lang
+)
+SELECT lang, n, sum_d2,
+       CAST(((n * (n * n - 1) - 6 * sum_d2) * 1000000)
+            // (n * (n * n - 1)) AS BIGINT) AS rho_ppm
+FROM agg WHERE n > 1
+"""
+
+
+@query("a20_spearman", _SPEARMAN_ORACLE)
+def a20_spearman(spark, sf_dir):
+    """Per-lang Spearman rho between n_chars and distinct-token
+    count, exact to the ppm: integer ranks (row_number, doc_id
+    tiebreak), BIGINT sum of squared rank differences, one truncating
+    division at the end. At sf scales n^3 * 1e6 fits BIGINT
+    (n <= 2.1e3 per group at sf0.1); past n ~ 1.4e6 per group promote
+    the quotient arithmetic to decimal(38,0) — same move as
+    w16_cusum_drift's accumulator."""
+    docs = table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(F.array_distinct(TX.tokens(F.col("text"))))
+        .cast("long")
+        .alias("vocab"),
+    )
+    rx = F.row_number().over(
+        Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    )
+    ry = F.row_number().over(
+        Window.partitionBy("lang").orderBy("vocab", "doc_id")
+    )
+    r = m.select(
+        "lang",
+        rx.cast("long").alias("rx"),
+        ry.cast("long").alias("ry"),
+    )
+    agg = r.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry")))
+        .cast("long")
+        .alias("sum_d2"),
+    )
+    return agg.where(F.col("n") > 1).select(
+        "lang",
+        "n",
+        "sum_d2",
+        F.expr(
+            "CAST(((n * (n * n - 1) - 6 * sum_d2) * 1000000)"
+            " DIV (n * (n * n - 1)) AS BIGINT)"
+        ).alias("rho_ppm"),
+    )

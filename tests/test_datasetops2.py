@@ -404,3 +404,53 @@ def test_psi_drift_matches_numpy(spark):
     assert abs(row["psi"] - round(psi, 6)) <= 1e-6
     assert row["n_click"] == len(a) and row["n_view"] == len(b)
     assert 0 <= row["psi"] < 0.25  # far below the retrain threshold
+
+
+def test_spearman_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "a20_spearman")
+
+
+def test_spearman_matches_pandas(spark):
+    """rho_ppm equals a direct pandas recompute with the identical
+    deterministic tiebreak, and a perfectly monotone pair gives
+    exactly 1e6 ppm."""
+    import numpy as np
+
+    from historical_obs_platform_spark.registry import QUERIES
+    from historical_obs_platform_spark.functions.textfns import tokens
+    from .conftest import SF_DIR
+
+    rows = {
+        r["lang"]: r
+        for r in QUERIES["a20_spearman"](spark, SF_DIR).collect()
+    }
+    docs = (
+        table(spark, SF_DIR, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.size(F.array_distinct(tokens(F.col("text"))))
+            .cast("long")
+            .alias("vocab"),
+        )
+        .toPandas()
+    )
+    for lang, g in docs.groupby("lang"):
+        g = g.reset_index(drop=True)
+        rx = np.empty(len(g), dtype=np.int64)
+        rx[np.lexsort((g.doc_id.values, g.n_chars.values))] = (
+            np.arange(1, len(g) + 1)
+        )
+        ry = np.empty(len(g), dtype=np.int64)
+        ry[np.lexsort((g.doc_id.values, g.vocab.values))] = (
+            np.arange(1, len(g) + 1)
+        )
+        n = np.int64(len(g))
+        sd2 = int(((rx - ry) ** 2).sum())
+        den = int(n * (n * n - 1))
+        expect = (den - 6 * sd2) * 1_000_000 // den
+        r = rows[lang]
+        assert (r["n"], r["sum_d2"], r["rho_ppm"]) == (len(g), sd2, expect)
+        # rho bounded: identical ranks would give exactly 1e6 ppm
+        assert -1_000_000 <= r["rho_ppm"] <= 1_000_000
