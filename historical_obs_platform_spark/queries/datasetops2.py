@@ -1510,3 +1510,83 @@ def a20_spearman(spark, sf_dir):
             " DIV (n * (n * n - 1)) AS BIGINT)"
         ).alias("rho_ppm"),
     )
+
+
+# --------------------------------------------------------------------
+# Time-weighted average over irregular observations — the correct
+# mean for unevenly sampled sensors (a plain AVG over-weights bursts;
+# the reference's networks sample anywhere from 1 min to 1 h). Left-
+# step integration per (station, day): each value holds until the
+# next observation, weights are microsecond gaps. Entirely integer:
+# values become exact centi-units (2-decimal data), weights are
+# BIGINT microseconds, the weighted sum is BIGINT (max |value|*span
+# ~ 5e15 per day — promote to decimal(38,0) only past ~millennium
+# spans), and the TWA is one truncating division back to centi-units.
+# --------------------------------------------------------------------
+_TWA_ORACLE = """
+WITH o AS (
+  SELECT CAST(user_id AS VARCHAR) AS station,
+         strftime(ts, '%Y-%m-%d') AS day,
+         epoch_us(ts) AS t_us,
+         CAST(round(value * 100) AS BIGINT) AS centi,
+         event_id
+  FROM events
+),
+stepped AS (
+  SELECT station, day, centi,
+         lead(t_us) OVER (PARTITION BY station, day
+                          ORDER BY t_us, event_id) - t_us AS dt_us
+  FROM o
+),
+agg AS (
+  SELECT station, day,
+         CAST(count(*) AS BIGINT) AS n_obs,
+         CAST(sum(dt_us) AS BIGINT) AS span_us,
+         CAST(sum(centi * dt_us) AS BIGINT) AS wsum
+  FROM stepped WHERE dt_us IS NOT NULL
+  GROUP BY station, day
+)
+SELECT station, day, n_obs, span_us,
+       CAST(wsum // span_us AS BIGINT) AS twa_centi
+FROM agg WHERE span_us > 0
+"""
+
+
+@query("a21_time_weighted_avg", _TWA_ORACLE)
+def a21_time_weighted_avg(spark, sf_dir):
+    """Left-step TWA per (station, day): one window pass partitioned
+    by the group key computes each observation's hold duration
+    (lead(ts) - ts in exact microseconds), then one grouped BIGINT
+    aggregation divides weighted sum by span. Shuffle count: exactly
+    one, on (station, day) — the window and the aggregation share the
+    partitioning, and at 100 TB the per-day group bound caps window
+    state the same way the QAQC chain's per-station bound does."""
+    ev = table(spark, sf_dir, "events")
+    o = ev.select(
+        F.col("user_id").cast("string").alias("station"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        # ts may read as NTZ (native parquet) or LTZ (nanos-as-long
+        # path); session tz is UTC so the cast is value-preserving
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.round(F.col("value") * 100).cast("long").alias("centi"),
+        "event_id",
+    )
+    w = Window.partitionBy("station", "day").orderBy("t_us", "event_id")
+    stepped = o.select(
+        "station",
+        "day",
+        "centi",
+        (F.lead("t_us").over(w) - F.col("t_us")).alias("dt_us"),
+    ).where(F.col("dt_us").isNotNull())
+    agg = stepped.groupBy("station", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum("dt_us").cast("long").alias("span_us"),
+        F.sum(F.col("centi") * F.col("dt_us")).cast("long").alias("wsum"),
+    )
+    return agg.where(F.col("span_us") > 0).select(
+        "station",
+        "day",
+        "n_obs",
+        "span_us",
+        F.expr("CAST(wsum DIV span_us AS BIGINT)").alias("twa_centi"),
+    )

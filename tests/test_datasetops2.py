@@ -454,3 +454,50 @@ def test_spearman_matches_pandas(spark):
         assert (r["n"], r["sum_d2"], r["rho_ppm"]) == (len(g), sd2, expect)
         # rho bounded: identical ranks would give exactly 1e6 ppm
         assert -1_000_000 <= r["rho_ppm"] <= 1_000_000
+
+
+def test_twa_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "a21_time_weighted_avg")
+
+
+def test_twa_matches_pandas_and_bounds(spark):
+    """The integer TWA equals a direct pandas left-step integration,
+    and always lies within the day's [min, max] value range."""
+    import numpy as np
+
+    from historical_obs_platform_spark.registry import QUERIES
+    from .conftest import SF_DIR
+
+    out = {
+        (r["station"], r["day"]): r
+        for r in QUERIES["a21_time_weighted_avg"](spark, SF_DIR).collect()
+    }
+    ev = (
+        table(spark, SF_DIR, "events")
+        .select(
+            F.col("user_id").cast("string").alias("station"),
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+            F.round(F.col("value") * 100).cast("long").alias("centi"),
+            "event_id",
+        )
+        .toPandas()
+    )
+    checked = 0
+    for (st, day), g in ev.groupby(["station", "day"]):
+        if (st, day) not in out:
+            continue
+        g = g.sort_values(["t_us", "event_id"])
+        t = g.t_us.values.astype(np.int64)
+        c = g.centi.values.astype(np.int64)
+        dt = np.diff(t)
+        if dt.sum() <= 0:
+            continue
+        expect = int((c[:-1] * dt).sum()) // int(dt.sum())
+        r = out[(st, day)]
+        assert r["twa_centi"] == expect
+        assert c.min() <= r["twa_centi"] <= c.max()
+        checked += 1
+        if checked >= 200:
+            break
+    assert checked >= 100
