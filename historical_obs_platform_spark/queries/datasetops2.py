@@ -1590,3 +1590,96 @@ def a21_time_weighted_avg(spark, sf_dir):
         "span_us",
         F.expr("CAST(wsum DIV span_us AS BIGINT)").alias("twa_centi"),
     )
+
+
+# --------------------------------------------------------------------
+# M4 time-series downsampling (Jugel et al. VLDB'14): the error-free
+# reduction for line-chart rendering — per (series, pixel bucket)
+# keep exactly the first, last, min and max points, which provably
+# reproduce the pixel-perfect line at that width. Buckets here are
+# calendar hours; every extreme carries a deterministic tiebreak
+# ((t, event_id) for first/last, (value, t, event_id) for min/max) so
+# both engines select identical witness rows. One window pass + one
+# grouped aggregation, both on the same (station, hour) key — a
+# single shuffle however long the series.
+# --------------------------------------------------------------------
+_M4_ORACLE = """
+WITH o AS (
+  SELECT CAST(user_id AS VARCHAR) AS station,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS h,
+         epoch_us(ts) AS t_us, value, event_id
+  FROM events
+),
+r AS (
+  SELECT station, h, t_us, value,
+         row_number() OVER (PARTITION BY station, h
+           ORDER BY t_us, event_id) AS r_first,
+         row_number() OVER (PARTITION BY station, h
+           ORDER BY t_us DESC, event_id DESC) AS r_last,
+         row_number() OVER (PARTITION BY station, h
+           ORDER BY value, t_us, event_id) AS r_min,
+         row_number() OVER (PARTITION BY station, h
+           ORDER BY value DESC, t_us, event_id) AS r_max
+  FROM o
+)
+SELECT station, h, CAST(count(*) AS BIGINT) AS n,
+       CAST(max(CASE WHEN r_first = 1 THEN t_us END) AS BIGINT)
+         AS t_first_us,
+       max(CASE WHEN r_first = 1 THEN value END) AS v_first,
+       CAST(max(CASE WHEN r_last = 1 THEN t_us END) AS BIGINT)
+         AS t_last_us,
+       max(CASE WHEN r_last = 1 THEN value END) AS v_last,
+       max(CASE WHEN r_min = 1 THEN value END) AS v_min,
+       max(CASE WHEN r_max = 1 THEN value END) AS v_max
+FROM r GROUP BY station, h
+"""
+
+
+@query("w20_m4_downsample", _M4_ORACLE)
+def w20_m4_downsample(spark, sf_dir):
+    """M4 reduction to hourly pixel buckets: 4 rank orderings in one
+    window pass over (station, hour), conditional aggregation picks
+    the witness rows. At a 100 TB series the output is 4 points per
+    (series, pixel) — the chart-serving table — and the only shuffle
+    is the bucket key the window already needs."""
+    ev = table(spark, sf_dir, "events")
+    o = ev.select(
+        F.col("user_id").cast("string").alias("station"),
+        F.date_format(
+            F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00"
+        ).alias("h"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        "value",
+        "event_id",
+    )
+    part = Window.partitionBy("station", "h")
+    r = o.select(
+        "station",
+        "h",
+        "t_us",
+        "value",
+        F.row_number()
+        .over(part.orderBy("t_us", "event_id"))
+        .alias("r_first"),
+        F.row_number()
+        .over(part.orderBy(F.desc("t_us"), F.desc("event_id")))
+        .alias("r_last"),
+        F.row_number()
+        .over(part.orderBy("value", "t_us", "event_id"))
+        .alias("r_min"),
+        F.row_number()
+        .over(part.orderBy(F.desc("value"), F.asc("t_us"), F.asc("event_id")))
+        .alias("r_max"),
+    )
+    pick = lambda flag, col: F.max(
+        F.when(F.col(flag) == 1, F.col(col))
+    )
+    return r.groupBy("station", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        pick("r_first", "t_us").cast("long").alias("t_first_us"),
+        pick("r_first", "value").alias("v_first"),
+        pick("r_last", "t_us").cast("long").alias("t_last_us"),
+        pick("r_last", "value").alias("v_last"),
+        pick("r_min", "value").alias("v_min"),
+        pick("r_max", "value").alias("v_max"),
+    )

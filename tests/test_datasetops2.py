@@ -501,3 +501,36 @@ def test_twa_matches_pandas_and_bounds(spark):
         if checked >= 200:
             break
     assert checked >= 100
+
+
+def test_m4_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "w20_m4_downsample")
+
+
+def test_m4_invariants(spark):
+    """M4 witnesses are consistent: min <= first/last <= max,
+    t_first <= t_last, and single-point buckets collapse to one
+    value; totals preserve the row count."""
+    from historical_obs_platform_spark.registry import QUERIES
+    from .conftest import SF_DIR
+
+    out = QUERIES["w20_m4_downsample"](spark, SF_DIR)
+    bad = out.where(
+        (F.col("v_min") > F.col("v_max"))
+        | (F.col("v_first") < F.col("v_min"))
+        | (F.col("v_first") > F.col("v_max"))
+        | (F.col("v_last") < F.col("v_min"))
+        | (F.col("v_last") > F.col("v_max"))
+        | (F.col("t_first_us") > F.col("t_last_us"))
+    ).count()
+    assert bad == 0
+    singles = out.where(
+        (F.col("n") == 1)
+        & (
+            (F.col("v_first") != F.col("v_last"))
+            | (F.col("v_min") != F.col("v_max"))
+        )
+    ).count()
+    assert singles == 0
+    total = out.agg(F.sum("n")).collect()[0][0]
+    assert total == table(spark, SF_DIR, "events").count()
