@@ -1774,3 +1774,101 @@ def a22_mann_kendall(spark, sf_dir):
             "tau_ppm"
         ),
     )
+
+
+# --------------------------------------------------------------------
+# Changepoint estimation: argmax over split days of the centered
+# CUSUM |D_t| = |prefix_sum_t * total_count - total_sum * prefix_count_t|
+# — the classic single-changepoint locator (the estimator whose
+# exceedance w16_cusum_drift flags). Everything is integer: centi
+# values, BIGINT prefix sums, and the scaled centering replaces the
+# (t/n)·S_n rational with a cross-multiplication, so the argmax is
+# engine-exact; ties break on the earlier day. Per-station windows
+# keep the scan partitioned; at corpus scales where
+# |prefix|*count leaves BIGINT (~1e12 obs/station at these values),
+# promote the product to decimal(38,0) — the w16 accumulator move.
+# --------------------------------------------------------------------
+_CHGPT_ORACLE = """
+WITH daily AS (
+  SELECT CAST(user_id AS VARCHAR) AS station,
+         strftime(ts, '%Y-%m-%d') AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+pre AS (
+  SELECT station, day,
+         sum(s) OVER (PARTITION BY station ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_l,
+         sum(c) OVER (PARTITION BY station ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_l,
+         sum(s) OVER (PARTITION BY station) AS s_tot,
+         sum(c) OVER (PARTITION BY station) AS c_tot
+  FROM daily
+),
+scored AS (
+  SELECT station, day,
+         abs(s_l * c_tot - s_tot * c_l) AS d_abs,
+         c_tot,
+         row_number() OVER (PARTITION BY station
+           ORDER BY abs(s_l * c_tot - s_tot * c_l) DESC, day) AS r
+  FROM pre WHERE c_l < c_tot
+)
+SELECT station, CAST(c_tot AS BIGINT) AS n_obs, day AS best_day,
+       CAST(d_abs AS BIGINT) AS d_abs
+FROM scored WHERE r = 1
+"""
+
+
+@query("w21_changepoint", _CHGPT_ORACLE)
+def w21_changepoint(spark, sf_dir):
+    """Most-likely break date per station: argmax over split days of
+    the centered integer CUSUM — one daily groupBy, one per-station
+    window pass, one rank. Deterministic: earlier day wins ties, and
+    no float enters at all."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("user_id").cast("string").alias("station"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("s"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    w_pre = (
+        Window.partitionBy("station")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("station")
+    pre = daily.select(
+        "station",
+        "day",
+        F.sum("s").over(w_pre).alias("s_l"),
+        F.sum("c").over(w_pre).alias("c_l"),
+        F.sum("s").over(w_all).alias("s_tot"),
+        F.sum("c").over(w_all).alias("c_tot"),
+    )
+    d_abs = F.abs(
+        F.col("s_l") * F.col("c_tot") - F.col("s_tot") * F.col("c_l")
+    )
+    scored = pre.where(F.col("c_l") < F.col("c_tot")).select(
+        "station",
+        "day",
+        d_abs.alias("d_abs"),
+        "c_tot",
+        F.row_number()
+        .over(
+            Window.partitionBy("station").orderBy(
+                d_abs.desc(), F.asc("day")
+            )
+        )
+        .alias("r"),
+    )
+    return scored.where(F.col("r") == 1).select(
+        "station",
+        F.col("c_tot").cast("long").alias("n_obs"),
+        F.col("day").alias("best_day"),
+        F.col("d_abs").cast("long").alias("d_abs"),
+    )

@@ -586,3 +586,48 @@ def test_mann_kendall_matches_scipy_style(spark):
         if checked >= 25:
             break
     assert checked >= 10
+
+
+def test_changepoint_oracle(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "w21_changepoint")
+
+
+def test_changepoint_finds_planted_break(spark):
+    """A constructed series with a hard level shift is located at the
+    exact shift day by the centered-CUSUM argmax."""
+    from historical_obs_platform_spark.queries.datasetops2 import (
+        w21_changepoint,
+    )
+
+    # reuse the query's own logic by building a frame shaped like its
+    # daily table: 10 days at 100 centi then 10 days at 900 centi
+    rows = [
+        ("s1", f"2024-01-{d:02d}", 100 if d <= 10 else 900, 1)
+        for d in range(1, 21)
+    ]
+    daily = spark.createDataFrame(rows, "station string, day string, s long, c long")
+    from pyspark.sql import Window as W
+
+    w_pre = (
+        W.partitionBy("station")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("station")
+    pre = daily.select(
+        "station",
+        "day",
+        F.sum("s").over(w_pre).alias("s_l"),
+        F.sum("c").over(w_pre).alias("c_l"),
+        F.sum("s").over(w_all).alias("s_tot"),
+        F.sum("c").over(w_all).alias("c_tot"),
+    )
+    d_abs = F.abs(
+        F.col("s_l") * F.col("c_tot") - F.col("s_tot") * F.col("c_l")
+    )
+    best = (
+        pre.where(F.col("c_l") < F.col("c_tot"))
+        .orderBy(d_abs.desc(), F.asc("day"))
+        .first()
+    )
+    assert best["day"] == "2024-01-10"  # last day of the low regime
