@@ -1355,3 +1355,87 @@ def s_ivfpq_incremental(spark, sf_dir):
         F.col("vec_id") < 10
     )
     return SIM.ivfpq_query(cent, cb, codes, queries, k=5, nprobe=4)
+
+
+# --------------------------------------------------------------------
+# Matryoshka-truncation recall (Kusupati et al. 2022, arXiv:2205.13147
+# shape): rank with only the first 16 / 32 of the 64 embedding dims
+# and measure recall@5 against the full-dim exact cosine truth. The
+# prefix-slice is the zero-infrastructure compression knob (no
+# codebooks, no training): at 100 TB it divides the scan bytes and
+# the per-pair FLOPs by the truncation factor while keeping the plan
+# identical to the brute baseline — the natural first rung below
+# PQ/IVFADC on the cost-accuracy ladder this repo already measures.
+# --------------------------------------------------------------------
+_MRL_DIMS = [16, 32]
+
+
+def _mrl_cos(a: str, b: str) -> str:
+    dot = (
+        "list_dot_product(list_transform({x}, v -> CAST(v AS DOUBLE)),"
+        " list_transform({y}, v -> CAST(v AS DOUBLE)))"
+    )
+    return (
+        f"round({dot.format(x=a, y=b)} / (sqrt({dot.format(x=a, y=a)})"
+        f" * sqrt({dot.format(x=b, y=b)})), 6)"
+    )
+
+
+def _mrl_oracle(k: int = 5) -> str:
+    def topk(expr_a, expr_b, name):
+        return f"""{name} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_mrl_cos(expr_a, expr_b)} DESC, c.vec_id) AS rank
+    FROM embeddings c, embeddings q
+    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+  ) WHERE rank <= {k})"""
+
+    ctes = [topk("q.embedding", "c.embedding", "truth")]
+    rows = []
+    for d in _MRL_DIMS:
+        ctes.append(
+            topk(f"q.embedding[1:{d}]", f"c.embedding[1:{d}]", f"ap{d}")
+        )
+        rows.append(f"""
+SELECT 'matryoshka_d{d}' AS method,
+       CAST(t.n AS BIGINT) AS n_truth, CAST(h.n AS BIGINT) AS n_hit,
+       round(CAST(h.n AS DOUBLE) / t.n, 6) AS recall
+FROM (SELECT count(*) AS n FROM truth) t,
+     (SELECT count(*) AS n
+      FROM truth JOIN ap{d} USING (query_id, neighbor_id)) h""")
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(rows)
+    )
+
+
+@query("s_matryoshka_recall", _mrl_oracle())
+def s_matryoshka_recall(spark, sf_dir):
+    """Recall@5 of prefix-truncated cosine ranking (16 and 32 of 64
+    dims) vs the full-dim exact truth — all three rankings share the
+    brute cosine_topk plan (broadcast queries, one corpus pass), so
+    the harness itself is three map-side scans plus tiny count
+    joins."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    truth = (
+        SIM.cosine_topk(emb, queries, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+
+    def row(d):
+        sl = lambda df: df.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        approx = SIM.cosine_topk(sl(emb), sl(queries), k=5).select(
+            "query_id", "neighbor_id"
+        )
+        return _recall_row(truth, approx, f"matryoshka_d{d}")
+
+    out = row(_MRL_DIMS[0])
+    for d in _MRL_DIMS[1:]:
+        out = out.unionByName(row(d))
+    return out

@@ -1872,3 +1872,82 @@ def w21_changepoint(spark, sf_dir):
         F.col("day").alias("best_day"),
         F.col("d_abs").cast("long").alias("d_abs"),
     )
+
+
+# --------------------------------------------------------------------
+# Theil-Sen robust slope per (station, month) — the estimator that
+# pairs with a22_mann_kendall (MK decides IF there is a monotone
+# trend; Sen's slope says HOW steep). Same exact-rational daily means
+# (centi-sum s, count c): each pairwise slope is the double
+# (s_j/c_j - s_i/c_i) / (d_j - d_i) with integer day distance, so
+# both engines evaluate the identical IEEE expression tree; the
+# median is interpolated identically (quantile_cont == percentile)
+# and rounded to 6. The day-pair stage is calendar-bounded
+# (<= 465 pairs per group) — the corpus-sized work is the daily
+# collapse, exactly like Mann-Kendall.
+# --------------------------------------------------------------------
+_SEN_ORACLE = """
+WITH daily AS (
+  SELECT CAST(user_id AS VARCHAR) AS station,
+         strftime(ts, '%Y-%m') AS month,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2, 3
+),
+slopes AS (
+  SELECT a.station, a.month,
+         ((CAST(b.s AS DOUBLE) / b.c) - (CAST(a.s AS DOUBLE) / a.c))
+           / (b.d - a.d) AS slope
+  FROM daily a JOIN daily b
+    ON a.station = b.station AND a.month = b.month AND a.d < b.d
+)
+SELECT station, month,
+       round(quantile_cont(slope, 0.5), 6) AS sen_slope,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM slopes GROUP BY station, month
+"""
+
+
+@query("a23_theil_sen", _SEN_ORACLE)
+def a23_theil_sen(spark, sf_dir):
+    """Sen's slope (median of pairwise daily-mean slopes, centi-value
+    units per day) per (station, month). Inputs to every slope are
+    exact integers, the slope itself is one fixed IEEE expression,
+    and the median interpolation + round(6) matches DuckDB's
+    quantile_cont — the same cross-engine contract as a22."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("user_id").cast("string").alias("station"),
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("s"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slope = (
+        (F.col("b.s").cast("double") / F.col("b.c"))
+        - (F.col("a.s").cast("double") / F.col("a.c"))
+    ) / (F.col("b.d") - F.col("a.d"))
+    pairs = a.join(
+        b,
+        on=[
+            F.col("a.station") == F.col("b.station"),
+            F.col("a.month") == F.col("b.month"),
+            F.col("a.d") < F.col("b.d"),
+        ],
+    ).select(
+        F.col("a.station").alias("station"),
+        F.col("a.month").alias("month"),
+        slope.alias("slope"),
+    )
+    return pairs.groupBy("station", "month").agg(
+        F.round(F.expr("percentile(slope, 0.5)"), 6).alias("sen_slope"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )

@@ -165,3 +165,163 @@ def g_pagerank_fixed(spark, sf_dir):
         .otherwise(F.lit("supplier"))
         .alias("node_type"),
     )
+
+
+# --------------------------------------------------------------------
+# Exact triangle counting over the part co-purchase graph (two parts
+# linked iff they appear in the same URGENT order). The Spark plan is
+# the degree-orientation algorithm (orient every edge from the
+# (degree, id)-smaller endpoint; every triangle then has exactly one
+# node with both out-edges, so wedges out-join the oriented edge set
+# once and nothing is double counted). Orientation bounds the wedge
+# fan-out by the OUT-degree, which the (deg, id) total order caps at
+# O(sqrt(m)) for any degree distribution — the reason this survives
+# power-law part popularity at 100 TB where a naive id-ordered wedge
+# join explodes on hub nodes. The oracle is the independent canonical
+# a<b<c triple join.
+# --------------------------------------------------------------------
+TRIANGLE_ORACLE = """
+WITH li AS (
+  SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderpriority = '1-URGENT'
+),
+e AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+  ) GROUP BY node
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+            JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+wed AS (
+  SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg
+)
+SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       wed.n_wedges,
+       tri.n_triangles,
+       CAST((3 * tri.n_triangles * 1000000) // wed.n_wedges AS BIGINT)
+         AS closure_ppm
+FROM tri, wed
+"""
+
+
+@query("g_triangle_count", TRIANGLE_ORACLE)
+def g_triangle_count(spark, sf_dir):
+    """Global triangle census (nodes, edges, wedges, triangles, and
+    the global clustering coefficient in exact ppm — BIGINT floor
+    division, no float).
+
+    Plan shape at 100 TB: edge gen is a per-order self-join (order
+    size is bounded by the schema, <= 7 lineitems, so the blowup is
+    C(7,2) per order — linear in orders); degrees are one aggregate;
+    the wedge join fans out only along out-edges of the (deg, id)
+    orientation; the closing probe is one equi-join against the
+    oriented edge list. Three shuffles total, all on node keys —
+    no CartesianProduct, no driver-side adjacency."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    od = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    items = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            on=[
+                F.col("a.ok") == F.col("b.ok"),
+                F.col("a.pk") < F.col("b.pk"),
+            ],
+        )
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    # orient u->v iff (deg_u, u) < (deg_v, v); keep the destination's
+    # (deg, id) on the row so the wedge can order its two endpoints
+    # without re-joining degrees
+    du = deg.select(
+        F.col("node").alias("u"), F.col("d").alias("du")
+    )
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ed = edges.join(du, "u").join(dv, "v")
+    fwd = ed.where(
+        (F.col("du") < F.col("dv"))
+        | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    ).select(
+        F.col("u").alias("src"),
+        F.col("v").alias("dst"),
+        F.col("dv").alias("ddst"),
+    )
+    rev = ed.where(
+        (F.col("dv") < F.col("du"))
+        | ((F.col("dv") == F.col("du")) & (F.col("v") < F.col("u")))
+    ).select(
+        F.col("v").alias("src"),
+        F.col("u").alias("dst"),
+        F.col("du").alias("ddst"),
+    )
+    oriented = fwd.unionByName(rev).localCheckpoint(eager=False)
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    # wedge (a -> b, a -> c) with b before c in the SAME (deg, id)
+    # order the orientation uses, so the closing edge must be b -> c
+    wedges = w1.join(
+        w2,
+        on=[
+            F.col("w1.src") == F.col("w2.src"),
+            (F.col("w1.ddst") < F.col("w2.ddst"))
+            | (
+                (F.col("w1.ddst") == F.col("w2.ddst"))
+                & (F.col("w1.dst") < F.col("w2.dst"))
+            ),
+        ],
+    ).select(
+        F.col("w1.dst").alias("b"), F.col("w2.dst").alias("c")
+    )
+    closing = oriented.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    # inner join, not semi: each wedge row is a distinct (a, b, c), so
+    # every closed wedge contributes exactly one row to the count
+    n_tri = wedges.join(closing, ["b", "c"], "inner").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges")
+    )
+    return (
+        n_nodes.crossJoin(n_edges)
+        .crossJoin(n_wedges)
+        .crossJoin(n_tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr("(3 * n_triangles * 1000000) div n_wedges")
+            .cast("long")
+            .alias("closure_ppm"),
+        )
+    )

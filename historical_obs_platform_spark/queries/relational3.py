@@ -929,3 +929,83 @@ def p_zorder_key3(spark, sf_dir):
         "zkey",
         zorder_key_n([F.col("a"), F.col("b"), F.col("c")], bits=8),
     )
+
+
+# --------------------------------------------------------------------
+# O22: per-brand skyline (Pareto frontier) on (minimize retail price,
+# maximize size). The textbook operator is a quadratic NOT EXISTS
+# dominance test; the Spark plan is the 2-D sort-sweep instead —
+# collapse to one row per (brand, price) carrying the group's max
+# size, take a running max over the price order, and a part is
+# dominated iff a strictly cheaper price level reaches its size
+# (runmax_lt >= size) or its own-or-cheaper level strictly exceeds it
+# (runmax_le > size). Two aggregations + one window + one broadcast
+# join back: O(n log n) per brand, never a self-join — at 100 TB the
+# window runs inside each brand partition and the price-level table
+# it scans is orders of magnitude smaller than the fact rows. The
+# oracle keeps the independent NOT EXISTS formulation.
+# --------------------------------------------------------------------
+SKYLINE_ORACLE = """
+SELECT p.p_brand AS brand,
+       CAST(p.p_partkey AS BIGINT) AS partkey,
+       CAST(p.p_retailprice AS DOUBLE) AS price,
+       CAST(p.p_size AS BIGINT) AS size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_brand = p.p_brand
+    AND q.p_retailprice <= p.p_retailprice
+    AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+"""
+
+
+@query("o22_skyline", SKYLINE_ORACLE)
+def o22_skyline(spark, sf_dir):
+    """Per-brand skyline via the sort-sweep rewrite (no self-join).
+
+    Dominance (min price, max size): q dominates p iff q is no worse
+    on both axes and strictly better on one. With one row per price
+    level holding the level's max size, p is dominated iff
+    max size over strictly-cheaper levels >= p.size, or
+    max size over cheaper-or-equal levels  >  p.size."""
+    p = table(spark, sf_dir, "part").select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").cast("long").alias("partkey"),
+        F.col("p_retailprice").alias("price_dec"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    levels = p.groupBy("brand", "price_dec").agg(
+        F.max("size").alias("lvl_max")
+    )
+    w = (
+        Window.partitionBy("brand")
+        .orderBy("price_dec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wl = Window.partitionBy("brand").orderBy("price_dec")
+    swept = levels.select(
+        "brand",
+        "price_dec",
+        F.max("lvl_max").over(w).alias("runmax_le"),
+    ).withColumn("runmax_lt", F.lag("runmax_le").over(wl))
+    return (
+        p.join(F.broadcast(swept), ["brand", "price_dec"])
+        .where(
+            ~(
+                (
+                    F.coalesce(
+                        F.col("runmax_lt") >= F.col("size"), F.lit(False)
+                    )
+                )
+                | (F.col("runmax_le") > F.col("size"))
+            )
+        )
+        .select(
+            "brand",
+            "partkey",
+            F.col("price_dec").cast("double").alias("price"),
+            "size",
+        )
+    )

@@ -1719,3 +1719,57 @@ def p_leakage_safe_split(spark, sf_dir):
         F.countDistinct("grp").alias("n_groups"),
         F.sum("doc_id").cast("long").alias("sum_doc_id"),
     )
+
+
+# --------------------------------------------------------------------
+# Training-window chunking: every document is exploded into fixed
+# 96-char windows on a 64-char stride (32-char overlap), the standard
+# context-window prep step between curation and tokenization. Chunk
+# starts are 1 + 64k for k = 0..floor((len-1)/64), so every character
+# is covered and the trailing chunk may run short — no padding, no
+# dropped tail. Map-side only: sequence + explode inside one stage
+# (the explode multiplies rows ~len/64x BEFORE any shuffle, and there
+# is no shuffle — at 100 TB this is the shape you want: chunking
+# rides the scan, parallelism is input-split-bound, and the output
+# can be written partitioned without ever exchanging).
+# --------------------------------------------------------------------
+_CHUNK_SIZE, _CHUNK_STRIDE = 96, 64
+
+_CHUNK_ORACLE = f"""
+SELECT doc_id, chunk_idx,
+       substr(text, CAST(1 + {_CHUNK_STRIDE} * chunk_idx AS BIGINT),
+              {_CHUNK_SIZE}) AS chunk,
+       CAST(length(substr(text,
+                          CAST(1 + {_CHUNK_STRIDE} * chunk_idx AS BIGINT),
+                          {_CHUNK_SIZE})) AS BIGINT) AS chunk_len
+FROM (
+  SELECT doc_id, text,
+         unnest(range(0, ((length(text) - 1) // {_CHUNK_STRIDE}) + 1))
+           AS chunk_idx
+  FROM documents
+)
+"""
+
+
+@query("t_chunk_windows", _CHUNK_ORACLE)
+def t_chunk_windows(spark, sf_dir):
+    """Overlapping char-window chunking (size 96, stride 64) of every
+    document — one narrow stage, no exchange."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    k = F.explode(
+        F.sequence(
+            F.lit(0).cast("long"),
+            F.floor((F.length("text") - 1) / _CHUNK_STRIDE).cast("long"),
+        )
+    ).alias("chunk_idx")
+    chunked = docs.select("doc_id", "text", k)
+    chunk = F.expr(
+        f"substring(text, CAST(1 + {_CHUNK_STRIDE} * chunk_idx AS INT),"
+        f" {_CHUNK_SIZE})"
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        chunk.alias("chunk"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+    )

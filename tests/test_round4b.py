@@ -1,0 +1,164 @@
+"""Round-4b additions: triangle census, Theil-Sen slope, training
+chunking, per-brand skyline, matryoshka-truncation recall. Each gets
+the driver-style oracle comparison (the same check the driver runs)
+plus an algebraic property the oracle can't state."""
+
+from __future__ import annotations
+
+import itertools
+
+import pandas as pd
+
+from historical_obs_platform_spark.registry import QUERIES, load_all
+
+from .conftest import SF_SMALL, assert_matches_oracle
+
+load_all()
+
+
+class TestTriangleCount:
+    def test_matches_oracle(self, spark, oracle_con):
+        assert_matches_oracle(spark, oracle_con, "g_triangle_count")
+
+    def test_matches_bruteforce(self, spark):
+        """Independent pandas recount of the same graph at sf0.001."""
+        row = QUERIES["g_triangle_count"](spark, SF_SMALL).toPandas().iloc[0]
+        li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")[
+            ["l_orderkey", "l_partkey"]
+        ]
+        od = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+        urgent = set(
+            od.loc[od.o_orderpriority == "1-URGENT", "o_orderkey"]
+        )
+        li = li[li.l_orderkey.isin(urgent)].drop_duplicates()
+        edges = set()
+        for _, grp in li.groupby("l_orderkey"):
+            for x, y in itertools.combinations(
+                sorted(set(grp.l_partkey)), 2
+            ):
+                edges.add((x, y))
+        adj: dict[int, set[int]] = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        tri = (
+            sum(
+                1
+                for u, v in edges
+                for w in adj[u] & adj[v]
+                if v < w
+            )
+        )
+        assert int(row.n_edges) == len(edges)
+        assert int(row.n_nodes) == len(adj)
+        assert int(row.n_triangles) == tri
+        wedges = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+        assert int(row.n_wedges) == wedges
+        if wedges:
+            assert int(row.closure_ppm) == (3 * tri * 1_000_000) // wedges
+
+
+class TestTheilSen:
+    def test_matches_oracle(self, spark, oracle_con):
+        assert_matches_oracle(spark, oracle_con, "a23_theil_sen")
+
+    def test_slope_within_extremes(self, spark):
+        """The median slope lies between the min and max pairwise
+        slope of its group (recomputed in pandas)."""
+        out = QUERIES["a23_theil_sen"](spark, SF_SMALL).toPandas()
+        ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+        ev["station"] = ev.user_id.astype(str)
+        ev["month"] = ev.ts.dt.strftime("%Y-%m")
+        ev["d"] = (ev.ts.dt.normalize() - pd.Timestamp(0)).dt.days
+        ev["cv"] = (ev.value * 100).round()
+        daily = (
+            ev.groupby(["station", "month", "d"])
+            .agg(s=("cv", "sum"), c=("cv", "size"))
+            .reset_index()
+        )
+        for (st, mo), grp in daily.groupby(["station", "month"]):
+            rows = grp.sort_values("d").to_dict("records")
+            slopes = [
+                ((b["s"] / b["c"]) - (a["s"] / a["c"])) / (b["d"] - a["d"])
+                for a, b in itertools.combinations(rows, 2)
+            ]
+            sel = out[(out.station == st) & (out.month == mo)]
+            if not slopes:
+                assert sel.empty
+                continue
+            got = sel.sen_slope.iloc[0]
+            assert min(slopes) - 1e-6 <= got <= max(slopes) + 1e-6
+            assert int(sel.n_pairs.iloc[0]) == len(slopes)
+
+
+class TestChunkWindows:
+    def test_matches_oracle(self, spark, oracle_con):
+        assert_matches_oracle(spark, oracle_con, "t_chunk_windows")
+
+    def test_reconstructs_text(self, spark):
+        """Dropping each chunk's 32-char overlap (except chunk 0)
+        reconstructs the document exactly — nothing lost, nothing
+        padded."""
+        out = QUERIES["t_chunk_windows"](spark, SF_SMALL).toPandas()
+        docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+        by_doc = dict(
+            out.sort_values(["doc_id", "chunk_idx"]).groupby("doc_id")[
+                "chunk"
+            ].apply(list)
+        )
+        for _, r in docs.iterrows():
+            chunks = by_doc[r.doc_id]
+            rebuilt = chunks[0] + "".join(c[32:] for c in chunks[1:])
+            assert rebuilt == r.text
+            assert all(len(c) <= 96 for c in chunks)
+            assert all(len(c) > 64 for c in chunks[:-1])
+
+
+class TestSkyline:
+    def test_matches_oracle(self, spark, oracle_con):
+        assert_matches_oracle(spark, oracle_con, "o22_skyline")
+
+    def test_pareto_properties(self, spark):
+        """No skyline member dominates another; every excluded part
+        is dominated by some skyline member (transitivity of
+        dominance makes the frontier a sufficient witness set)."""
+        sky = QUERIES["o22_skyline"](spark, SF_SMALL).toPandas()
+        part = pd.read_parquet(f"{SF_SMALL}/part.parquet")
+        part["price"] = part.p_retailprice.astype(float)
+
+        def dominates(a, b):
+            return (
+                a.price <= b.price
+                and a.size >= b.size
+                and (a.price < b.price or a.size > b.size)
+            )
+
+        for brand, grp in part.groupby("p_brand"):
+            members = sky[sky.brand == brand]
+            mem = [
+                type("P", (), {"price": r.price, "size": r["size"]})
+                for _, r in members.iterrows()
+            ]
+            for a, b in itertools.permutations(mem, 2):
+                assert not dominates(a, b)
+            chosen = set(members.partkey)
+            for _, r in grp.iterrows():
+                p = type(
+                    "P", (), {"price": r.price, "size": r.p_size}
+                )
+                if r.p_partkey not in chosen:
+                    assert any(dominates(m, p) for m in mem), (
+                        brand,
+                        r.p_partkey,
+                    )
+
+
+class TestMatryoshkaRecall:
+    def test_matches_oracle(self, spark, oracle_con):
+        assert_matches_oracle(spark, oracle_con, "s_matryoshka_recall")
+
+    def test_recall_shape(self, spark):
+        out = QUERIES["s_matryoshka_recall"](spark, SF_SMALL).toPandas()
+        assert set(out.method) == {"matryoshka_d16", "matryoshka_d32"}
+        assert (out.n_truth == 50).all()  # 10 queries x k=5
+        assert ((out.recall >= 0) & (out.recall <= 1)).all()
