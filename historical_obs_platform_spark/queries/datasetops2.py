@@ -1951,3 +1951,99 @@ def a23_theil_sen(spark, sf_dir):
         F.round(F.expr("percentile(slope, 0.5)"), 6).alias("sen_slope"),
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
     )
+
+
+# --------------------------------------------------------------------
+# MASE — mean absolute scaled error of the seasonal-naive forecast
+# (Hyndman & Koehler 2006), the standard scale-free forecast-accuracy
+# yardstick: numerator = sum|y_t - y_{t-7}| (weekly naive), scaled by
+# denominator = sum|y_t - y_{t-1}| (one-step naive). Over exact centi
+# daily totals both sums are BIGINT, so the ratio is one truncating
+# division to ppm — engine-exact with zero float ops. A MASE below
+# 1e6 ppm means weekly seasonality genuinely predicts the series
+# better than persistence. Per-station windows keep the scan
+# partitioned; the daily collapse is the only corpus-sized stage.
+# --------------------------------------------------------------------
+_MASE_ORACLE = """
+WITH daily AS (
+  SELECT CAST(user_id AS VARCHAR) AS station,
+         strftime(ts, '%Y-%m-%d') AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT station, day, y,
+         lag(y, 7) OVER w AS y_season,
+         lag(y, 1) OVER w AS y_prev
+  FROM daily WINDOW w AS (PARTITION BY station ORDER BY day)
+),
+agg AS (
+  SELECT station,
+         CAST(sum(CASE WHEN y_season IS NOT NULL
+                       THEN abs(y - y_season) END) AS BIGINT) AS num,
+         CAST(count(y_season) AS BIGINT) AS n_season,
+         CAST(sum(CASE WHEN y_prev IS NOT NULL
+                       THEN abs(y - y_prev) END) AS BIGINT) AS den,
+         CAST(count(y_prev) AS BIGINT) AS n_prev
+  FROM lagged GROUP BY station
+)
+SELECT station, num, den, n_season, n_prev,
+       CAST((num * n_prev * 1000000) // (den * n_season) AS BIGINT)
+         AS mase_ppm
+FROM agg WHERE den > 0 AND n_season > 0
+"""
+
+
+@query("a24_mase", _MASE_ORACLE)
+def a24_mase(spark, sf_dir):
+    """Exact-integer MASE per station: weekly seasonal-naive absolute
+    error scaled by the one-step-naive error, both as BIGINT sums of
+    centi-unit daily totals, normalized by their term counts and
+    floored to ppm — the forecastability report at any corpus size
+    costs one daily groupBy plus one per-station window pass."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("user_id").cast("string").alias("station"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    w = Window.partitionBy("station").orderBy("day")
+    lagged = daily.select(
+        "station",
+        "y",
+        F.lag("y", 7).over(w).alias("y_season"),
+        F.lag("y", 1).over(w).alias("y_prev"),
+    )
+    agg = lagged.groupBy("station").agg(
+        F.sum(
+            F.when(
+                F.col("y_season").isNotNull(),
+                F.abs(F.col("y") - F.col("y_season")),
+            )
+        )
+        .cast("long")
+        .alias("num"),
+        F.count("y_season").cast("long").alias("n_season"),
+        F.sum(
+            F.when(
+                F.col("y_prev").isNotNull(),
+                F.abs(F.col("y") - F.col("y_prev")),
+            )
+        )
+        .cast("long")
+        .alias("den"),
+        F.count("y_prev").cast("long").alias("n_prev"),
+    )
+    return agg.where((F.col("den") > 0) & (F.col("n_season") > 0)).select(
+        "station",
+        "num",
+        "den",
+        "n_season",
+        "n_prev",
+        F.expr("(num * n_prev * 1000000) DIV (den * n_season)")
+        .cast("long")
+        .alias("mase_ppm"),
+    )

@@ -1009,3 +1009,90 @@ def o22_skyline(spark, sf_dir):
             "size",
         )
     )
+
+
+# --------------------------------------------------------------------
+# O19: SCD2 (slowly-changing-dimension type 2) history construction —
+# the warehouse pattern that turns an attribute-change event stream
+# into versioned validity intervals: one row per (entity, version)
+# with half-open [valid_from, valid_to) bounds, valid_to = the next
+# version's valid_from (NULL while current), plus an is_current flag.
+# Versions open when the tracked attribute CHANGES (consecutive
+# repeats collapse into the run), detected with one lag + one
+# conditional prefix-sum over the (entity, time) window — the same
+# run-length machinery as w3, specialized to the dimension-history
+# contract. Per-entity windows keep the scan partitioned; output is
+# ~versions, not ~events, so the history table stays dimension-sized
+# at any fact-stream scale.
+# --------------------------------------------------------------------
+SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+versioned AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS version
+  FROM ordered
+),
+runs AS (
+  SELECT user_id, CAST(version AS BIGINT) AS version,
+         min(event_type) AS attr_value,
+         min(ts) AS vf,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM versioned GROUP BY user_id, version
+)
+SELECT user_id, version, attr_value,
+       strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(lead(vf) OVER w, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+       (lead(vf) OVER w IS NULL) AS is_current,
+       n_events
+FROM runs WINDOW w AS (PARTITION BY user_id ORDER BY version)
+"""
+
+
+@query("o19_scd2_intervals", SCD2_ORACLE)
+def o19_scd2_intervals(spark, sf_dir):
+    """Versioned dimension history from the event stream: lag flags
+    an attribute change, a running sum numbers the version, one
+    grouped agg collapses runs, and lead() closes each interval with
+    the successor's start — two window passes and one aggregation,
+    all sharing the (user_id, time) partitioning."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        ~F.lag("event_type").over(wo).eqNullSafe(F.col("event_type")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    versioned = ev.withColumn(
+        "version",
+        F.sum(chg).over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = versioned.groupBy(
+        "user_id", F.col("version").cast("long").alias("version")
+    ).agg(
+        F.min("event_type").alias("attr_value"),
+        F.min("ts").alias("vf"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    # interval bounds leave as microsecond ISO strings (determinism
+    # rule: a nullable timestamp column renders at different
+    # resolutions across engines)
+    iso = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return runs.select(
+        "user_id",
+        "version",
+        "attr_value",
+        F.date_format("vf", iso).alias("valid_from"),
+        F.date_format(F.lead("vf").over(wv), iso).alias("valid_to"),
+        F.lead("vf").over(wv).isNull().alias("is_current"),
+        "n_events",
+    )

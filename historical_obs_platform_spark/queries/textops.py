@@ -1773,3 +1773,77 @@ def t_chunk_windows(spark, sf_dir):
         chunk.alias("chunk"),
         F.length(chunk).cast("long").alias("chunk_len"),
     )
+
+
+# --------------------------------------------------------------------
+# Prefix-filtered exact set-similarity join (SSJoin/PPJoin family):
+# the deterministic alternative to MinHash-LSH candidate pruning.
+# Shingles are ordered by the global (document-frequency, shingle)
+# key; each doc keeps only its sz - ceil(t*sz) + 1 rarest shingles as
+# a prefix, and candidates must collide on a PREFIX shingle — sound
+# by pigeonhole, so recall is exactly 1.0. The oracle deliberately
+# runs the UNPRUNED all-pairs inverted-index join: result equality IS
+# the no-false-negative proof, pair for pair. Runs on a 1-in-5
+# decimated planted corpus so the quadratic oracle stays affordable
+# at sf0.1 while the Spark side exercises the real pruned plan.
+# --------------------------------------------------------------------
+_PFX_THRESHOLD = 0.5
+
+_PFX_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' zzextra' FROM documents
+  WHERE doc_id % 5 = 0
+),
+toks AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)),
+         '\\s+', ' ', 'g'), ' ') AS t
+  FROM corpus
+), shingles AS (
+  SELECT DISTINCT doc_id,
+         t[i] || ' ' || t[i+1] AS shingle
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+  FROM shingles x JOIN shingles y
+    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, n_common, sa.sz AS sz_a, sb.sz AS sz_b,
+       round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.a = sa.doc_id
+JOIN sizes sb ON inter.b = sb.doc_id
+WHERE round(n_common / (sa.sz + sb.sz - n_common), 6)
+      >= {_PFX_THRESHOLD}
+"""
+
+
+@query("d_prefix_jaccard_pairs", _PFX_ORACLE)
+def d_prefix_jaccard_pairs(spark, sf_dir):
+    """Jaccard >= 0.5 pairs via prefix-filter candidates + exact
+    confirm. The pruned Spark plan must reproduce the unpruned
+    all-pairs oracle exactly — the prefix filter's zero-false-negative
+    guarantee, checked pair for pair."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
+    corpus = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzextra")).alias("text"),
+        )
+    )
+    shingles = DD.word_shingles(corpus, "doc_id", "text", n=2)
+    cand = DD.prefix_filter_candidates(
+        shingles, "doc_id", threshold=_PFX_THRESHOLD
+    )
+    return DD.jaccard_pairs(
+        shingles, "doc_id", min_jaccard=_PFX_THRESHOLD, candidates=cand
+    )

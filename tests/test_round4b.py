@@ -162,3 +162,92 @@ class TestMatryoshkaRecall:
         assert set(out.method) == {"matryoshka_d16", "matryoshka_d32"}
         assert (out.n_truth == 50).all()  # 10 queries x k=5
         assert ((out.recall >= 0) & (out.recall <= 1)).all()
+
+
+class TestMase:
+    def test_matches_oracle(self, spark, oracle_con):
+        assert_matches_oracle(spark, oracle_con, "a24_mase")
+
+    def test_pandas_recompute(self, spark):
+        out = QUERIES["a24_mase"](spark, SF_SMALL).toPandas()
+        ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+        ev["station"] = ev.user_id.astype(str)
+        ev["day"] = ev.ts.dt.strftime("%Y-%m-%d")
+        ev["cv"] = (ev.value * 100).round().astype("int64")
+        daily = (
+            ev.groupby(["station", "day"]).cv.sum().reset_index(name="y")
+        )
+        for st, grp in daily.groupby("station"):
+            y = grp.sort_values("day").y.to_numpy()
+            if len(y) <= 7:
+                continue
+            num = int(abs(y[7:] - y[:-7]).sum())
+            den = int(abs(y[1:] - y[:-1]).sum())
+            sel = out[out.station == st]
+            assert int(sel.num.iloc[0]) == num
+            assert int(sel.den.iloc[0]) == den
+            assert int(sel.mase_ppm.iloc[0]) == (
+                num * (len(y) - 1) * 1_000_000
+            ) // (den * (len(y) - 7))
+
+
+class TestPrefixJaccard:
+    def test_matches_oracle(self, spark, oracle_con):
+        assert_matches_oracle(spark, oracle_con, "d_prefix_jaccard_pairs")
+
+    def test_candidates_superset_of_truth(self, spark):
+        """Every pair with Jaccard >= t must appear in the prefix
+        candidate set (the zero-false-negative theorem), checked on
+        the sf0.001 corpus directly against brute force."""
+        from historical_obs_platform_spark.operators import dedup as DD
+        from historical_obs_platform_spark.queries.common import table
+        from pyspark.sql import functions as F
+
+        docs = (
+            table(spark, SF_SMALL, "documents")
+            .where(F.col("doc_id") % 5 == 0)
+            .select("doc_id", "text")
+        )
+        sh = DD.word_shingles(docs, "doc_id", "text", n=2)
+        cand = {
+            (r.a, r.b)
+            for r in DD.prefix_filter_candidates(
+                sh, "doc_id", threshold=0.5
+            ).collect()
+        }
+        truth = {
+            (r.a, r.b)
+            for r in DD.jaccard_pairs(sh, "doc_id", min_jaccard=0.5)
+            .select("a", "b")
+            .collect()
+        }
+        assert truth <= cand
+        # pruning is corpus-dependent (the dense synthetic vocabulary
+        # keeps prefixes collision-heavy); the contract is recall=1.0
+        # above plus a strictly-smaller-than-all-pairs candidate set
+        n = docs.count()
+        assert len(cand) < n * (n - 1) // 2
+
+
+class TestScd2:
+    def test_matches_oracle(self, spark, oracle_con):
+        assert_matches_oracle(spark, oracle_con, "o19_scd2_intervals")
+
+    def test_interval_contract(self, spark):
+        out = QUERIES["o19_scd2_intervals"](spark, SF_SMALL).toPandas()
+        ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+        for uid, grp in out.groupby("user_id"):
+            grp = grp.sort_values("version").reset_index(drop=True)
+            # versions are 1..n dense
+            assert list(grp.version) == list(range(1, len(grp) + 1))
+            # half-open chain: valid_to == successor's valid_from
+            for i in range(len(grp) - 1):
+                assert grp.valid_to[i] == grp.valid_from[i + 1]
+                assert not grp.is_current[i]
+            assert grp.is_current.iloc[-1]
+            assert pd.isna(grp.valid_to.iloc[-1])
+            # consecutive versions change the attribute
+            attrs = list(grp.attr_value)
+            assert all(x != y for x, y in zip(attrs, attrs[1:]))
+            # event mass is conserved
+            assert grp.n_events.sum() == (ev.user_id == uid).sum()
