@@ -294,11 +294,15 @@ def prefix_filter_candidates(
     Unlike MinHash-LSH banding this prunes with a PROOF, not a
     probability: recall is exactly 1.0 by construction (the test and
     the oracle assert candidate⊇truth by comparing the confirmed
-    output against the unpruned all-pairs join). Scale shape: the
-    per-doc rank window partitions by document (no global sort — the
-    (df, shingle) key is deterministic without one); the candidate
-    join's fan-out is bounded by PREFIX posting lists, which the
-    rarest-first order makes the shortest ones available.
+    output against the unpruned all-pairs join). Two sound filters
+    compose: the prefix collision (pigeonhole) and PPJoin's length
+    filter — Jaccard >= t forces t <= |x|/|y| <= 1/t, applied inside
+    the join condition so oversize/undersize pairs never leave the
+    build side. Scale shape: the per-doc rank window partitions by
+    document (no global sort — the (df, shingle) key is deterministic
+    without one); the candidate join's fan-out is bounded by PREFIX
+    posting lists, which the rarest-first order makes the shortest
+    ones available.
     """
     df_counts = shingles.groupBy("shingle").agg(
         F.countDistinct(id_col).alias("__df")
@@ -315,12 +319,25 @@ def prefix_filter_candidates(
     prefix = ranked.where(
         F.col("__r")
         <= F.col("__sz") - F.ceil(F.col("__sz") * F.lit(threshold)) + 1
-    ).select(id_col, "shingle")
-    a = prefix.select(F.col(id_col).alias("a"), "shingle")
-    b = prefix.select(F.col(id_col).alias("b"), "shingle")
+    ).select(id_col, "shingle", "__sz")
+    a = prefix.select(
+        F.col(id_col).alias("a"), "shingle", F.col("__sz").alias("__sz_a")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("b"), "shingle", F.col("__sz").alias("__sz_b")
+    )
     return (
-        a.join(b, "shingle")
-        .where(F.col("a") < F.col("b"))
+        a.join(
+            b,
+            on=[
+                a.shingle == b.shingle,
+                F.col("a") < F.col("b"),
+                # length filter: |b| within [t*|a|, |a|/t]
+                F.col("__sz_b")
+                >= F.ceil(F.col("__sz_a") * F.lit(threshold)),
+                F.col("__sz_b") * F.lit(threshold) <= F.col("__sz_a"),
+            ],
+        )
         .select("a", "b")
         .distinct()
     )
