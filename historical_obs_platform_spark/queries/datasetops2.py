@@ -2047,3 +2047,111 @@ def a24_mase(spark, sf_dir):
         .cast("long")
         .alias("mase_ppm"),
     )
+
+
+# --------------------------------------------------------------------
+# Seasonal decomposition + anomaly ranking, entirely in integers —
+# STL's trend/seasonal/residual idea restated exactly: daily centi
+# totals y; trend = the centered 7-day window sum T (7x the moving
+# average, so no division); detrended dt = 7y - T on full windows
+# only; day-of-week seasonal = the per-(station, dow) mean of dt
+# (one truncating division); residual = dt - seasonal. The top-3
+# |residual| days per station are the anomaly report. Day-of-week is
+# (epoch_day + 4) % 7 — pure arithmetic, immune to engine calendar
+# conventions. One daily groupBy + one range window + one dow agg +
+# one rank: every stage shares the station partitioning.
+# --------------------------------------------------------------------
+_SEAS_ORACLE = """
+WITH daily AS (
+  SELECT CAST(user_id AS VARCHAR) AS station,
+         strftime(ts, '%Y-%m-%d') AS day,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2, 3
+),
+win AS (
+  SELECT station, day, d, y,
+         CAST(sum(y) OVER w AS BIGINT) AS t7,
+         CAST(count(*) OVER w AS BIGINT) AS n7,
+         (d + 4) % 7 AS dow
+  FROM daily
+  WINDOW w AS (PARTITION BY station ORDER BY d
+               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+dt AS (
+  SELECT station, day, dow, y, t7, 7 * y - t7 AS dt7
+  FROM win WHERE n7 = 7
+),
+seas AS (
+  SELECT station, dow,
+         CAST(sum(dt7) // count(*) AS BIGINT) AS seasonal_x7
+  FROM dt GROUP BY station, dow
+),
+resid AS (
+  SELECT d.station, d.day, d.y, d.t7, s.seasonal_x7,
+         d.dt7 - s.seasonal_x7 AS resid_x7
+  FROM dt d JOIN seas s ON d.station = s.station AND d.dow = s.dow
+)
+SELECT station, day, y, t7, seasonal_x7, resid_x7,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY station ORDER BY abs(resid_x7) DESC, day) AS rank
+  FROM resid
+) WHERE rank <= 3
+"""
+
+
+@query("a25_seasonal_anomaly", _SEAS_ORACLE)
+def a25_seasonal_anomaly(spark, sf_dir):
+    """Integer-exact seasonal decomposition with a top-3 residual
+    anomaly report per station (trend and detrended values carried at
+    7x scale so the only division is the seasonal mean's single
+    truncating DIV — identical on both engines)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("user_id").cast("string").alias("station"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    w = (
+        Window.partitionBy("station")
+        .orderBy("d")
+        .rangeBetween(-3, 3)
+    )
+    win = daily.select(
+        "station",
+        "day",
+        "y",
+        F.sum("y").over(w).cast("long").alias("t7"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n7"),
+        ((F.col("d") + 4) % 7).alias("dow"),
+    )
+    dt = win.where(F.col("n7") == 7).withColumn(
+        "dt7", 7 * F.col("y") - F.col("t7")
+    )
+    seas = dt.groupBy("station", "dow").agg(
+        F.expr("sum(dt7) DIV count(*)").cast("long").alias("seasonal_x7")
+    )
+    resid = dt.join(seas, ["station", "dow"]).select(
+        "station",
+        "day",
+        "y",
+        "t7",
+        "seasonal_x7",
+        (F.col("dt7") - F.col("seasonal_x7")).alias("resid_x7"),
+    )
+    wr = Window.partitionBy("station").orderBy(
+        F.abs(F.col("resid_x7")).desc(), F.asc("day")
+    )
+    return (
+        resid.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= 3)
+    )

@@ -251,3 +251,61 @@ class TestScd2:
             assert all(x != y for x, y in zip(attrs, attrs[1:]))
             # event mass is conserved
             assert grp.n_events.sum() == (ev.user_id == uid).sum()
+
+
+class TestSeasonalAnomaly:
+    def test_matches_oracle(self, spark, oracle_con):
+        assert_matches_oracle(spark, oracle_con, "a25_seasonal_anomaly")
+
+    def test_pandas_recompute(self, spark):
+        """Full integer decomposition replayed in pandas; the top-3
+        report must agree rank for rank."""
+        out = QUERIES["a25_seasonal_anomaly"](spark, SF_SMALL).toPandas()
+        ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+        ev["station"] = ev.user_id.astype(str)
+        ev["day"] = ev.ts.dt.strftime("%Y-%m-%d")
+        ev["d"] = (ev.ts.dt.normalize() - pd.Timestamp(0)).dt.days
+        ev["cv"] = (ev.value * 100).round().astype("int64")
+        daily = (
+            ev.groupby(["station", "day", "d"])
+            .cv.sum()
+            .reset_index(name="y")
+        )
+        for st, grp in daily.groupby("station"):
+            grp = grp.sort_values("d").reset_index(drop=True)
+            dmap = dict(zip(grp.d, grp.y))
+            rows = []
+            for _, r in grp.iterrows():
+                window = [
+                    dmap[r.d + o] for o in range(-3, 4) if r.d + o in dmap
+                ]
+                if len(window) != 7:
+                    continue
+                rows.append(
+                    dict(
+                        day=r.day,
+                        dow=(r.d + 4) % 7,
+                        y=r.y,
+                        t7=sum(window),
+                        dt7=7 * r.y - sum(window),
+                    )
+                )
+            if not rows:
+                assert out[out.station == st].empty
+                continue
+            df = pd.DataFrame(rows)
+            seas = {
+                dow: int(g.dt7.sum() / len(g))  # trunc toward zero
+                for dow, g in df.groupby("dow")
+            }
+            df["resid"] = df.apply(
+                lambda r: r.dt7 - seas[r.dow], axis=1
+            )
+            top = (
+                df.assign(absr=df.resid.abs())
+                .sort_values(["absr", "day"], ascending=[False, True])
+                .head(3)
+            )
+            sel = out[out.station == st].sort_values("rank")
+            assert list(sel.day) == list(top.day)
+            assert list(sel.resid_x7) == list(top.resid)
