@@ -2155,3 +2155,109 @@ def a25_seasonal_anomaly(spark, sf_dir):
         resid.withColumn("rank", F.row_number().over(wr).cast("long"))
         .where(F.col("rank") <= 3)
     )
+
+
+# --------------------------------------------------------------------
+# Last-touch attribution: every purchase is credited to the user's
+# most recent click within a 24 h lookback — the marketing-analytics
+# join every event warehouse runs. No asof self-join: one window pass
+# per user carries the running "last click time" (max of the
+# click-only timestamp over preceding rows), then a single equi-join
+# on (user, click_ts) recovers the click's event id (min id on the
+# pathological shared-timestamp tie). Purchases outside the lookback
+# attribute to NULL — kept, because unattributed conversions are the
+# report's point. Timestamps leave as microsecond ISO strings (the
+# nullable-timestamp determinism rule).
+# --------------------------------------------------------------------
+_ATTR_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         max(CASE WHEN event_type = 'click' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_click_ts
+  FROM events
+),
+purch AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+         CASE WHEN last_click_ts IS NOT NULL
+                   AND date_diff('second', last_click_ts, ts) <= 86400
+              THEN last_click_ts END AS attr_ts
+  FROM ordered WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts, CAST(min(event_id) AS BIGINT) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT p.user_id, p.purchase_id,
+       strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       c.click_id,
+       strftime(p.attr_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       CAST(date_diff('second', p.attr_ts, p.purchase_ts) AS BIGINT)
+         AS latency_s
+FROM purch p
+LEFT JOIN clicks c ON c.user_id = p.user_id AND c.ts = p.attr_ts
+"""
+
+
+@query("w22_attribution", _ATTR_ORACLE)
+def w22_attribution(spark, sf_dir):
+    """Last-touch 24 h attribution without a range self-join: the
+    running last-click timestamp rides the same (user, time) window
+    every other per-user pass uses; recovering the click id is one
+    join against the clicks-only slice keyed on the exact timestamp."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    wo = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(wo)
+    purch = (
+        ev.withColumn("last_click_ts", last_click)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.when(
+                F.col("last_click_ts").isNotNull()
+                & (
+                    F.unix_timestamp("ts")
+                    - F.unix_timestamp("last_click_ts")
+                    <= 86400
+                ),
+                F.col("last_click_ts"),
+            ).alias("attr_ts"),
+        )
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").cast("long").alias("click_id"))
+    )
+    iso = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    joined = purch.join(
+        clicks,
+        on=[
+            purch.user_id == clicks.user_id,
+            clicks.ts == purch.attr_ts,
+        ],
+        how="left",
+    )
+    return joined.select(
+        purch.user_id.alias("user_id"),
+        "purchase_id",
+        F.date_format("purchase_ts", iso).alias("purchase_ts"),
+        "click_id",
+        F.date_format("attr_ts", iso).alias("click_ts"),
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("attr_ts")
+        )
+        .cast("long")
+        .alias("latency_s"),
+    )

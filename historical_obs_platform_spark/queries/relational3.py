@@ -1096,3 +1096,93 @@ def o19_scd2_intervals(spark, sf_dir):
         F.lead("vf").over(wv).isNull().alias("is_current"),
         "n_events",
     )
+
+
+# --------------------------------------------------------------------
+# J14: market-basket association pairs with exact lift — the classic
+# co-purchase analytics: support counts for parts and part-pairs from
+# the same-order self-join (order size is schema-bounded, <= 7 items,
+# so pair generation is linear in orders — the same guarantee the
+# triangle census leans on), lift in exact ppm as one integer
+# cross-multiplication and a final truncating division:
+# lift_ppm = n_ab * N * 1e6 // (n_a * n_b). Top-20 by (lift, pair)
+# with a support floor so the report is stable and tiny. Three
+# aggregations + one broadcastable rank — no float enters.
+# --------------------------------------------------------------------
+LIFT_ORACLE = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+n_orders AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM li),
+item AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_item
+         FROM li GROUP BY pk),
+pair AS (
+  SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS n_pair
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+)
+SELECT pa, pb, n_pair, ia.n_item AS n_a, ib.n_item AS n_b,
+       CAST((n_pair * no.n * 1000000) // (ia.n_item * ib.n_item)
+            AS BIGINT) AS lift_ppm,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT p.*, row_number() OVER (
+    ORDER BY (p.n_pair * no2.n * 1000000)
+             // (ia2.n_item * ib2.n_item) DESC, p.pa, p.pb) AS rank
+  FROM pair p
+  JOIN item ia2 ON ia2.pk = p.pa JOIN item ib2 ON ib2.pk = p.pb
+  CROSS JOIN n_orders no2
+  WHERE p.n_pair >= 3
+) r
+JOIN item ia ON ia.pk = r.pa JOIN item ib ON ib.pk = r.pb
+CROSS JOIN n_orders no
+WHERE rank <= 20
+"""
+
+
+@query("j14_lift_pairs", LIFT_ORACLE)
+def j14_lift_pairs(spark, sf_dir):
+    """Top-20 co-purchase pairs by exact integer lift (ppm), support
+    floor 3. Pair support comes from the bounded per-order self-join;
+    item supports and the order count are broadcast onto the pair
+    table, so the only data-sized shuffles are the two support
+    groupBys."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_orders = li.agg(
+        F.countDistinct("ok").cast("long").alias("n")
+    )
+    item = li.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("n_item"))
+    a, b = li.alias("a"), li.alias("b")
+    pair = (
+        a.join(
+            b,
+            on=[F.col("a.ok") == F.col("b.ok"), F.col("a.pk") < F.col("b.pk")],
+        )
+        .groupBy(
+            F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .where(F.col("n_pair") >= 3)
+    )
+    ia = item.select(F.col("pk").alias("pa"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("pk").alias("pb"), F.col("n_item").alias("n_b"))
+    scored = (
+        pair.join(F.broadcast(ia), "pa")
+        .join(F.broadcast(ib), "pb")
+        .crossJoin(F.broadcast(n_orders))
+        .withColumn(
+            "lift_ppm",
+            F.expr("(n_pair * n * 1000000) DIV (n_a * n_b)").cast("long"),
+        )
+    )
+    wr = Window.orderBy(F.desc("lift_ppm"), F.asc("pa"), F.asc("pb"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= 20)
+        .select("pa", "pb", "n_pair", "n_a", "n_b", "lift_ppm", "rank")
+    )

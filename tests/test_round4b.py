@@ -309,3 +309,72 @@ class TestSeasonalAnomaly:
             sel = out[out.station == st].sort_values("rank")
             assert list(sel.day) == list(top.day)
             assert list(sel.resid_x7) == list(top.resid)
+
+
+class TestLiftPairs:
+    def test_matches_oracle(self, spark, oracle_con):
+        assert_matches_oracle(spark, oracle_con, "j14_lift_pairs")
+
+    def test_pandas_recompute(self, spark):
+        out = QUERIES["j14_lift_pairs"](spark, SF_SMALL).toPandas()
+        li = (
+            pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")[
+                ["l_orderkey", "l_partkey"]
+            ]
+            .drop_duplicates()
+        )
+        n_orders = li.l_orderkey.nunique()
+        item = li.groupby("l_partkey").size().to_dict()
+        pair_counts: dict[tuple[int, int], int] = {}
+        for _, grp in li.groupby("l_orderkey"):
+            for x, y in itertools.combinations(
+                sorted(set(grp.l_partkey)), 2
+            ):
+                pair_counts[(x, y)] = pair_counts.get((x, y), 0) + 1
+        scored = sorted(
+            (
+                (
+                    -((n * n_orders * 1_000_000) // (item[a] * item[b])),
+                    a,
+                    b,
+                    n,
+                )
+                for (a, b), n in pair_counts.items()
+                if n >= 3
+            )
+        )[:20]
+        assert len(out) == len(scored)
+        for rank, (neg_lift, a, b, n) in enumerate(scored, start=1):
+            row = out[out["rank"] == rank].iloc[0]
+            assert (row.pa, row.pb, row.n_pair) == (a, b, n)
+            assert int(row.lift_ppm) == -neg_lift
+
+
+class TestAttribution:
+    def test_matches_oracle(self, spark, oracle_con):
+        assert_matches_oracle(spark, oracle_con, "w22_attribution")
+
+    def test_attribution_contract(self, spark):
+        """Every purchase appears once; an attributed click is a real
+        click by the same user, strictly before the purchase, within
+        24 h, and no later click exists in between."""
+        out = QUERIES["w22_attribution"](spark, SF_SMALL).toPandas()
+        ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+        purchases = ev[ev.event_type == "purchase"]
+        assert len(out) == len(purchases)
+        assert set(out.purchase_id) == set(purchases.event_id)
+        clicks = ev[ev.event_type == "click"]
+        by_user = {u: g.ts.sort_values() for u, g in clicks.groupby("user_id")}
+        for _, r in out.iterrows():
+            pts = pd.Timestamp(r.purchase_ts)
+            user_clicks = by_user.get(r.user_id, pd.Series(dtype="datetime64[ns]"))
+            prior = user_clicks[user_clicks < pts]
+            if pd.isna(r.click_id):
+                assert prior.empty or (
+                    (pts - prior.max()).total_seconds() > 86400
+                )
+            else:
+                cts = pd.Timestamp(r.click_ts)
+                assert cts == prior.max()
+                assert int((pts.floor("s") - cts.floor("s")).total_seconds()) == r.latency_s
+                assert (pts.floor("s") - cts.floor("s")).total_seconds() <= 86400
