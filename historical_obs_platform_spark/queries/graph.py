@@ -325,3 +325,104 @@ def g_triangle_count(spark, sf_dir):
             .alias("closure_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Bounded k-hop reachability (unit-weight SSSP, 3 rounds) over the
+# same urgent co-purchase graph as the triangle census: from the
+# deterministic seed set (part keys divisible by 100), expand the
+# BFS frontier three times and report every reached node's minimum
+# hop count. Iterative traversal is the third graph shape next to
+# weighted propagation (g_pagerank_fixed) and closure counting
+# (g_triangle_count): each round is frontier ⋈ edges → min-aggregate
+# — ONE shuffle per hop, frontier-sized not graph-sized, lineage cut
+# per round. The oracle unrolls the same three expansions as chained
+# CTEs with LEAST-precedence on the hop number.
+# --------------------------------------------------------------------
+KHOP_ORACLE = """
+WITH li AS (
+  SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderpriority = '1-URGENT'
+),
+e0 AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+),
+e AS (
+  SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+),
+h0 AS (
+  SELECT DISTINCT pk AS node FROM li WHERE pk % 100 = 0
+),
+h1 AS (
+  SELECT DISTINCT e.v AS node FROM h0 JOIN e ON e.u = h0.node
+),
+h2 AS (
+  SELECT DISTINCT e.v AS node FROM h1 JOIN e ON e.u = h1.node
+),
+h3 AS (
+  SELECT DISTINCT e.v AS node FROM h2 JOIN e ON e.u = h2.node
+)
+SELECT node, CAST(min(hops) AS BIGINT) AS min_hops
+FROM (
+  SELECT node, 0 AS hops FROM h0
+  UNION ALL SELECT node, 1 FROM h1
+  UNION ALL SELECT node, 2 FROM h2
+  UNION ALL SELECT node, 3 FROM h3
+) GROUP BY node
+"""
+
+
+@query("g_khop_reach", KHOP_ORACLE)
+def g_khop_reach(spark, sf_dir):
+    """Minimum hop count to every node within 3 hops of the seed set.
+
+    Plan shape at 100 TB: the edge list builds once
+    (localCheckpoint); each hop is frontier ⋈ edges + distinct — the
+    intermediate is frontier-degree-sized, and the final min-
+    aggregate collapses the (node, hops) union. No transitive-closure
+    blowup: depth is fixed, so work is Σ_hops |frontier_h ⋈ E|."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    od = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    items = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    e0 = (
+        a.join(
+            b,
+            on=[F.col("a.ok") == F.col("b.ok"), F.col("a.pk") < F.col("b.pk")],
+        )
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+    )
+    edges = (
+        e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    frontier = (
+        items.where(F.col("pk") % 100 == 0)
+        .select(F.col("pk").alias("node"))
+        .distinct()
+    )
+    reached = frontier.withColumn("hops", F.lit(0))
+    for hop in range(1, 4):
+        frontier = (
+            frontier.join(edges, frontier.node == edges.u)
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        reached = reached.unionByName(
+            frontier.withColumn("hops", F.lit(hop))
+        )
+    return reached.groupBy("node").agg(
+        F.min("hops").cast("long").alias("min_hops")
+    )

@@ -378,3 +378,37 @@ class TestAttribution:
                 assert cts == prior.max()
                 assert int((pts.floor("s") - cts.floor("s")).total_seconds()) == r.latency_s
                 assert (pts.floor("s") - cts.floor("s")).total_seconds() <= 86400
+
+
+class TestKhopReach:
+    def test_matches_oracle(self, spark, oracle_con):
+        assert_matches_oracle(spark, oracle_con, "g_khop_reach")
+
+    def test_bfs_recompute(self, spark):
+        """Independent BFS in pure python at sf0.001."""
+        out = {
+            r.node: r.min_hops
+            for r in QUERIES["g_khop_reach"](spark, SF_SMALL).collect()
+        }
+        li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")[
+            ["l_orderkey", "l_partkey"]
+        ]
+        od = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+        urgent = set(od.loc[od.o_orderpriority == "1-URGENT", "o_orderkey"])
+        li = li[li.l_orderkey.isin(urgent)].drop_duplicates()
+        adj: dict[int, set[int]] = {}
+        for _, grp in li.groupby("l_orderkey"):
+            pks = sorted(set(grp.l_partkey))
+            for x in pks:
+                for y in pks:
+                    if x != y:
+                        adj.setdefault(x, set()).add(y)
+        dist = {pk: 0 for pk in set(li.l_partkey) if pk % 100 == 0}
+        frontier = set(dist)
+        for hop in (1, 2, 3):
+            frontier = {
+                v for u in frontier for v in adj.get(u, ())
+            }
+            for v in frontier:
+                dist.setdefault(v, hop)
+        assert out == dist
