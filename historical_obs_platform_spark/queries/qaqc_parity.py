@@ -478,3 +478,101 @@ def m_multimodal_features(spark, sf_dir):
     )
     feats = MM.extract_features(media, decoder=MM.FakeDecoder())
     return feats.select("media_id", "n_bytes", "sha256", "width", "height")
+
+
+# --------------------------------------------------------------------
+# The REAL pixel decoder behind an exact SQL oracle: a valid binary
+# PPM (P6, 2x2, maxval 255) is synthesized IN-ENGINE for every doc —
+# 11 header bytes + 12 pixel bytes from unhex(md5(text)[:24]) — and
+# decoded by PpmBmpDecoder through the same mapInPandas seam a
+# production codec would use. Because the pixel bytes are a hex
+# function of the text, DuckDB can recompute every channel statistic
+# from the SAME md5 without any image code: the oracle checks the
+# decoder's arithmetic (Rec.601 luma, channel means, std) bit for
+# bit, not just the plumbing. All stats are fixed-order IEEE float64
+# narrowed to float32 by the feature schema on the Spark side and by
+# CAST(... AS FLOAT4) in the oracle.
+# --------------------------------------------------------------------
+def _hexbyte(h: str, i: int) -> str:
+    """DuckDB expression: integer value of the i-th (1-based) byte
+    encoded as hex pair (2i-1, 2i) of hex string expression ``h``."""
+    hi = f"(instr('0123456789abcdef', substr({h}, {2 * i - 1}, 1)) - 1)"
+    lo = f"(instr('0123456789abcdef', substr({h}, {2 * i}, 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
+
+
+def _ppm_oracle() -> str:
+    h = "hx"
+    # pixel bytes 1..12; channel c (0=R,1=G,2=B) lives at bytes
+    # {c+1, c+4, c+7, c+10}; numpy sums row-major: p00, p01, p10, p11
+    def chan(c):
+        return [_hexbyte(h, c + 1 + 3 * p) for p in range(4)]
+
+    def mean(c):
+        b = chan(c)
+        return f"((({b[0]} + {b[1]}) + {b[2]}) + {b[3]}) / 4.0"
+
+    lumas = [
+        f"(0.299 * {_hexbyte(h, 1 + 3 * p)} + 0.587 * "
+        f"{_hexbyte(h, 2 + 3 * p)} + 0.114 * {_hexbyte(h, 3 + 3 * p)})"
+        for p in range(4)
+    ]
+    mu = f"((({lumas[0]} + {lumas[1]}) + {lumas[2]}) + {lumas[3]}) / 4.0"
+    # numpy std: sqrt(mean of squared deviations), sequential sum
+    var = (
+        f"(((power({lumas[0]} - mu, 2) + power({lumas[1]} - mu, 2))"
+        f" + power({lumas[2]} - mu, 2)) + power({lumas[3]} - mu, 2)) / 4.0"
+    )
+    allb = [_hexbyte(h, i) for i in range(1, 13)]
+    least = "least(" + ", ".join(allb) + ")"
+    greatest = "greatest(" + ", ".join(allb) + ")"
+    return f"""
+WITH src AS (
+  SELECT doc_id AS media_id, md5(text) AS full_hx,
+         substr(md5(text), 1, 24) AS hx
+  FROM documents WHERE text IS NOT NULL
+),
+withmu AS (SELECT *, {mu} AS mu FROM src)
+SELECT media_id,
+       CAST(23 AS INTEGER) AS n_bytes,
+       CAST(2 AS INTEGER) AS width,
+       CAST(2 AS INTEGER) AS height,
+       CAST({mean(0)} / 255.0 AS FLOAT4) AS mean_r,
+       CAST({mean(1)} / 255.0 AS FLOAT4) AS mean_g,
+       CAST({mean(2)} / 255.0 AS FLOAT4) AS mean_b,
+       CAST(sqrt({var}) / 255.0 AS FLOAT4) AS std_luma,
+       CAST({least} / 255.0 AS FLOAT4) AS px_min,
+       CAST({greatest} / 255.0 AS FLOAT4) AS px_max
+FROM withmu
+"""
+
+
+@query("m_ppm_decode_stats", _ppm_oracle())
+def m_ppm_decode_stats(spark, sf_dir):
+    """Channel statistics of genuinely DECODED 2x2 PPM pixels, hash-
+    checked against DuckDB recomputing the same bytes from md5 —
+    map-only, the decode island is the real PpmBmpDecoder."""
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    header = F.lit("P6\n2 2\n255\n").cast("binary")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            header, F.unhex(F.substring(F.md5("text"), 1, 24))
+        ).alias("content"),
+    )
+    feats = MM.extract_features(media, decoder=MM.PpmBmpDecoder())
+    f = feats
+    return f.select(
+        "media_id",
+        "n_bytes",
+        "width",
+        "height",
+        F.element_at("feature", 1).alias("mean_r"),
+        F.element_at("feature", 2).alias("mean_g"),
+        F.element_at("feature", 3).alias("mean_b"),
+        F.element_at("feature", 4).alias("std_luma"),
+        F.element_at("feature", 5).alias("px_min"),
+        F.element_at("feature", 6).alias("px_max"),
+    )

@@ -412,3 +412,36 @@ class TestKhopReach:
             for v in frontier:
                 dist.setdefault(v, hop)
         assert out == dist
+
+
+class TestPpmDecodeStats:
+    def test_matches_oracle(self, spark, oracle_con):
+        assert_matches_oracle(spark, oracle_con, "m_ppm_decode_stats")
+
+    def test_decoder_agrees_with_numpy(self, spark):
+        """Decode one synthesized PPM by hand and compare the stats
+        the query reports for it."""
+        import hashlib as _h
+
+        import numpy as np
+
+        docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet").head(5)
+        out = QUERIES["m_ppm_decode_stats"](spark, SF_SMALL).toPandas()
+        for _, r in docs.iterrows():
+            hx = _h.md5(r.text.encode()).hexdigest()[:24]
+            arr = (
+                np.frombuffer(bytes.fromhex(hx), dtype=np.uint8)
+                .reshape(2, 2, 3)
+                .astype(np.float64)
+            )
+            luma = (
+                0.299 * arr[:, :, 0]
+                + 0.587 * arr[:, :, 1]
+                + 0.114 * arr[:, :, 2]
+            )
+            row = out[out.media_id == r.doc_id].iloc[0]
+            assert row.n_bytes == 23 and row.width == 2 and row.height == 2
+            assert row.mean_r == np.float32(arr[:, :, 0].mean() / 255.0)
+            assert row.std_luma == np.float32(luma.std() / 255.0)
+            assert row.px_min == np.float32(arr.min() / 255.0)
+            assert row.px_max == np.float32(arr.max() / 255.0)
