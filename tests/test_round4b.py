@@ -445,3 +445,19 @@ class TestPpmDecodeStats:
             assert row.std_luma == np.float32(luma.std() / 255.0)
             assert row.px_min == np.float32(arr.min() / 255.0)
             assert row.px_max == np.float32(arr.max() / 255.0)
+
+
+class TestHllError:
+    def test_matches_oracle(self, spark, oracle_con):
+        assert_matches_oracle(spark, oracle_con, "sk_hll_error")
+
+    def test_error_definition(self, spark):
+        out = QUERIES["sk_hll_error"](spark, SF_SMALL).toPandas()
+        assert set(out.method) == {"hll_m16", "hll_m256"}
+        li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+        exact = li.l_orderkey.nunique()
+        assert (out.exact_n == exact).all()
+        for _, r in out.iterrows():
+            assert r.err_ppm == round(
+                (r.estimate - exact) / exact * 1_000_000
+            )
