@@ -2261,3 +2261,119 @@ def w22_attribution(spark, sf_dir):
         .cast("long")
         .alias("latency_s"),
     )
+
+
+# --------------------------------------------------------------------
+# Multi-lag autocorrelation (ACF at lags 1, 2, 3, 7) per station over
+# the daily series — a13's lag-1 statistic generalized to the table a
+# forecaster actually reads (the lag-7 row is the weekly-seasonality
+# detector that motivates a24's MASE scale). Exactness: with n = day
+# count and s = exact centi sum, the centered terms are the integers
+# (n*y_t - s); numerator and denominator accumulate their products in
+# decimal(38,0) (Spark) / HUGEINT (DuckDB) — the w16 accumulator move,
+# so the statistic survives (n*y)^2 magnitudes at any corpus scale —
+# and acf_ppm is one truncating division of exact integers. Positional
+# lags via lead(k) over the (station, day) window: one shuffle, four
+# lead columns in a single pass.
+# --------------------------------------------------------------------
+_ACF_LAGS = (1, 2, 3, 7)
+
+
+def _acf_oracle() -> str:
+    lead_cols = ",\n         ".join(
+        f"lead(y, {k}) OVER w AS y{k}" for k in _ACF_LAGS
+    )
+    rows = []
+    for k in _ACF_LAGS:
+        rows.append(f"""
+SELECT station, {k} AS lag,
+       CAST(count(y{k}) AS BIGINT) AS n_pairs,
+       CAST(CAST(sum(CASE WHEN y{k} IS NOT NULL THEN
+              CAST((n * y - s) AS HUGEINT) * (n * y{k} - s) END)
+            AS HUGEINT) * 1000000
+            // CAST(sum(CAST((n * y - s) AS HUGEINT) * (n * y - s))
+                   AS HUGEINT)
+            AS BIGINT) AS acf_ppm
+FROM led GROUP BY station HAVING count(y{k}) > 0""")
+    return f"""
+WITH daily AS (
+  SELECT CAST(user_id AS VARCHAR) AS station,
+         strftime(ts, '%Y-%m-%d') AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT station, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS s
+  FROM daily GROUP BY station
+),
+led AS (
+  SELECT d.station, d.y, st.n, st.s,
+         {lead_cols}
+  FROM daily d JOIN stats st ON d.station = st.station
+  WINDOW w AS (PARTITION BY d.station ORDER BY d.day)
+)
+{" UNION ALL ".join(rows)}
+"""
+
+
+@query("a26_acf", _acf_oracle())
+def a26_acf(spark, sf_dir):
+    """ACF table at lags 1/2/3/7 per station — exact integer centered
+    cross-products in decimal(38,0), one window pass computing all
+    four leads, one truncating division to ppm per row."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("user_id").cast("string").alias("station"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    stats = daily.groupBy("station").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    w = Window.partitionBy("station").orderBy("day")
+    led = daily.join(F.broadcast(stats), "station").select(
+        "station",
+        "y",
+        "n",
+        "s",
+        *[F.lead("y", k).over(w).alias(f"y{k}") for k in _ACF_LAGS],
+    )
+    big = "decimal(38,0)"
+    out = None
+    for k in _ACF_LAGS:
+        num = F.sum(
+            F.when(
+                F.col(f"y{k}").isNotNull(),
+                (
+                    (F.col("n") * F.col("y") - F.col("s")).cast(big)
+                    * (F.col("n") * F.col(f"y{k}") - F.col("s"))
+                ),
+            )
+        ).cast(big)
+        den = F.sum(
+            (F.col("n") * F.col("y") - F.col("s")).cast(big)
+            * (F.col("n") * F.col("y") - F.col("s"))
+        ).cast(big)
+        row = (
+            led.groupBy("station")
+            .agg(
+                F.count(F.col(f"y{k}")).cast("long").alias("n_pairs"),
+                num.alias("__num"),
+                den.alias("__den"),
+            )
+            .where(F.col("n_pairs") > 0)
+            .select(
+                "station",
+                F.lit(k).cast("long").alias("lag"),
+                "n_pairs",
+                F.expr(f"CAST((__num * 1000000) DIV __den AS BIGINT)")
+                .alias("acf_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

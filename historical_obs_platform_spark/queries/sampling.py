@@ -250,3 +250,107 @@ def p_weighted_sample(spark, sf_dir):
     return S.weighted_sample(docs, "lang", "doc_id", "n_chars", 15).select(
         "doc_id", "lang", "n_chars"
     )
+
+
+# --------------------------------------------------------------------
+# Weighted rendezvous (highest-random-weight) sharding — the
+# coordination-free assignment scheme whose defining property is
+# MINIMAL RESHUFFLING: adding or removing a shard only moves the keys
+# that hash highest for it, unlike modulo sharding which remaps
+# nearly everything. Deterministic and engine-portable: per
+# (doc, shard) the uniform draw is (md5_int + 0.5) / 16^13 in (0, 1),
+# the weighted score is the standard -w / ln(h) transform (one fixed
+# IEEE expression), and the winner is the row_number-1 row under
+# (score DESC, shard) — ties broken identically everywhere. Map-only
+# per doc (5 scores per row, no shuffle until the per-shard count).
+# --------------------------------------------------------------------
+_SHARDS = [("s0", 1), ("s1", 1), ("s2", 2), ("s3", 3), ("s4", 3)]
+_HEX13 = float(16 ** 13)
+
+
+def _rdv_h(shard: str) -> str:
+    """DuckDB: uniform (0,1) draw for (doc_id, shard)."""
+    hx = f"substr(md5(CAST(doc_id AS VARCHAR) || ':{shard}'), 1, 13)"
+    return (
+        f"((CAST(CAST('0x' || {hx} AS BIGINT) AS DOUBLE) + 0.5)"
+        f" / {_HEX13!r})"
+    )
+
+
+def _rendezvous_oracle() -> str:
+    scores = " UNION ALL ".join(
+        f"SELECT doc_id, '{s}' AS shard, {w} AS weight,"
+        f" -({w}) / ln({_rdv_h(s)}) AS score FROM documents"
+        for s, w in _SHARDS
+    )
+    return f"""
+WITH scores AS ({scores}),
+win AS (
+  SELECT doc_id, shard, weight FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+      ORDER BY score DESC, shard) AS r
+    FROM scores
+  ) WHERE r = 1
+)
+SELECT shard, CAST(max(weight) AS BIGINT) AS weight,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM win GROUP BY shard
+"""
+
+
+@query("p_rendezvous_shard", _rendezvous_oracle())
+def p_rendezvous_shard(spark, sf_dir):
+    """Per-shard document counts under weighted rendezvous hashing
+    (weights 1/1/2/3/3): the doc x shard score matrix is generated
+    map-side (explode over 5 literal shards), the winner is one
+    per-doc window rank, and only the tiny per-shard count shuffles."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    shards = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("shard"), F.lit(w).alias("weight")
+            )
+            for s, w in _SHARDS
+        ]
+    )
+    scored = docs.select(
+        "doc_id", F.explode(shards).alias("sh")
+    ).select(
+        "doc_id",
+        F.col("sh.shard").alias("shard"),
+        F.col("sh.weight").alias("weight"),
+        (
+            -F.col("sh.weight").cast("double")
+            / F.log(
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ":",
+                                    F.col("doc_id").cast("string"),
+                                    F.col("sh.shard"),
+                                )
+                            ),
+                            1,
+                            13,
+                        ),
+                        16,
+                        10,
+                    ).cast("double")
+                    + 0.5
+                )
+                / F.lit(_HEX13)
+            )
+        ).alias("score"),
+    )
+    from pyspark.sql.window import Window as W
+
+    r = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("shard"))
+    )
+    win = scored.withColumn("r", r).where(F.col("r") == 1)
+    return win.groupBy("shard").agg(
+        F.max("weight").cast("long").alias("weight"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )

@@ -461,3 +461,50 @@ class TestHllError:
             assert r.err_ppm == round(
                 (r.estimate - exact) / exact * 1_000_000
             )
+
+
+class TestAcf:
+    def test_matches_oracle(self, spark, oracle_con):
+        assert_matches_oracle(spark, oracle_con, "a26_acf")
+
+    def test_agrees_with_exact_recompute(self, spark):
+        """acf_ppm at every lag equals the exact integer centered
+        cross-product ratio truncated toward zero."""
+        out = QUERIES["a26_acf"](spark, SF_SMALL).toPandas()
+        ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+        ev["station"] = ev.user_id.astype(str)
+        ev["day"] = ev.ts.dt.strftime("%Y-%m-%d")
+        ev["cv"] = (ev.value * 100).round().astype("int64")
+        daily = (
+            ev.groupby(["station", "day"]).cv.sum().reset_index(name="y")
+        )
+        for st, grp in daily.groupby("station"):
+            y = grp.sort_values("day").y.to_numpy().astype(object)
+            n, s = len(y), int(y.sum())
+            c = n * y - s
+            den = int((c * c).sum())
+            for k in (1, 2, 3, 7):
+                if n <= k:
+                    continue
+                num = int((c[:-k] * c[k:]).sum())
+                sel = out[(out.station == st) & (out.lag == k)]
+                got = int(sel.acf_ppm.iloc[0])
+                # exact truncating (toward-zero) division
+                q, r = divmod(num * 1_000_000, den)
+                trunc = q if r == 0 or num >= 0 else q + 1
+                assert got == trunc, (st, k, got, trunc)
+
+
+class TestRendezvous:
+    def test_matches_oracle(self, spark, oracle_con):
+        assert_matches_oracle(spark, oracle_con, "p_rendezvous_shard")
+
+    def test_counts_and_weight_ordering(self, spark):
+        out = QUERIES["p_rendezvous_shard"](spark, SF_SMALL).toPandas()
+        docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+        assert out.n_docs.sum() == len(docs)
+        assert set(out.shard) == {"s0", "s1", "s2", "s3", "s4"}
+        # weight-3 shards each receive more than weight-1 shards
+        w1 = out[out.weight == 1].n_docs.max()
+        w3 = out[out.weight == 3].n_docs.min()
+        assert w3 > w1
