@@ -450,3 +450,96 @@ def j13_entity_link(spark, sf_dir):
             F.col("b.n_rows").alias("n_rows_b"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# EXACT global median without a global sort — the selection-by-
+# histogram-narrowing pattern that replaces "ORDER BY the whole
+# column" at 100 TB: each pass scans the (range-filtered, pushed-
+# down) column once, builds a <=4096-bucket histogram (a partial agg,
+# counters merge associatively), and the driver keeps only the bucket
+# containing the target rank. log_4096(domain) passes pin the rank to
+# a <=4096-value range; a final exact value-count walk selects it.
+# Every driver collect is <=4097 counter rows (dimension-sized, the
+# house .collect() rule). Both middle ranks are selected so the even-
+# count median is exact; the only float op is the final (v1+v2)/200.
+# The oracle sorts (it can afford to) — same answer, opposite plan.
+# --------------------------------------------------------------------
+_MED_NB = 4096
+
+
+def _select_kth_cents(spark, sf_dir, k: int):
+    """Exact k-th smallest (1-based) of round(l_extendedprice*100)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v")
+    )
+    row = li.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
+    lo, hi = row["lo"], row["hi"]
+    before = 0  # values strictly below lo, already excluded
+    while hi - lo > _MED_NB:
+        w = (hi - lo) // _MED_NB + 1
+        counts = dict(
+            li.where((F.col("v") >= lo) & (F.col("v") <= hi))
+            .groupBy(((F.col("v") - lo) / w).cast("long").alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        cum = before
+        for b in range(_MED_NB + 1):
+            c = counts.get(b, 0)
+            if cum + c >= k:
+                lo, hi = lo + b * w, min(hi, lo + (b + 1) * w - 1)
+                before = cum
+                break
+            cum += c
+    vals = sorted(
+        li.where((F.col("v") >= lo) & (F.col("v") <= hi))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    cum = before
+    for v, c in vals:
+        if cum + c >= k:
+            return v
+        cum += c
+    raise ValueError("rank beyond range — inconsistent counts")
+
+
+_MED_ORACLE = """
+WITH c AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem
+),
+s AS (
+  SELECT v, row_number() OVER (ORDER BY v) AS rn,
+         count(*) OVER () AS n
+  FROM c
+)
+SELECT CAST(max(n) AS BIGINT) AS n_rows,
+       CAST(min(CASE WHEN rn = (n + 1) // 2 THEN v END) AS BIGINT)
+         AS v_lo_cents,
+       CAST(min(CASE WHEN rn = (n + 2) // 2 THEN v END) AS BIGINT)
+         AS v_hi_cents,
+       (min(CASE WHEN rn = (n + 1) // 2 THEN v END)
+        + min(CASE WHEN rn = (n + 2) // 2 THEN v END)) / 200.0
+         AS median_price
+FROM s
+"""
+
+
+@query("a27_exact_median", _MED_ORACLE)
+def a27_exact_median(spark, sf_dir):
+    """Exact median of l_extendedprice by iterative histogram
+    selection — no global sort, no per-group collect of data rows;
+    the oracle's full sort confirms the narrowing is exact."""
+    li = table(spark, sf_dir, "lineitem")
+    n = li.count()
+    k1, k2 = (n + 1) // 2, (n + 2) // 2
+    v1 = _select_kth_cents(spark, sf_dir, k1)
+    v2 = v1 if k2 == k1 else _select_kth_cents(spark, sf_dir, k2)
+    return spark.range(1).select(
+        F.lit(n).cast("long").alias("n_rows"),
+        F.lit(v1).cast("long").alias("v_lo_cents"),
+        F.lit(v2).cast("long").alias("v_hi_cents"),
+        ((F.lit(v1) + F.lit(v2)) / F.lit(200.0)).alias("median_price"),
+    )

@@ -508,3 +508,22 @@ class TestRendezvous:
         w1 = out[out.weight == 1].n_docs.max()
         w3 = out[out.weight == 3].n_docs.min()
         assert w3 > w1
+
+
+class TestExactMedian:
+    def test_matches_oracle(self, spark, oracle_con):
+        assert_matches_oracle(spark, oracle_con, "a27_exact_median")
+
+    def test_agrees_with_pandas_sort(self, spark):
+        out = QUERIES["a27_exact_median"](spark, SF_SMALL).toPandas().iloc[0]
+        li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+        cents = (
+            (li.l_extendedprice * 100).round().astype("int64").sort_values()
+        )
+        n = len(cents)
+        v1 = cents.iloc[(n + 1) // 2 - 1]
+        v2 = cents.iloc[(n + 2) // 2 - 1]
+        assert int(out.n_rows) == n
+        assert int(out.v_lo_cents) == v1
+        assert int(out.v_hi_cents) == v2
+        assert out.median_price == (v1 + v2) / 200.0
