@@ -2377,3 +2377,62 @@ def a26_acf(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --------------------------------------------------------------------
+# Exponentially time-decayed trending score — the feed-ranking
+# primitive: each event contributes 2^(-age_days) with a one-day
+# half-life, so yesterday counts half of today. Exactness without
+# rounding: every term is a binary fraction 2^-k with k <= the window
+# length in days (~29 here), so every partial sum is a multiple of
+# 2^-29 far below 2^53 — the float sum is EXACT and order-
+# independent, the same trick the HLL register sum uses. One scan,
+# one groupBy; the rank window runs over the tiny per-type table.
+# --------------------------------------------------------------------
+_DECAY_ORACLE = """
+WITH mx AS (
+  SELECT max(CAST(ts AS DATE)) AS d_max FROM events
+),
+scored AS (
+  SELECT event_type,
+         sum(power(CAST(2 AS DOUBLE),
+                   -date_diff('day', CAST(ts AS DATE), mx.d_max)))
+           AS decay_score,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events, mx GROUP BY event_type, mx.d_max
+)
+SELECT event_type, n_events, decay_score,
+       CAST(row_number() OVER (ORDER BY decay_score DESC, event_type)
+            AS BIGINT) AS rank
+FROM scored
+"""
+
+
+@query("a28_decay_trend", _DECAY_ORACLE)
+def a28_decay_trend(spark, sf_dir):
+    """Per-event-type trending score with one-day half-life decay —
+    an exact float sum (all terms are binary fractions on a common
+    2^-window grid), so no rounding is needed for the cross-engine
+    hash."""
+    ev = table(spark, sf_dir, "events")
+    d_max = ev.agg(F.max(F.col("ts").cast("date")).alias("d_max"))
+    scored = (
+        ev.crossJoin(F.broadcast(d_max))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.pow(
+                    F.lit(2.0),
+                    -F.datediff(F.col("d_max"), F.col("ts").cast("date")),
+                )
+            ).alias("decay_score"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    w = Window.orderBy(F.desc("decay_score"), F.asc("event_type"))
+    return scored.select(
+        "event_type",
+        "n_events",
+        "decay_score",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )

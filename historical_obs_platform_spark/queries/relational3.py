@@ -1186,3 +1186,81 @@ def j14_lift_pairs(spark, sf_dir):
         .where(F.col("rank") <= 20)
         .select("pa", "pb", "n_pair", "n_a", "n_b", "lift_ppm", "rank")
     )
+
+
+# --------------------------------------------------------------------
+# O23: cross-table referential-integrity audit — the FK half of the
+# data-contract suite (o21 validates single-table constraints; this
+# one walks the star schema's joins): for each declared relationship,
+# count child rows and orphans (children whose FK matches no parent
+# key). Each relationship is one left-anti aggregate against the
+# (usually broadcastable) parent key set; the report is
+# relationship-sized. At 100 TB orphan counting is exactly how you
+# detect a partially-landed dimension before a silent inner-join
+# drops fact rows.
+# --------------------------------------------------------------------
+_FK_RELS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _fk_oracle() -> str:
+    rows = []
+    for child, fk, parent, pk in _FK_RELS:
+        rows.append(f"""
+SELECT '{child}.{fk}' AS relationship, '{parent}.{pk}' AS parent_key,
+       CAST(count(*) AS BIGINT) AS n_child,
+       CAST(sum(CASE WHEN p.{pk} IS NULL AND c.{fk} IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+       CAST(sum(CASE WHEN c.{fk} IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null_fk
+FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+  ON c.{fk} = p.{pk}""")
+    return " UNION ALL ".join(rows)
+
+
+@query("o23_fk_integrity", _fk_oracle())
+def o23_fk_integrity(spark, sf_dir):
+    """Orphan and null-FK counts for every declared star-schema
+    relationship — one broadcast left join + conditional partial
+    aggregate per relationship, report rows = relationships."""
+    out = None
+    for child, fk, parent, pk in _FK_RELS:
+        c = table(spark, sf_dir, child).select(F.col(fk).alias("__fk"))
+        p = (
+            table(spark, sf_dir, parent)
+            .select(F.col(pk).alias("__pk"))
+            .distinct()
+        )
+        row = (
+            c.join(F.broadcast(p), c.__fk == p.__pk, "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_child"),
+                F.sum(
+                    F.when(
+                        F.col("__pk").isNull() & F.col("__fk").isNotNull(),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_orphans"),
+                F.sum(F.when(F.col("__fk").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_null_fk"),
+            )
+            .select(
+                F.lit(f"{child}.{fk}").alias("relationship"),
+                F.lit(f"{parent}.{pk}").alias("parent_key"),
+                "n_child",
+                "n_orphans",
+                "n_null_fk",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -527,3 +527,34 @@ class TestExactMedian:
         assert int(out.v_lo_cents) == v1
         assert int(out.v_hi_cents) == v2
         assert out.median_price == (v1 + v2) / 200.0
+
+
+class TestDecayTrend:
+    def test_matches_oracle(self, spark, oracle_con):
+        assert_matches_oracle(spark, oracle_con, "a28_decay_trend")
+
+    def test_exact_binary_sum(self, spark):
+        """The decay score equals the python sum of 2^-age exactly
+        (no tolerance): all terms share the 2^-window binary grid."""
+        out = QUERIES["a28_decay_trend"](spark, SF_SMALL).toPandas()
+        ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+        d = ev.ts.dt.normalize()
+        age = (d.max() - d).dt.days
+        ev = ev.assign(term=2.0 ** (-age.astype(float)))
+        want = ev.groupby("event_type").term.sum()
+        for _, r in out.iterrows():
+            assert r.decay_score == want[r.event_type]
+
+
+class TestFkIntegrity:
+    def test_matches_oracle(self, spark, oracle_con):
+        assert_matches_oracle(spark, oracle_con, "o23_fk_integrity")
+
+    def test_clean_schema_has_no_orphans(self, spark):
+        out = QUERIES["o23_fk_integrity"](spark, SF_SMALL).toPandas()
+        assert len(out) == 7
+        li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+        row = out[out.relationship == "lineitem.l_orderkey"].iloc[0]
+        assert row.n_child == len(li)
+        # the driver's synthetic star schema is referentially clean
+        assert (out.n_orphans == 0).all()
