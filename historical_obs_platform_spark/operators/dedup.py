@@ -304,6 +304,12 @@ def prefix_filter_candidates(
     posting lists, which the rarest-first order makes the shortest
     ones available.
     """
+    # dedupe defensively: the prefix is the first p rows under the
+    # rank window, so a duplicate (id, shingle) row would occupy two
+    # rank slots and push a genuinely rare shingle OUT of the prefix
+    # — a silent false negative from a function whose contract is
+    # recall exactly 1.0 (same hazard jaccard_pairs documents)
+    shingles = shingles.select(id_col, "shingle").distinct()
     df_counts = shingles.groupBy("shingle").agg(
         F.countDistinct(id_col).alias("__df")
     )

@@ -1988,7 +1988,8 @@ agg AS (
   FROM lagged GROUP BY station
 )
 SELECT station, num, den, n_season, n_prev,
-       CAST((num * n_prev * 1000000) // (den * n_season) AS BIGINT)
+       CAST(CAST(num AS HUGEINT) * n_prev * 1000000
+            // (CAST(den AS HUGEINT) * n_season) AS BIGINT)
          AS mase_ppm
 FROM agg WHERE den > 0 AND n_season > 0
 """
@@ -2037,15 +2038,19 @@ def a24_mase(spark, sf_dir):
         .alias("den"),
         F.count("y_prev").cast("long").alias("n_prev"),
     )
+    # the ratio products widen to decimal(38,0) (HUGEINT in the
+    # oracle): num * n_prev * 1e6 leaves BIGINT at real corpus sizes
+    # — same accumulator move as a26/w16
     return agg.where((F.col("den") > 0) & (F.col("n_season") > 0)).select(
         "station",
         "num",
         "den",
         "n_season",
         "n_prev",
-        F.expr("(num * n_prev * 1000000) DIV (den * n_season)")
-        .cast("long")
-        .alias("mase_ppm"),
+        F.expr(
+            "CAST((CAST(num AS DECIMAL(38,0)) * n_prev * 1000000)"
+            " DIV (CAST(den AS DECIMAL(38,0)) * n_season) AS BIGINT)"
+        ).alias("mase_ppm"),
     )
 
 
@@ -2286,7 +2291,7 @@ def _acf_oracle() -> str:
     rows = []
     for k in _ACF_LAGS:
         rows.append(f"""
-SELECT station, {k} AS lag,
+SELECT station, CAST({k} AS BIGINT) AS lag,
        CAST(count(y{k}) AS BIGINT) AS n_pairs,
        CAST(CAST(sum(CASE WHEN y{k} IS NOT NULL THEN
               CAST((n * y - s) AS HUGEINT) * (n * y{k} - s) END)

@@ -167,6 +167,38 @@ def g_pagerank_fixed(spark, sf_dir):
     )
 
 
+def _urgent_copurchase(spark, sf_dir):
+    """Shared graph definition for the census/traversal queries: the
+    (order, part) item table of URGENT orders and the distinct
+    canonical (u < v) co-purchase edge list. One definition so the
+    triangle census and the reachability query can never
+    desynchronize (same factoring as _edges for pagerank)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    od = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    items = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            on=[
+                F.col("a.ok") == F.col("b.ok"),
+                F.col("a.pk") < F.col("b.pk"),
+            ],
+        )
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+    )
+    return items, edges
+
+
 # --------------------------------------------------------------------
 # Exact triangle counting over the part co-purchase graph (two parts
 # linked iff they appear in the same URGENT order). The Spark plan is
@@ -226,30 +258,8 @@ def g_triangle_count(spark, sf_dir):
     orientation; the closing probe is one equi-join against the
     oriented edge list. Three shuffles total, all on node keys —
     no CartesianProduct, no driver-side adjacency."""
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    od = (
-        table(spark, sf_dir, "orders")
-        .where(F.col("o_orderpriority") == "1-URGENT")
-        .select("o_orderkey")
-    )
-    items = (
-        li.join(od, li.l_orderkey == od.o_orderkey)
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(
-            b,
-            on=[
-                F.col("a.ok") == F.col("b.ok"),
-                F.col("a.pk") < F.col("b.pk"),
-            ],
-        )
-        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    _items, e = _urgent_copurchase(spark, sf_dir)
+    edges = e.localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
@@ -383,26 +393,7 @@ def g_khop_reach(spark, sf_dir):
     intermediate is frontier-degree-sized, and the final min-
     aggregate collapses the (node, hops) union. No transitive-closure
     blowup: depth is fixed, so work is Σ_hops |frontier_h ⋈ E|."""
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    od = (
-        table(spark, sf_dir, "orders")
-        .where(F.col("o_orderpriority") == "1-URGENT")
-        .select("o_orderkey")
-    )
-    items = (
-        li.join(od, li.l_orderkey == od.o_orderkey)
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    e0 = (
-        a.join(
-            b,
-            on=[F.col("a.ok") == F.col("b.ok"), F.col("a.pk") < F.col("b.pk")],
-        )
-        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
-        .distinct()
-    )
+    items, e0 = _urgent_copurchase(spark, sf_dir)
     edges = (
         e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .localCheckpoint(eager=False)

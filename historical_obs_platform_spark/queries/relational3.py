@@ -1230,6 +1230,8 @@ def o23_fk_integrity(spark, sf_dir):
     """Orphan and null-FK counts for every declared star-schema
     relationship — one broadcast left join + conditional partial
     aggregate per relationship, report rows = relationships."""
+    from ..tables import BROADCASTABLE
+
     out = None
     for child, fk, parent, pk in _FK_RELS:
         c = table(spark, sf_dir, child).select(F.col(fk).alias("__fk"))
@@ -1238,8 +1240,14 @@ def o23_fk_integrity(spark, sf_dir):
             .select(F.col(pk).alias("__pk"))
             .distinct()
         )
+        # broadcast dimension-scale parents only; a fact-scale parent
+        # key set (orders, ~SF x 1.5M distinct keys) must go through a
+        # shuffle join or AQE's choice — forcing it to the driver is
+        # exactly the OOM tables.BROADCASTABLE exists to prevent
+        if parent in BROADCASTABLE:
+            p = F.broadcast(p)
         row = (
-            c.join(F.broadcast(p), c.__fk == p.__pk, "left")
+            c.join(p, c.__fk == p.__pk, "left")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_child"),
                 F.sum(

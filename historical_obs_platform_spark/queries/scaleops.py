@@ -468,13 +468,27 @@ def j13_entity_link(spark, sf_dir):
 _MED_NB = 4096
 
 
-def _select_kth_cents(spark, sf_dir, k: int):
-    """Exact k-th smallest (1-based) of round(l_extendedprice*100)."""
+def _select_ranks_cents(spark, sf_dir, ranks):
+    """Exact order statistics (1-based ranks, ascending) of
+    round(l_extendedprice*100) plus the total row count — ONE
+    narrowing pass shared by all requested ranks. The narrowing
+    keeps the interval [lo, hi] covering every still-unresolved
+    rank: adjacent ranks (a median's two middles) almost always
+    stay in one bucket, so the common case costs the same scans as
+    a single selection.
+
+    Returns (n_rows, {rank: value}).
+    """
+    ranks = sorted(set(ranks))
     li = table(spark, sf_dir, "lineitem").select(
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("v")
     )
-    row = li.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
-    lo, hi = row["lo"], row["hi"]
+    row = li.agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    lo, hi, n = row["lo"], row["hi"], row["n"]
     before = 0  # values strictly below lo, already excluded
     while hi - lo > _MED_NB:
         w = (hi - lo) // _MED_NB + 1
@@ -484,26 +498,42 @@ def _select_kth_cents(spark, sf_dir, k: int):
             .agg(F.count(F.lit(1)).alias("c"))
             .collect()
         )
-        cum = before
+        # bucket range [b_first, b_last] covering ALL ranks
+        cum, b_first, b_last, before_first = before, None, None, before
         for b in range(_MED_NB + 1):
             c = counts.get(b, 0)
-            if cum + c >= k:
-                lo, hi = lo + b * w, min(hi, lo + (b + 1) * w - 1)
-                before = cum
+            if b_first is None and cum + c >= ranks[0]:
+                b_first, before_first = b, cum
+            if cum + c >= ranks[-1]:
+                b_last = b
                 break
             cum += c
+        if b_first is None or b_last is None:
+            raise ValueError("rank beyond range — inconsistent counts")
+        new_lo = lo + b_first * w
+        new_hi = min(hi, lo + (b_last + 1) * w - 1)
+        lo, hi, before = new_lo, new_hi, before_first
+        # a rank straddle widens the window; it still shrinks by
+        # ~NB/(b_last-b_first+1) per pass, and adjacent ranks make
+        # b_last - b_first <= 1, so termination is unchanged
+        if b_last - b_first + 1 > _MED_NB // 2:
+            raise ValueError("ranks too spread for shared narrowing")
     vals = sorted(
         li.where((F.col("v") >= lo) & (F.col("v") <= hi))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     )
-    cum = before
+    out, cum, it = {}, before, iter(ranks)
+    want = next(it)
     for v, c in vals:
-        if cum + c >= k:
-            return v
+        while want is not None and cum + c >= want:
+            out[want] = v
+            want = next(it, None)
         cum += c
-    raise ValueError("rank beyond range — inconsistent counts")
+    if want is not None:
+        raise ValueError("rank beyond range — inconsistent counts")
+    return n, out
 
 
 _MED_ORACLE = """
@@ -535,8 +565,9 @@ def a27_exact_median(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     n = li.count()
     k1, k2 = (n + 1) // 2, (n + 2) // 2
-    v1 = _select_kth_cents(spark, sf_dir, k1)
-    v2 = v1 if k2 == k1 else _select_kth_cents(spark, sf_dir, k2)
+    n2, sel = _select_ranks_cents(spark, sf_dir, [k1, k2])
+    assert n2 == n
+    v1, v2 = sel[k1], sel[k2]
     return spark.range(1).select(
         F.lit(n).cast("long").alias("n_rows"),
         F.lit(v1).cast("long").alias("v_lo_cents"),

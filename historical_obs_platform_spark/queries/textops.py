@@ -1756,10 +1756,18 @@ def t_chunk_windows(spark, sf_dir):
     """Overlapping char-window chunking (size 96, stride 64) of every
     document — one narrow stage, no exchange."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # greatest(..., 0): an empty document still yields exactly ONE
+    # (empty) chunk. Without the clamp floor(-1/64) = -1 makes
+    # F.sequence(0, -1) auto-DESCEND to [0, -1] while the oracle's
+    # truncating (0-1)//64 = 0 yields [0] — a latent row-count
+    # divergence on any corpus with an empty text.
     k = F.explode(
         F.sequence(
             F.lit(0).cast("long"),
-            F.floor((F.length("text") - 1) / _CHUNK_STRIDE).cast("long"),
+            F.greatest(
+                F.floor((F.length("text") - 1) / _CHUNK_STRIDE),
+                F.lit(0),
+            ).cast("long"),
         )
     ).alias("chunk_idx")
     chunked = docs.select("doc_id", "text", k)

@@ -558,3 +558,63 @@ class TestFkIntegrity:
         assert row.n_child == len(li)
         # the driver's synthetic star schema is referentially clean
         assert (out.n_orphans == 0).all()
+
+
+class TestReviewRegressions:
+    def test_chunk_windows_empty_doc(self, spark, tmp_path):
+        """An empty or tiny document yields exactly one chunk on both
+        engines (the floor((len-1)/64) = -1 auto-descend hazard)."""
+        import duckdb
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": ["", "a", "x" * 64, "y" * 96, "z" * 97],
+                "lang": ["en"] * 5,
+                "source": ["s"] * 5,
+                "n_chars": [0, 1, 64, 96, 97],
+            }
+        )
+        df.to_parquet(tmp_path / "documents.parquet")
+        got = (
+            QUERIES["t_chunk_windows"](spark, str(tmp_path))
+            .toPandas()
+            .sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet'"
+        )
+        from historical_obs_platform_spark.registry import ORACLES
+
+        want = (
+            con.sql(ORACLES["t_chunk_windows"])
+            .df()
+            .sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True)
+        )
+        # lens 0,1,64 -> 1 chunk each; 96 -> floor(95/64)=1 -> 2; 97 -> 2
+        assert len(got) == len(want) == 1 + 1 + 1 + 2 + 2
+        assert list(got.chunk) == list(want.chunk)
+
+    def test_prefix_filter_tolerates_duplicate_rows(self, spark):
+        """Duplicate (id, shingle) rows must not push rare shingles
+        out of the prefix (the recall-1.0 contract)."""
+        from historical_obs_platform_spark.operators import dedup as DD
+
+        rows = [
+            (1, "common"), (1, "common"), (1, "common"), (1, "rare1"),
+            (2, "common"), (2, "rare1"),
+            (3, "common"), (3, "other"),
+        ]
+        sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+        cand = {
+            (r.a, r.b)
+            for r in DD.prefix_filter_candidates(
+                sh, "doc_id", threshold=0.5
+            ).collect()
+        }
+        # docs 1 and 2 share {common, rare1}: Jaccard 2/2 = 1.0 >= 0.5
+        assert (1, 2) in cand
