@@ -213,6 +213,162 @@ class PpmBmpDecoder:
         )
 
 
+class WavPcmDecoder:
+    """Real (pure-Python) audio decoder for canonical RIFF/WAVE
+    containers holding 16-bit mono PCM — the audio analog of
+    ``PpmBmpDecoder``: no codec library needed, but a genuine
+    chunk-walking container parse (RIFF magic, WAVE form type,
+    ``fmt `` format struct, word-aligned chunk advance, ``data``
+    payload), so the injectable decode seam is exercised on real
+    bytes, not a hash fake.
+
+    ``decode_one`` returns ``(sample_rate, int16 ndarray)`` or None
+    for anything that is not a mono 16-bit uncompressed PCM WAV
+    (wrong magic, missing chunks, format != 1, odd data length, a
+    chunk running past the buffer) — undecodable content degrades,
+    never throws.
+    """
+
+    @staticmethod
+    def decode_one(raw: bytes):
+        import numpy as np
+
+        if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+            return None
+        fmt, data = None, None
+        i = 12
+        while i + 8 <= len(raw):
+            cid = raw[i : i + 4]
+            size = int.from_bytes(raw[i + 4 : i + 8], "little")
+            body = raw[i + 8 : i + 8 + size]
+            if len(body) < size:
+                return None  # chunk runs past the buffer
+            if cid == b"fmt " and size >= 16:
+                fmt = body
+            elif cid == b"data":
+                data = body
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            return None
+        audio_format = int.from_bytes(fmt[0:2], "little")
+        channels = int.from_bytes(fmt[2:4], "little")
+        sample_rate = int.from_bytes(fmt[4:8], "little")
+        bits = int.from_bytes(fmt[14:16], "little")
+        if audio_format != 1 or channels != 1 or bits != 16:
+            return None
+        if len(data) % 2 != 0:
+            return None
+        return sample_rate, np.frombuffer(data, dtype="<i2")
+
+
+WAV_STATS_SCHEMA = (
+    "media_id long, n_samples int, sample_rate int, peak int, "
+    "sum_sq long, zero_cross int"
+)
+
+
+def wav_stats(media: DataFrame, decoder=None) -> DataFrame:
+    """Per-clip integer-exact signal statistics through the real WAV
+    container parse: sample count, declared sample rate, peak
+    amplitude (|int16|, so up to 32768), energy (sum of squared
+    samples — bounded by n*2^30, BIGINT-safe to ~2^33 samples/clip)
+    and sign-change count (x[i-1] < 0 xor x[i] < 0). Map-only
+    mapInPandas; undecodable clips are skipped like frame_energy's
+    empty ones."""
+    import numpy as np
+
+    dec = decoder if decoder is not None else WavPcmDecoder()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [],
+                "n_samples": [],
+                "sample_rate": [],
+                "peak": [],
+                "sum_sq": [],
+                "zero_cross": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                try:
+                    decoded = dec.decode_one(bytes(content))
+                except Exception:
+                    decoded = None
+                if decoded is None:
+                    continue
+                rate, s16 = decoded
+                s = s16.astype(np.int64)
+                neg = s < 0
+                out["media_id"].append(mid)
+                out["n_samples"].append(len(s))
+                out["sample_rate"].append(rate)
+                out["peak"].append(
+                    int(np.abs(s).max()) if len(s) else 0
+                )
+                out["sum_sq"].append(int((s * s).sum()))
+                out["zero_cross"].append(
+                    int((neg[1:] != neg[:-1]).sum()) if len(s) else 0
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(op, WAV_STATS_SCHEMA)
+
+
+AHASH_SCHEMA = "media_id long, ahash long, n_bits_set int"
+
+
+def image_ahash(media: DataFrame, decoder=None) -> DataFrame:
+    """Average-hash over genuinely decoded pixels: integer Rec.601
+    luma (299 R + 587 G + 114 B, no scaling loss), bit p set iff
+    grid_cells * luma_p > sum(lumas) — all-integer, so the hash is
+    bit-exact across engines. Bits are row-major LSB-first. A
+    production path would have the codec resize to 8x8 grayscale
+    first; here the hash runs over the decoded grid as-is (the
+    synthesized corpora are already grid-sized). Map-only; rows
+    whose content doesn't decode are skipped."""
+    import numpy as np
+
+    dec = decoder if decoder is not None else PpmBmpDecoder()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [],
+                "ahash": [],
+                "n_bits_set": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                try:
+                    decoded = dec._decode_one(bytes(content))
+                except Exception:
+                    decoded = None
+                if decoded is None:
+                    continue
+                _w, _h, arr = decoded
+                a = arr.astype(np.int64)
+                luma = (
+                    299 * a[:, :, 0]
+                    + 587 * a[:, :, 1]
+                    + 114 * a[:, :, 2]
+                ).ravel()  # row-major
+                total = int(luma.sum())
+                bits = (luma * len(luma)) > total
+                h = 0
+                for p, b in enumerate(bits):
+                    if b:
+                        h |= 1 << p
+                out["media_id"].append(mid)
+                out["ahash"].append(h)
+                out["n_bits_set"].append(int(bits.sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(op, AHASH_SCHEMA)
+
+
 def decode_image(*_args, **_kwargs):
     """Real image decode — requires an image library not present in
     this environment. Inject a decoder into ``extract_features``

@@ -2441,3 +2441,190 @@ def a28_decay_trend(spark, sf_dir):
         "decay_score",
         F.row_number().over(w).cast("long").alias("rank"),
     )
+
+
+# --------------------------------------------------- real WAV decode stats
+# The REAL audio container parse behind an exact SQL oracle, the audio
+# analog of m_ppm_decode_stats: a valid RIFF/WAVE clip (mono 16-bit
+# PCM, 8 kHz, 8 samples) is synthesized IN-ENGINE for every document —
+# a 44-byte canonical header plus 16 sample bytes from
+# unhex(md5(text)) — and decoded by operators/multimodal.WavPcmDecoder
+# through the same injectable mapInPandas seam a libav decoder would
+# use. Because the sample bytes are a hex function of the text, DuckDB
+# recomputes every statistic (peak, energy, sign changes) from the
+# SAME md5 with pure integer arithmetic — the oracle checks the
+# decoder's little-endian int16 interpretation bit for bit, not just
+# the plumbing. Reference analog: the multimodal seam has no reference
+# counterpart; registered as beyond-reference curation surface.
+
+import struct as _struct
+
+_WAV_DATA_BYTES = 16  # 8 little-endian int16 samples
+_WAV_HDR_HEX = (
+    b"RIFF"
+    + _struct.pack("<I", 36 + _WAV_DATA_BYTES)
+    + b"WAVE"
+    + b"fmt "
+    + _struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    + b"data"
+    + _struct.pack("<I", _WAV_DATA_BYTES)
+).hex()
+
+
+def _wav_hexbyte(h: str, i: int) -> str:
+    """DuckDB expr: integer value of byte i (1-based) of hex string
+    expression ``h`` (bytes are hex pairs 2i-1, 2i)."""
+    hi = f"(instr('0123456789abcdef', substr({h}, {2 * i - 1}, 1)) - 1)"
+    lo = f"(instr('0123456789abcdef', substr({h}, {2 * i}, 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
+
+
+def _wav_oracle() -> str:
+    # sample k (1-based) = LE int16 from bytes (2k-1, 2k) of md5
+    samples = []
+    for k in range(1, 9):
+        u = (
+            f"({_wav_hexbyte('hx', 2 * k - 1)}"
+            f" + 256 * {_wav_hexbyte('hx', 2 * k)})"
+        )
+        samples.append(
+            f"(CASE WHEN {u} >= 32768 THEN {u} - 65536 ELSE {u} END)"
+        )
+    cols = ",\n       ".join(
+        f"{s} AS s{k}" for k, s in enumerate(samples, 1)
+    )
+    peak = "greatest(" + ", ".join(f"abs(s{k})" for k in range(1, 9)) + ")"
+    sum_sq = " + ".join(f"s{k} * s{k}" for k in range(1, 9))
+    zc = " + ".join(
+        f"(CASE WHEN (s{k - 1} < 0) <> (s{k} < 0) THEN 1 ELSE 0 END)"
+        for k in range(2, 9)
+    )
+    return f"""
+WITH src AS (
+  SELECT doc_id AS media_id, md5(text) AS hx
+  FROM documents WHERE text IS NOT NULL
+),
+smp AS (
+  SELECT media_id,
+       {cols}
+  FROM src)
+SELECT media_id,
+       CAST(8 AS INTEGER) AS n_samples,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST({peak} AS INTEGER) AS peak,
+       CAST({sum_sq} AS BIGINT) AS sum_sq,
+       CAST({zc} AS INTEGER) AS zero_cross
+FROM smp
+"""
+
+
+@query("m_wav_decode_stats", _wav_oracle())
+def m_wav_decode_stats(spark, sf_dir):
+    """Integer-exact signal statistics of genuinely PARSED RIFF/WAVE
+    clips (operators/multimodal.WavPcmDecoder) — map-only, the
+    container walk and int16 interpretation are real."""
+    from ..operators import multimodal as MM
+
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.unhex(F.lit(_WAV_HDR_HEX)),
+            F.unhex(F.md5("text")),
+        ).alias("content"),
+    )
+    return MM.wav_stats(media, decoder=MM.WavPcmDecoder())
+
+
+# ------------------------------------------------- image average-hash
+# Image near-dup fingerprinting over REALLY decoded pixels: a 4x4
+# binary PPM is synthesized in-engine (11-byte header + 48 pixel bytes
+# from three chained md5s of the text), decoded by the real
+# PpmBmpDecoder, and average-hashed with all-integer Rec.601 luma
+# (bit p set iff 16*luma_p > sum of lumas, row-major LSB-first).
+# n_bucket_peers counts other docs sharing the hash — the dedup-
+# candidate grouping an image pipeline would join on. The oracle
+# recomputes every pixel byte, luma compare, and the popcount from
+# the same md5s in SQL — decoder arithmetic checked bit for bit.
+
+_PPM4_HDR_HEX = b"P6\n4 4\n255\n".hex()
+
+
+def _ahash_oracle() -> str:
+    lumas = []
+    for p in range(16):
+        r = _wav_hexbyte("hx", 3 * p + 1)
+        g = _wav_hexbyte("hx", 3 * p + 2)
+        b = _wav_hexbyte("hx", 3 * p + 3)
+        lumas.append(f"(299 * {r} + 587 * {g} + 114 * {b})")
+    cols = ",\n       ".join(
+        f"{e} AS l{p}" for p, e in enumerate(lumas)
+    )
+    total = " + ".join(f"l{p}" for p in range(16))
+    ahash = " + ".join(
+        f"(CASE WHEN 16 * l{p} > total THEN {1 << p} ELSE 0 END)"
+        for p in range(16)
+    )
+    nbits = " + ".join(
+        f"(CASE WHEN 16 * l{p} > total THEN 1 ELSE 0 END)"
+        for p in range(16)
+    )
+    return f"""
+WITH src AS (
+  SELECT doc_id AS media_id,
+         md5(text) || md5(text || '1') || md5(text || '2') AS hx
+  FROM documents WHERE text IS NOT NULL
+),
+lum AS (
+  SELECT media_id,
+       {cols}
+  FROM src),
+tot AS (SELECT *, {total} AS total FROM lum),
+h AS (
+  SELECT media_id,
+         CAST({ahash} AS BIGINT) AS ahash,
+         CAST({nbits} AS INTEGER) AS n_bits_set
+  FROM tot)
+SELECT media_id, ahash, n_bits_set,
+       CAST(count(*) OVER (PARTITION BY ahash) - 1 AS BIGINT)
+         AS n_bucket_peers
+FROM h
+"""
+
+
+@query("m_image_ahash", _ahash_oracle())
+def m_image_ahash(spark, sf_dir):
+    """Average-hash fingerprints of genuinely decoded 4x4 PPM pixels
+    (operators/multimodal.image_ahash) plus per-hash collision
+    peers — decode is map-only; the peer count shuffles only the
+    16-bit hash keys, never pixels."""
+    from ..operators import multimodal as MM
+
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.unhex(F.lit(_PPM4_HDR_HEX)),
+            F.unhex(
+                F.concat(
+                    F.md5("text"),
+                    F.md5(F.concat(F.col("text"), F.lit("1"))),
+                    F.md5(F.concat(F.col("text"), F.lit("2"))),
+                )
+            ),
+        ).alias("content"),
+    )
+    hashed = MM.image_ahash(media, decoder=MM.PpmBmpDecoder())
+    w = Window.partitionBy("ahash")
+    return hashed.select(
+        "media_id",
+        "ahash",
+        "n_bits_set",
+        (F.count(F.lit(1)).over(w) - 1).cast("long").alias(
+            "n_bucket_peers"
+        ),
+    )

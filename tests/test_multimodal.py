@@ -204,3 +204,98 @@ def test_real_decoder_bmp_padding_and_truncation(spark):
         [10 / 255.0, 20 / 255.0, 30 / 255.0], abs=1e-6
     )
     assert out.loc[2, "feature"] is None
+
+
+class TestWavDecoder:
+    @staticmethod
+    def _wav(samples, rate=8000, channels=1, bits=16, fmt=1,
+             extra_chunk=None):
+        import struct
+        data = b"".join(
+            struct.pack("<h", s) for s in samples
+        )
+        body = (
+            b"fmt "
+            + struct.pack(
+                "<IHHIIHH", 16, fmt, channels, rate,
+                rate * channels * bits // 8, channels * bits // 8, bits,
+            )
+        )
+        if extra_chunk is not None:
+            body += extra_chunk
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return (
+            b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+        )
+
+    def test_roundtrip(self):
+        import numpy as np
+        samples = [0, 1000, -1000, 32767, -32768, 7, -7, 0]
+        rate, got = MM.WavPcmDecoder.decode_one(self._wav(samples))
+        assert rate == 8000
+        assert np.array_equal(got, np.array(samples, dtype="<i2"))
+
+    def test_odd_sized_chunk_word_alignment(self):
+        # a 3-byte LIST chunk pads to 4; the data chunk after it must
+        # still be found
+        import numpy as np
+        extra = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+        rate, got = MM.WavPcmDecoder.decode_one(
+            self._wav([5, -5], extra_chunk=extra)
+        )
+        assert rate == 8000 and np.array_equal(got, [5, -5])
+
+    def test_rejections(self):
+        d = MM.WavPcmDecoder.decode_one
+        assert d(b"RIFX" + b"\x00" * 40) is None  # wrong magic
+        assert d(self._wav([1, 2], channels=2)) is None  # stereo
+        assert d(self._wav([1, 2], bits=8)) is None
+        assert d(self._wav([1, 2], fmt=3)) is None  # float PCM
+        whole = self._wav([1, 2, 3, 4])
+        assert d(whole[:-3]) is None  # data chunk runs past buffer
+        # odd data length
+        bad = bytearray(self._wav([1]))
+        bad[-7:-3] = (1).to_bytes(4, "little")  # lie: size 1 (odd)
+        assert d(bytes(bad[:-1])) is None
+
+    def test_stats_skip_undecodable(self, spark):
+        rows = [
+            (1, self._wav([100, -100, 100, -100]), None),
+            (2, b"not a wav", None),
+            (3, None, None),
+        ]
+        df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        out = MM.wav_stats(df).toPandas()
+        assert list(out.media_id) == [1]
+        r = out.iloc[0]
+        assert r.n_samples == 4 and r.peak == 100
+        assert r.sum_sq == 4 * 100 * 100 and r.zero_cross == 3
+
+
+class TestImageAhash:
+    def test_known_image(self, spark):
+        # 2x2 PPM: one bright pixel, three dark -> only bit 0 set
+        content = b"P6\n2 2\n255\n" + bytes(
+            [255, 255, 255] + [0, 0, 0] * 3
+        )
+        df = spark.createDataFrame(
+            [(1, content, None)], MM.MEDIA_SCHEMA
+        )
+        out = MM.image_ahash(df).toPandas()
+        assert list(out.ahash) == [1]
+        assert list(out.n_bits_set) == [1]
+
+    def test_uniform_image_all_zero_bits(self, spark):
+        content = b"P6\n2 2\n255\n" + bytes([9, 9, 9] * 4)
+        df = spark.createDataFrame(
+            [(1, content, None)], MM.MEDIA_SCHEMA
+        )
+        out = MM.image_ahash(df).toPandas()
+        # 4*luma == total for every pixel: strict > -> no bits
+        assert list(out.ahash) == [0]
+
+    def test_undecodable_skipped(self, spark):
+        df = spark.createDataFrame(
+            [(1, b"nope", None), (2, None, None)], MM.MEDIA_SCHEMA
+        )
+        assert MM.image_ahash(df).count() == 0
