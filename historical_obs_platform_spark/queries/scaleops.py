@@ -574,3 +574,117 @@ def a27_exact_median(spark, sf_dir):
         F.lit(v2).cast("long").alias("v_hi_cents"),
         ((F.lit(v1) + F.lit(v2)) / F.lit(200.0)).alias("median_price"),
     )
+
+
+# --------------------------------------------------------------------
+# p_coreset_kcenter: deterministic k-center greedy coreset (farthest-
+# point sampling) over the embedding corpus — the data-SELECTION
+# primitive (diverse subset for labeling / distillation / eval
+# holdouts) next to the data-REMOVAL primitives (dedup/SemDeDup).
+#
+# Exactness: embeddings are floor-quantized to integer millis
+# (floor(x*1000), identical on both engines — no round() half-mode
+# hazard), so every squared L2 distance is a BIGINT and the argmax
+# selection has NO float rounding to diverge on. Greedy is seeded at
+# min(vec_id); each round picks the point maximizing the min distance
+# to the chosen set, ties broken by vec_id.
+#
+# Scale shape: k rounds, each ONE map-only distance pass (the chosen
+# set — at most k=8 vectors of 64 ints — rides into the task as plan
+# literals, a broadcast in spirit) + one top-1 TakeOrdered. Work is
+# O(k * n * dim) with no shuffle beyond the k single-row reductions —
+# at 100 TB this is k scans, the same budget as a27's histogram
+# narrowing. The driver holds only the k selected vectors.
+# --------------------------------------------------------------------
+_KC_K = 8
+_KC_DIM = 64
+
+_KC_QE_SQL = (
+    "list_transform(embedding, x -> "
+    "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+)
+
+
+def _kc_oracle() -> str:
+    sq = (
+        "list_aggregate(list_transform(generate_series(1, "
+        f"{_KC_DIM}), i -> (e.qe[i] - c.qe[i]) * (e.qe[i] - c.qe[i])),"
+        " 'sum')"
+    )
+    parts = [
+        f"q AS (SELECT vec_id, {_KC_QE_SQL} AS qe FROM embeddings)",
+        "ch0 AS (SELECT min(vec_id) AS vec_id FROM q)",
+    ]
+    for r in range(1, _KC_K):
+        parts.append(
+            f"""md{r} AS (
+  SELECT e.vec_id, min({sq}) AS mind
+  FROM q e, q c
+  WHERE c.vec_id IN (SELECT vec_id FROM ch{r - 1})
+    AND e.vec_id NOT IN (SELECT vec_id FROM ch{r - 1})
+  GROUP BY e.vec_id)"""
+        )
+        parts.append(
+            f"sel{r} AS (SELECT vec_id, mind FROM md{r} "
+            f"ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"ch{r} AS (SELECT vec_id FROM ch{r - 1} "
+            f"UNION ALL SELECT vec_id FROM sel{r})"
+        )
+    unions = [
+        "SELECT CAST(0 AS INTEGER) AS round, vec_id,"
+        " CAST(0 AS BIGINT) AS mind_sq FROM ch0"
+    ] + [
+        f"SELECT CAST({r} AS INTEGER) AS round, vec_id,"
+        f" CAST(mind AS BIGINT) AS mind_sq FROM sel{r}"
+        for r in range(1, _KC_K)
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        + "\nUNION ALL ".join(unions)
+    )
+
+
+@query("p_coreset_kcenter", _kc_oracle())
+def p_coreset_kcenter(spark, sf_dir):
+    """Greedy k-center coreset over integer-quantized embeddings —
+    k map-only distance passes + k single-row TakeOrdered reductions;
+    the selected set is the only driver-side state."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000).cast("long"),
+        ).alias("qe"),
+    )
+    seed = emb.orderBy("vec_id").limit(1).collect()[0]
+    chosen = [(0, int(seed["vec_id"]), 0, list(seed["qe"]))]
+
+    def sqdist_to(vec):
+        lit = F.array(*[F.lit(int(v)) for v in vec])
+        return F.aggregate(
+            F.zip_with("qe", lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    for r in range(1, _KC_K):
+        picked_ids = [c[1] for c in chosen]
+        dists = [sqdist_to(c[3]) for c in chosen]
+        mind = dists[0] if len(dists) == 1 else F.least(*dists)
+        top = (
+            emb.where(~F.col("vec_id").isin(picked_ids))
+            .select("vec_id", "qe", mind.alias("mind"))
+            .orderBy(F.desc("mind"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append(
+            (r, int(top["vec_id"]), int(top["mind"]), list(top["qe"]))
+        )
+
+    return spark.createDataFrame(
+        [(r, v, d) for r, v, d, _ in chosen],
+        "round int, vec_id long, mind_sq long",
+    )

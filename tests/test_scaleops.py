@@ -250,3 +250,24 @@ def test_entity_link_blocking_semantics(spark):
         assert 1 <= r["edit_dist"] <= 3
         assert r["name_a"].split(" ")[0] == r["name_b"].split(" ")[0]
         assert r["n_rows_a"] > 0 and r["n_rows_b"] > 0
+
+
+class TestCoresetKCenter:
+    def test_greedy_invariants(self, spark):
+        from historical_obs_platform_spark.queries.scaleops import (
+            p_coreset_kcenter,
+        )
+
+        out = (
+            p_coreset_kcenter(spark, "/root/testdata/sf0.001")
+            .toPandas()
+            .sort_values("round")
+            .reset_index(drop=True)
+        )
+        assert len(out) == 8
+        assert out.vec_id.nunique() == 8  # no re-selection
+        assert out.loc[0, "round"] == 0 and out.loc[0, "mind_sq"] == 0
+        # greedy k-center: the max-min distance is non-increasing
+        d = list(out.mind_sq[1:])
+        assert all(a >= b for a, b in zip(d, d[1:]))
+        assert all(v > 0 for v in d)
