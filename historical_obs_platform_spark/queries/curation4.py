@@ -1109,50 +1109,76 @@ SELECT pos, CAST(v AS BIGINT) AS v_fixed FROM v{iters}
 def s_pca_topdir(spark, sf_dir, iters: int = 8):
     emb = table(spark, sf_dir, "embeddings")
     hug = "decimal(38,0)"
-    vq = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos0", "val")
-    ).select(
-        "vec_id",
-        (F.col("pos0") + 1).alias("pos"),
-        F.floor(F.col("val").cast("double") * 1000000)
-        .cast("long")
-        .alias("q"),
+    # quantization (floor(val*1e6) on float64) happens inside the
+    # Arrow kernel below — same IEEE ops as the oracle's SQL floor
+    # the ONLY corpus-scale stage: one scan + the d^2
+    # partial aggregate. The moment matrix is dim^2 = 4096 rows —
+    # dimension-sized, not corpus-sized — so the 8 power sweeps run
+    # on the driver in exact arbitrary-precision ints (bit-identical
+    # to the HUGEINT/decimal(38,0) SQL: Python int IS unbounded, and
+    # the sign-split floor division below is the same truncation).
+    # This removes ~25 per-sweep Spark jobs; at 100 TB the plan is
+    # one scan + a 4096-row collect, iteration cost zero.
+    # map-side combine for the outer products: each Arrow batch of
+    # vectors contributes ONE 4096-row partial matrix (int64 einsum —
+    # exact: |q| <= 1e6 so q_i*q_j <= 1e12, and a 10k-row batch sums
+    # to <= 1e16, far under int64; the cross-batch sum that CAN
+    # exceed int64 at corpus scale happens in decimal(38,0)). The
+    # shuffle moves n_batches * d^2 rows, never corpus * d^2.
+    import numpy as np
+
+    def partial_outer(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qm = np.floor(
+                np.stack(
+                    [
+                        np.asarray(e, dtype="float64")
+                        for e in pdf["embedding"]
+                    ]
+                )
+                * 1_000_000
+            ).astype("int64")
+            m = np.einsum("ni,nj->ij", qm, qm)
+            d = m.shape[0]
+            ii, jj = np.meshgrid(
+                np.arange(1, d + 1), np.arange(1, d + 1), indexing="ij"
+            )
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel().astype("int32"),
+                    "j": jj.ravel().astype("int32"),
+                    "cp": m.ravel(),
+                }
+            )
+
+    cmat_rows = (
+        emb.select("embedding")
+        .mapInPandas(partial_outer, "i int, j int, cp long")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("cp").cast(hug)).alias("c"))
+        .collect()
     )
-    cmat = (
-        vq.alias("a")
-        .join(vq.alias("b"), "vec_id")
-        .groupBy(
-            F.col("a.pos").alias("i"), F.col("b.pos").alias("j")
-        )
-        .agg(
-            F.sum(
-                F.col("a.q").cast(hug) * F.col("b.q").cast(hug)
-            ).alias("c")
-        )
-        .localCheckpoint(eager=False)
-    )
-    v = vq.select("pos").distinct().select(
-        "pos", F.lit(1000000).cast(hug).alias("v")
-    )
+    cmat = {(r["i"], r["j"]): int(r["c"]) for r in cmat_rows}
+    dims = sorted({i for i, _ in cmat})
+    v = {p: 10**6 for p in dims}
     for _ in range(iters):
-        w = (
-            cmat.join(
-                F.broadcast(v.withColumnRenamed("pos", "vj")),
-                cmat.j == F.col("vj"),
+        w = {
+            i: sum(cmat[(i, j)] * v[j] for j in dims if (i, j) in cmat)
+            for i in dims
+        }
+        m = max(abs(x) for x in w.values())
+        v = {
+            i: (
+                -((-w[i] * 1000000) // m)
+                if w[i] < 0
+                else (w[i] * 1000000) // m
             )
-            .select(F.col("i").alias("pos"), (F.col("c") * F.col("v")).alias("cv"))
-            .groupBy("pos")
-            .agg(F.sum("cv").alias("w"))
-        )
-        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
-        v = w.crossJoin(F.broadcast(m)).select(
-            "pos",
-            F.when(
-                F.col("w") < 0,
-                -F.expr("(-w * 1000000) div m"),
-            )
-            .otherwise(F.expr("(w * 1000000) div m"))
-            .cast(hug)
-            .alias("v"),
-        ).localCheckpoint(eager=False)
-    return v.select("pos", F.col("v").cast("long").alias("v_fixed"))
+            for i in dims
+        }
+    return spark.createDataFrame(
+        [(p, int(v[p])) for p in dims], "pos int, v_fixed long"
+    ).select("pos", "v_fixed")
