@@ -2628,3 +2628,158 @@ def m_image_ahash(spark, sf_dir):
             "n_bucket_peers"
         ),
     )
+
+
+# ------------------------------------------------ media curation chain
+# End-to-end multimodal curation in one query — the image leg of what
+# chain_corpus_curation does for text: decode (REAL PpmBmpDecoder) →
+# quality gate (luma-contrast floor, the blank/flat-image filter every
+# image pipeline runs first) → exact near-dup removal within
+# average-hash buckets (keep-min-id) → per-source yield report with a
+# kept-id checksum. Scale shape: decode is map-only; the only
+# shuffles are the 16-bit ahash grouping and the per-source rollup —
+# pixels never shuffle. The oracle recomputes the decode arithmetic,
+# the gate, and the bucket survivor rule from the same md5 bytes.
+_MC_STD_FLOOR = 0.15
+
+
+def _media_chain_oracle() -> str:
+    # 2x2 stats CTE (same float expression family as m_ppm_decode_-
+    # stats: Rec.601 lumas, numpy-order mean/var, FLOAT4 narrowing)
+    def hb(i):
+        return _wav_hexbyte("hx2", i)
+
+    lumas = [
+        f"(0.299 * {hb(1 + 3 * p)} + 0.587 * {hb(2 + 3 * p)}"
+        f" + 0.114 * {hb(3 + 3 * p)})"
+        for p in range(4)
+    ]
+    mu = f"((({lumas[0]} + {lumas[1]}) + {lumas[2]}) + {lumas[3]}) / 4.0"
+    var = (
+        f"(((power({lumas[0]} - mu, 2) + power({lumas[1]} - mu, 2))"
+        f" + power({lumas[2]} - mu, 2)) + power({lumas[3]} - mu, 2))"
+        " / 4.0"
+    )
+    # 4x4 ahash CTE (identical to m_image_ahash's oracle)
+    lum16 = []
+    for p in range(16):
+        r = _wav_hexbyte("hx", 3 * p + 1)
+        g = _wav_hexbyte("hx", 3 * p + 2)
+        b = _wav_hexbyte("hx", 3 * p + 3)
+        lum16.append(f"(299 * {r} + 587 * {g} + 114 * {b})")
+    cols16 = ",\n       ".join(f"{e} AS l{p}" for p, e in enumerate(lum16))
+    total = " + ".join(f"l{p}" for p in range(16))
+    ahash = " + ".join(
+        f"(CASE WHEN 16 * l{p} > total THEN {1 << p} ELSE 0 END)"
+        for p in range(16)
+    )
+    return f"""
+WITH src AS (
+  SELECT doc_id AS media_id, source,
+         substr(md5(text), 1, 24) AS hx2,
+         md5(text) || md5(text || '1') || md5(text || '2') AS hx
+  FROM documents WHERE text IS NOT NULL
+),
+st AS (
+  SELECT media_id, source,
+         CAST(sqrt({var.replace('mu', f'({mu})')}) / 255.0 AS FLOAT4)
+           AS std_luma, hx
+  FROM src),
+lum AS (SELECT media_id, source, std_luma, {cols16} FROM st),
+tot AS (SELECT *, {total} AS total FROM lum),
+h AS (
+  SELECT media_id, source, std_luma,
+         CAST({ahash} AS BIGINT) AS ahash,
+         (std_luma >= {_MC_STD_FLOOR}) AS qual_ok
+  FROM tot),
+surv AS (
+  SELECT *,
+         CASE WHEN qual_ok THEN
+           (media_id = min(media_id) FILTER (WHERE qual_ok)
+              OVER (PARTITION BY ahash))
+         ELSE FALSE END AS kept
+  FROM h)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN NOT qual_ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_quality,
+       CAST(sum(CASE WHEN qual_ok AND NOT kept THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_dropped,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN kept THEN media_id END) AS BIGINT)
+         AS kept_id_sum
+FROM surv GROUP BY source
+"""
+
+
+@query("chain_media_curation", _media_chain_oracle())
+def chain_media_curation(spark, sf_dir):
+    """Decode → contrast gate → ahash near-dup removal → per-source
+    yield, all on really-decoded pixels; survivors pinned by
+    kept_id_sum."""
+    from ..operators import multimodal as MM
+
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    m2 = docs.select(
+        F.col("doc_id").alias("media_id"),
+        "source",
+        F.concat(
+            F.unhex(F.lit("50360a3220320a3235350a")),  # P6 2 2 255
+            F.unhex(F.substring(F.md5("text"), 1, 24)),
+        ).alias("content"),
+    )
+    stats = MM.extract_features(
+        m2.select("media_id", "content"), decoder=MM.PpmBmpDecoder()
+    ).select(
+        "media_id", F.element_at("feature", 4).alias("std_luma")
+    )
+    m4 = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.unhex(F.lit(_PPM4_HDR_HEX)),
+            F.unhex(
+                F.concat(
+                    F.md5("text"),
+                    F.md5(F.concat(F.col("text"), F.lit("1"))),
+                    F.md5(F.concat(F.col("text"), F.lit("2"))),
+                )
+            ),
+        ).alias("content"),
+    )
+    hashed = MM.image_ahash(m4, decoder=MM.PpmBmpDecoder()).select(
+        "media_id", "ahash"
+    )
+    base = (
+        docs.select(F.col("doc_id").alias("media_id"), "source")
+        .join(stats, "media_id")
+        .join(hashed, "media_id")
+        .withColumn("qual_ok", F.col("std_luma") >= _MC_STD_FLOOR)
+    )
+    w = Window.partitionBy("ahash")
+    surv = base.withColumn(
+        "kept",
+        F.when(
+            F.col("qual_ok"),
+            F.col("media_id")
+            == F.min(
+                F.when(F.col("qual_ok"), F.col("media_id"))
+            ).over(w),
+        ).otherwise(F.lit(False)),
+    )
+    return surv.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum((~F.col("qual_ok")).cast("long"))
+        .cast("long")
+        .alias("n_low_quality"),
+        F.sum(
+            (F.col("qual_ok") & ~F.col("kept")).cast("long")
+        )
+        .cast("long")
+        .alias("n_dup_dropped"),
+        F.sum(F.col("kept").cast("long")).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("media_id")))
+        .cast("long")
+        .alias("kept_id_sum"),
+    )
