@@ -168,9 +168,30 @@ class PpmBmpDecoder:
             return w, h, rows[:, :, ::-1]  # BGR -> RGB
         return None
 
-    def decode_batch(self, contents: pd.Series) -> pd.DataFrame:
+    @staticmethod
+    def channel_features(w: int, h: int, arr) -> list:
+        """The 8-float feature vector over a decoded pixel array —
+        one definition shared by decode_batch and every composed
+        kernel (chain_media_curation), so the Rec.601 order of
+        operations can never fork between consumers."""
         import numpy as np
 
+        a = arr.astype(np.float64)
+        luma = (
+            0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+        )
+        return [
+            float(a[:, :, 0].mean() / 255.0),
+            float(a[:, :, 1].mean() / 255.0),
+            float(a[:, :, 2].mean() / 255.0),
+            float(luma.std() / 255.0),
+            float(a.min() / 255.0),
+            float(a.max() / 255.0),
+            w / 4096.0,
+            h / 4096.0,
+        ]
+
+    def decode_batch(self, contents: pd.Series) -> pd.DataFrame:
         feats, widths, heights = [], [], []
         for raw in contents:
             try:
@@ -190,22 +211,7 @@ class PpmBmpDecoder:
                 heights.append(None)
                 continue
             w, h, arr = decoded
-            a = arr.astype(np.float64)
-            luma = (
-                0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
-            )
-            feats.append(
-                [
-                    float(a[:, :, 0].mean() / 255.0),
-                    float(a[:, :, 1].mean() / 255.0),
-                    float(a[:, :, 2].mean() / 255.0),
-                    float(luma.std() / 255.0),
-                    float(a.min() / 255.0),
-                    float(a.max() / 255.0),
-                    w / 4096.0,
-                    h / 4096.0,
-                ]
-            )
+            feats.append(self.channel_features(w, h, arr))
             widths.append(w)
             heights.append(h)
         return pd.DataFrame(
@@ -316,6 +322,27 @@ def wav_stats(media: DataFrame, decoder=None) -> DataFrame:
     return media.mapInPandas(op, WAV_STATS_SCHEMA)
 
 
+def ahash_ints(arr) -> tuple:
+    """All-integer average-hash of a decoded pixel array: integer
+    Rec.601 luma (299 R + 587 G + 114 B), bit p set iff
+    n_cells * luma_p > sum(lumas), row-major LSB-first. Returns
+    (hash, n_bits_set). One definition shared by image_ahash and
+    composed kernels."""
+    import numpy as np
+
+    a = arr.astype(np.int64)
+    luma = (
+        299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]
+    ).ravel()  # row-major
+    total = int(luma.sum())
+    bits = (luma * len(luma)) > total
+    h = 0
+    for p, b in enumerate(bits):
+        if b:
+            h |= 1 << p
+    return h, int(bits.sum())
+
+
 AHASH_SCHEMA = "media_id long, ahash long, n_bits_set int"
 
 
@@ -328,8 +355,6 @@ def image_ahash(media: DataFrame, decoder=None) -> DataFrame:
     first; here the hash runs over the decoded grid as-is (the
     synthesized corpora are already grid-sized). Map-only; rows
     whose content doesn't decode are skipped."""
-    import numpy as np
-
     dec = decoder if decoder is not None else PpmBmpDecoder()
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -349,21 +374,10 @@ def image_ahash(media: DataFrame, decoder=None) -> DataFrame:
                 if decoded is None:
                     continue
                 _w, _h, arr = decoded
-                a = arr.astype(np.int64)
-                luma = (
-                    299 * a[:, :, 0]
-                    + 587 * a[:, :, 1]
-                    + 114 * a[:, :, 2]
-                ).ravel()  # row-major
-                total = int(luma.sum())
-                bits = (luma * len(luma)) > total
-                h = 0
-                for p, b in enumerate(bits):
-                    if b:
-                        h |= 1 << p
+                h, nbits = ahash_ints(arr)
                 out["media_id"].append(mid)
                 out["ahash"].append(h)
-                out["n_bits_set"].append(int(bits.sum()))
+                out["n_bits_set"].append(nbits)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(op, AHASH_SCHEMA)

@@ -1127,33 +1127,46 @@ def s_pca_topdir(spark, sf_dir, iters: int = 8):
     # shuffle moves n_batches * d^2 rows, never corpus * d^2.
     import numpy as np
 
+    # 50k rows per einsum chunk bounds a partial sum at
+    # 5e4 * 1e12 = 5e16 << 2^63 REGARDLESS of how large Arrow
+    # batches are configured — one partial matrix is emitted per
+    # chunk, never accumulated in int64 across chunks
+    _CHUNK = 50_000
+
     def partial_outer(batches):
         import pandas as pd
 
         for pdf in batches:
-            if not len(pdf):
+            # NULL embeddings contribute nothing (the old posexplode
+            # dropped them; the oracle's unnest does too)
+            col = pdf["embedding"].dropna()
+            if not len(col):
                 continue
-            qm = np.floor(
-                np.stack(
-                    [
-                        np.asarray(e, dtype="float64")
-                        for e in pdf["embedding"]
-                    ]
+            lens = col.map(len)
+            # group by length so a ragged corpus still sums pos-wise
+            # (each length group is a rectangular einsum)
+            for _l, sub in col.groupby(lens):
+                rows = np.stack(
+                    [np.asarray(e, dtype="float64") for e in sub]
                 )
-                * 1_000_000
-            ).astype("int64")
-            m = np.einsum("ni,nj->ij", qm, qm)
-            d = m.shape[0]
-            ii, jj = np.meshgrid(
-                np.arange(1, d + 1), np.arange(1, d + 1), indexing="ij"
-            )
-            yield pd.DataFrame(
-                {
-                    "i": ii.ravel().astype("int32"),
-                    "j": jj.ravel().astype("int32"),
-                    "cp": m.ravel(),
-                }
-            )
+                for s in range(0, len(rows), _CHUNK):
+                    qm = np.floor(
+                        rows[s : s + _CHUNK] * 1_000_000
+                    ).astype("int64")
+                    m = np.einsum("ni,nj->ij", qm, qm)
+                    d = m.shape[0]
+                    ii, jj = np.meshgrid(
+                        np.arange(1, d + 1),
+                        np.arange(1, d + 1),
+                        indexing="ij",
+                    )
+                    yield pd.DataFrame(
+                        {
+                            "i": ii.ravel().astype("int32"),
+                            "j": jj.ravel().astype("int32"),
+                            "cp": m.ravel(),
+                        }
+                    )
 
     cmat_rows = (
         emb.select("embedding")
@@ -1164,6 +1177,9 @@ def s_pca_topdir(spark, sf_dir, iters: int = 8):
     )
     cmat = {(r["i"], r["j"]): int(r["c"]) for r in cmat_rows}
     dims = sorted({i for i, _ in cmat})
+    if not dims:
+        # empty / all-NULL corpus: no direction, like the oracle
+        return spark.createDataFrame([], "pos int, v_fixed long")
     v = {p: 10**6 for p in dims}
     for _ in range(iters):
         w = {
@@ -1171,6 +1187,11 @@ def s_pca_topdir(spark, sf_dir, iters: int = 8):
             for i in dims
         }
         m = max(abs(x) for x in w.values())
+        if m == 0:
+            raise ValueError(
+                "degenerate (all-zero) moment matrix — no principal "
+                "direction exists for this corpus"
+            )
         v = {
             i: (
                 -((-w[i] * 1000000) // m)

@@ -2471,12 +2471,10 @@ _WAV_HDR_HEX = (
 ).hex()
 
 
-def _wav_hexbyte(h: str, i: int) -> str:
-    """DuckDB expr: integer value of byte i (1-based) of hex string
-    expression ``h`` (bytes are hex pairs 2i-1, 2i)."""
-    hi = f"(instr('0123456789abcdef', substr({h}, {2 * i - 1}, 1)) - 1)"
-    lo = f"(instr('0123456789abcdef', substr({h}, {2 * i}, 1)) - 1)"
-    return f"({hi} * 16 + {lo})"
+# one hex-byte extractor for the whole repo (defined beside the PPM
+# oracle it was written for) — aliased here so the WAV/ahash oracles
+# can never drift from the image ones
+from .qaqc_parity import _hexbyte as _wav_hexbyte
 
 
 def _wav_oracle() -> str:
@@ -2552,7 +2550,11 @@ def m_wav_decode_stats(spark, sf_dir):
 _PPM4_HDR_HEX = b"P6\n4 4\n255\n".hex()
 
 
-def _ahash_oracle() -> str:
+def _ahash_sql_parts() -> tuple:
+    """(luma column defs, total expr, ahash expr, nbits expr) for the
+    16-pixel integer average-hash over hex column ``hx`` — ONE
+    definition consumed by both m_image_ahash's oracle and the media
+    curation chain's, mirroring operators/multimodal.ahash_ints."""
     lumas = []
     for p in range(16):
         r = _wav_hexbyte("hx", 3 * p + 1)
@@ -2571,6 +2573,11 @@ def _ahash_oracle() -> str:
         f"(CASE WHEN 16 * l{p} > total THEN 1 ELSE 0 END)"
         for p in range(16)
     )
+    return cols, total, ahash, nbits
+
+
+def _ahash_oracle() -> str:
+    cols, total, ahash, nbits = _ahash_sql_parts()
     return f"""
 WITH src AS (
   SELECT doc_id AS media_id,
@@ -2594,6 +2601,32 @@ FROM h
 """
 
 
+def _ppm4_content():
+    """In-engine 4x4 P6 PPM: header + 48 pixel bytes from three
+    chained md5s of the text — shared by m_image_ahash and
+    chain_media_curation."""
+    return F.concat(
+        F.unhex(F.lit(_PPM4_HDR_HEX)),
+        F.unhex(
+            F.concat(
+                F.md5("text"),
+                F.md5(F.concat(F.col("text"), F.lit("1"))),
+                F.md5(F.concat(F.col("text"), F.lit("2"))),
+            )
+        ),
+    )
+
+
+def _ppm2_content():
+    """In-engine 2x2 P6 PPM (header + unhex(md5[:24]) pixels) — the
+    m_ppm_decode_stats construction (queries/qaqc_parity.py), reused
+    by the media curation chain."""
+    return F.concat(
+        F.unhex(F.lit(b"P6\n2 2\n255\n".hex())),
+        F.unhex(F.substring(F.md5("text"), 1, 24)),
+    )
+
+
 @query("m_image_ahash", _ahash_oracle())
 def m_image_ahash(spark, sf_dir):
     """Average-hash fingerprints of genuinely decoded 4x4 PPM pixels
@@ -2607,16 +2640,7 @@ def m_image_ahash(spark, sf_dir):
     )
     media = docs.select(
         F.col("doc_id").alias("media_id"),
-        F.concat(
-            F.unhex(F.lit(_PPM4_HDR_HEX)),
-            F.unhex(
-                F.concat(
-                    F.md5("text"),
-                    F.md5(F.concat(F.col("text"), F.lit("1"))),
-                    F.md5(F.concat(F.col("text"), F.lit("2"))),
-                )
-            ),
-        ).alias("content"),
+        _ppm4_content().alias("content"),
     )
     hashed = MM.image_ahash(media, decoder=MM.PpmBmpDecoder())
     w = Window.partitionBy("ahash")
@@ -2660,19 +2684,8 @@ def _media_chain_oracle() -> str:
         f" + power({lumas[2]} - mu, 2)) + power({lumas[3]} - mu, 2))"
         " / 4.0"
     )
-    # 4x4 ahash CTE (identical to m_image_ahash's oracle)
-    lum16 = []
-    for p in range(16):
-        r = _wav_hexbyte("hx", 3 * p + 1)
-        g = _wav_hexbyte("hx", 3 * p + 2)
-        b = _wav_hexbyte("hx", 3 * p + 3)
-        lum16.append(f"(299 * {r} + 587 * {g} + 114 * {b})")
-    cols16 = ",\n       ".join(f"{e} AS l{p}" for p, e in enumerate(lum16))
-    total = " + ".join(f"l{p}" for p in range(16))
-    ahash = " + ".join(
-        f"(CASE WHEN 16 * l{p} > total THEN {1 << p} ELSE 0 END)"
-        for p in range(16)
-    )
+    # 4x4 ahash CTE — the SAME generator as m_image_ahash's oracle
+    cols16, total, ahash, _nbits = _ahash_sql_parts()
     return f"""
 WITH src AS (
   SELECT doc_id AS media_id, source,
@@ -2716,47 +2729,56 @@ FROM surv GROUP BY source
 def chain_media_curation(spark, sf_dir):
     """Decode → contrast gate → ahash near-dup removal → per-source
     yield, all on really-decoded pixels; survivors pinned by
-    kept_id_sum."""
+    kept_id_sum. ONE corpus scan: a combined kernel decodes both
+    synthesized views and emits (std_luma, ahash) per row, so the
+    only shuffles in the plan are the ahash window and the source
+    rollup — no corpus-sized equi-join of separate stat legs."""
     from ..operators import multimodal as MM
 
     docs = table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull()
     )
-    m2 = docs.select(
+    media = docs.select(
         F.col("doc_id").alias("media_id"),
         "source",
-        F.concat(
-            F.unhex(F.lit("50360a3220320a3235350a")),  # P6 2 2 255
-            F.unhex(F.substring(F.md5("text"), 1, 24)),
-        ).alias("content"),
+        _ppm2_content().alias("c_stats"),
+        _ppm4_content().alias("c_hash"),
     )
-    stats = MM.extract_features(
-        m2.select("media_id", "content"), decoder=MM.PpmBmpDecoder()
-    ).select(
-        "media_id", F.element_at("feature", 4).alias("std_luma")
-    )
-    m4 = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.concat(
-            F.unhex(F.lit(_PPM4_HDR_HEX)),
-            F.unhex(
-                F.concat(
-                    F.md5("text"),
-                    F.md5(F.concat(F.col("text"), F.lit("1"))),
-                    F.md5(F.concat(F.col("text"), F.lit("2"))),
-                )
-            ),
-        ).alias("content"),
-    )
-    hashed = MM.image_ahash(m4, decoder=MM.PpmBmpDecoder()).select(
-        "media_id", "ahash"
-    )
-    base = (
-        docs.select(F.col("doc_id").alias("media_id"), "source")
-        .join(stats, "media_id")
-        .join(hashed, "media_id")
-        .withColumn("qual_ok", F.col("std_luma") >= _MC_STD_FLOOR)
-    )
+    dec = MM.PpmBmpDecoder()
+
+    def op(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "source": [],
+                "std_luma": [],
+                "ahash": [],
+            }
+            for mid, src, c2, c4 in zip(
+                pdf["media_id"], pdf["source"], pdf["c_stats"],
+                pdf["c_hash"],
+            ):
+                try:
+                    d2 = dec._decode_one(bytes(c2))
+                    d4 = dec._decode_one(bytes(c4))
+                except Exception:
+                    d2 = d4 = None
+                if d2 is None or d4 is None:
+                    continue
+                w2, h2, a2 = d2
+                feats = dec.channel_features(w2, h2, a2)
+                h, _nb = MM.ahash_ints(d4[2])
+                out["media_id"].append(mid)
+                out["source"].append(src)
+                out["std_luma"].append(feats[3])
+                out["ahash"].append(h)
+            yield pd.DataFrame(out)
+
+    base = media.mapInPandas(
+        op, "media_id long, source string, std_luma float, ahash long"
+    ).withColumn("qual_ok", F.col("std_luma") >= _MC_STD_FLOOR)
     w = Window.partitionBy("ahash")
     surv = base.withColumn(
         "kept",

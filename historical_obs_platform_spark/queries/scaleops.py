@@ -589,15 +589,16 @@ def a27_exact_median(spark, sf_dir):
 # min(vec_id); each round picks the point maximizing the min distance
 # to the chosen set, ties broken by vec_id.
 #
-# Scale shape: k rounds, each ONE map-only distance pass (the chosen
-# set — at most k=8 vectors of 64 ints — rides into the task as plan
-# literals, a broadcast in spirit) + one top-1 TakeOrdered. Work is
-# O(k * n * dim) with no shuffle beyond the k single-row reductions —
-# at 100 TB this is k scans, the same budget as a27's histogram
-# narrowing. The driver holds only the k selected vectors.
+# Scale shape: k rounds, each ONE map-only distance pass against the
+# single newest center (the per-row running min distance carries
+# across rounds as a materialized column, so total work is
+# O(k * n * dim), not O(k^2 * n * dim)) + one top-1 TakeOrdered per
+# round — at 100 TB this is k scans, the same budget as a27's
+# histogram narrowing. The driver holds only the k selected vectors.
+# Corpora with fewer than k vectors degrade to min(n, k) rows, same
+# as the oracle's emptying sel CTEs.
 # --------------------------------------------------------------------
 _KC_K = 8
-_KC_DIM = 64
 
 _KC_QE_SQL = (
     "list_transform(embedding, x -> "
@@ -606,9 +607,11 @@ _KC_QE_SQL = (
 
 
 def _kc_oracle() -> str:
+    # dim-agnostic: series length follows each row's own vector (all
+    # rows must share one dim, same contract as the Spark zip_with)
     sq = (
         "list_aggregate(list_transform(generate_series(1, "
-        f"{_KC_DIM}), i -> (e.qe[i] - c.qe[i]) * (e.qe[i] - c.qe[i])),"
+        "len(e.qe)), i -> (e.qe[i] - c.qe[i]) * (e.qe[i] - c.qe[i])),"
         " 'sum')"
     )
     parts = [
@@ -649,8 +652,9 @@ def _kc_oracle() -> str:
 @query("p_coreset_kcenter", _kc_oracle())
 def p_coreset_kcenter(spark, sf_dir):
     """Greedy k-center coreset over integer-quantized embeddings —
-    k map-only distance passes + k single-row TakeOrdered reductions;
-    the selected set is the only driver-side state."""
+    each round ONE map-only distance pass against the newest center
+    (the running min-distance rides as a column) + one single-row
+    TakeOrdered; the selected set is the only driver-side state."""
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
@@ -658,8 +662,12 @@ def p_coreset_kcenter(spark, sf_dir):
             lambda x: F.floor(x.cast("double") * 1000).cast("long"),
         ).alias("qe"),
     )
-    seed = emb.orderBy("vec_id").limit(1).collect()[0]
-    chosen = [(0, int(seed["vec_id"]), 0, list(seed["qe"]))]
+    out_schema = "round int, vec_id long, mind_sq long"
+    seeds = emb.orderBy("vec_id").limit(1).collect()
+    if not seeds:
+        return spark.createDataFrame([], out_schema)
+    seed = seeds[0]
+    chosen = [(0, int(seed["vec_id"]), 0)]
 
     def sqdist_to(vec):
         lit = F.array(*[F.lit(int(v)) for v in vec])
@@ -669,22 +677,31 @@ def p_coreset_kcenter(spark, sf_dir):
             lambda acc, x: acc + x,
         )
 
-    for r in range(1, _KC_K):
-        picked_ids = [c[1] for c in chosen]
-        dists = [sqdist_to(c[3]) for c in chosen]
-        mind = dists[0] if len(dists) == 1 else F.least(*dists)
-        top = (
-            emb.where(~F.col("vec_id").isin(picked_ids))
-            .select("vec_id", "qe", mind.alias("mind"))
-            .orderBy(F.desc("mind"), F.asc("vec_id"))
-            .limit(1)
-            .collect()[0]
-        )
-        chosen.append(
-            (r, int(top["vec_id"]), int(top["mind"]), list(top["qe"]))
-        )
-
-    return spark.createDataFrame(
-        [(r, v, d) for r, v, d, _ in chosen],
-        "round int, vec_id long, mind_sq long",
+    # rest = every not-yet-chosen row with its min distance to the
+    # chosen set; each round updates it against ONLY the new center
+    rest = (
+        emb.where(F.col("vec_id") != chosen[0][1])
+        .withColumn("mind", sqdist_to(list(seed["qe"])))
+        .localCheckpoint(eager=False)
     )
+    for r in range(1, _KC_K):
+        tops = (
+            rest.orderBy(F.desc("mind"), F.asc("vec_id"))
+            .limit(1)
+            .collect()
+        )
+        if not tops:
+            break  # corpus smaller than k: degrade like the oracle
+        top = tops[0]
+        chosen.append((r, int(top["vec_id"]), int(top["mind"])))
+        if r < _KC_K - 1:
+            rest = (
+                rest.where(F.col("vec_id") != int(top["vec_id"]))
+                .withColumn(
+                    "mind",
+                    F.least("mind", sqdist_to(list(top["qe"]))),
+                )
+                .localCheckpoint(eager=False)
+            )
+
+    return spark.createDataFrame(chosen, out_schema)

@@ -298,3 +298,39 @@ def test_pca_topdir_aligns_on_planted_direction(spark):
     top = np.linalg.eigh(C)[1][:, -1]
     cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
     assert cos > 0.99, cos
+
+
+class TestPcaEdges:
+    def test_null_embeddings_ignored(self, spark, tmp_path):
+        """NULL embedding rows contribute nothing (the old posexplode
+        semantics) instead of crashing the kernel."""
+        import pandas as pd
+        from historical_obs_platform_spark.queries.curation4 import (
+            s_pca_topdir,
+        )
+
+        pd.DataFrame(
+            {
+                "vec_id": [1, 2, 3],
+                "embedding": [[1.0, 0.0], None, [0.9, 0.1]],
+                "label": [0, 0, 0],
+            }
+        ).to_parquet(tmp_path / "embeddings.parquet")
+        out = s_pca_topdir(spark, str(tmp_path)).toPandas()
+        assert len(out) == 2  # dims, not rows
+        # dominant direction is axis 1
+        v = dict(zip(out.pos, out.v_fixed))
+        assert abs(v[1]) == 1000000 and abs(v[1]) > abs(v[2])
+
+    def test_empty_table_yields_empty(self, spark, tmp_path):
+        import pandas as pd
+        from historical_obs_platform_spark.queries.curation4 import (
+            s_pca_topdir,
+        )
+
+        pd.DataFrame(
+            {"vec_id": pd.Series([], dtype="int64"),
+             "embedding": pd.Series([], dtype="object"),
+             "label": pd.Series([], dtype="int32")}
+        ).to_parquet(tmp_path / "embeddings.parquet")
+        assert s_pca_topdir(spark, str(tmp_path)).count() == 0

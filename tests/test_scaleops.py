@@ -259,7 +259,7 @@ class TestCoresetKCenter:
         )
 
         out = (
-            p_coreset_kcenter(spark, "/root/testdata/sf0.001")
+            p_coreset_kcenter(spark, SF_DIR)
             .toPandas()
             .sort_values("round")
             .reset_index(drop=True)
@@ -271,3 +271,22 @@ class TestCoresetKCenter:
         d = list(out.mind_sq[1:])
         assert all(a >= b for a, b in zip(d, d[1:]))
         assert all(v > 0 for v in d)
+
+    def test_short_corpus_degrades(self, spark, tmp_path):
+        """Fewer embeddings than k: min(n, k) rows, like the oracle's
+        emptying sel CTEs."""
+        import pandas as pd
+        from historical_obs_platform_spark.queries.scaleops import (
+            p_coreset_kcenter,
+        )
+
+        pd.DataFrame(
+            {
+                "vec_id": [1, 2, 3],
+                "embedding": [[0.1, 0.2], [0.9, 0.1], [0.5, 0.5]],
+                "label": [0, 1, 0],
+            }
+        ).to_parquet(tmp_path / "embeddings.parquet")
+        out = p_coreset_kcenter(spark, str(tmp_path)).toPandas()
+        assert len(out) == 3
+        assert sorted(out.vec_id) == [1, 2, 3]
