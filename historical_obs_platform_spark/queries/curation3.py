@@ -191,13 +191,45 @@ FROM (
 """
 
 
+_PQ_SHARED: dict = {}
+
+
+def _pq_shared(spark, sf_dir):
+    """Per-(session, sf_dir) memo of the PQ family's shared builds:
+    the exact-L2 ground truth and one trained codebook per operating
+    point. Every build is deterministic (the repo's seeding recipe),
+    so memoization is observation-free — the same discipline as
+    ``_ivfpq_shared``. Consumers: s_pq_adc_topk, s_pq_recall,
+    s_pq_shard_merge_recall (global leg)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_SHARED:
+        emb = table(spark, sf_dir, "embeddings")
+        queries = emb.where(F.col("vec_id") < 10)
+        cbs = {
+            p["sfx"]: SIM.pq_codebooks(
+                emb,
+                m=p["m"],
+                ksub=p["ksub"],
+                sub_dim=p["sub_dim"],
+                iters=1,
+            ).localCheckpoint(eager=False)
+            for p in _PQ_POINTS
+        }
+        _PQ_SHARED[key] = {
+            "truth": _pq_truth(emb, queries),
+            "cbs": cbs,
+        }
+    return _PQ_SHARED[key]
+
+
 @query("s_pq_adc_topk", _pq_oracle())
 def s_pq_adc_topk(spark, sf_dir):
     """PQ-ADC approximate top-k for the first ten vectors."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return SIM.pq_adc_topk(
-        emb, queries, k=5, m=4, ksub=8, sub_dim=16, iters=1
+        emb, queries, k=5, m=4, ksub=8, sub_dim=16,
+        cents=_pq_shared(spark, sf_dir)["cbs"]["_a"],
     )
 
 
@@ -252,10 +284,11 @@ def s_pq_recall(spark, sf_dir):
     ``l2sq`` composition, so both engines rank identically."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    # materialized once: the truth subplan (corpus × queries with
-    # three 64-element folds per pair) is read four times below
-    # (n_truth + n_hit per operating point)
-    truth = _pq_truth(emb, queries)
+    # the truth subplan and both codebooks come from the session memo
+    # (one build serves this harness, s_pq_adc_topk, and the shard-
+    # merge harness's global leg)
+    shared = _pq_shared(spark, sf_dir)
+    truth = shared["truth"]
 
     def row(p):
         approx = SIM.pq_adc_topk(
@@ -265,7 +298,7 @@ def s_pq_recall(spark, sf_dir):
             m=p["m"],
             ksub=p["ksub"],
             sub_dim=p["sub_dim"],
-            iters=1,
+            cents=shared["cbs"][p["sfx"]],
         ).select("query_id", "neighbor_id")
         return _recall_row(
             truth, approx, f"pq_adc_m{p['m']}k{p['ksub']}"
@@ -435,9 +468,11 @@ def s_pq_shard_merge_recall(spark, sf_dir):
     needs anyway."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    truth = _pq_truth(emb, queries)
+    shared = _pq_shared(spark, sf_dir)
+    truth = shared["truth"]
     glob = SIM.pq_adc_topk(
-        emb, queries, k=5, m=4, ksub=8, sub_dim=16, iters=1
+        emb, queries, k=5, m=4, ksub=8, sub_dim=16,
+        cents=shared["cbs"]["_a"],
     ).select("query_id", "neighbor_id")
     merged_cb = SIM.pq_codebooks_sharded(
         emb, m=4, ksub=8, sub_dim=16, n_shards=2, iters=1
