@@ -360,3 +360,89 @@ def w19_ewma(spark, sf_dir):
             "user_id bigint, us bigint, value double, ewma double",
         )
     )
+
+
+# --------------------------------------------------------------------
+# w23: Holt double-exponential smoothing (level + trend), alpha =
+# beta = 1/2 — the trend-aware sibling of w19's EWMA and the last
+# classical smoother in the family. Every recursion step is adds and
+# halvings only:
+#     l' = (x + (l + t)) / 2
+#     t' = ((l' - l) + t) / 2
+# so each step's IEEE rounding is identical on both engines given the
+# same fold order (same argument as w19; halving is exact). The
+# oracle replays the fold with a RECURSIVE CTE walking rn per key —
+# O(n) per key, a genuine two-component-state fold that list_reduce
+# (scalar accumulator) cannot express. Output is ONE row per user:
+# final level/trend and the one-step-ahead forecast (l + t).
+#
+# Scale shape: one shuffle to the salted buckets (same move as w19 —
+# per-user applyInPandas groups would pay ~2 ms of Python/Arrow
+# overhead each), one O(n) C-order loop per user inside the bucket,
+# output rows = users.
+# --------------------------------------------------------------------
+HOLT_ORACLE = """
+WITH RECURSIVE o AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), value) AS rn
+  FROM events
+),
+n AS (SELECT user_id, max(rn) AS n_obs FROM o GROUP BY user_id),
+s AS (
+  SELECT user_id, rn, CAST(value AS DOUBLE) AS l,
+         CAST(0.0 AS DOUBLE) AS t
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn,
+         (o.value + (s.l + s.t)) / 2 AS l,
+         (((o.value + (s.l + s.t)) / 2 - s.l) + s.t) / 2 AS t
+  FROM s JOIN o ON o.user_id = s.user_id AND o.rn = s.rn + 1
+)
+SELECT s.user_id, CAST(n.n_obs AS BIGINT) AS n_obs,
+       s.l AS level, s.t AS trend, s.l + s.t AS forecast
+FROM s JOIN n ON s.user_id = n.user_id AND s.rn = n.n_obs
+"""
+
+
+@query("w23_holt_smoothing", HOLT_ORACLE)
+def w23_holt_smoothing(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "value",
+    )
+
+    def per_bucket(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["user_id", "us", "value"], kind="mergesort",
+            ignore_index=True,
+        )
+        out = {"user_id": [], "n_obs": [], "level": [], "trend": []}
+        for uid, grp in pdf.groupby("user_id", sort=False):
+            vals = grp["value"].to_list()
+            lvl, trd = vals[0], 0.0
+            for x in vals[1:]:
+                new_l = (x + (lvl + trd)) / 2
+                trd = ((new_l - lvl) + trd) / 2
+                lvl = new_l
+            out["user_id"].append(uid)
+            out["n_obs"].append(len(vals))
+            out["level"].append(lvl)
+            out["trend"].append(trd)
+        return pd.DataFrame(out)
+
+    res = (
+        ev.withColumn("__b", F.pmod(F.col("user_id"), F.lit(32)))
+        .groupBy("__b")
+        .applyInPandas(
+            per_bucket,
+            "user_id bigint, n_obs bigint, level double, trend double",
+        )
+    )
+    return res.select(
+        "user_id", "n_obs", "level", "trend",
+        (F.col("level") + F.col("trend")).alias("forecast"),
+    )

@@ -618,3 +618,29 @@ class TestReviewRegressions:
         }
         # docs 1 and 2 share {common, rare1}: Jaccard 2/2 = 1.0 >= 0.5
         assert (1, 2) in cand
+
+
+class TestHoltSmoothing:
+    def test_fold_matches_hand_computation(self, spark, tmp_path):
+        import pandas as pd
+
+        pd.DataFrame(
+            {
+                "event_id": [1, 2, 3],
+                "user_id": [7, 7, 7],
+                "station": ["s"] * 3,
+                "event_type": ["e"] * 3,
+                "ts": pd.to_datetime(
+                    ["2024-01-01", "2024-01-02", "2024-01-03"]
+                ),
+                "value": [4.0, 8.0, 2.0],
+            }
+        ).to_parquet(tmp_path / "events.parquet")
+        out = QUERIES["w23_holt_smoothing"](spark, str(tmp_path)).toPandas()
+        assert len(out) == 1
+        r = out.iloc[0]
+        # l1=4 t1=0; l2=(8+4)/2=6 t2=((6-4)+0)/2=1;
+        # l3=(2+7)/2=4.5 t3=((4.5-6)+1)/2=-0.25
+        assert r.n_obs == 3
+        assert r.level == 4.5 and r.trend == -0.25
+        assert r.forecast == 4.25
