@@ -417,3 +417,103 @@ def g_khop_reach(spark, sf_dir):
     return reached.groupBy("node").agg(
         F.min("hops").cast("long").alias("min_hops")
     )
+
+
+# --------------------------------------------------------------------
+# g_sssp_weighted: weighted single-source shortest paths by k=3
+# Bellman-Ford relaxation rounds over the co-purchase graph — the
+# weighted sibling of g_khop_reach's unit-cost BFS, completing the
+# graph family (propagation, census, traversal, weighted metric).
+# Edge weight is the deterministic integer 1 + (u + v) % 5, so every
+# distance is a BIGINT and the min-plus fold has nothing to round.
+# Plan: edges built once (shared _urgent_copurchase + checkpoint);
+# each round is dist ⋈ edges (relax) + a (node, dist) min partial
+# agg — the same frontier-degree-bounded work as BFS, never a
+# transitive closure. The oracle replays the rounds as chained CTEs:
+# d_{r+1} = min(d_r ∪ relax(d_r)).
+# --------------------------------------------------------------------
+SSSP_ORACLE = """
+WITH li AS (
+  SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderpriority = '1-URGENT'
+),
+e0 AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+),
+e AS (
+  SELECT u, v, 1 + (u + v) % 5 AS w FROM e0
+  UNION ALL
+  SELECT v AS u, u AS v, 1 + (u + v) % 5 AS w FROM e0
+),
+d0 AS (
+  SELECT DISTINCT pk AS node, CAST(0 AS BIGINT) AS dist
+  FROM li WHERE pk % 100 = 0
+),
+d1 AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d0
+    UNION ALL
+    SELECT e.v AS node, d0.dist + e.w AS dist
+    FROM d0 JOIN e ON e.u = d0.node
+  ) GROUP BY node
+),
+d2 AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d1
+    UNION ALL
+    SELECT e.v AS node, d1.dist + e.w AS dist
+    FROM d1 JOIN e ON e.u = d1.node
+  ) GROUP BY node
+),
+d3 AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d2
+    UNION ALL
+    SELECT e.v AS node, d2.dist + e.w AS dist
+    FROM d2 JOIN e ON e.u = d2.node
+  ) GROUP BY node
+)
+SELECT node, CAST(dist AS BIGINT) AS dist FROM d3
+"""
+
+
+@query("g_sssp_weighted", SSSP_ORACLE)
+def g_sssp_weighted(spark, sf_dir):
+    """Exact 3-round Bellman-Ford distances from the deterministic
+    seed set (nodes ≡ 0 mod 100) under integer edge weights."""
+    items, e0 = _urgent_copurchase(spark, sf_dir)
+    w_expr = (F.lit(1) + (F.col("u") + F.col("v")) % 5).cast("long")
+    half = e0.select("u", "v", w_expr.alias("w"))
+    edges = (
+        half.unionByName(
+            e0.select(
+                F.col("v").alias("u"),
+                F.col("u").alias("v"),
+                w_expr.alias("w"),
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    dist = (
+        items.where(F.col("pk") % 100 == 0)
+        .select(F.col("pk").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    for _ in range(3):
+        relaxed = (
+            dist.join(edges, dist.node == edges.u)
+            .select(
+                F.col("v").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist.select("node", F.col("dist").cast("long").alias("dist"))

@@ -644,3 +644,20 @@ class TestHoltSmoothing:
         assert r.n_obs == 3
         assert r.level == 4.5 and r.trend == -0.25
         assert r.forecast == 4.25
+
+
+class TestSsspWeighted:
+    def test_triangle_inequality_vs_khop(self, spark):
+        """Weighted distances are >= min_hops (weights >= 1) and the
+        reachable sets agree (same seeds, same edges, same depth)."""
+        k = QUERIES["g_khop_reach"](
+            spark, "/root/testdata/sf0.001"
+        ).toPandas()
+        d = QUERIES["g_sssp_weighted"](
+            spark, "/root/testdata/sf0.001"
+        ).toPandas()
+        assert sorted(k.node) == sorted(d.node)
+        m = k.merge(d, on="node")
+        assert (m.dist >= m.min_hops).all()
+        assert (m.dist <= 5 * m.min_hops).all()  # w <= 5
+        assert (m.loc[m.min_hops == 0, "dist"] == 0).all()
