@@ -194,32 +194,55 @@ FROM (
 _PQ_SHARED: dict = {}
 
 
-def _pq_shared(spark, sf_dir):
-    """Per-(session, sf_dir) memo of the PQ family's shared builds:
-    the exact-L2 ground truth and one trained codebook per operating
-    point. Every build is deterministic (the repo's seeding recipe),
-    so memoization is observation-free — the same discipline as
-    ``_ivfpq_shared``. Consumers: s_pq_adc_topk, s_pq_recall,
-    s_pq_shard_merge_recall (global leg)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+def _pq_shared_truth(spark, sf_dir):
+    """Per-(session, sf_dir) memo of the PQ family's exact-L2 ground
+    truth (deterministic, so memoization is observation-free — the
+    ``_ivfpq_shared`` discipline)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "truth")
     if key not in _PQ_SHARED:
         emb = table(spark, sf_dir, "embeddings")
         queries = emb.where(F.col("vec_id") < 10)
-        cbs = {
-            p["sfx"]: SIM.pq_codebooks(
-                emb,
-                m=p["m"],
-                ksub=p["ksub"],
-                sub_dim=p["sub_dim"],
-                iters=1,
-            ).localCheckpoint(eager=False)
-            for p in _PQ_POINTS
-        }
-        _PQ_SHARED[key] = {
-            "truth": _pq_truth(emb, queries),
-            "cbs": cbs,
-        }
+        _PQ_SHARED[key] = _pq_truth(emb, queries)
     return _PQ_SHARED[key]
+
+
+def _pq_shared_codebook(spark, sf_dir, point):
+    """Lazily trained codebook per operating point — built on first
+    request only, so a single consumer never pays for the other
+    point's Lloyd jobs. Consumers: s_pq_adc_topk, s_pq_recall,
+    s_pq_shard_merge_recall (global leg); all pass the SAME point
+    dict, so the memoized book and the ADC's m/ksub/sub_dim can't
+    desynchronize."""
+    key = (
+        spark.sparkContext.applicationId, sf_dir, point["sfx"],
+    )
+    if key not in _PQ_SHARED:
+        emb = table(spark, sf_dir, "embeddings")
+        # pq_codebooks ends in a driver collect -> local rows; no
+        # checkpoint needed (there is no lineage to truncate)
+        _PQ_SHARED[key] = SIM.pq_codebooks(
+            emb,
+            m=point["m"],
+            ksub=point["ksub"],
+            sub_dim=point["sub_dim"],
+            iters=1,
+        )
+    return _PQ_SHARED[key]
+
+
+def _pq_adc_at(spark, sf_dir, emb, queries, point, k=5):
+    """ADC top-k at an operating point, parameterized entirely by the
+    point dict (m/ksub/sub_dim and the memoized codebook travel
+    together)."""
+    return SIM.pq_adc_topk(
+        emb,
+        queries,
+        k=k,
+        m=point["m"],
+        ksub=point["ksub"],
+        sub_dim=point["sub_dim"],
+        cents=_pq_shared_codebook(spark, sf_dir, point),
+    )
 
 
 @query("s_pq_adc_topk", _pq_oracle())
@@ -227,10 +250,7 @@ def s_pq_adc_topk(spark, sf_dir):
     """PQ-ADC approximate top-k for the first ten vectors."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    return SIM.pq_adc_topk(
-        emb, queries, k=5, m=4, ksub=8, sub_dim=16,
-        cents=_pq_shared(spark, sf_dir)["cbs"]["_a"],
-    )
+    return _pq_adc_at(spark, sf_dir, emb, queries, _PQ_POINTS[0])
 
 
 _PQ_POINTS = [
@@ -287,19 +307,12 @@ def s_pq_recall(spark, sf_dir):
     # the truth subplan and both codebooks come from the session memo
     # (one build serves this harness, s_pq_adc_topk, and the shard-
     # merge harness's global leg)
-    shared = _pq_shared(spark, sf_dir)
-    truth = shared["truth"]
+    truth = _pq_shared_truth(spark, sf_dir)
 
     def row(p):
-        approx = SIM.pq_adc_topk(
-            emb,
-            queries,
-            k=5,
-            m=p["m"],
-            ksub=p["ksub"],
-            sub_dim=p["sub_dim"],
-            cents=shared["cbs"][p["sfx"]],
-        ).select("query_id", "neighbor_id")
+        approx = _pq_adc_at(spark, sf_dir, emb, queries, p).select(
+            "query_id", "neighbor_id"
+        )
         return _recall_row(
             truth, approx, f"pq_adc_m{p['m']}k{p['ksub']}"
         )
@@ -468,17 +481,18 @@ def s_pq_shard_merge_recall(spark, sf_dir):
     needs anyway."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    shared = _pq_shared(spark, sf_dir)
-    truth = shared["truth"]
-    glob = SIM.pq_adc_topk(
-        emb, queries, k=5, m=4, ksub=8, sub_dim=16,
-        cents=shared["cbs"]["_a"],
-    ).select("query_id", "neighbor_id")
+    truth = _pq_shared_truth(spark, sf_dir)
+    glob = _pq_adc_at(spark, sf_dir, emb, queries, _PQ_POINTS[0]).select(
+        "query_id", "neighbor_id"
+    )
+    p0 = _PQ_POINTS[0]
     merged_cb = SIM.pq_codebooks_sharded(
-        emb, m=4, ksub=8, sub_dim=16, n_shards=2, iters=1
+        emb, m=p0["m"], ksub=p0["ksub"], sub_dim=p0["sub_dim"],
+        n_shards=2, iters=1,
     )
     merged = SIM.pq_adc_topk(
-        emb, queries, k=5, m=4, ksub=8, sub_dim=16, cents=merged_cb
+        emb, queries, k=5, m=p0["m"], ksub=p0["ksub"],
+        sub_dim=p0["sub_dim"], cents=merged_cb,
     ).select("query_id", "neighbor_id")
     return _recall_row(truth, glob, "pq_global_k8").unionByName(
         _recall_row(truth, merged, "pq_merge2x8")

@@ -501,17 +501,34 @@ def g_sssp_weighted(spark, sf_dir):
         .select(F.col("pk").alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=False)
     )
+    # classic delta-stepping-style frontier: only nodes whose min
+    # IMPROVED last round can produce new improvements (min-plus
+    # relaxation is idempotent), so the corpus-scale join is
+    # frontier × degree each round, never settled-set × degree
+    frontier = dist
     for _ in range(3):
-        relaxed = (
-            dist.join(edges, dist.node == edges.u)
+        cand = (
+            frontier.join(edges, frontier.node == edges.u)
             .select(
                 F.col("v").alias("node"),
                 (F.col("dist") + F.col("w")).alias("dist"),
             )
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        old = dist.select(
+            F.col("node").alias("o_node"), F.col("dist").alias("o_dist")
+        )
+        frontier = (
+            cand.join(old, cand.node == old.o_node, "left")
+            .where(F.col("o_dist").isNull() | (cand.dist < F.col("o_dist")))
+            .select("node", "dist")
+            .localCheckpoint(eager=False)
         )
         dist = (
-            dist.unionByName(relaxed)
+            dist.unionByName(frontier)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint(eager=False)

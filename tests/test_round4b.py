@@ -621,6 +621,9 @@ class TestReviewRegressions:
 
 
 class TestHoltSmoothing:
+    def test_matches_oracle(self, spark, oracle_con):
+        assert_matches_oracle(spark, oracle_con, "w23_holt_smoothing")
+
     def test_fold_matches_hand_computation(self, spark, tmp_path):
         import pandas as pd
 
@@ -647,15 +650,14 @@ class TestHoltSmoothing:
 
 
 class TestSsspWeighted:
+    def test_matches_oracle(self, spark, oracle_con):
+        assert_matches_oracle(spark, oracle_con, "g_sssp_weighted")
+
     def test_triangle_inequality_vs_khop(self, spark):
         """Weighted distances are >= min_hops (weights >= 1) and the
         reachable sets agree (same seeds, same edges, same depth)."""
-        k = QUERIES["g_khop_reach"](
-            spark, "/root/testdata/sf0.001"
-        ).toPandas()
-        d = QUERIES["g_sssp_weighted"](
-            spark, "/root/testdata/sf0.001"
-        ).toPandas()
+        k = QUERIES["g_khop_reach"](spark, SF_SMALL).toPandas()
+        d = QUERIES["g_sssp_weighted"](spark, SF_SMALL).toPandas()
         assert sorted(k.node) == sorted(d.node)
         m = k.merge(d, on="node")
         assert (m.dist >= m.min_hops).all()
