@@ -705,3 +705,78 @@ def p_coreset_kcenter(spark, sf_dir):
             )
 
     return spark.createDataFrame(chosen, out_schema)
+
+
+# --------------------------------------------------------------------
+# a29: exact grouped WEIGHTED median — the estimator behind
+# quantity-weighted price statistics (and sample-weight-aware
+# curation thresholds): the smallest value whose cumulative weight
+# reaches half the group total. All arithmetic is integer (price
+# cents, integer quantities; threshold compare is 2*cum >= W to
+# avoid halving), and values are pre-aggregated per (group, value)
+# BEFORE the running sum, so the cumulative has no within-tie
+# order ambiguity for either engine. Plan: one partial agg to
+# (group, value, w), one window over groups ordered by value, one
+# first-crossing filter — the weighted sibling of a1's grouped
+# median, with none of a27's narrowing machinery needed because the
+# window is per-group, not global.
+# --------------------------------------------------------------------
+A29_ORACLE = """
+WITH vw AS (
+  SELECT l_returnflag AS grp,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+c AS (
+  SELECT grp, cents, w,
+         sum(w) OVER (PARTITION BY grp ORDER BY cents
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(w) OVER (PARTITION BY grp) AS total
+  FROM vw
+)
+SELECT grp, CAST(total AS BIGINT) AS total_weight,
+       CAST(min(cents) AS BIGINT) AS median_cents
+FROM (SELECT * FROM c WHERE 2 * cum >= total)
+GROUP BY grp, total
+"""
+
+
+@query("a29_weighted_median", A29_ORACLE)
+def a29_weighted_median(spark, sf_dir):
+    """Exact quantity-weighted median price (cents) per return flag."""
+    from pyspark.sql.window import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    vw = (
+        li.select(
+            F.col("l_returnflag").alias("grp"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents"),
+            F.round("l_quantity").cast("long").alias("q"),
+        )
+        .groupBy("grp", "cents")
+        .agg(F.sum("q").alias("w"))
+    )
+    win = (
+        W.partitionBy("grp")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = vw.select(
+        "grp",
+        "cents",
+        F.sum("w").over(win).alias("cum"),
+        F.sum("w").over(W.partitionBy("grp")).alias("total"),
+    )
+    return (
+        c.where(2 * F.col("cum") >= F.col("total"))
+        .groupBy("grp", "total")
+        .agg(F.min("cents").cast("long").alias("median_cents"))
+        .select(
+            "grp",
+            F.col("total").cast("long").alias("total_weight"),
+            "median_cents",
+        )
+    )
