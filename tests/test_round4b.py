@@ -663,3 +663,40 @@ class TestSsspWeighted:
         assert (m.dist >= m.min_hops).all()
         assert (m.dist <= 5 * m.min_hops).all()  # w <= 5
         assert (m.loc[m.min_hops == 0, "dist"] == 0).all()
+
+
+class TestWeightedMedian:
+    def test_matches_oracle(self, spark, oracle_con):
+        assert_matches_oracle(spark, oracle_con, "a29_weighted_median")
+
+    def test_crossing_definition(self, spark, tmp_path):
+        """Lower weighted median: smallest v with 2*cumweight >= W."""
+        import pandas as pd
+
+        pd.DataFrame(
+            {
+                "l_returnflag": ["A"] * 3,
+                "l_extendedprice": [1.00, 2.00, 3.00],
+                "l_quantity": [1.0, 1.0, 2.0],
+                "l_orderkey": [1, 2, 3],
+                "l_partkey": [1, 2, 3],
+                "l_suppkey": [1, 2, 3],
+                "l_linenumber": [1, 1, 1],
+                "l_discount": [0.0] * 3,
+                "l_tax": [0.0] * 3,
+                "l_linestatus": ["O"] * 3,
+                "l_shipdate": pd.to_datetime(["2024-01-01"] * 3),
+                "l_commitdate": pd.to_datetime(["2024-01-01"] * 3),
+                "l_receiptdate": pd.to_datetime(["2024-01-01"] * 3),
+                "l_shipinstruct": ["x"] * 3,
+                "l_shipmode": ["y"] * 3,
+                "l_comment": ["z"] * 3,
+            }
+        ).to_parquet(tmp_path / "lineitem.parquet")
+        out = QUERIES["a29_weighted_median"](
+            spark, str(tmp_path)
+        ).toPandas()
+        # W=4; cum at 1.00 is 1 (2*1 < 4), at 2.00 is 2 (2*2 >= 4)
+        assert len(out) == 1
+        assert out.iloc[0].total_weight == 4
+        assert out.iloc[0].median_cents == 200
