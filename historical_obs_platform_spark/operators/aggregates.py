@@ -106,6 +106,69 @@ def winsorized_mean(
     return clipped.groupBy(*groupl).agg(F.avg("__clipped").alias("clim"))
 
 
+def winsorized_mean_exact(
+    df: DataFrame,
+    group,
+    col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """A5 (exact spelling): per-group winsorized mean with every
+    intermediate in the integer domain so the result is bit-identical
+    across engines. Values quantize to ``round(value*scale)`` BIGINT;
+    the clip bounds are NEAREST-RANK percentiles (1-based index
+    ``ceil(p*n)`` computed as ``(n*5+99) DIV 100`` / ``(n*95+99) DIV
+    100`` — pure integer, no float index math); the clipped sum is a
+    BIGINT; the only float op is the final single division, which IEEE
+    rounds identically everywhere given identical operands.
+
+    `winsorized_mean` (interpolated percentiles + float avg) is kept
+    for reference parity with qaqc_climatological_outlier.py, but its
+    float summation order makes round(clim, 6) flip at rounding
+    boundaries between engines — caught by the sf0.001 value sweep.
+
+    One shuffle: rank + count + bounds all ride the same
+    partitionBy(group) window; the final agg reuses the partitioning.
+    """
+    groupl = [group] if isinstance(group, str) else list(group)
+    vm = F.round(F.col(col) * F.lit(float(scale))).cast("long")
+    base = df.where(F.col(col).isNotNull()).select(
+        *groupl, vm.alias("__vm")
+    )
+    wp = Window.partitionBy(*groupl)
+    w = wp.orderBy("__vm")
+    r = (
+        base.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wp))
+        .withColumn(
+            "__lo",
+            F.max(
+                F.when(
+                    F.col("__rn")
+                    == F.expr("(__n * 5 + 99) DIV 100"),
+                    F.col("__vm"),
+                )
+            ).over(wp),
+        )
+        .withColumn(
+            "__hi",
+            F.max(
+                F.when(
+                    F.col("__rn")
+                    == F.expr("(__n * 95 + 99) DIV 100"),
+                    F.col("__vm"),
+                )
+            ).over(wp),
+        )
+    )
+    clipped = F.least(F.greatest(F.col("__vm"), F.col("__lo")), F.col("__hi"))
+    return r.groupBy(*groupl).agg(
+        (
+            F.sum(clipped).cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(float(scale)))
+        ).alias("clim")
+    )
+
+
 def cadence_mode_seconds(
     df: DataFrame, key, time_col: str
 ) -> DataFrame:

@@ -278,7 +278,11 @@ WITH obs AS (
   SELECT station, moy, bin, count(*) AS n FROM std GROUP BY 1, 2, 3
 ), h2 AS (
   SELECT h.station, h.moy, h.bin, m.mu,
-         CASE WHEN 0.1 * m.sigma * sqrt(2 * pi()) < 1.0
+         -- sigma > 0 guard: Spark's log(0) is NULL (group gets no
+         -- bound, no flags); DuckDB's ln(0) THROWS. A constant group
+         -- (sigma exactly 0) appears at sf0.001 — sweep catch r5.
+         CASE WHEN m.sigma > 0
+               AND 0.1 * m.sigma * sqrt(2 * pi()) < 1.0
               THEN m.sigma * sqrt(-2.0 * ln(0.1 * m.sigma * sqrt(2 * pi())))
          END AS z,
          h.bin - lag(h.bin) OVER (PARTITION BY h.station, h.moy

@@ -678,31 +678,42 @@ def p_coreset_kcenter(spark, sf_dir):
         )
 
     # rest = every not-yet-chosen row with its min distance to the
-    # chosen set; each round updates it against ONLY the new center
+    # chosen set; each round updates it against ONLY the new center.
+    # Storage rotation keeps live block storage O(1) in k: each
+    # round's TakeOrdered materializes the NEW persisted `rest` (its
+    # blocks then exist independently), after which the PREVIOUS
+    # round's blocks are freed. The lazy-localCheckpoint chain this
+    # replaces held up to k corpus-sized block sets concurrently
+    # (tests/test_hardening_r5.py asserts the bound).
     rest = (
         emb.where(F.col("vec_id") != chosen[0][1])
         .withColumn("mind", sqdist_to(list(seed["qe"])))
-        .localCheckpoint(eager=False)
+        .persist()
     )
+    prev = None
     for r in range(1, _KC_K):
         tops = (
             rest.orderBy(F.desc("mind"), F.asc("vec_id"))
             .limit(1)
             .collect()
         )
+        if prev is not None:
+            prev.unpersist()
         if not tops:
             break  # corpus smaller than k: degrade like the oracle
         top = tops[0]
         chosen.append((r, int(top["vec_id"]), int(top["mind"])))
         if r < _KC_K - 1:
+            prev = rest
             rest = (
                 rest.where(F.col("vec_id") != int(top["vec_id"]))
                 .withColumn(
                     "mind",
                     F.least("mind", sqdist_to(list(top["qe"]))),
                 )
-                .localCheckpoint(eager=False)
+                .persist()
             )
+    rest.unpersist()
 
     return spark.createDataFrame(chosen, out_schema)
 

@@ -332,28 +332,45 @@ def a4_frequent_bins(spark, sf_dir):
 
 # --------------------------------------------------------------------
 # A5: winsorized climatology per (event_type, hour-of-day) — clip to
-# [p5, p95], then mean.
+# [p5, p95], then mean. Integer-exact spelling: micro-unit BIGINT
+# quantization, NEAREST-RANK bounds via pure-integer index math
+# ((n*5+99) DIV 100), BIGINT clipped sum, ONE final float division —
+# the interpolated-percentile + float-avg version flips round(.,6) at
+# rounding boundaries between engines (caught by the sf0.001 sweep:
+# 27.280813 vs 27.280812).
 # --------------------------------------------------------------------
 A5_ORACLE = """
-WITH p AS (
+WITH v AS (
   SELECT event_type, CAST(extract(hour FROM ts) AS INTEGER) AS hh,
-         quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
-  FROM events GROUP BY 1, 2
+         CAST(round(value * 1000000) AS BIGINT) AS vm
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT event_type, hh, vm,
+         row_number() OVER (PARTITION BY event_type, hh
+                            ORDER BY vm) AS rn,
+         count(*) OVER (PARTITION BY event_type, hh) AS n
+  FROM v
+),
+b AS (
+  SELECT event_type, hh, vm, n,
+         max(CASE WHEN rn = (n * 5 + 99) // 100 THEN vm END)
+           OVER (PARTITION BY event_type, hh) AS lo,
+         max(CASE WHEN rn = (n * 95 + 99) // 100 THEN vm END)
+           OVER (PARTITION BY event_type, hh) AS hi
+  FROM r
 )
-SELECT e.event_type, CAST(extract(hour FROM e.ts) AS INTEGER) AS hh,
-       round(avg(least(greatest(e.value, p.lo), p.hi)), 6) AS clim
-FROM events e
-JOIN p ON e.event_type = p.event_type
-      AND CAST(extract(hour FROM e.ts) AS INTEGER) = p.hh
-GROUP BY e.event_type, CAST(extract(hour FROM e.ts) AS INTEGER)
+SELECT event_type, hh,
+       CAST(sum(least(greatest(vm, lo), hi)) AS DOUBLE)
+         / (CAST(count(*) AS DOUBLE) * 1000000.0) AS clim
+FROM b GROUP BY event_type, hh
 """
 
 
 @query("a5_winsorized_climatology", A5_ORACLE)
 def a5_winsorized_climatology(spark, sf_dir):
     ev = _events(spark, sf_dir).withColumn("hh", F.hour("ts"))
-    clim = agg.winsorized_mean(ev, ["event_type", "hh"], "value")
-    return clim.withColumn("clim", F.round("clim", 6))
+    return agg.winsorized_mean_exact(ev, ["event_type", "hh"], "value")
 
 
 # --------------------------------------------------------------------

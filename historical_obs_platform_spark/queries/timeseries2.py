@@ -405,6 +405,52 @@ FROM s JOIN n ON s.user_id = n.user_id AND s.rn = n.n_obs
 """
 
 
+def _holt_per_bucket(pdf):
+    """Holt fold over one salted bucket, time-major vectorized.
+
+    The fold is sequential in time but independent ACROSS users, so
+    run ONE Python loop over time steps with numpy element-wise ops
+    over every user in the bucket at once. Each step evaluates
+    literally (x + (l + t)) / 2 and ((l' - l) + t) / 2 — numpy's
+    per-element IEEE add/divide round identically to the scalar loop
+    (and to the recursive-CTE oracle), so the result is bit-identical
+    (fuzzed in tests/test_hardening_r5.py); the interpreted cost drops
+    from O(total rows) to O(max series length) per bucket.
+    """
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.drop(columns="__b")
+    if len(pdf) == 0:
+        return pd.DataFrame(
+            {"user_id": pd.Series(dtype="int64"),
+             "n_obs": pd.Series(dtype="int64"),
+             "level": pd.Series(dtype="float64"),
+             "trend": pd.Series(dtype="float64")}
+        )
+    pdf = pdf.sort_values(
+        ["user_id", "us", "value"], kind="mergesort", ignore_index=True
+    )
+    uidx, uids = pd.factorize(pdf["user_id"], sort=False)
+    rn = pdf.groupby("user_id", sort=False).cumcount().to_numpy()
+    counts = np.bincount(uidx)
+    n_users, m = len(uids), int(rn.max()) + 1
+    V = np.zeros((m, n_users))
+    V[rn, uidx] = pdf["value"].to_numpy()
+    lvl = V[0].copy()
+    trd = np.zeros(n_users)
+    for i in range(1, m):
+        act = counts > i
+        x, l, t = V[i, act], lvl[act], trd[act]
+        new_l = (x + (l + t)) / 2
+        trd[act] = ((new_l - l) + t) / 2
+        lvl[act] = new_l
+    return pd.DataFrame(
+        {"user_id": uids, "n_obs": counts.astype("int64"),
+         "level": lvl, "trend": trd}
+    )
+
+
 @query("w23_holt_smoothing", HOLT_ORACLE)
 def w23_holt_smoothing(spark, sf_dir):
     ev = table(spark, sf_dir, "events").select(
@@ -412,33 +458,11 @@ def w23_holt_smoothing(spark, sf_dir):
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
         "value",
     )
-
-    def per_bucket(pdf):
-        import pandas as pd
-
-        pdf = pdf.sort_values(
-            ["user_id", "us", "value"], kind="mergesort",
-            ignore_index=True,
-        )
-        out = {"user_id": [], "n_obs": [], "level": [], "trend": []}
-        for uid, grp in pdf.groupby("user_id", sort=False):
-            vals = grp["value"].to_list()
-            lvl, trd = vals[0], 0.0
-            for x in vals[1:]:
-                new_l = (x + (lvl + trd)) / 2
-                trd = ((new_l - lvl) + trd) / 2
-                lvl = new_l
-            out["user_id"].append(uid)
-            out["n_obs"].append(len(vals))
-            out["level"].append(lvl)
-            out["trend"].append(trd)
-        return pd.DataFrame(out)
-
     res = (
         ev.withColumn("__b", F.pmod(F.col("user_id"), F.lit(32)))
         .groupBy("__b")
         .applyInPandas(
-            per_bucket,
+            _holt_per_bucket,
             "user_id bigint, n_obs bigint, level double, trend double",
         )
     )

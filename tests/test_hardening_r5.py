@@ -1,0 +1,99 @@
+"""Round-5 hardening: the Holt fold's time-major vectorization must be
+BIT-identical to the explicit scalar recurrence, and the k-center
+coreset's storage rotation must keep live persisted block sets O(1)
+in k (not the O(k) lazy-localCheckpoint chain it replaces)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql
+
+from historical_obs_platform_spark.queries.timeseries2 import (
+    _holt_per_bucket,
+)
+
+
+def _holt_scalar(vals):
+    lvl, trd = vals[0], 0.0
+    for x in vals[1:]:
+        new_l = (x + (lvl + trd)) / 2
+        trd = ((new_l - lvl) + trd) / 2
+        lvl = new_l
+    return lvl, trd
+
+
+def test_holt_vectorized_bit_identical_to_fold():
+    rng = np.random.default_rng(20260815)
+    for trial in range(15):
+        n_users = int(rng.integers(1, 40))
+        rows = []
+        for u in range(n_users):
+            n = int(rng.integers(1, 200))
+            scale = 10.0 ** float(rng.integers(-8, 9))
+            vals = rng.standard_normal(n) * scale
+            for i, v in enumerate(vals):
+                rows.append((u, i, float(v)))
+        pdf = pd.DataFrame(rows, columns=["user_id", "us", "value"])
+        pdf["__b"] = 0
+        # shuffle row order: the implementation must sort internally
+        pdf = pdf.sample(frac=1.0, random_state=trial).reset_index(
+            drop=True
+        )
+        got = (
+            _holt_per_bucket(pdf)
+            .sort_values("user_id", ignore_index=True)
+        )
+        for _, row in got.iterrows():
+            vals = (
+                pdf[pdf["user_id"] == row["user_id"]]
+                .sort_values(["us", "value"], kind="mergesort")["value"]
+                .to_list()
+            )
+            lvl, trd = _holt_scalar(vals)
+            assert row["n_obs"] == len(vals)
+            assert row["level"] == lvl, (row["user_id"], row["level"], lvl)
+            assert row["trend"] == trd, (row["user_id"], row["trend"], trd)
+
+
+def test_holt_empty_bucket():
+    pdf = pd.DataFrame(
+        {"user_id": pd.Series(dtype="int64"),
+         "us": pd.Series(dtype="int64"),
+         "value": pd.Series(dtype="float64"),
+         "__b": pd.Series(dtype="int64")}
+    )
+    out = _holt_per_bucket(pdf)
+    assert len(out) == 0
+    assert list(out.columns) == ["user_id", "n_obs", "level", "trend"]
+
+
+def test_coreset_live_persisted_blocks_bounded(spark, monkeypatch):
+    """p_coreset_kcenter must never hold more than 2 persisted
+    DataFrames at once (the round being read + the round being built),
+    and must free everything before returning."""
+    from historical_obs_platform_spark.queries.scaleops import (
+        p_coreset_kcenter,
+    )
+
+    live: set[int] = set()
+    peak = {"v": 0}
+    orig_persist = pyspark.sql.DataFrame.persist
+    orig_unpersist = pyspark.sql.DataFrame.unpersist
+
+    def persist(self, *a, **kw):
+        live.add(id(self))
+        peak["v"] = max(peak["v"], len(live))
+        return orig_persist(self, *a, **kw)
+
+    def unpersist(self, *a, **kw):
+        live.discard(id(self))
+        return orig_unpersist(self, *a, **kw)
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "persist", persist)
+    monkeypatch.setattr(pyspark.sql.DataFrame, "unpersist", unpersist)
+
+    out = p_coreset_kcenter(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) >= 1
+    assert peak["v"] <= 2, f"held {peak['v']} persisted sets at once"
+    assert live == set(), "persisted blocks leaked past the query"
