@@ -720,12 +720,177 @@ def _grid_gap_bounds(
     return cut_lo, cut_hi
 
 
+_CUT_PERIOD_S = 3600.0 * 24 * 365 / 30  # reference cut_freq inverse
+
+
+def _q9_np(a):
+    """Stage-boundary quantizer: rint(x*1e9)/1e9 — every op is a
+    deterministic IEEE primitive (multiply, roundTiesToEven,
+    divide), so DuckDB's round_even(x*1e9, 0)/1e9 reproduces it
+    bit-for-bit (fuzzed for |x| ≤ 1e3 in tests/test_hardening_r5.py;
+    all quantized stages here are standardized/residual-scale or
+    tas-scale ≤ ~1e3)."""
+    return np.rint(a * 1e9) / 1e9
+
+
+def _bigint_to_double(v: int) -> float:
+    """float(v) for beyond-int64 ints, spelled so SQL reproduces it
+    exactly: one base-2^62 digit split, each digit BIGINT→DOUBLE
+    (correctly rounded on both engines — verified; HUGEINT→DOUBLE is
+    NOT), then a fixed mult+add chain."""
+    q, r = divmod(v, 1 << 62)
+    return float(q) * 4611686018427387904.0 + float(r)
+
+
+def _grid_gap_bounds_exact(r: np.ndarray) -> tuple[float | None, float | None]:
+    """`_grid_gap_bounds` in cross-engine-deterministic arithmetic:
+    same histogram-grid + normal-fit + gap-isolation algorithm
+    (qaqc_climatological_outlier.py:330-460), but moments come from
+    exact integer nano-unit sums, exp() is scalar libm (numpy's SIMD
+    exp can differ from libm by 1 ulp), and bin edges are exact
+    quarter multiples, so a SQL oracle evaluating the same expression
+    tree produces bit-identical cutoffs."""
+    n = len(r)
+    fmin = math.floor(float(r.min()))
+    cmax = math.ceil(float(r.max()))
+    m = max(abs(fmin), abs(cmax))
+    n_edges = 8 * m + 3
+    edges = (np.arange(n_edges, dtype=np.float64) - (4 * m + 1)) * 0.25
+    idx = np.searchsorted(edges, r, side="right") - 1
+    freq = np.bincount(idx, minlength=n_edges - 1)
+    r9n = np.rint(r * 1e9).astype(np.int64)
+    mu = float(int(r9n.sum())) / n / 1e9
+    dn = np.rint((r - mu) * 1e9).astype(np.int64)
+    sq = sum(int(x) * int(x) for x in dn)  # Python ints: exact
+    sigma = math.sqrt(_bigint_to_double(sq) / n) / 1e9
+    if sigma <= 1e-8:
+        return None, None
+    area = 0.25 * n
+    s2pi = math.sqrt(2 * math.pi)
+    p = np.array(
+        [
+            math.exp(-0.5 * (((e - mu) / sigma) * ((e - mu) / sigma)))
+            / (sigma * s2pi)
+            * area
+            for e in edges
+        ]
+    )
+    g = np.empty_like(p)
+    g[0] = p[1] - p[0]
+    g[-1] = p[-1] - p[-2]
+    g[1:-1] = (p[2:] - p[:-2]) / 2.0
+    il = np.where((g > 0) & (p <= 0.1))[0]
+    left = int(il[-1]) if len(il) else 1
+    ir = np.where((g < 0) & (p <= 0.1))[0]
+    right = int(ir[0]) if len(ir) else n_edges - 2
+    cut_lo: float | None = None
+    cut_hi: float | None = None
+    for i in range(min(left, len(freq)) - 1, -1, -1):
+        if freq[i] == 0:
+            cut_lo = float(edges[i + 1])
+            break
+    for j in range(right + 1, len(freq)):
+        if freq[j] == 0:
+            cut_hi = float(edges[j])
+            break
+    return cut_lo, cut_hi
+
+
+def _clim_exact_per_station(
+    pdf: pd.DataFrame, var: str, flag_col: str
+) -> pd.DataFrame:
+    """Exact-mode clim-outlier island: the same algorithm as the
+    faithful island in `climatological_outlier_check`, respelled so
+    every float is bit-reproducible by a SQL engine evaluating the
+    same expression tree — winsorized means from exact nano-int sums,
+    explicit linear-interpolation quantiles, stage-boundary `_q9_np`
+    quantization, scalar-libm transcendentals, and the order-1
+    Butterworth as a literal (b0*x + b1*x_prev − a1*y_prev) fold that
+    a recursive CTE replays. See W13_ORACLE in queries/qaqc_parity2.py.
+    """
+    pdf = pdf.sort_values(["time", var]).reset_index(drop=True)
+    mask = pdf[flag_col].isnull() & pdf[var].notna() & pdf["time"].notna()
+    empty = pdf.iloc[0:0][["station", "time"]]
+    if int(mask.sum()) < 20:
+        return empty
+    sub = pdf.loc[mask, ["station", "time", var]].reset_index(drop=True)
+    t = sub["time"]
+    v = sub[var].to_numpy()
+    key = (t.dt.month * 100 + t.dt.hour).to_numpy()
+    n_all = len(sub)
+
+    uniq = np.unique(key)
+    # (month, hour) winsorized-mean climatology, nano-int exact
+    clim_by_key = {}
+    for k in uniq:
+        a = np.sort(v[key == k])
+        n = len(a)
+        kk = int(0.05 * n)
+        if kk:
+            a[:kk] = a[kk]
+            a[n - kk :] = a[n - kk - 1]
+        wn = np.rint(a * 1e9).astype(np.int64)
+        clim_by_key[k] = float(int(wn.sum())) / n / 1e9
+    anom = v - np.array([clim_by_key[k] for k in key])
+
+    # IQR per key: explicit linear interpolation, Q9, floor
+    def _quant(a: np.ndarray, qf: float) -> float:
+        n = len(a)
+        pos = qf * (n - 1)
+        i = int(pos)
+        gfrac = pos - i
+        j = min(i + 1, n - 1)
+        return float(a[i] + (a[j] - a[i]) * gfrac)
+
+    denom_by_key = {}
+    for k in uniq:
+        a = np.sort(anom[key == k])
+        iqr_raw = _quant(a, 0.75) - _quant(a, 0.25)
+        denom_by_key[k] = max(float(np.rint(iqr_raw * 1e9) / 1e9), 1.5)
+    s = _q9_np(anom / np.array([denom_by_key[k] for k in key]))
+
+    # cadence: modal microsecond gap (ties -> smallest)
+    us = t.astype("datetime64[us]").astype("int64").to_numpy()
+    vals, cnts = np.unique(np.diff(us), return_counts=True)
+    cadence = float(int(vals[np.argmax(cnts)])) / 1e6
+    cf = 2.0 * max(cadence, 1.0) / _CUT_PERIOD_S
+    if cf >= 1.0:  # reference bypass: cut_freq >= Nyquist
+        return empty
+    c = 1.0 / math.tan(math.pi * cf / 2.0)
+    b0 = 1.0 / (1.0 + c)
+    a1 = (1.0 - c) / (1.0 + c)
+    y = np.empty(n_all)
+    prev_x = prev_y = s[0]
+    for i in range(n_all):
+        yi = b0 * s[i] + b0 * prev_x - a1 * prev_y
+        y[i] = yi
+        prev_x, prev_y = s[i], yi
+    r = _q9_np(s - y)
+
+    flags = np.zeros(n_all, dtype=bool)
+    for k in uniq:
+        gidx = np.flatnonzero(key == k)
+        if len(gidx) <= 5:  # reference small-group bypass
+            continue
+        cut_lo, cut_hi = _grid_gap_bounds_exact(r[gidx])
+        gm = np.zeros(len(gidx), dtype=bool)
+        if cut_lo is not None:
+            gm |= r[gidx] <= cut_lo
+        if cut_hi is not None:
+            gm |= r[gidx] >= cut_hi
+        flags[gidx] |= gm
+    if not flags.any():
+        return empty
+    return sub.loc[np.flatnonzero(flags), ["station", "time"]].drop_duplicates()
+
+
 def climatological_outlier_check(
     df: DataFrame,
     var: str,
     winsor_limits: tuple[float, float] = (0.05, 0.05),
     iqr_floor: float = 1.5,
     bin_size: float = 0.25,
+    exact_mode: bool = False,
 ) -> DataFrame:
     """Flag 26 (qaqc_climatological_outlier.py:33-247): per station —
 
@@ -831,9 +996,14 @@ def climatological_outlier_check(
         hit = pdf.iloc[np.flatnonzero(mask.values)[flags]]
         return hit[["station", "time"]]
 
+    island = (
+        (lambda pdf: _clim_exact_per_station(pdf, var, flag_col))
+        if exact_mode
+        else per_station
+    )
     skinny = df.select("station", "time", var, flag_col)
     bad_keys = skinny.groupBy("station").applyInPandas(
-        per_station, schema="station string, time timestamp"
+        island, schema="station string, time timestamp"
     )
     out = df.join(
         bad_keys.withColumn("__clim_bad", F.lit(True)),

@@ -287,18 +287,267 @@ def a7_pdf_bounds(spark, sf_dir):
 # W13 (+W9/W10): climatological outlier — winsorized (month, hour)
 # climatology, IQR standardization, Butterworth low-pass, per-month
 # normal fit with pdf-floor bounds, all inside a per-station
-# applyInPandas island. Iterative/stateful → rows-only check.
+# applyInPandas island — in EXACT MODE, so the whole pipeline is
+# hash-oracled end-to-end (retiring the r1/r2 rows-only pairing).
+#
+# Exact mode makes every island float bit-reproducible by DuckDB:
+#   - winsorized means / grid moments from exact integer nano-unit
+#     sums (BIGINT both sides; the one beyond-int64 sum — squared
+#     deviations — converts to double via a base-2^62 digit split
+#     because HUGEINT→DOUBLE is not correctly rounded in DuckDB);
+#   - quantile interpolation / cadence / Butterworth coefficients as
+#     identical expression trees (libm tan/exp are bit-identical when
+#     values flow as DATA — bare SQL literals parse as DECIMAL, hence
+#     the e-notation literals below);
+#   - the order-1 Butterworth fold y_i = b0·x_i + b1·x_{i−1} −
+#     a1·y_{i−1} replayed by the RECURSIVE CTE `fr` in the same
+#     order (the w23 Holt technique);
+#   - stage boundaries quantized with rint(x·1e9)/1e9 — an
+#     IEEE-primitive composite DuckDB reproduces exactly via
+#     round_even(x·1e9, 0)/1e9 (fuzzed in tests/test_hardening_r5.py).
 # --------------------------------------------------------------------
-@query("w13_clim_outlier")
+def _q9sql(e: str) -> str:
+    return f"(round_even(({e}) * 1000000000.0, 0) / 1000000000.0)"
+
+
+_P62 = "4611686018427387904"  # 2^62
+
+
+def _w13_oracle() -> str:
+    q9 = _q9sql
+    return f"""
+WITH RECURSIVE
+obs AS MATERIALIZED (
+  SELECT CAST(user_id % 32 AS VARCHAR) AS station, ts AS time,
+         285.0e0 + value / 4 AS tas
+  FROM events
+),
+v0 AS (
+  SELECT station, time, tas FROM obs
+  WHERE tas IS NOT NULL AND time IS NOT NULL
+),
+vg AS (SELECT station FROM v0 GROUP BY station HAVING count(*) >= 20),
+vs AS MATERIALIZED (
+  SELECT v0.station, v0.time, v0.tas,
+         month(v0.time) * 100 + hour(v0.time) AS key,
+         row_number() OVER (PARTITION BY v0.station
+                            ORDER BY v0.time, v0.tas) AS rn
+  FROM v0 JOIN vg USING (station)
+),
+ck AS (
+  SELECT station, key, tas,
+         row_number() OVER (PARTITION BY station, key ORDER BY tas) AS krn,
+         count(*) OVER (PARTITION BY station, key) AS kn
+  FROM vs
+),
+ck2 AS (SELECT *, CAST(floor(0.05e0 * kn) AS BIGINT) AS kk FROM ck),
+ck3 AS (
+  SELECT *,
+    max(CASE WHEN krn = kk + 1 THEN tas END)
+      OVER (PARTITION BY station, key) AS lov,
+    max(CASE WHEN krn = kn - kk THEN tas END)
+      OVER (PARTITION BY station, key) AS hiv
+  FROM ck2
+),
+clim AS (
+  SELECT station, key,
+    CAST(sum(CAST(round_even((CASE WHEN krn <= kk THEN lov
+                  WHEN krn > kn - kk THEN hiv
+                  ELSE tas END) * 1000000000.0, 0) AS BIGINT)) AS DOUBLE)
+      / any_value(kn) / 1000000000.0 AS clim
+  FROM ck3 GROUP BY station, key
+),
+an AS (
+  SELECT vs.station, vs.time, vs.tas, vs.key, vs.rn,
+         vs.tas - c.clim AS anom
+  FROM vs JOIN clim c USING (station, key)
+),
+aq AS (
+  SELECT station, key, anom,
+         row_number() OVER (PARTITION BY station, key ORDER BY anom) AS arn,
+         count(*) OVER (PARTITION BY station, key) AS n
+  FROM an
+),
+qp AS (
+  SELECT station, key, any_value(n) AS n,
+    max(CASE WHEN arn = CAST(floor(0.25e0*(n-1)) AS BIGINT) + 1
+        THEN anom END) AS q25a,
+    max(CASE WHEN arn = least(CAST(floor(0.25e0*(n-1)) AS BIGINT) + 2, n)
+        THEN anom END) AS q25b,
+    max(CASE WHEN arn = CAST(floor(0.75e0*(n-1)) AS BIGINT) + 1
+        THEN anom END) AS q75a,
+    max(CASE WHEN arn = least(CAST(floor(0.75e0*(n-1)) AS BIGINT) + 2, n)
+        THEN anom END) AS q75b
+  FROM aq GROUP BY station, key
+),
+iq AS (
+  SELECT station, key,
+    greatest({q9("(q75a + (q75b - q75a) * (0.75e0*(n-1) - floor(0.75e0*(n-1))))"
+                 " - (q25a + (q25b - q25a) * (0.25e0*(n-1) - floor(0.25e0*(n-1))))")},
+             1.5e0) AS denom
+  FROM qp
+),
+sd AS MATERIALIZED (
+  SELECT a.station, a.time, a.tas, a.key, a.rn,
+         {q9("a.anom / i.denom")} AS s
+  FROM an a JOIN iq i USING (station, key)
+),
+cd AS (
+  SELECT station,
+         epoch_us(time) - lag(epoch_us(time))
+           OVER (PARTITION BY station ORDER BY time, tas) AS du
+  FROM vs
+),
+cad AS (
+  SELECT station, du FROM (
+    SELECT station, du,
+           row_number() OVER (PARTITION BY station
+                              ORDER BY count(*) DESC, du ASC) AS rr
+    FROM cd WHERE du IS NOT NULL GROUP BY station, du
+  ) WHERE rr = 1
+),
+cfr AS (
+  SELECT station,
+         2.0e0 * greatest(CAST(du AS DOUBLE) / 1000000.0, 1.0e0)
+           / 1051200.0e0 AS cfrac
+  FROM cad
+),
+co AS (
+  SELECT station,
+         1.0e0 / (1.0e0 + (1.0e0 / tan(pi() * cfrac / 2.0e0))) AS b0,
+         (1.0e0 - (1.0e0 / tan(pi() * cfrac / 2.0e0)))
+           / (1.0e0 + (1.0e0 / tan(pi() * cfrac / 2.0e0))) AS a1
+  FROM cfr WHERE cfrac < 1.0e0
+),
+fr AS (
+  SELECT s.station, s.rn, s.s,
+         c.b0 * s.s + c.b0 * s.s - c.a1 * s.s AS y
+  FROM sd s JOIN co c USING (station) WHERE s.rn = 1
+  UNION ALL
+  SELECT s.station, s.rn, s.s,
+         c.b0 * s.s + c.b0 * fr.s - c.a1 * fr.y AS y
+  FROM fr JOIN sd s ON s.station = fr.station AND s.rn = fr.rn + 1
+          JOIN co c ON c.station = s.station
+),
+rz AS MATERIALIZED (
+  SELECT f.station, f.rn, s2.time, s2.key,
+         {q9("f.s - f.y")} AS r
+  FROM fr f JOIN sd s2 USING (station, rn)
+),
+gk AS (
+  SELECT station, key, count(*) AS gn,
+         CAST(floor(min(r)) AS BIGINT) AS fmin,
+         CAST(ceil(max(r)) AS BIGINT) AS cmax
+  FROM rz GROUP BY station, key
+  HAVING count(*) > 5
+),
+gm AS (
+  SELECT station, key, gn, greatest(abs(fmin), abs(cmax)) AS m FROM gk
+),
+ed AS MATERIALIZED (
+  SELECT station, key, gn, m, unnest(range(0, 8*m + 3)) AS ei
+  FROM gm
+),
+ed2 AS (
+  SELECT station, key, gn, m, ei,
+         (CAST(ei AS DOUBLE) - CAST(4*m + 1 AS DOUBLE)) * 0.25e0 AS e
+  FROM ed
+),
+ri AS MATERIALIZED (
+  SELECT z.station, z.key, z.rn, z.r,
+         count(*) FILTER (WHERE e2.e <= z.r) - 1 AS bi
+  FROM rz z JOIN ed2 e2 USING (station, key)
+  GROUP BY z.station, z.key, z.rn, z.r
+),
+fq AS (
+  SELECT e2.station, e2.key, e2.ei AS bi, count(ri.rn) AS f
+  FROM ed2 e2 LEFT JOIN ri
+    ON ri.station = e2.station AND ri.key = e2.key AND ri.bi = e2.ei
+  WHERE e2.ei < 8*e2.m + 2
+  GROUP BY e2.station, e2.key, e2.ei
+),
+mo1 AS (
+  SELECT z.station, z.key,
+         CAST(sum(CAST(round_even(z.r * 1000000000.0, 0) AS BIGINT))
+              AS DOUBLE) / g.gn / 1000000000.0 AS mu
+  FROM rz z JOIN gm g USING (station, key)
+  GROUP BY z.station, z.key, g.gn
+),
+dv AS (
+  SELECT z.station, z.key,
+         CAST(round_even((z.r - m1.mu) * 1000000000.0, 0) AS BIGINT) AS dn
+  FROM rz z JOIN mo1 m1 USING (station, key)
+),
+mo2 AS (
+  SELECT d.station, d.key, m1.mu,
+         sqrt((CAST(sum(CAST(d.dn AS HUGEINT) * d.dn) // {_P62} AS DOUBLE)
+                 * {_P62}.0
+               + CAST(sum(CAST(d.dn AS HUGEINT) * d.dn) % {_P62} AS DOUBLE))
+              / g.gn) / 1000000000.0 AS sigma
+  FROM dv d JOIN mo1 m1 USING (station, key) JOIN gm g USING (station, key)
+  GROUP BY d.station, d.key, m1.mu, g.gn
+),
+pp AS (
+  SELECT e2.station, e2.key, e2.ei, e2.m, e2.e,
+    CASE WHEN m2.sigma > 1e-8 THEN
+      exp(-0.5e0 * (((e2.e - m2.mu) / m2.sigma)
+                    * ((e2.e - m2.mu) / m2.sigma)))
+        / (m2.sigma * sqrt(2 * pi())) * (0.25e0 * e2.gn)
+    END AS p
+  FROM ed2 e2 JOIN mo2 m2 USING (station, key)
+),
+gr AS (
+  SELECT station, key, ei, m, p,
+    CASE WHEN ei = 0 THEN lead(p) OVER w - p
+         WHEN ei = 8*m + 2 THEN p - lag(p) OVER w
+         ELSE (lead(p) OVER w - lag(p) OVER w) / 2.0e0 END AS g
+  FROM pp WHERE p IS NOT NULL
+  WINDOW w AS (PARTITION BY station, key ORDER BY ei)
+),
+lr AS (
+  SELECT station, key, any_value(m) AS m,
+    coalesce(max(CASE WHEN g > 0 AND p <= 0.1e0 THEN ei END), 1) AS lft,
+    coalesce(min(CASE WHEN g < 0 AND p <= 0.1e0 THEN ei END),
+             8*any_value(m) + 1) AS rgt
+  FROM gr GROUP BY station, key
+),
+ct AS (
+  SELECT f.station, f.key, any_value(l.m) AS m,
+    max(CASE WHEN f.f = 0 AND f.bi <= least(l.lft, 8*l.m + 2) - 1
+        THEN f.bi END) AS lo_bi,
+    min(CASE WHEN f.f = 0 AND f.bi >= l.rgt + 1 THEN f.bi END) AS hi_bi
+  FROM fq f JOIN lr l ON l.station = f.station AND l.key = f.key
+  GROUP BY f.station, f.key
+),
+bk AS (
+  SELECT DISTINCT z.station, z.time
+  FROM rz z JOIN ct ON ct.station = z.station AND ct.key = z.key
+  WHERE (ct.lo_bi IS NOT NULL
+         AND z.r <= (CAST(ct.lo_bi + 1 AS DOUBLE)
+                     - CAST(4*ct.m + 1 AS DOUBLE)) * 0.25e0)
+     OR (ct.hi_bi IS NOT NULL
+         AND z.r >= (CAST(ct.hi_bi AS DOUBLE)
+                     - CAST(4*ct.m + 1 AS DOUBLE)) * 0.25e0)
+)
+SELECT o.station, o.time, o.tas,
+       CASE WHEN b.station IS NOT NULL THEN 26.0e0 END AS tas_eraqc
+FROM obs o LEFT JOIN bk b ON b.station = o.station AND b.time = o.time
+"""
+
+
+W13_ORACLE = _w13_oracle()
+
+
+@query("w13_clim_outlier", W13_ORACLE)
 def w13_clim_outlier(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     obs = ev.select(
-        (F.col("user_id") % 8).cast("string").alias("station"),
+        (F.col("user_id") % 32).cast("string").alias("station"),
         F.col("ts").alias("time"),
         (F.lit(285.0) + F.col("value") / 4).alias("tas"),
     )
     obs = Q.ensure_flag_columns(obs, ["tas"])
-    out = D.climatological_outlier_check(obs, "tas")
+    out = D.climatological_outlier_check(obs, "tas", exact_mode=True)
     return out.select("station", "time", "tas", "tas_eraqc")
 
 

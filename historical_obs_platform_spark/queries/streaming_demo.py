@@ -533,6 +533,11 @@ SELECT event_type, n, total FROM ranked WHERE rk <= 3
 @query("st_topk_stream", ST_TOPK_ORACLE)
 @_with_stream_shuffle
 def st_topk_stream(spark, sf_dir):
+    """DEMO-ONLY complete-mode variant: keeps one state row per key
+    for the life of the stream (correct for drained ingest batches,
+    which is what the oracle checks; unbounded on a forever stream).
+    Production entry point for unbounded streams is the bounded
+    append-mode twin st_topk_windowed_append (watermark + window eviction)."""
     tune(spark)
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
@@ -749,6 +754,11 @@ def _neardup_jaccard_stream(spark, sf_dir):
 @query("st_neardup_stream", _st_neardup_oracle())
 @_with_stream_shuffle
 def st_neardup_stream(spark, sf_dir):
+    """DEMO-ONLY complete-mode variant: keeps one state row per key
+    for the life of the stream (correct for drained ingest batches,
+    which is what the oracle checks; unbounded on a forever stream).
+    Production entry point for unbounded streams is the bounded
+    append-mode twin st_neardup_append (watermark + window eviction)."""
     jac = _neardup_jaccard_stream(spark, sf_dir)
     best = jac.groupBy("new_id").agg(
         F.max(
@@ -865,6 +875,11 @@ SELECT new_id, a AS dup_of, cosine_sim FROM (
 @query("st_semdedup_stream", _st_semdedup_oracle())
 @_with_stream_shuffle
 def st_semdedup_stream(spark, sf_dir):
+    """DEMO-ONLY complete-mode variant: keeps one state row per key
+    for the life of the stream (correct for drained ingest batches,
+    which is what the oracle checks; unbounded on a forever stream).
+    Production entry point for unbounded streams is the bounded
+    append-mode twin st_semdedup_append (watermark + window eviction)."""
     matched = _semdedup_matches_stream(spark, sf_dir)
     best = matched.groupBy("new_id").agg(
         F.max(

@@ -68,6 +68,62 @@ def test_holt_empty_bucket():
     assert list(out.columns) == ["user_id", "n_obs", "level", "trend"]
 
 
+def test_q9_quantizer_cross_engine_bit_parity():
+    """The w13 stage-boundary quantizer rint(x*1e9)/1e9 must be
+    reproduced bit-for-bit by DuckDB's round_even(x*1e9, 0)/1e9 over
+    the magnitudes the pipeline produces (|x| <= ~1e3), including
+    adversarial near-boundary values."""
+    import duckdb
+
+    con = duckdb.connect()
+    rng = np.random.default_rng(20260815)
+    xs = np.concatenate(
+        [
+            rng.uniform(-1000, 1000, 100000),
+            rng.uniform(-1, 1, 100000),
+            rng.uniform(-500, 500, 50000).round(4) + 5e-10,
+        ]
+    )
+    df = pd.DataFrame({"x": xs})
+    got = (
+        con.execute(
+            "SELECT round_even(x * 1000000000.0, 0) / 1000000000.0 FROM df"
+        )
+        .df()
+        .iloc[:, 0]
+        .to_numpy()
+    )
+    want = np.rint(xs * 1e9) / 1e9
+    assert (got == want).all()
+    con.close()
+
+
+def test_bigint_to_double_digit_split_matches_python_float():
+    """_bigint_to_double's base-2^62 digit split must equal the same
+    expression in SQL (HUGEINT→DOUBLE casts are NOT correctly rounded
+    in DuckDB, which is why the split exists)."""
+    import random
+
+    import duckdb
+
+    from historical_obs_platform_spark.operators.distribution import (
+        _bigint_to_double,
+    )
+
+    con = duckdb.connect()
+    rng = random.Random(20260815)
+    for _ in range(2000):
+        v = rng.getrandbits(rng.randint(40, 80))
+        got = con.execute(
+            "SELECT CAST(CAST(? AS HUGEINT) // 4611686018427387904 "
+            "AS DOUBLE) * 4611686018427387904.0 "
+            "+ CAST(CAST(? AS HUGEINT) % 4611686018427387904 AS DOUBLE)",
+            [str(v), str(v)],
+        ).fetchone()[0]
+        assert got == _bigint_to_double(v), v
+    con.close()
+
+
 def test_coreset_live_persisted_blocks_bounded(spark, monkeypatch):
     """p_coreset_kcenter must never hold more than 2 persisted
     DataFrames at once (the round being read + the round being built),

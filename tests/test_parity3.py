@@ -207,28 +207,20 @@ def test_zorder_layout_enables_data_skipping(spark, tmp_path):
     assert fr_zo_b <= 0.45
 
 
-def test_w13_pairing_convention():
-    """README 'non-SQL-expressible operators' contract: rows-only
-    queries are allowed ONLY when a decomposed hash-exact twin pins
-    the surrounding math. w13 is the single sanctioned case; any new
-    oracle-less registration must extend this list WITH its twin."""
+def test_every_registered_query_has_an_oracle():
+    """Round 5 retired the last rows-only registration: w13's exact
+    mode + recursive-CTE IIR oracle closed the pairing-convention
+    debt. From here on EVERY registered query must carry a DuckDB
+    oracle — a new oracle-less registration is a regression unless the
+    README documents a new pairing (in which case extend this test the
+    way w13 used to be sanctioned)."""
     from historical_obs_platform_spark import registry
 
     registry.load_all()
-    sanctioned_rows_only = {
-        # runtime variant -> decomposed twin with an oracle
-        "w13_clim_outlier": "w13_clim_outlier_unfiltered",
-    }
-    no_oracle = {
-        n for n in registry.QUERIES if n not in registry.ORACLES
-    }
-    assert no_oracle == set(sanctioned_rows_only), (
-        "oracle-less queries must follow the w13 pairing convention "
-        f"(README); unsanctioned: {no_oracle - set(sanctioned_rows_only)}"
+    no_oracle = {n for n in registry.QUERIES if n not in registry.ORACLES}
+    assert no_oracle == set(), (
+        f"oracle-less queries (README pairing required): {no_oracle}"
     )
-    for runtime, twin in sanctioned_rows_only.items():
-        assert runtime in registry.QUERIES
-        assert twin in registry.QUERIES and twin in registry.ORACLES
 
 
 def test_zorder_key_n_three_dims(spark):
