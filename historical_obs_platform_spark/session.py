@@ -9,8 +9,55 @@ thresholds) so the same code scales to ~100 TB by changing only
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+_PKG_ZIP: str | None = None
+
+
+def _package_zip() -> str:
+    """Zip this package once per process, for ``addPyFile``."""
+    global _PKG_ZIP
+    if _PKG_ZIP is None or not os.path.exists(_PKG_ZIP):
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        pkg_name = os.path.basename(pkg_dir)
+        fd, path = tempfile.mkstemp(suffix=".zip", prefix="hop_spark_pkg_")
+        os.close(fd)
+        with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in sorted(files):
+                    if not f.endswith(".py"):
+                        continue
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        pkg_name, os.path.relpath(full, pkg_dir)
+                    )
+                    z.write(full, rel)
+        _PKG_ZIP = path
+    return _PKG_ZIP
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make the engine launch-directory-independent.
+
+    The pandas-UDF islands (decode/similarity/clim-outlier) pickle
+    module-level functions BY REFERENCE, so executors must be able to
+    import ``historical_obs_platform_spark`` — which fails when the
+    driver process was launched outside the repo with no PYTHONPATH.
+    Shipping the package zip via ``addPyFile`` puts it on every
+    worker's sys.path regardless of launch directory. On a real
+    cluster the same call distributes the code to remote executors
+    (equivalent to ``spark.submit.pyFiles``)."""
+    try:
+        sc = spark.sparkContext
+        if getattr(sc, "_hop_pkg_shipped", False):
+            return
+        sc.addPyFile(_package_zip())
+        sc._hop_pkg_shipped = True
+    except Exception:  # pragma: no cover — static conf / already added
+        pass
 
 # Runtime-settable options applied defensively to *any* session handed
 # to us (the driver harness owns its own SparkSession). These are the
@@ -52,6 +99,7 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - conf may be static
             pass
+    ship_package(spark)
     return spark
 
 
@@ -85,4 +133,5 @@ def get_spark(app_name: str = "historical_obs_platform_spark") -> SparkSession:
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
     return spark
