@@ -1,0 +1,378 @@
+"""Round-5 curation additions over ``documents``:
+
+- t_boilerplate_spans — C4/FineWeb-style boilerplate measurement: the
+  fraction of each document covered by 3-grams that recur across many
+  distinct documents (the "repeated spans" filter every web-corpus
+  pipeline runs). Pure integer arithmetic (ppm ratios via DIV).
+- p_dsir_selection — DSIR-lite importance resampling (Xie et al. 2023,
+  arXiv:2302.03169): hashed-unigram bucket counts, add-0.5-smoothed
+  target/source log-likelihood ratio per bucket, per-document log
+  importance as a position-ordered fold. Bucket weights are computed
+  DRIVER-SIDE with CPython's libm (bit-identical to DuckDB's; the
+  JVM's Math.log carries no such guarantee), then broadcast.
+- report_calibration_bins — reliability-diagram bins for a
+  quality-score-style classifier: integer ppm scores, per-bin counts,
+  mean score and positive rate, all in BIGINT.
+- t_domain_top_ngrams — per-source top-5 bigrams with deterministic
+  (count DESC, bigram ASC) tie-breaks, the corpus-stats roll-up used
+  to spot domain-specific boilerplate and contamination.
+
+Reference anchor: these extend the reference's per-network summary
+reporting (qaqc_generate_flag_rates.py:140-264 aggregates flag
+frequencies by station/network the same count→ratio→report way)
+to the LLM-corpus domain.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from .common import table
+from .textops import NORM, TOKS
+
+# ------------------------------------------------------------------ #
+# shared prep
+# ------------------------------------------------------------------ #
+_STOPS = ("the", "a", "of", "and", "to", "in", "is", "it")
+_BOILER_MIN_DOCS = 20  # a 3-gram seen in >= this many distinct docs
+
+
+def _tok_arr():
+    return F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+
+
+# ------------------------------------------------------------------ #
+# t_boilerplate_spans
+# ------------------------------------------------------------------ #
+T_BOILER_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {TOKS} AS t FROM documents
+  WHERE text IS NOT NULL AND len({TOKS}) >= 3
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+  FROM d
+),
+b AS (
+  SELECT gram FROM g GROUP BY gram
+  HAVING count(DISTINCT doc_id) >= {_BOILER_MIN_DOCS}
+),
+per AS (
+  SELECT g.doc_id,
+         count(*) AS n_grams,
+         count(b.gram) AS n_boiler
+  FROM g LEFT JOIN b USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_boiler AS BIGINT) AS n_boiler,
+       CAST(n_boiler * 1000000 // n_grams AS BIGINT) AS boiler_ppm
+FROM per
+"""
+
+
+@query("t_boilerplate_spans", T_BOILER_ORACLE)
+def t_boilerplate_spans(spark, sf_dir):
+    """Repeated-span (boilerplate) coverage per document: 3-grams
+    occurring in >= 20 distinct documents are 'boilerplate'; emit each
+    doc's gram count, boilerplate-gram count, and ppm coverage.
+    Scale shape: one explode -> gram-keyed count-distinct (the
+    inverted index), one gram-keyed join back — both shuffle on the
+    gram key; nothing is doc-pairwise."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", _tok_arr().alias("t"))
+        .where(F.size("t") >= 3)
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("t", i),
+                    F.element_at("t", i + 1),
+                    F.element_at("t", i + 2),
+                ),
+            )
+        ).alias("gram"),
+    )
+    boiler = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= _BOILER_MIN_DOCS)
+        .select("gram", F.lit(True).alias("is_boiler"))
+    )
+    per = (
+        grams.join(boiler, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("is_boiler").alias("n_boiler"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_boiler",
+        F.expr("n_boiler * 1000000 DIV n_grams").alias("boiler_ppm"),
+    )
+
+
+# ------------------------------------------------------------------ #
+# p_dsir_selection
+# ------------------------------------------------------------------ #
+_DSIR_B = 256  # hashed-unigram buckets = first md5 byte
+
+_DSIR_BUCKET_SQL = (
+    "((instr('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(md5(w), 2, 1)) - 1))"
+)
+
+
+def _dsir_oracle() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, {TOKS} AS t FROM documents
+  WHERE text IS NOT NULL AND len({TOKS}) >= 1
+),
+tok AS (
+  SELECT doc_id, lang, unnest(t) AS w,
+         unnest(range(1, len(t) + 1)) AS pos
+  FROM d
+),
+tk AS (SELECT doc_id, lang, pos, {_DSIR_BUCKET_SQL} AS b FROM tok),
+tb AS (
+  SELECT b,
+         count(*) FILTER (WHERE lang = 'en') AS tcnt,
+         count(*) AS scnt
+  FROM tk GROUP BY b
+),
+tot AS (SELECT sum(tcnt) AS tt, sum(scnt) AS ss FROM tb),
+lw AS (
+  SELECT b, ln(((tcnt + 0.5e0) / (tt + 128.0e0))
+               / ((scnt + 0.5e0) / (ss + 128.0e0))) AS lwb
+  FROM tb, tot
+),
+pl AS (
+  SELECT tk.doc_id, tk.lang,
+         list_reduce(list(lw.lwb ORDER BY tk.pos), (a, x) -> a + x)
+           AS log_importance
+  FROM tk JOIN lw ON lw.b = tk.b
+  GROUP BY tk.doc_id, tk.lang
+)
+SELECT doc_id, lang, log_importance,
+       log_importance > 0.0e0 AS selected
+FROM pl
+"""
+
+
+@query("p_dsir_selection", _dsir_oracle())
+def p_dsir_selection(spark, sf_dir):
+    """DSIR-lite data selection: per-document log importance weight
+    log p_target/p_source under hashed-unigram (256-bucket) models,
+    target = lang='en'. The 256 bucket weights are computed on the
+    DRIVER with CPython libm ln (bit-identical to DuckDB's; JVM
+    Math.log is not guaranteed to be) and broadcast; the per-doc
+    score is a position-ordered float fold so both engines add in the
+    same order. Scale shape: one explode, one 256-row broadcast join,
+    one per-doc sort-fold — token-linear, never doc-pairwise."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "lang", _tok_arr().alias("t"))
+        .where(F.size("t") >= 1)
+    )
+    tk = docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode("t").alias("pos0", "w"),
+    ).select(
+        "doc_id",
+        "lang",
+        (F.col("pos0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5("w"), 1, 2), 16, 10)
+        .cast("long")
+        .alias("b"),
+    )
+    tb = (
+        tk.groupBy("b")
+        .agg(
+            F.count_if(F.col("lang") == "en").alias("tcnt"),
+            F.count(F.lit(1)).alias("scnt"),
+        )
+        .collect()
+    )
+    tt = sum(r["tcnt"] for r in tb)
+    ss = sum(r["scnt"] for r in tb)
+    lw = [
+        (
+            int(r["b"]),
+            math.log(
+                ((r["tcnt"] + 0.5) / (tt + 128.0))
+                / ((r["scnt"] + 0.5) / (ss + 128.0))
+            ),
+        )
+        for r in tb
+    ]
+    lw_df = spark.createDataFrame(lw, "b long, lwb double")
+    pl = (
+        tk.join(F.broadcast(lw_df), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "lwb"))
+                    ),
+                    lambda s: s["lwb"],
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("log_importance")
+        )
+    )
+    return pl.select(
+        "doc_id",
+        "lang",
+        "log_importance",
+        (F.col("log_importance") > 0.0).alias("selected"),
+    )
+
+
+# ------------------------------------------------------------------ #
+# report_calibration_bins
+# ------------------------------------------------------------------ #
+_STOP_SQL = "('" + "','".join(_STOPS) + "')"
+
+CALIB_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, {TOKS} AS t FROM documents
+  WHERE text IS NOT NULL AND len({TOKS}) >= 1
+),
+s AS (
+  SELECT doc_id, (lang = 'en') AS pos,
+         CAST(len(list_filter(t, w -> w IN {_STOP_SQL})) * 1000000
+              // len(t) AS BIGINT) AS p_ppm
+  FROM d
+),
+b AS (SELECT least(p_ppm // 100000, 9) AS bin, pos, p_ppm FROM s)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS n_pos,
+       CAST(sum(p_ppm) // count(*) AS BIGINT) AS mean_p_ppm,
+       CAST(count(*) FILTER (WHERE pos) * 1000000 // count(*) AS BIGINT)
+         AS pos_rate_ppm
+FROM b GROUP BY bin
+"""
+
+
+@query("report_calibration_bins", CALIB_ORACLE)
+def report_calibration_bins(spark, sf_dir):
+    """Reliability diagram for a stopword-density 'quality score'
+    against the lang='en' label: 10 score bins, per-bin volume, mean
+    score and empirical positive rate — the calibration check run on
+    every quality classifier before its threshold is trusted. All
+    arithmetic is integer ppm (DIV), so the bins are exact."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "lang", _tok_arr().alias("t"))
+        .where(F.size("t") >= 1)
+    )
+    stops = F.array(*[F.lit(s) for s in _STOPS])
+    s = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("pos"),
+        F.expr(
+            "size(filter(t, w -> array_contains("
+            + "array("
+            + ",".join(f"'{w}'" for w in _STOPS)
+            + "), w))) * 1000000 DIV size(t)"
+        ).alias("p_ppm"),
+    )
+    b = s.select(
+        F.least(F.expr("p_ppm DIV 100000"), F.lit(9)).alias("bin"),
+        "pos",
+        "p_ppm",
+    )
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if("pos").alias("n_pos"),
+        F.expr("sum(p_ppm) DIV count(1)").alias("mean_p_ppm"),
+        F.expr("count_if(pos) * 1000000 DIV count(1)").alias(
+            "pos_rate_ppm"
+        ),
+    )
+
+
+# ------------------------------------------------------------------ #
+# t_domain_top_ngrams
+# ------------------------------------------------------------------ #
+TOPNG_ORACLE = f"""
+WITH d AS (
+  SELECT source, {TOKS} AS t FROM documents
+  WHERE text IS NOT NULL AND len({TOKS}) >= 2
+),
+g AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM d
+),
+c AS (SELECT source, bigram, count(*) AS cnt FROM g GROUP BY 1, 2),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY cnt DESC, bigram ASC) AS rank
+  FROM c
+)
+SELECT source, bigram, CAST(cnt AS BIGINT) AS cnt,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+@query("t_domain_top_ngrams", TOPNG_ORACLE)
+def t_domain_top_ngrams(spark, sf_dir):
+    """Per-source top-5 bigrams (count DESC, bigram ASC): the corpus
+    roll-up used to eyeball domain boilerplate. One explode + one
+    (source, bigram) count + one per-source top-k window — map-side
+    combine does the heavy lifting; the window input is the distinct
+    bigram table, not the corpus."""
+    from pyspark.sql.window import Window
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("source", _tok_arr().alias("t"))
+        .where(F.size("t") >= 2)
+    )
+    g = docs.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("t", i), F.element_at("t", i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    c = g.groupBy("source", "bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("source").orderBy(
+        F.desc("cnt"), F.asc("bigram")
+    )
+    return (
+        c.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("source", "bigram", "cnt", F.col("rank").cast("long").alias("rank"))
+    )
