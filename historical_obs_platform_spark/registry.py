@@ -38,6 +38,7 @@ def load_all() -> None:
         curation3,
         curation4,
         curation5,
+        curation6,
         datasetops,
         datasetops2,
         graph,
