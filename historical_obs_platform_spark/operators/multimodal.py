@@ -322,6 +322,74 @@ def wav_stats(media: DataFrame, decoder=None) -> DataFrame:
     return media.mapInPandas(op, WAV_STATS_SCHEMA)
 
 
+VAD_SCHEMA = (
+    "media_id long, n_frames int, n_active int, n_segments int, "
+    "longest_run int, first_active int"
+)
+
+
+def wav_vad_segments(
+    media: DataFrame,
+    frame_len: int = 4,
+    energy_threshold: int = 1_200_000_000,
+    decoder=None,
+) -> DataFrame:
+    """Energy-threshold voice-activity segmentation over really-parsed
+    PCM: non-overlapping ``frame_len``-sample frames, frame energy =
+    sum of squared int16 samples (exact int64), a frame is ACTIVE when
+    energy > threshold, and active runs are the segments. Emits per
+    clip: frame count, active count, segment count, longest run, and
+    the 1-based first active frame (0 when silent). All arithmetic is
+    integer, so the whole segmentation is hash-checkable. Map-only
+    mapInPandas — audio bytes never shuffle."""
+    import numpy as np
+
+    dec = decoder if decoder is not None else WavPcmDecoder()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [],
+                "n_frames": [],
+                "n_active": [],
+                "n_segments": [],
+                "longest_run": [],
+                "first_active": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                try:
+                    decoded = dec.decode_one(bytes(content))
+                except Exception:
+                    decoded = None
+                if decoded is None:
+                    continue
+                _rate, s16 = decoded
+                s = s16.astype(np.int64)
+                n_f = len(s) // frame_len
+                if n_f == 0:
+                    continue
+                e = (s[: n_f * frame_len].reshape(n_f, frame_len) ** 2).sum(
+                    axis=1
+                )
+                act = e > energy_threshold
+                starts = act & ~np.concatenate(([False], act[:-1]))
+                grp = np.cumsum(starts)
+                runs = np.bincount(grp[act]) if act.any() else np.array([0])
+                out["media_id"].append(mid)
+                out["n_frames"].append(n_f)
+                out["n_active"].append(int(act.sum()))
+                out["n_segments"].append(int(starts.sum()))
+                out["longest_run"].append(int(runs.max()))
+                out["first_active"].append(
+                    int(np.argmax(act)) + 1 if act.any() else 0
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(op, VAD_SCHEMA)
+
+
 def ahash_ints(arr) -> tuple:
     """All-integer average-hash of a decoded pixel array: integer
     Rec.601 luma (299 R + 587 G + 114 B), bit p set iff

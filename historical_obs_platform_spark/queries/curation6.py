@@ -376,3 +376,235 @@ def t_domain_top_ngrams(spark, sf_dir):
         .where(F.col("rank") <= 5)
         .select("source", "bigram", "cnt", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ------------------------------------------------------------------ #
+# m_audio_vad_segments — energy-threshold VAD over really-parsed PCM
+# ------------------------------------------------------------------ #
+import struct as _struct  # noqa: E402
+
+from .qaqc_parity import _hexbyte  # noqa: E402
+
+_VAD_DATA_BYTES = 64  # 4 chained md5s -> 32 int16 samples -> 8 frames
+_VAD_HDR_HEX = (
+    b"RIFF"
+    + _struct.pack("<I", 36 + _VAD_DATA_BYTES)
+    + b"WAVE"
+    + b"fmt "
+    + _struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    + b"data"
+    + _struct.pack("<I", _VAD_DATA_BYTES)
+).hex()
+_VAD_THRESHOLD = 1_200_000_000  # ~0.28x the 4-sample max energy
+
+
+def _vad_oracle() -> str:
+    # sample k (1-based, 1..32) = LE int16 from hex bytes (2k-1, 2k)
+    def sample(k: int) -> str:
+        u = f"({_hexbyte('hx', 2 * k - 1)} + 256 * {_hexbyte('hx', 2 * k)})"
+        return f"(CASE WHEN {u} >= 32768 THEN {u} - 65536 ELSE {u} END)"
+
+    frame_es = []
+    for f in range(1, 9):
+        terms = " + ".join(
+            f"({sample(4 * (f - 1) + j)} * {sample(4 * (f - 1) + j)})"
+            for j in range(1, 5)
+        )
+        frame_es.append(f"CAST({terms} AS BIGINT)")
+    e_list = "[" + ", ".join(frame_es) + "]"
+    return f"""
+WITH src AS (
+  SELECT doc_id AS media_id,
+         md5(text) || md5(text || '1') || md5(text || '2')
+           || md5(text || '3') AS hx
+  FROM documents WHERE text IS NOT NULL
+),
+fr AS (
+  SELECT media_id,
+         unnest({e_list}) AS e,
+         unnest(range(1, 9)) AS fi
+  FROM src
+),
+a AS (
+  SELECT media_id, fi, (e > {_VAD_THRESHOLD}) AS act,
+         CASE WHEN e > {_VAD_THRESHOLD}
+                   AND NOT coalesce(lag(e > {_VAD_THRESHOLD})
+                     OVER (PARTITION BY media_id ORDER BY fi), FALSE)
+              THEN 1 ELSE 0 END AS is_start
+  FROM fr
+),
+g AS (
+  SELECT *, sum(is_start) OVER (PARTITION BY media_id ORDER BY fi) AS grp
+  FROM a
+),
+runs AS (
+  SELECT media_id, grp, count(*) AS len FROM g WHERE act
+  GROUP BY media_id, grp
+),
+agg AS (
+  SELECT media_id,
+         CAST(count(*) AS INTEGER) AS n_frames,
+         CAST(count(*) FILTER (WHERE act) AS INTEGER) AS n_active,
+         CAST(sum(is_start) AS INTEGER) AS n_segments,
+         CAST(coalesce(min(CASE WHEN act THEN fi END), 0) AS INTEGER)
+           AS first_active
+  FROM a GROUP BY media_id
+)
+SELECT agg.media_id, agg.n_frames, agg.n_active, agg.n_segments,
+       CAST(coalesce(max(runs.len), 0) AS INTEGER) AS longest_run,
+       agg.first_active
+FROM agg LEFT JOIN runs ON runs.media_id = agg.media_id
+GROUP BY agg.media_id, agg.n_frames, agg.n_active, agg.n_segments,
+         agg.first_active
+"""
+
+
+@query("m_audio_vad_segments", _vad_oracle())
+def m_audio_vad_segments(spark, sf_dir):
+    """Voice-activity segmentation over genuinely PARSED RIFF/WAVE
+    clips (32 int16 samples synthesized from chained md5s): 4-sample
+    frame energies, threshold gate, run-length segments — every number
+    integer-exact and recomputed by the oracle from the same md5
+    bytes. Map-only; audio bytes never shuffle."""
+    from ..operators import multimodal as MM
+
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.unhex(F.lit(_VAD_HDR_HEX)),
+            F.unhex(F.md5("text")),
+            F.unhex(F.md5(F.concat(F.col("text"), F.lit("1")))),
+            F.unhex(F.md5(F.concat(F.col("text"), F.lit("2")))),
+            F.unhex(F.md5(F.concat(F.col("text"), F.lit("3")))),
+        ).alias("content"),
+    )
+    return MM.wav_vad_segments(
+        media, frame_len=4, energy_threshold=_VAD_THRESHOLD
+    )
+
+
+# ------------------------------------------------------------------ #
+# s_rrf_fusion — reciprocal-rank fusion of cosine and inner-product
+# retrieval (Cormack et al., SIGIR'09): the standard way to combine
+# heterogeneous rankers without score calibration.
+# ------------------------------------------------------------------ #
+_RRF_K = 60
+_RRF_TOPK = 10
+
+_RRF_DOT = (
+    "list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)),"
+    " list_transform({b}, x -> CAST(x AS DOUBLE)))"
+)
+
+
+def _rrf_oracle() -> str:
+    dot_qc = _RRF_DOT.format(a="q.qe", b="c.embedding")
+    dot_qq = _RRF_DOT.format(a="q.qe", b="q.qe")
+    dot_cc = _RRF_DOT.format(a="c.embedding", b="c.embedding")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round({dot_qc} / (sqrt({dot_qq}) * sqrt({dot_cc})), 6) AS cs,
+         round({dot_qc}, 6) AS ip
+  FROM embeddings c, q WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cs DESC, neighbor_id) AS r_cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY ip DESC, neighbor_id) AS r_ip
+  FROM scored
+),
+fused AS (
+  SELECT query_id, neighbor_id, r_cos, r_ip,
+         1.0e0 / ({_RRF_K} + r_cos) + 1.0e0 / ({_RRF_K} + r_ip) AS rrf
+  FROM ranked
+)
+SELECT query_id, neighbor_id,
+       CAST(r_cos AS INTEGER) AS r_cos, CAST(r_ip AS INTEGER) AS r_ip,
+       rrf, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, neighbor_id) AS rank
+  FROM fused
+) WHERE rank <= {_RRF_TOPK}
+"""
+
+
+@query("s_rrf_fusion", _rrf_oracle())
+def s_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of the exact cosine ranking and the
+    exact inner-product (MIPS) ranking: rrf = 1/(60+r_cos) +
+    1/(60+r_ip), top-10 per query with deterministic tie-breaks.
+    The float rrf is a fixed two-term function of integer ranks, so it
+    is bit-identical across engines. ONE corpus x queries scoring pass
+    computes both scores; the two rankings are windows over the same
+    scored table — no second scan, no second shuffle (both windows
+    share the query_id partitioning)."""
+    from pyspark.sql.window import Window
+
+    from ..operators.similarity import as_double_array, dot, norm
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = (
+        emb.where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            as_double_array("embedding").alias("__qv"),
+        )
+        .withColumn("__qn", norm(F.col("__qv")))
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double_array("embedding").alias("__cv"),
+    ).withColumn("__cn", norm(F.col("__cv")))
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot(F.col("__qv"), F.col("__cv"))
+            / (F.col("__qn") * F.col("__cn")),
+            6,
+        ).alias("cs"),
+        F.round(dot(F.col("__qv"), F.col("__cv")), 6).alias("ip"),
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.desc("cs"), F.asc("neighbor_id")
+    )
+    w_ip = Window.partitionBy("query_id").orderBy(
+        F.desc("ip"), F.asc("neighbor_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(w_cos).alias("r_cos"),
+        F.row_number().over(w_ip).alias("r_ip"),
+    )
+    fused = ranked.withColumn(
+        "rrf",
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_cos"))
+        + F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_ip")),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w_f))
+        .where(F.col("rank") <= _RRF_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("r_cos").cast("int").alias("r_cos"),
+            F.col("r_ip").cast("int").alias("r_ip"),
+            "rrf",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

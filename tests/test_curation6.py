@@ -73,3 +73,50 @@ def test_top_ngrams_ranked_and_capped(spark):
             assert a["cnt"] > b["cnt"] or (
                 a["cnt"] == b["cnt"] and a["bigram"] < b["bigram"]
             )
+
+
+NEW_B = ["m_audio_vad_segments", "s_rrf_fusion"]
+
+
+@pytest.mark.parametrize("name", NEW_B)
+def test_oracle_match_b(spark, oracle_con, name):
+    assert_matches_oracle(spark, oracle_con, name, sf_dir=SF_DIR)
+
+
+def test_vad_segment_invariants(spark):
+    rows = registry.QUERIES["m_audio_vad_segments"](
+        spark, SF_DIR
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["n_frames"] == 8
+        assert 0 <= r["n_active"] <= r["n_frames"]
+        assert 0 <= r["n_segments"] <= (r["n_active"] + 1) // 1
+        assert r["longest_run"] <= r["n_active"]
+        if r["n_active"] == 0:
+            assert r["n_segments"] == 0 == r["longest_run"]
+            assert r["first_active"] == 0
+        else:
+            assert r["n_segments"] >= 1
+            assert r["longest_run"] >= 1
+            assert 1 <= r["first_active"] <= 8
+
+
+def test_rrf_beats_or_matches_either_ranker_on_self_agreement(spark):
+    """Where the two rankers agree on the top-1, RRF must keep it."""
+    rows = registry.QUERIES["s_rrf_fusion"](spark, SF_DIR).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert len(rs) == 10
+        top = rs[0]
+        for r in rs:
+            if r["r_cos"] == 1 and r["r_ip"] == 1:
+                assert r["rank"] == 1
+        # rrf formula holds exactly
+        for r in rs:
+            assert r["rrf"] == 1.0 / (60 + r["r_cos"]) + 1.0 / (
+                60 + r["r_ip"]
+            )
