@@ -608,3 +608,327 @@ def s_rrf_fusion(spark, sf_dir):
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# ------------------------------------------------------------------ #
+# m_image_resize_hash — decode -> nearest-neighbor downsample ->
+# re-hash, on really-decoded pixels (the thumbnail dedup key an image
+# pipeline computes before expensive perceptual hashing).
+# ------------------------------------------------------------------ #
+_PPM4_HDR_HEX = b"P6\n4 4\n255\n".hex()
+
+
+def _resize_oracle() -> str:
+    # NN downsample 4x4 -> 2x2 keeps pixels (0,0) (0,2) (2,0) (2,2):
+    # flat index p = 4r + c, pixel bytes 3p+1..3p+3, hex chars 6p+1..6p+6
+    parts = " || ".join(
+        f"substr(hx, {6 * p + 1}, 6)" for p in (0, 2, 8, 10)
+    )
+    lumas = []
+    for p in (0, 2, 8, 10):
+        r_ = _hexbyte("hx", 3 * p + 1)
+        g_ = _hexbyte("hx", 3 * p + 2)
+        b_ = _hexbyte("hx", 3 * p + 3)
+        lumas.append(f"(299 * {r_} + 587 * {g_} + 114 * {b_})")
+    luma_sum = " + ".join(lumas)
+    return f"""
+WITH src AS (
+  SELECT doc_id AS media_id,
+         md5(text) || md5(text || '1') || md5(text || '2') AS hx
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT media_id,
+       md5({parts}) AS resized_md5,
+       CAST({luma_sum} AS BIGINT) AS luma_sum
+FROM src
+"""
+
+
+@query("m_image_resize_hash", _resize_oracle())
+def m_image_resize_hash(spark, sf_dir):
+    """Thumbnail fingerprint: REAL PPM decode (4x4 from three chained
+    md5s), nearest-neighbor 2x downsample (arr[::2, ::2]), md5 of the
+    resized 12-byte RGB buffer + integer Rec.601 luma sum. The oracle
+    reassembles the identical 12 bytes from the same md5 hex and
+    rehashes — the decode + resize arithmetic is pinned bit-for-bit.
+    Map-only; pixels never shuffle."""
+    import hashlib as _hl
+
+    from ..operators import multimodal as MM
+
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.unhex(F.lit(_PPM4_HDR_HEX)),
+            F.unhex(F.md5("text")),
+            F.unhex(F.md5(F.concat(F.col("text"), F.lit("1")))),
+            F.unhex(F.md5(F.concat(F.col("text"), F.lit("2")))),
+        ).alias("content"),
+    )
+    dec = MM.PpmBmpDecoder()
+
+    def op(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "resized_md5": [], "luma_sum": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                try:
+                    d = dec._decode_one(bytes(content))
+                except Exception:
+                    d = None
+                if d is None:
+                    continue
+                w, h, arr = d
+                if w < 4 or h < 4:
+                    continue
+                small = arr[::2, ::2, :]
+                buf = small.tobytes()
+                luma = int(
+                    (
+                        299 * small[:, :, 0].astype("int64")
+                        + 587 * small[:, :, 1].astype("int64")
+                        + 114 * small[:, :, 2].astype("int64")
+                    ).sum()
+                )
+                out["media_id"].append(mid)
+                out["resized_md5"].append(
+                    _hl.md5(buf.hex().encode()).hexdigest()
+                )
+                out["luma_sum"].append(luma)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        op, "media_id long, resized_md5 string, luma_sum long"
+    )
+
+
+# ------------------------------------------------------------------ #
+# p_dp_counts — deterministic-noise differential-privacy release of
+# per-source document counts (Laplace mechanism, eps = 1, noise drawn
+# from md5-seeded inverse-CDF so both engines compute the same value).
+# ------------------------------------------------------------------ #
+_DP_EPS = 1.0
+
+
+def _dp_u_sql() -> str:
+    """uniform in [0,1): ((first 4 md5 bytes as uint32) + 0.5) / 2^32,
+    seeded by source || ':dp1'."""
+    h = "md5(source || ':dp1')"
+    b = [
+        f"(instr('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+        for i in range(1, 9)
+    ]
+    v = (
+        f"((({b[0]} * 16 + {b[1]}) * 16777216) + (({b[2]} * 16 + {b[3]})"
+        f" * 65536) + (({b[4]} * 16 + {b[5]}) * 256)"
+        f" + ({b[6]} * 16 + {b[7]}))"
+    )
+    return f"(({v} + 0.5e0) / 4294967296.0e0)"
+
+
+DP_ORACLE = f"""
+WITH c AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+),
+u AS (
+  SELECT source, n, {_dp_u_sql()} - 0.5e0 AS uc FROM c
+)
+SELECT source, CAST(n AS BIGINT) AS n,
+       n + (CASE WHEN uc < 0 THEN 1.0e0 ELSE -1.0e0 END
+            * ln(1.0e0 - 2.0e0 * abs(uc)) / {_DP_EPS!r}) AS dp_n,
+       greatest(n + (CASE WHEN uc < 0 THEN 1.0e0 ELSE -1.0e0 END
+            * ln(1.0e0 - 2.0e0 * abs(uc)) / {_DP_EPS!r}), 0.0e0)
+         AS dp_n_clipped
+FROM u
+"""
+
+
+@query("p_dp_counts", DP_ORACLE)
+def p_dp_counts(spark, sf_dir):
+    """Laplace-mechanism count release per source (eps=1) with
+    DETERMINISTIC md5-seeded noise: u = (first-4-md5-bytes + 0.5)/2^32,
+    noise = sign * ln(1 - 2|u - 0.5|) (inverse CDF). The noise is
+    computed DRIVER-SIDE per source (dimension-sized) with CPython
+    libm ln — bit-identical to the oracle's. The release pattern every
+    privacy-reviewed stats endpoint uses; deterministic seeding makes
+    it testable."""
+    import hashlib as _hl
+
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    rows = []
+    for r in counts:
+        src, n = r["source"], int(r["n"])
+        v = int(_hl.md5(f"{src}:dp1".encode()).hexdigest()[:8], 16)
+        uc = (v + 0.5) / 4294967296.0 - 0.5
+        sign = 1.0 if uc < 0 else -1.0
+        noise = sign * math.log(1.0 - 2.0 * abs(uc)) / _DP_EPS
+        dp_n = n + noise
+        rows.append((src, n, dp_n, max(dp_n, 0.0)))
+    return spark.createDataFrame(
+        rows, "source string, n long, dp_n double, dp_n_clipped double"
+    )
+
+
+# ------------------------------------------------------------------ #
+# d_lsh_band_planner — the design harness behind every MinHash-LSH
+# deployment: for each banding of 32 hashes, the collision probability
+# curve p(J) = 1 - (1 - J^r)^b over a Jaccard grid, plus the curve's
+# threshold (the J where p crosses 1/2). Lets an operator pick bands
+# for a target similarity cutoff BEFORE running the corpus job.
+# ------------------------------------------------------------------ #
+_PLAN_N_HASHES = 32
+_PLAN_BANDS = (1, 2, 4, 8, 16, 32)
+
+
+def _planner_oracle() -> str:
+    rows = []
+    for b in _PLAN_BANDS:
+        r = _PLAN_N_HASHES // b
+        for jt in range(1, 10):
+            rows.append(
+                f"SELECT {b} AS bands, {r} AS rows_per_band,"
+                f" {jt} AS j_tenths,"
+                f" power(1.0e0 - power({jt} * 0.1e0, {float(r)!r}),"
+                f" {float(b)!r}) AS p_miss"
+            )
+    unioned = " UNION ALL ".join(rows)
+    return f"""
+SELECT CAST(bands AS INTEGER) AS bands,
+       CAST(rows_per_band AS INTEGER) AS rows_per_band,
+       CAST(j_tenths AS INTEGER) AS j_tenths,
+       1.0e0 - p_miss AS p_collide
+FROM ({unioned})
+"""
+
+
+@query("d_lsh_band_planner", _planner_oracle())
+def d_lsh_band_planner(spark, sf_dir):
+    """Analytic LSH banding curves p(J) = 1 - (1 - J^r)^b for every
+    banding of 32 minhashes over J in 0.1..0.9 — computed driver-side
+    with CPython libm pow (verified bit-identical to DuckDB power).
+    Pure planning table (54 rows); pairs with d_lsh_recall, which
+    MEASURES the curve the planner predicts."""
+    rows = []
+    for b in _PLAN_BANDS:
+        r = _PLAN_N_HASHES // b
+        for jt in range(1, 10):
+            p_miss = math.pow(
+                1.0 - math.pow(jt * 0.1, float(r)), float(b)
+            )
+            rows.append((b, r, jt, 1.0 - p_miss))
+    return spark.createDataFrame(
+        rows,
+        "bands int, rows_per_band int, j_tenths int, p_collide double",
+    )
+
+
+# ------------------------------------------------------------------ #
+# o24_schema_drift — snapshot-over-snapshot column health: null-rate
+# drift per column between the "old" (even event_id) and "new" (odd)
+# halves of events — the data-contract monitor that catches a
+# upstream schema/quality change before it poisons training data.
+# ------------------------------------------------------------------ #
+_DRIFT_COLS = ("ts", "user_id", "event_type", "value", "props")
+
+def _o24_oracle() -> str:
+    legs = []
+    for c in _DRIFT_COLS:
+        legs.append(
+            f"SELECT snap, '{c}' AS col, sum(n_{c}) AS nulls,"
+            " count(*) AS n_rows FROM halves GROUP BY snap"
+        )
+    unioned = " UNION ALL ".join(legs)
+    nulls_cols = ",\n".join(
+        f"         CASE WHEN {c} IS NULL THEN 1 ELSE 0 END AS n_{c}"
+        for c in _DRIFT_COLS
+    )
+    return f"""
+WITH halves AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN 'old' ELSE 'new' END AS snap,
+{nulls_cols}
+  FROM events
+),
+per AS ({unioned}),
+w AS (
+  SELECT col,
+    max(CASE WHEN snap = 'old' THEN nulls END) AS old_nulls,
+    max(CASE WHEN snap = 'old' THEN n_rows END) AS old_rows,
+    max(CASE WHEN snap = 'new' THEN nulls END) AS new_nulls,
+    max(CASE WHEN snap = 'new' THEN n_rows END) AS new_rows
+  FROM per GROUP BY col
+)
+SELECT col,
+  CAST(old_nulls AS BIGINT) AS old_nulls,
+  CAST(old_rows AS BIGINT) AS old_rows,
+  CAST(new_nulls AS BIGINT) AS new_nulls,
+  CAST(new_rows AS BIGINT) AS new_rows,
+  CAST(old_nulls * 1000000 // old_rows AS BIGINT) AS old_null_ppm,
+  CAST(new_nulls * 1000000 // new_rows AS BIGINT) AS new_null_ppm,
+  CAST(new_nulls * 1000000 // new_rows
+       - old_nulls * 1000000 // old_rows AS BIGINT) AS drift_ppm
+FROM w
+"""
+
+
+O24_ORACLE = _o24_oracle()
+
+
+@query("o24_schema_drift", O24_ORACLE)
+def o24_schema_drift(spark, sf_dir):
+    """Null-rate drift per column between consecutive snapshots (even
+    vs odd event_id halves stand in for yesterday/today): exact ppm
+    null rates and their delta. ONE pass: per-row 0/1 null indicators
+    fold in a single grouped sum (map-side combinable), then the tiny
+    per-column table pivots old vs new — the unpivot-then-two-stage
+    shape o13_table_profile proved 3x faster than EXPAND."""
+    ev = table(spark, sf_dir, "events")
+    snap = F.when(
+        F.col("event_id") % 2 == 0, F.lit("old")
+    ).otherwise(F.lit("new"))
+    aggd = ev.select(
+        snap.alias("snap"),
+        *[
+            F.when(F.col(c).isNull(), 1).otherwise(0).alias(f"n_{c}")
+            for c in _DRIFT_COLS
+        ],
+    ).groupBy("snap").agg(
+        *[F.sum(f"n_{c}").alias(f"n_{c}") for c in _DRIFT_COLS],
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    per = aggd.unpivot(
+        ["snap", "n_rows"],
+        [f"n_{c}" for c in _DRIFT_COLS],
+        "ncol",
+        "nulls",
+    ).select(
+        "snap",
+        F.expr("substring(ncol, 3)").alias("col"),
+        "nulls",
+        "n_rows",
+    )
+    w = per.groupBy("col").agg(
+        F.max(F.when(F.col("snap") == "old", F.col("nulls"))).alias("old_nulls"),
+        F.max(F.when(F.col("snap") == "old", F.col("n_rows"))).alias("old_rows"),
+        F.max(F.when(F.col("snap") == "new", F.col("nulls"))).alias("new_nulls"),
+        F.max(F.when(F.col("snap") == "new", F.col("n_rows"))).alias("new_rows"),
+    )
+    return w.select(
+        "col",
+        "old_nulls",
+        "old_rows",
+        "new_nulls",
+        "new_rows",
+        F.expr("old_nulls * 1000000 DIV old_rows").alias("old_null_ppm"),
+        F.expr("new_nulls * 1000000 DIV new_rows").alias("new_null_ppm"),
+        F.expr(
+            "new_nulls * 1000000 DIV new_rows"
+            " - old_nulls * 1000000 DIV old_rows"
+        ).alias("drift_ppm"),
+    )

@@ -120,3 +120,53 @@ def test_rrf_beats_or_matches_either_ranker_on_self_agreement(spark):
             assert r["rrf"] == 1.0 / (60 + r["r_cos"]) + 1.0 / (
                 60 + r["r_ip"]
             )
+
+
+NEW_C = [
+    "m_image_resize_hash",
+    "p_dp_counts",
+    "d_lsh_band_planner",
+    "o24_schema_drift",
+]
+
+
+@pytest.mark.parametrize("name", NEW_C)
+def test_oracle_match_c(spark, oracle_con, name):
+    assert_matches_oracle(spark, oracle_con, name, sf_dir=SF_DIR)
+
+
+def test_dp_counts_noise_bounded_and_deterministic(spark):
+    rows = registry.QUERIES["p_dp_counts"](spark, SF_DIR).collect()
+    rows2 = registry.QUERIES["p_dp_counts"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+    for r in rows:
+        assert r["dp_n_clipped"] >= 0.0
+        assert r["dp_n_clipped"] == max(r["dp_n"], 0.0)
+        # Laplace(1) noise at u in (0,1): |noise| = |ln(1-2|u-.5|)|,
+        # bounded by ln(2^33) ~ 22.9 for the 32-bit grid
+        assert abs(r["dp_n"] - r["n"]) < 23.0
+
+
+def test_lsh_band_planner_curve_shape(spark):
+    rows = registry.QUERIES["d_lsh_band_planner"](spark, SF_DIR).collect()
+    assert len(rows) == 54
+    by_band: dict = {}
+    for r in rows:
+        assert r["bands"] * r["rows_per_band"] == 32
+        assert 0.0 <= r["p_collide"] <= 1.0
+        by_band.setdefault(r["bands"], []).append(r)
+    for b, rs in by_band.items():
+        rs.sort(key=lambda r: r["j_tenths"])
+        # p(J) is monotone nondecreasing in J for every banding
+        for a, c in zip(rs, rs[1:]):
+            assert a["p_collide"] <= c["p_collide"]
+
+
+def test_schema_drift_identities(spark):
+    rows = registry.QUERIES["o24_schema_drift"](spark, SF_DIR).collect()
+    assert {r["col"] for r in rows} == {
+        "ts", "user_id", "event_type", "value", "props"
+    }
+    for r in rows:
+        assert r["old_rows"] + r["new_rows"] > 0
+        assert r["drift_ppm"] == r["new_null_ppm"] - r["old_null_ppm"]
