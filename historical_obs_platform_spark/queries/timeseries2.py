@@ -470,3 +470,192 @@ def w23_holt_smoothing(spark, sf_dir):
         "user_id", "n_obs", "level", "trend",
         (F.col("level") + F.col("trend")).alias("forecast"),
     )
+
+
+# --------------------------------------------------------------------
+# w24: 1-D Kalman filter (random-walk state, Q=0.1, R=1.0) — the
+# online denoiser streaming telemetry pipelines run before
+# thresholding. The covariance recursion is data-independent
+#     p_pred = p + Q;  k = p_pred / (p_pred + R);  p' = (1-k)·p_pred
+# so the gain sequence is shared by every series; the state fold
+#     x' = x + k·(z − x)
+# vectorizes time-major across users exactly like w23's Holt fold.
+# The oracle replays BOTH recursions in one recursive CTE — every
+# step is the same IEEE expression tree on both engines, so the
+# result is bit-identical with no quantization at all.
+# --------------------------------------------------------------------
+KALMAN_ORACLE = """
+WITH RECURSIVE o AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), value) AS rn
+  FROM events
+),
+n AS (SELECT user_id, max(rn) AS n_obs FROM o GROUP BY user_id),
+s AS (
+  SELECT user_id, rn, CAST(value AS DOUBLE) AS x,
+         CAST(1.0 AS DOUBLE) AS p
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn,
+         s.x + ((s.p + 0.1e0) / ((s.p + 0.1e0) + 1.0e0))
+               * (o.value - s.x) AS x,
+         (1.0e0 - ((s.p + 0.1e0) / ((s.p + 0.1e0) + 1.0e0)))
+           * (s.p + 0.1e0) AS p
+  FROM s JOIN o ON o.user_id = s.user_id AND o.rn = s.rn + 1
+)
+SELECT s.user_id, CAST(n.n_obs AS BIGINT) AS n_obs,
+       s.x AS state, s.p AS variance
+FROM s JOIN n ON s.user_id = n.user_id AND s.rn = n.n_obs
+"""
+
+
+def _kalman_per_bucket(pdf):
+    """Kalman fold over one salted bucket, time-major vectorized: the
+    shared gain sequence k_i comes from the data-independent
+    covariance recursion (computed once per bucket in scalar Python —
+    identical IEEE ops to the oracle's CTE), then one numpy pass per
+    time step updates every user's state at once."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.drop(columns="__b")
+    if len(pdf) == 0:
+        return pd.DataFrame(
+            {"user_id": pd.Series(dtype="int64"),
+             "n_obs": pd.Series(dtype="int64"),
+             "state": pd.Series(dtype="float64"),
+             "variance": pd.Series(dtype="float64")}
+        )
+    pdf = pdf.sort_values(
+        ["user_id", "us", "value"], kind="mergesort", ignore_index=True
+    )
+    uidx, uids = pd.factorize(pdf["user_id"], sort=False)
+    rn = pdf.groupby("user_id", sort=False).cumcount().to_numpy()
+    counts = np.bincount(uidx)
+    n_users, m = len(uids), int(rn.max()) + 1
+    V = np.zeros((m, n_users))
+    V[rn, uidx] = pdf["value"].to_numpy()
+    # shared covariance/gain sequence (scalar, data-independent)
+    gains = np.zeros(m)
+    pvar = np.ones(m)
+    p = 1.0
+    for i in range(1, m):
+        p_pred = p + 0.1
+        k = p_pred / (p_pred + 1.0)
+        p = (1.0 - k) * p_pred
+        gains[i] = k
+        pvar[i] = p
+    x = V[0].copy()
+    for i in range(1, m):
+        act = counts > i
+        z, xi = V[i, act], x[act]
+        x[act] = xi + gains[i] * (z - xi)
+    var_final = np.where(counts > 1, pvar[np.minimum(counts - 1, m - 1)], 1.0)
+    return pd.DataFrame(
+        {"user_id": uids, "n_obs": counts.astype("int64"),
+         "state": x, "variance": var_final}
+    )
+
+
+@query("w24_kalman_filter", KALMAN_ORACLE)
+def w24_kalman_filter(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "value",
+    )
+    res = (
+        ev.withColumn("__b", F.pmod(F.col("user_id"), F.lit(32)))
+        .groupBy("__b")
+        .applyInPandas(
+            _kalman_per_bucket,
+            "user_id bigint, n_obs bigint, state double, variance double",
+        )
+    )
+    return res.select("user_id", "n_obs", "state", "variance")
+
+
+# --------------------------------------------------------------------
+# a30: Benford first-digit conformance — the fraud/data-quality screen
+# for financial-looking columns: observed first-digit counts of
+# lineitem price cents vs Benford's log10(1+1/d), chi-square statistic
+# with the digit terms summed in digit order. Counts are exact
+# integers; the expected frequencies are driver-computed doubles
+# embedded in the oracle as CAST(repr AS DOUBLE) literals (bare SQL
+# decimal literals parse as DECIMAL), and the chi2 fold is a
+# Python-generated nested-paren sum so both engines add in the same
+# order. The Spark side computes the 9-term statistic DRIVER-SIDE
+# from the collected digit counts (dimension-sized driver math).
+# --------------------------------------------------------------------
+import math as _math  # noqa: E402
+
+_BENFORD_E = [_math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+_CHI2_CRIT_8DF_05 = 15.50731305586545  # chi2.ppf(0.95, 8)
+
+
+def _benford_oracle() -> str:
+    e_lits = {
+        d: f"CAST('{_BENFORD_E[d - 1]!r}' AS DOUBLE)" for d in range(1, 10)
+    }
+    terms = []
+    for d in range(1, 10):
+        e = e_lits[d]
+        terms.append(
+            f"((max(CASE WHEN digit = {d} THEN nd ELSE 0 END)"
+            f" - {e} * max(nt))"
+            f" * (max(CASE WHEN digit = {d} THEN nd ELSE 0 END)"
+            f" - {e} * max(nt)) / ({e} * max(nt)))"
+        )
+    fold = terms[0]
+    for t in terms[1:]:
+        fold = f"({fold} + {t})"
+    return f"""
+WITH c AS (
+  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM lineitem WHERE l_extendedprice > 0
+),
+h AS (
+  SELECT digit, count(*) AS nd, sum(count(*)) OVER () AS nt
+  FROM c GROUP BY digit
+)
+SELECT CAST(max(nt) AS BIGINT) AS n_total,
+       {fold} AS chi2,
+       {fold} > CAST('{_CHI2_CRIT_8DF_05!r}' AS DOUBLE) AS reject_05
+FROM h
+"""
+
+
+@query("a30_benford_chi2", _benford_oracle())
+def a30_benford_chi2(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice") > 0
+    )
+    counts = (
+        li.select(
+            F.substring(
+                F.round(F.col("l_extendedprice") * 100)
+                .cast("long")
+                .cast("string"),
+                1,
+                1,
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .collect()
+    )
+    nd = {int(r["digit"]): int(r["nd"]) for r in counts}
+    n_total = sum(nd.values())
+    chi2 = None
+    for d in range(1, 10):
+        e_n = _BENFORD_E[d - 1] * n_total
+        term = (nd.get(d, 0) - e_n) * (nd.get(d, 0) - e_n) / e_n
+        chi2 = term if chi2 is None else chi2 + term
+    return spark.createDataFrame(
+        [(n_total, chi2, chi2 > _CHI2_CRIT_8DF_05)],
+        "n_total long, chi2 double, reject_05 boolean",
+    )

@@ -199,3 +199,58 @@ def test_coreset_live_persisted_blocks_bounded(spark, monkeypatch):
     assert len(out) >= 1
     assert peak["v"] <= 2, f"held {peak['v']} persisted sets at once"
     assert live == set(), "persisted blocks leaked past the query"
+
+
+def test_kalman_vectorized_bit_identical_to_scalar_fold():
+    """w24's time-major Kalman must equal the per-user scalar
+    recurrence bit-for-bit (same IEEE expression tree)."""
+    from historical_obs_platform_spark.queries.timeseries2 import (
+        _kalman_per_bucket,
+    )
+
+    rng = np.random.default_rng(20260815)
+    for trial in range(10):
+        rows = []
+        n_users = int(rng.integers(1, 30))
+        for u in range(n_users):
+            n = int(rng.integers(1, 150))
+            vals = rng.standard_normal(n) * (
+                10.0 ** float(rng.integers(-6, 7))
+            )
+            for i, v in enumerate(vals):
+                rows.append((u, i, float(v)))
+        pdf = pd.DataFrame(rows, columns=["user_id", "us", "value"])
+        pdf["__b"] = 0
+        pdf = pdf.sample(frac=1.0, random_state=trial).reset_index(
+            drop=True
+        )
+        got = _kalman_per_bucket(pdf).set_index("user_id")
+        for u in range(n_users):
+            vals = (
+                pdf[pdf["user_id"] == u]
+                .sort_values(["us", "value"], kind="mergesort")["value"]
+                .to_list()
+            )
+            x, p = vals[0], 1.0
+            for z in vals[1:]:
+                p_pred = p + 0.1
+                k = p_pred / (p_pred + 1.0)
+                x = x + k * (z - x)
+                p = (1.0 - k) * p_pred
+            assert got.loc[u, "state"] == x
+            assert got.loc[u, "variance"] == p
+            assert got.loc[u, "n_obs"] == len(vals)
+
+
+def test_benford_identities(spark):
+    from historical_obs_platform_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["a30_benford_chi2"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_total"] > 0
+    assert r["chi2"] >= 0.0
+    assert r["reject_05"] == (r["chi2"] > 15.50731305586545)
