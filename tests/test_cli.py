@@ -100,9 +100,10 @@ def test_cli_query_and_listing(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "q6_forecast_revenue\toracle" in out
     # the full chain gained an exact oracle in round 2; the
-    # IIR-filtered clim-outlier island stays rows-only by design
+    # round 5: the IIR clim-outlier island gained a recursive-CTE
+    # oracle (exact mode), so the listing shows oracle for it too
     assert "chain_qaqc_merge_events\toracle" in out
-    assert "w13_clim_outlier\trows-only" in out
+    assert "w13_clim_outlier\toracle" in out
     rc = main(["query", "--name", "nope"], spark=spark)
     assert rc == 2
 
