@@ -932,3 +932,127 @@ def o24_schema_drift(spark, sf_dir):
             " - old_nulls * 1000000 DIV old_rows"
         ).alias("drift_ppm"),
     )
+
+
+# ------------------------------------------------------------------ #
+# t_bpe_train_encode — a REAL byte-pair-encoding trainer + encoder,
+# fully relational and oracle-checked. Symbols start as the document's
+# words; each of 8 rounds finds the corpus-wide most frequent adjacent
+# symbol pair (count DESC, pair ASC tie-break) and merges every
+# non-overlapping left-to-right occurrence — the exact BPE training
+# loop (Sennrich et al. 2016), at word granularity so the synthetic
+# corpus yields meaningful merges.
+#
+# Determinism spine: symbol sequences are rendered as '<tok><tok>...'
+# strings, so one string replace('<x><y>', '<xy>') IS the BPE merge
+# with exact token boundaries (both engines' replace() is leftmost
+# non-overlapping); pair counts are integers; the round's winner is a
+# scalar subquery in the oracle and a collected 1-row driver action in
+# Spark (the coreset pattern). Scale shape: per round one corpus scan
+# for pair counts (explode -> count, map-side combinable) + one
+# map-only rewrite; rounds are a fixed constant.
+# ------------------------------------------------------------------ #
+_BPE_ROUNDS = 8
+
+
+def _bpe_corpus_sql() -> str:
+    return (
+        "SELECT doc_id, '<' || array_to_string({toks}, '><') || '>' AS s"
+        " FROM documents WHERE text IS NOT NULL AND len({toks}) >= 1"
+    ).format(toks=TOKS)
+
+
+def _bpe_oracle() -> str:
+    parts = [f"c0 AS MATERIALIZED ({_bpe_corpus_sql()})"]
+    for r in range(1, _BPE_ROUNDS + 1):
+        prev = f"c{r - 1}"
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT '<' || l[i] || '><' || l[i + 1] || '>' AS pair, count(*) AS cnt
+  FROM (
+    SELECT string_split(substr(s, 2, length(s) - 2), '><') AS l
+    FROM {prev}
+  ), unnest(range(1, len(l))) AS t(i)
+  GROUP BY 1
+),
+m{r} AS MATERIALIZED (
+  SELECT pair FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1
+),
+c{r} AS MATERIALIZED (
+  SELECT doc_id,
+         replace(s, coalesce((SELECT pair FROM m{r}), chr(1)),
+                 coalesce('<' || replace(replace(
+                            (SELECT pair FROM m{r}), '><', ''),
+                          '<', ''), chr(1))
+                 ) AS s
+  FROM {prev}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT doc_id,
+       CAST(len(string_split(s, '><')) AS BIGINT) AS n_symbols,
+       md5(s) AS encoded_md5
+FROM c{_BPE_ROUNDS}
+"""
+    )
+
+
+@query("t_bpe_train_encode", _bpe_oracle())
+def t_bpe_train_encode(spark, sf_dir):
+    """Train 8 BPE merges on the corpus and encode every document with
+    them; emit the post-merge symbol count and a fingerprint of the
+    encoded sequence. Each round: one integer pair-count aggregation
+    (the winner collected driver-side, 1 row), one map-only string
+    rewrite. The oracle unrolls the same rounds with scalar-subquery
+    winners — training AND encoding are hash-checked end-to-end."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", _tok_arr().alias("t"))
+        .where(F.size("t") >= 1)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("<"), F.array_join("t", "><"), F.lit(">")
+            ).alias("s"),
+        )
+    )
+    # each round: split ONCE per row (zip_with over shifted slices —
+    # re-splitting per element made the pair scan O(len^2) per doc),
+    # and checkpoint the rewrite so round r's count job and the final
+    # encode don't re-execute rounds 1..r-1 (measured 47 s -> ~4 s at
+    # sf0.1)
+    cur = docs.localCheckpoint(eager=False)
+    pair_expr = F.expr(
+        "zip_with(slice(l, 1, size(l) - 1), slice(l, 2, size(l) - 1),"
+        " (x, y) -> concat('<', x, '><', y, '>'))"
+    )
+    for _ in range(_BPE_ROUNDS):
+        sp = cur.select(
+            F.split(
+                F.expr("substring(s, 2, length(s) - 2)"), "><"
+            ).alias("l")
+        ).where(F.size("l") >= 2)
+        best = (
+            sp.select(F.explode(pair_expr).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair = best[0]["pair"]
+        merged = "<" + pair.replace("><", "").replace("<", "").replace(">", "") + ">"
+        cur = cur.select(
+            "doc_id", F.replace(F.col("s"), F.lit(pair), F.lit(merged)).alias("s")
+        ).localCheckpoint(eager=False)
+    return cur.select(
+        "doc_id",
+        F.size(F.split("s", "><")).cast("long").alias("n_symbols"),
+        F.md5("s").alias("encoded_md5"),
+    )

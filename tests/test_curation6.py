@@ -181,3 +181,28 @@ def test_kcore_all_survivors_have_degree_k(spark):
     assert rows
     for r in rows:
         assert r["degree"] >= 1
+
+
+def test_bpe_oracle_match(spark, oracle_con):
+    assert_matches_oracle(spark, oracle_con, "t_bpe_train_encode", sf_dir=SF_DIR)
+
+
+def test_bpe_merges_reduce_symbol_count(spark):
+    """Encoding with 8 learned merges must shrink at least some docs
+    (the corpus has frequent adjacent word pairs), never grow any."""
+    from pyspark.sql import functions as F
+
+    from historical_obs_platform_spark.queries.common import table
+    from historical_obs_platform_spark.queries.curation6 import _tok_arr
+
+    before = (
+        table(spark, SF_DIR, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.size(_tok_arr()).alias("n0"))
+        .where(F.col("n0") >= 1)
+    )
+    after = registry.QUERIES["t_bpe_train_encode"](spark, SF_DIR)
+    j = after.join(before, "doc_id").collect()
+    assert j
+    assert all(r["n_symbols"] <= r["n0"] for r in j)
+    assert any(r["n_symbols"] < r["n0"] for r in j)
