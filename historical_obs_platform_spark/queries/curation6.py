@@ -1056,3 +1056,177 @@ def t_bpe_train_encode(spark, sf_dir):
         F.size(F.split("s", "><")).cast("long").alias("n_symbols"),
         F.md5("s").alias("encoded_md5"),
     )
+
+
+# ------------------------------------------------------------------ #
+# a31_gini_revenue — Gini coefficient of per-customer revenue, the
+# concentration statistic behind "how skewed is this domain/source"
+# curation decisions. Exact integer spine: revenue in cents, ranks by
+# (cents, custkey), Gini = (2*Sum(i*x_i) - (n+1)*Sum(x_i)) / (n*Sum(x_i))
+# emitted as exact BIGINT numerator/denominator plus their one-float-
+# division ratio. Ties in cents leave Sum(i*x_i) invariant, so the
+# rank tie-break never matters.
+# ------------------------------------------------------------------ #
+A31_ORACLE = """
+WITH rev AS (
+  SELECT o.o_custkey AS cust,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey
+),
+r AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, cust) AS i
+  FROM rev
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(2 * sum(i * cents) - (count(*) + 1) * sum(cents)
+            AS BIGINT) AS gini_num,
+       CAST(count(*) * sum(cents) AS BIGINT) AS gini_den,
+       CAST(2 * sum(i * cents) - (count(*) + 1) * sum(cents) AS DOUBLE)
+         / (count(*) * sum(cents)) AS gini
+FROM r
+"""
+
+
+@query("a31_gini_revenue", A31_ORACLE)
+def a31_gini_revenue(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+    )
+    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rev = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    # Global ascending rank WITHOUT a single-partition window (the
+    # a27 replaces-global-sort pattern): range-partition by the total
+    # key, rank locally per partition (parallel windows), then add
+    # driver-computed partition offsets (32 rows). Range boundaries
+    # are sampled (nondeterministic sizes) but local-rank + offset is
+    # the exact global rank for ANY boundaries since the key order is
+    # total.
+    rp = (
+        rev.repartitionByRange(32, F.col("cents"), F.col("cust"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # pid must not be recomputed
+    )
+    loc = rp.withColumn(
+        "lr",
+        F.row_number().over(
+            Window.partitionBy("pid").orderBy("cents", "cust")
+        ),
+    )
+    sizes = {
+        int(x["pid"]): int(x["c"])
+        for x in rp.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    off, acc = {}, 0
+    for p in sorted(sizes):
+        off[p] = acc
+        acc += sizes[p]
+    off_df = spark.createDataFrame(
+        sorted(off.items()), "pid int, off long"
+    )
+    r = loc.join(F.broadcast(off_df), "pid").select(
+        "cents", (F.col("off") + F.col("lr")).alias("i")
+    )
+    agg = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("i") * F.col("cents")).cast("long").alias("six"),
+        F.sum("cents").cast("long").alias("sx"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        (F.lit(2) * F.col("six") - (F.col("n") + 1) * F.col("sx"))
+        .cast("long")
+        .alias("gini_num"),
+        (F.col("n") * F.col("sx")).cast("long").alias("gini_den"),
+        (
+            (F.lit(2) * F.col("six") - (F.col("n") + 1) * F.col("sx"))
+            .cast("double")
+            / (F.col("n") * F.col("sx"))
+        ).alias("gini"),
+    )
+
+
+# ------------------------------------------------------------------ #
+# w25_rolling_zscore_alerts — streaming-telemetry alerting batch twin:
+# per user, a 24-observation trailing window's mean/std from EXACT
+# integer sums (cents, cents^2 — both BIGINT), alert when the current
+# observation sits more than 2 sigma from the trailing mean with a
+# full window. Window arithmetic never sums floats, so there is no
+# segment-tree-vs-running-sum divergence between engines; the only
+# float ops are the final mean/var/sqrt chain on identical integers.
+# ------------------------------------------------------------------ #
+W25_ORACLE = """
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+w AS (
+  SELECT user_id, us, cents,
+         sum(cents) OVER win AS s1,
+         sum(cents * cents) OVER win AS s2,
+         count(*) OVER win AS n
+  FROM t
+  WINDOW win AS (PARTITION BY user_id ORDER BY us, cents
+                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+),
+z AS (
+  SELECT user_id, us, cents, n,
+         CAST(s1 AS DOUBLE) / n AS mean,
+         sqrt(greatest(CAST(s2 AS DOUBLE) / n
+              - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+              0.0e0)) AS sd
+  FROM w
+)
+SELECT user_id, us, cents, mean, sd
+FROM z
+WHERE n = 24 AND abs(cents - mean) > 2.0e0 * sd
+"""
+
+
+@query("w25_rolling_zscore_alerts", W25_ORACLE)
+def w25_rolling_zscore_alerts(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "cents")
+        .rowsBetween(-23, 0)
+    )
+    w = ev.select(
+        "user_id",
+        "us",
+        "cents",
+        F.sum("cents").over(win).alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).over(win).alias("s2"),
+        F.count(F.lit(1)).over(win).alias("n"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    sd = F.sqrt(
+        F.greatest(
+            F.col("s2").cast("double") / F.col("n") - mean * mean,
+            F.lit(0.0),
+        )
+    )
+    z = w.select(
+        "user_id", "us", "cents", "n",
+        mean.alias("mean"), sd.alias("sd"),
+    )
+    return z.where(
+        (F.col("n") == 24)
+        & (F.abs(F.col("cents") - F.col("mean")) > 2.0 * F.col("sd"))
+    ).select("user_id", "us", "cents", "mean", "sd")

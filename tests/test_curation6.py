@@ -206,3 +206,20 @@ def test_bpe_merges_reduce_symbol_count(spark):
     assert j
     assert all(r["n_symbols"] <= r["n0"] for r in j)
     assert any(r["n_symbols"] < r["n0"] for r in j)
+
+
+def test_gini_identities(spark):
+    rows = registry.QUERIES["a31_gini_revenue"](spark, SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n"] > 0 and r["gini_den"] > 0
+    assert 0.0 <= r["gini"] <= 1.0
+    assert r["gini"] == r["gini_num"] / r["gini_den"]
+
+
+def test_zscore_alerts_are_outliers(spark):
+    rows = registry.QUERIES["w25_rolling_zscore_alerts"](
+        spark, SF_DIR
+    ).collect()
+    for r in rows:
+        assert abs(r["cents"] - r["mean"]) > 2.0 * r["sd"]
