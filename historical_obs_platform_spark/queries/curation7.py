@@ -1,0 +1,461 @@
+"""Round-5 batch 2 — corpus statistics and curation operators:
+
+- a30_cramers_v — chi-square test of independence + Cramér's V over
+  the documents lang × source contingency table. Every observed /
+  marginal count is BIGINT; each cell contribution is ONE double
+  division of exact integer-valued doubles, and the 100-cell sum is a
+  position-ordered fold so both engines add in the same order.
+- t_js_divergence — per-source Jensen-Shannon divergence between the
+  source's hashed-unigram (256-bucket) distribution and the corpus
+  distribution — the drift/contamination statistic corpus pipelines
+  run next to PSI/KS (both already implemented, a19_psi / a18_ks).
+  Bucket log terms use CPython's libm on the driver (bit-identical to
+  DuckDB's ln, same as p_dsir_selection); the per-source sum is an
+  ordered fold by bucket id.
+- p_mmr_select — Maximal Marginal Relevance diverse top-k selection
+  (Carbonell & Goldstein, SIGIR'98): ANN-style candidate narrowing to
+  the top-24 most query-relevant vectors, then a greedy k=4 pick that
+  trades relevance against max-similarity-to-already-selected. The
+  oracle unrolls the 4 greedy rounds as chained CTEs; every pairwise
+  dot is quantized to round-6 on both sides before any argmax, with
+  vec_id as the deterministic tie-break.
+- e_markov_transitions — first-order Markov transition matrix over
+  per-user event-type sequences (lead() within user ordered by time),
+  the session-behavior model next to funnel/retention (w17/w18).
+
+Reference anchor: the reference computes per-network categorical
+roll-ups and distribution-shift style summaries in its QAQC reports
+(qaqc_generate_flag_rates.py:140-264); these queries are the
+corpus-curation generalization of that count→ratio→report shape.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.similarity import dot
+from ..registry import query
+from .common import table
+from .textops import TOKS
+
+# ------------------------------------------------------------------ #
+# a30_cramers_v
+# ------------------------------------------------------------------ #
+A30_ORACLE = """
+WITH d AS (
+  SELECT lang, source FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+),
+obs AS (SELECT lang, source, count(*) AS o FROM d GROUP BY lang, source),
+rt AS (SELECT lang, count(*) AS r FROM d GROUP BY lang),
+ct AS (SELECT source, count(*) AS c FROM d GROUP BY source),
+tot AS (SELECT count(*) AS n FROM d),
+cells AS (
+  SELECT rt.lang, ct.source, rt.r, ct.c, tot.n,
+         COALESCE(obs.o, 0) AS o
+  FROM rt CROSS JOIN ct CROSS JOIN tot
+  LEFT JOIN obs ON obs.lang = rt.lang AND obs.source = ct.source
+),
+contrib AS (
+  SELECT lang, source, n,
+         (CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE))
+           / CAST(r * c * n AS DOUBLE) AS x
+  FROM cells
+),
+chi AS (
+  SELECT any_value(n) AS n,
+         list_reduce(list(x ORDER BY lang, source), (a, b) -> a + b)
+           AS chi2
+  FROM contrib
+),
+dims AS (
+  SELECT (SELECT count(*) FROM rt) AS nl,
+         (SELECT count(*) FROM ct) AS ns
+)
+SELECT CAST(chi.n AS BIGINT) AS n,
+       CAST((dims.nl - 1) * (dims.ns - 1) AS BIGINT) AS dof,
+       round(chi.chi2, 6) AS chi2,
+       round(sqrt(chi.chi2
+                  / (chi.n * least(dims.nl - 1, dims.ns - 1))), 6)
+         AS cramers_v
+FROM chi CROSS JOIN dims
+"""
+
+
+@query("a30_cramers_v", A30_ORACLE)
+def a30_cramers_v(spark, sf_dir):
+    """Chi-square independence + Cramér's V for lang × source.
+
+    Scale shape: three count aggregations over the corpus plus a
+    (langs × sources) cell table — contingency-sized, never row-pair
+    work. The final fold runs over the cell list in one 1-row agg;
+    cells are sorted by (lang, source) so the float sum order matches
+    the oracle bit-for-bit.
+    """
+    d = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("lang").isNotNull() & F.col("source").isNotNull())
+        .select("lang", "source")
+    )
+    obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("r"))
+    ct = d.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    cells = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            "r",
+            "c",
+            "n",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+        )
+    )
+    contrib = cells.select(
+        "lang",
+        "source",
+        "n",
+        (
+            (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+            * (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast(
+                "double"
+            )
+            / (F.col("r") * F.col("c") * F.col("n")).cast("double")
+        ).alias("x"),
+    )
+    nl = rt.agg(F.count(F.lit(1)).alias("nl"))
+    ns = ct.agg(F.count(F.lit(1)).alias("ns"))
+    chi = contrib.agg(
+        F.first("n").alias("n"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("lang", "source", "x"))),
+                lambda s: s["x"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("chi2"),
+    )
+    return (
+        chi.crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(ns))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            ((F.col("nl") - 1) * (F.col("ns") - 1))
+            .cast("long")
+            .alias("dof"),
+            F.round("chi2", 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("n") * F.least(F.col("nl") - 1, F.col("ns") - 1))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ #
+# t_js_divergence
+# ------------------------------------------------------------------ #
+_JS_BUCKET_SQL = (
+    "((instr('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(md5(w), 2, 1)) - 1))"
+)
+
+T_JS_ORACLE = f"""
+WITH d AS (
+  SELECT source, {TOKS} AS t FROM documents
+  WHERE text IS NOT NULL AND len({TOKS}) >= 1
+),
+tok AS (SELECT source, unnest(t) AS w FROM d),
+tk AS (SELECT source, {_JS_BUCKET_SQL} AS b FROM tok),
+qc AS (SELECT b, count(*) AS qn FROM tk GROUP BY b),
+qt AS (SELECT sum(qn) AS nq FROM qc),
+pc AS (SELECT source, b, count(*) AS pn FROM tk GROUP BY source, b),
+pt AS (SELECT source, sum(pn) AS np FROM pc GROUP BY source),
+terms AS (
+  SELECT pt.source, qc.b, pt.np,
+         CAST(COALESCE(pc.pn, 0) AS DOUBLE) / CAST(pt.np AS DOUBLE) AS p,
+         CAST(qc.qn AS DOUBLE) / CAST(qt.nq AS DOUBLE) AS q
+  FROM pt CROSS JOIN qc CROSS JOIN qt
+  LEFT JOIN pc ON pc.source = pt.source AND pc.b = qc.b
+),
+contrib AS (
+  SELECT source, b, np,
+         (CASE WHEN p > 0.0e0
+               THEN 0.5e0 * p * ln(p / (0.5e0 * (p + q))) ELSE 0.0e0 END)
+         + (CASE WHEN q > 0.0e0
+                 THEN 0.5e0 * q * ln(q / (0.5e0 * (p + q))) ELSE 0.0e0 END)
+           AS x
+  FROM terms
+)
+SELECT source, CAST(any_value(np) AS BIGINT) AS n_tokens,
+       round(list_reduce(list(x ORDER BY b), (a, v) -> a + v), 6) AS js
+FROM contrib GROUP BY source
+"""
+
+
+def _tok_arr():
+    return F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+
+
+@query("t_js_divergence", T_JS_ORACLE)
+def t_js_divergence(spark, sf_dir):
+    """Per-source Jensen-Shannon divergence to the corpus unigram
+    distribution over 256 md5 buckets.
+
+    The (sources × 256) contingency table is collected to the driver —
+    report-sized, like report_flag_rates — and the log terms use
+    CPython's libm (bit-identical to DuckDB's ln; JVM Math.log is
+    not), folded in ascending bucket order. Scale shape: one explode →
+    one bucket-keyed count agg; the driver never sees row-level data,
+    only the report table. For unbounded source cardinality the same
+    terms move into a pandas_udf at the cost of exact-hash parity.
+    """
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("source", _tok_arr().alias("t"))
+        .where(F.size("t") >= 1)
+    )
+    tk = docs.select(
+        "source",
+        F.explode("t").alias("w"),
+    ).select(
+        "source",
+        F.conv(F.substring(F.md5("w"), 1, 2), 16, 10)
+        .cast("long")
+        .alias("b"),
+    )
+    pc = tk.groupBy("source", "b").agg(F.count(F.lit(1)).alias("pn"))
+    rows = pc.collect()
+
+    qc: dict[int, int] = {}
+    np_: dict[str, int] = {}
+    pn: dict[tuple[str, int], int] = {}
+    for r in rows:
+        qc[r["b"]] = qc.get(r["b"], 0) + r["pn"]
+        np_[r["source"]] = np_.get(r["source"], 0) + r["pn"]
+        pn[(r["source"], r["b"])] = r["pn"]
+    nq = sum(qc.values())
+
+    out = []
+    for src in np_:
+        acc = 0.0
+        for b in sorted(qc):
+            p = float(pn.get((src, b), 0)) / float(np_[src])
+            q = float(qc[b]) / float(nq)
+            x = 0.0
+            if p > 0.0:
+                x += 0.5 * p * math.log(p / (0.5 * (p + q)))
+            if q > 0.0:
+                x += 0.5 * q * math.log(q / (0.5 * (p + q)))
+            acc = acc + x
+        out.append((src, np_[src], round(acc, 6)))
+    return spark.createDataFrame(
+        out, "source string, n_tokens long, js double"
+    )
+
+
+# ------------------------------------------------------------------ #
+# p_mmr_select
+# ------------------------------------------------------------------ #
+_MMR_CAND = 24
+_MMR_K = 4
+
+_E_DOUBLE = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+def _mmr_oracle(n_cand: int = _MMR_CAND) -> str:
+    rounds = []
+    prev_sel = "sel1"
+    for r in range(2, _MMR_K + 1):
+        selected = " UNION ALL ".join(
+            f"SELECT vec_id FROM sel{i}" for i in range(1, r)
+        )
+        rounds.append(
+            f"""
+picked{r} AS ({selected}),
+r{r} AS (
+  SELECT c.vec_id,
+         round(c.rel - max(s.s), 6) AS score
+  FROM cand c
+  JOIN sim s ON s.ia = c.vec_id
+            AND s.ib IN (SELECT vec_id FROM picked{r})
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM picked{r})
+  GROUP BY c.vec_id, c.rel
+),
+sel{r} AS (
+  SELECT vec_id, score FROM r{r} ORDER BY score DESC, vec_id LIMIT 1
+)"""
+        )
+        prev_sel = f"sel{r}"
+    _ = prev_sel
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, vec_id, score FROM sel{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, {_E_DOUBLE} AS v FROM embeddings),
+qv AS (SELECT v AS q FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)),
+rel0 AS (
+  SELECT e.vec_id, round(list_dot_product(e.v, qv.q), 6) AS rel
+  FROM e CROSS JOIN qv
+  WHERE e.vec_id <> (SELECT min(vec_id) FROM e)
+),
+cand AS (
+  SELECT vec_id, rel FROM rel0 ORDER BY rel DESC, vec_id
+  LIMIT {n_cand}
+),
+ce AS (SELECT c.vec_id, c.rel, e.v FROM cand c JOIN e USING (vec_id)),
+sim AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         round(list_dot_product(a.v, b.v), 6) AS s
+  FROM ce a JOIN ce b ON a.vec_id <> b.vec_id
+),
+sel1 AS (
+  SELECT vec_id, rel AS score
+  FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+),
+{",".join(rounds)}
+SELECT CAST(rank AS INT) AS rank, vec_id, score FROM ({unions}) t
+"""
+
+
+@query("p_mmr_select", _mmr_oracle())
+def p_mmr_select(spark, sf_dir):
+    """MMR diverse top-k selection over the embedding corpus.
+
+    λ=0.5 MMR up to a positive scale: argmax(0.5·rel − 0.5·maxsim) ≡
+    argmax(rel − maxsim), and the unscaled difference of two round-6
+    values stays on the 1e-6 grid (halving would land scores on 5e-7
+    half-boundaries where HALF_UP vs HALF_EVEN rounding diverges).
+
+    Scale shape: the corpus-sized work is ONE relevance pass (dot with
+    the broadcast query vector) + top-N — exactly an ANN probe, and
+    any of the ANN queries (s_ivf_ann_topk, s_lsh_ann_topk) can stand
+    in for it. The greedy MMR loop then runs on the candidate set
+    only: 24 rows + a 24×24 similarity table, driver-sized by
+    construction, like every production MMR re-ranker. Dots are the
+    same left-fold doubles as the rest of the similarity family and
+    are quantized to round-6 before every argmax (vec_id tie-break),
+    so selection is bit-stable across engines.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "v"
+        ),
+    )
+    qid = e.agg(F.min("vec_id").alias("qid"))
+    qv = (
+        e.join(F.broadcast(qid), F.col("vec_id") == F.col("qid"))
+        .select(F.col("v").alias("q"), "qid")
+    )
+    rel = (
+        e.crossJoin(F.broadcast(qv))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "vec_id",
+            "v",
+            F.round(dot(F.col("v"), F.col("q")), 6).alias("rel"),
+        )
+    )
+    cand = rel.orderBy(F.desc("rel"), F.asc("vec_id")).limit(_MMR_CAND)
+    rows = cand.collect()
+
+    cands = [(r["vec_id"], r["rel"], r["v"]) for r in rows]
+    sims: dict[tuple[int, int], float] = {}
+
+    def _dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    for i, (ia, _, va) in enumerate(cands):
+        for ib, _, vb in cands[i + 1 :]:
+            s = round(_dot(va, vb), 6)
+            sims[(ia, ib)] = s
+            sims[(ib, ia)] = s
+
+    selected: list[tuple[int, int, float]] = []
+    remaining = {vid: r for vid, r, _ in cands}
+    for rank in range(1, _MMR_K + 1):
+        best = None
+        for vid in sorted(remaining):
+            r = remaining[vid]
+            if selected:
+                mx = max(sims[(vid, s[1])] for s in selected)
+                score = round(r - mx, 6)
+            else:
+                score = r
+            if best is None or score > best[1]:
+                best = (vid, score)
+        selected.append((rank, best[0], best[1]))
+        del remaining[best[0]]
+    return spark.createDataFrame(
+        selected, "rank int, vec_id long, score double"
+    )
+
+
+# ------------------------------------------------------------------ #
+# e_markov_transitions
+# ------------------------------------------------------------------ #
+E_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+pairs AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+),
+tot AS (SELECT from_type, sum(n) AS tn FROM pairs GROUP BY from_type)
+SELECT p.from_type, p.to_type, CAST(p.n AS BIGINT) AS n,
+       round(CAST(p.n AS DOUBLE) / CAST(t.tn AS DOUBLE), 6) AS p
+FROM pairs p JOIN tot t USING (from_type)
+"""
+
+
+@query("e_markov_transitions", E_MARKOV_ORACLE)
+def e_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over user event streams.
+
+    One lead() window per user (shuffle on user_id), then a
+    (from, to)-keyed count and a broadcast-joined row normalization —
+    the same shape at 100 TB, with state bounded by the event-type
+    vocabulary squared. Counts are BIGINT; p is a single double
+    division of exact integers (identical on both engines).
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    pairs = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("tn"))
+    return pairs.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("n").cast("double") / F.col("tn").cast("double"), 6
+        ).alias("p"),
+    )

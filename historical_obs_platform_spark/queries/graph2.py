@@ -1,0 +1,119 @@
+"""Connected components, Spark-first: fixed-round min-label
+propagation over the sparsified customer↔supplier trade graph.
+
+With a FIXED round count R the algorithm is SQL-expressible — the
+label of a node after R rounds is the minimum node id within R hops,
+and the oracle unrolls the same R sweeps as chained CTEs. Each Spark
+round is one join (propagate labels along edges) + one min-agg, i.e.
+two shuffles on the node key; labels are BIGINTs so every engine
+computes identical results (no floats anywhere).
+
+Connected components is the backbone of duplicate clustering
+(operators/dedup.connected_components drives d_dup_clusters /
+chain_neardup_removal); this registers the primitive itself under an
+exact oracle on a graph with many nontrivial components (the trade
+graph restricted to rare high-quantity line items — the full graph is
+one giant component, which would make the check vacuous).
+
+Reference anchor: the reference groups co-located stations into
+merge clusters (scripts/4_merge_data/merge_prep.py) — the same
+"transitive grouping of pairwise links" shape this primitive solves
+at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from .common import table
+
+_MIN_QTY = 48  # keep only rare high-quantity trades → many components
+_ROUNDS = 4
+
+
+def _cc_oracle(rounds: int = _ROUNDS) -> str:
+    ctes = []
+    for r in range(1, rounds + 1):
+        prev = f"lab{r - 1}"
+        ctes.append(
+            f"""
+lab{r} AS (
+  SELECT node, min(label) AS label FROM (
+    SELECT node, label FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, p.label
+    FROM edges e JOIN {prev} p ON p.node = e.src
+  ) u GROUP BY node
+)"""
+        )
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey * 2 AS cust_node,
+                  l.l_suppkey * 2 + 1 AS supp_node
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_quantity >= {_MIN_QTY}
+),
+edges AS (
+  SELECT cust_node AS src, supp_node AS dst FROM pairs
+  UNION ALL
+  SELECT supp_node AS src, cust_node AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+lab0 AS (SELECT node, node AS label FROM nodes),
+{",".join(ctes)}
+SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+FROM lab{rounds}
+"""
+
+
+@query("g_components_fixed", _cc_oracle())
+def g_components_fixed(spark, sf_dir):
+    """Min-label propagation, {_ROUNDS} rounds: label(v) = min node id
+    within R hops of v (= the component id once R ≥ diameter).
+
+    Scale shape: R × (edge-join + min-agg), both shuffling on the node
+    key — the classic hash-min CC; production runs use the large-star /
+    small-star contraction (Kiveris et al. 2014) to cut R to
+    O(log log n), but each round's plan is exactly this one. Labels
+    never grow: state is one row per node per round.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.where(F.col("l_quantity") >= _MIN_QTY)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cust_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+        )
+        .distinct()
+    )
+    fwd = pairs.select(
+        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+    )
+    edges = fwd.unionByName(
+        pairs.select(
+            F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
+        )
+    )
+    lab = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_ROUNDS):
+        prop = (
+            edges.join(lab, edges.src == lab.node)
+            .select(F.col("dst").alias("node"), "label")
+        )
+        lab = (
+            lab.select("node", "label")
+            .unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+    return lab.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+    )

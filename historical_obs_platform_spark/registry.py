@@ -39,9 +39,11 @@ def load_all() -> None:
         curation4,
         curation5,
         curation6,
+        curation7,
         datasetops,
         datasetops2,
         graph,
+        graph2,
         networks_demo,
         qaqc_demo,
         qaqc_parity,
