@@ -117,3 +117,105 @@ def g_components_fixed(spark, sf_dir):
         F.col("node").cast("long").alias("node"),
         F.col("label").cast("long").alias("label"),
     )
+
+
+# ------------------------------------------------------------------ #
+# g_label_prop — synchronous label propagation communities
+# ------------------------------------------------------------------ #
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle(rounds: int = _LPA_ROUNDS) -> str:
+    ctes = []
+    for r in range(1, rounds + 1):
+        prev = f"lp{r - 1}"
+        ctes.append(
+            f"""
+lp{r} AS (
+  SELECT node, label FROM (
+    SELECT e.dst AS node, p.label, count(*) AS c,
+           row_number() OVER (
+             PARTITION BY e.dst ORDER BY count(*) DESC, p.label) AS rn
+    FROM edges e JOIN {prev} p ON p.node = e.src
+    GROUP BY e.dst, p.label
+  ) t WHERE rn = 1
+)"""
+        )
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey * 2 AS cust_node,
+                  l.l_suppkey * 2 + 1 AS supp_node
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_quantity >= {_MIN_QTY}
+),
+edges AS (
+  SELECT cust_node AS src, supp_node AS dst FROM pairs
+  UNION ALL
+  SELECT supp_node AS src, cust_node AS dst FROM pairs
+),
+lp0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+{",".join(ctes)}
+SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+FROM lp{rounds}
+"""
+
+
+@query("g_label_prop", _lpa_oracle())
+def g_label_prop(spark, sf_dir):
+    """Synchronous label propagation (Raghavan et al. 2007,
+    arXiv:0709.2938), {_LPA_ROUNDS} fixed rounds: each node adopts its
+    neighborhood's most frequent label, ties broken by smallest label
+    — deterministic, so the fixed-round state is SQL-expressible and
+    the oracle unrolls the same sweeps. Complements g_components_fixed
+    (min-label CC): LPA converges to dense communities, not connected
+    components.
+
+    Scale shape: per round one edge-label join + one (node, label)
+    count + one per-node argmax — two shuffles on the node key; state
+    is one row per node.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.where(F.col("l_quantity") >= _MIN_QTY)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cust_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
+        )
+    )
+    lab = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            edges.join(lab, edges.src == lab.node)
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        lab = (
+            votes.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c").alias("c"),
+                        (-F.col("label")).alias("neg"),
+                    )
+                ).alias("b")
+            )
+            .select("node", (-F.col("b.neg")).alias("label"))
+        )
+    return lab.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+    )

@@ -56,6 +56,7 @@ def load_all() -> None:
         scaleops,
         sketches,
         sources_demo,
+        stats,
         streaming_demo,
         textops,
         timeseries,

@@ -1,0 +1,176 @@
+"""Round-5 batch-3 additions: Kruskal-Wallis, two-proportion z-test,
+Zipf slope, centroid silhouette, label propagation. Oracle comparison
+plus an independent scipy/numpy/pure-python recomputation each."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from historical_obs_platform_spark.registry import QUERIES, load_all
+
+from .conftest import SF_SMALL, assert_matches_oracle
+
+load_all()
+
+
+class TestKruskalWallis:
+    def test_matches_oracle(self, spark, oracle_con):
+        assert_matches_oracle(spark, oracle_con, "a32_kruskal_wallis")
+
+    def test_matches_rank_recomputation(self, spark):
+        """Definitional H from scipy-style average ranks (pandas
+        rank(method='average')), tie-corrected."""
+        row = (
+            QUERIES["a32_kruskal_wallis"](spark, SF_SMALL)
+            .toPandas()
+            .iloc[0]
+        )
+        ev = pd.read_parquet(f"{SF_SMALL}/events.parquet").dropna(
+            subset=["value"]
+        )
+        ev = ev.assign(rank=ev.value.rank(method="average"))
+        n = len(ev)
+        s = sum(
+            g["rank"].sum() ** 2 / len(g)
+            for _, g in ev.groupby("event_type")
+        )
+        h = 12.0 * s / (n * (n + 1)) - 3.0 * (n + 1)
+        ties = ev.value.value_counts()
+        tie_c = 1.0 - float((ties**3 - ties).sum()) / (n**3 - n)
+        assert math.isclose(row.h, h, rel_tol=1e-9, abs_tol=1e-6)
+        assert math.isclose(row.tie_c, tie_c, abs_tol=1e-6)
+        assert math.isclose(
+            row.h_adj, h / tie_c, rel_tol=1e-9, abs_tol=1e-6
+        )
+        assert int(row.n) == n
+        assert int(row.k) == ev.event_type.nunique()
+        assert 0.0 < row.tie_c <= 1.0
+
+
+class TestAbTestZ:
+    def test_matches_oracle(self, spark, oracle_con):
+        assert_matches_oracle(spark, oracle_con, "a33_ab_test_z")
+
+    def test_matches_direct_formula(self, spark):
+        row = QUERIES["a33_ab_test_z"](spark, SF_SMALL).toPandas().iloc[0]
+        ev = pd.read_parquet(f"{SF_SMALL}/events.parquet").sort_values(
+            ["ts", "event_id"]
+        )
+        first = ev.groupby("user_id").first()
+        conv = (first.event_type == "purchase").astype(int)
+        variant = pd.Series(first.index % 2, index=first.index)
+        n_a, n_b = int((variant == 0).sum()), int((variant == 1).sum())
+        c_a = int(conv[variant == 0].sum())
+        c_b = int(conv[variant == 1].sum())
+        assert (int(row.n_a), int(row.n_b)) == (n_a, n_b)
+        assert (int(row.conv_a), int(row.conv_b)) == (c_a, c_b)
+        pa, pb = c_a / n_a, c_b / n_b
+        pp = (c_a + c_b) / (n_a + n_b)
+        z = (pa - pb) / math.sqrt(pp * (1 - pp) * (1 / n_a + 1 / n_b))
+        assert math.isclose(row.z, z, rel_tol=1e-6, abs_tol=1e-6)
+
+
+class TestZipfSlope:
+    def test_matches_oracle(self, spark, oracle_con):
+        assert_matches_oracle(spark, oracle_con, "t_zipf_slope")
+
+    def test_matches_numpy_polyfit(self, spark):
+        row = QUERIES["t_zipf_slope"](spark, SF_SMALL).toPandas().iloc[0]
+        d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+        d = d[d.text.notna()]
+        cnt: dict[str, int] = {}
+        for text in d.text:
+            for w in " ".join(text.strip().lower().split()).split(" "):
+                cnt[w] = cnt.get(w, 0) + 1
+        top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:256]
+        x = np.log(np.arange(1, len(top) + 1, dtype=float))
+        y = np.log(np.array([c for _, c in top], dtype=float))
+        slope, intercept = np.polyfit(x, y, 1)
+        assert int(row.k) == len(top)
+        assert math.isclose(row.slope, slope, rel_tol=1e-6, abs_tol=1e-6)
+        assert math.isclose(
+            row.intercept, intercept, rel_tol=1e-6, abs_tol=1e-6
+        )
+        # Zipf-ish corpora have a negative slope and a decent fit
+        assert row.slope < 0
+        assert 0.0 <= row.r2 <= 1.0
+
+
+class TestSilhouetteCells:
+    def test_matches_oracle(self, spark, oracle_con):
+        assert_matches_oracle(spark, oracle_con, "s_silhouette_cells")
+
+    def test_matches_numpy(self, spark):
+        got = (
+            QUERIES["s_silhouette_cells"](spark, SF_SMALL)
+            .toPandas()
+            .set_index("cell")
+            .sort_index()
+        )
+        emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet").sort_values(
+            "vec_id"
+        )
+        vecs = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in emb.embedding]
+        )
+        cents = vecs[:16]
+        d = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        d = np.round(d, 6)
+        order = np.argsort(d, axis=1, kind="stable")
+        a = d[np.arange(len(vecs)), order[:, 0]]
+        b = d[np.arange(len(vecs)), order[:, 1]]
+        cell = order[:, 0]
+        sil = np.round((b - a) / np.maximum(a, b), 6)
+        for c in got.index:
+            mask = cell == c
+            assert int(got.loc[c, "n"]) == int(mask.sum())
+            assert math.isclose(
+                got.loc[c, "mean_sil"],
+                float(sil[mask].mean()),
+                rel_tol=1e-6,
+                abs_tol=1e-5,
+            )
+        # n's cover the whole corpus
+        assert int(got.n.sum()) == len(vecs)
+
+
+class TestLabelProp:
+    def test_matches_oracle(self, spark, oracle_con):
+        assert_matches_oracle(spark, oracle_con, "g_label_prop")
+
+    def test_matches_sync_lpa_bruteforce(self, spark):
+        got = (
+            QUERIES["g_label_prop"](spark, SF_SMALL)
+            .toPandas()
+            .set_index("node")["label"]
+        )
+        li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")[
+            ["l_orderkey", "l_suppkey", "l_quantity"]
+        ]
+        od = pd.read_parquet(f"{SF_SMALL}/orders.parquet")[
+            ["o_orderkey", "o_custkey"]
+        ]
+        li = li[li.l_quantity >= 48].merge(
+            od, left_on="l_orderkey", right_on="o_orderkey"
+        )
+        adj: dict[int, set[int]] = {}
+        for c, s in zip(li.o_custkey * 2, li.l_suppkey * 2 + 1):
+            adj.setdefault(int(c), set()).add(int(s))
+            adj.setdefault(int(s), set()).add(int(c))
+        lab = {v: v for v in adj}
+        for _ in range(3):
+            new = {}
+            for v in adj:
+                votes: dict[int, int] = {}
+                for u in adj[v]:
+                    votes[lab[u]] = votes.get(lab[u], 0) + 1
+                new[v] = min(
+                    votes, key=lambda label: (-votes[label], label)
+                )
+            lab = new
+        assert set(got.index) == set(adj)
+        for v in adj:
+            assert got[v] == lab[v], f"node {v}"
