@@ -174,3 +174,43 @@ class TestLabelProp:
         assert set(got.index) == set(adj)
         for v in adj:
             assert got[v] == lab[v], f"node {v}"
+
+
+class TestLinkPrediction:
+    def test_matches_oracle(self, spark, oracle_con):
+        assert_matches_oracle(spark, oracle_con, "g_link_prediction")
+
+    def test_matches_set_bruteforce(self, spark):
+        got = QUERIES["g_link_prediction"](spark, SF_SMALL).toPandas()
+        li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")[
+            ["l_orderkey", "l_suppkey", "l_quantity"]
+        ]
+        od = pd.read_parquet(f"{SF_SMALL}/orders.parquet")[
+            ["o_orderkey", "o_custkey"]
+        ]
+        li = li[li.l_quantity >= 48].merge(
+            od, left_on="l_orderkey", right_on="o_orderkey"
+        )
+        nbrs: dict[int, set[int]] = {}
+        for c, s in zip(li.o_custkey, li.l_suppkey):
+            nbrs.setdefault(int(c), set()).add(int(s))
+        scores = []
+        cs = sorted(nbrs)
+        for i, a in enumerate(cs):
+            for b in cs[i + 1 :]:
+                common = len(nbrs[a] & nbrs[b])
+                if common:
+                    scores.append(
+                        (
+                            round(common / len(nbrs[a] | nbrs[b]), 6),
+                            a,
+                            b,
+                            common,
+                        )
+                    )
+        scores.sort(key=lambda t: (-t[0], t[1], t[2]))
+        want = scores[:20]
+        assert len(got) == len(want)
+        for row, (j, a, b, common) in zip(got.itertuples(), want):
+            assert (row.node_a, row.node_b, row.n_common) == (a, b, common)
+            assert math.isclose(row.jaccard, j, abs_tol=1e-9)
