@@ -659,3 +659,105 @@ def a30_benford_chi2(spark, sf_dir):
         [(n_total, chi2, chi2 > _CHI2_CRIT_8DF_05)],
         "n_total long, chi2 double, reject_05 boolean",
     )
+
+
+# --------------------------------------------------------------------
+# w26: Holt-Winters additive triple exponential smoothing over the
+# per-event-type HOURLY count series, season m=24 (the daily cycle),
+# α=β=γ=1/2. Extends w23's level+trend Holt with seasonal state; the
+# oracle carries the 24-slot seasonal vector as a LIST column through
+# one recursive CTE, rotating it each step — every step is the same
+# IEEE expression tree as the engine's fold, so the final state is
+# bit-identical with NO quantization (proven the same way as
+# w23/w24). Init: l=x₁, b=0, s=0²⁴ (documented simple init; any init
+# shared by both engines works).
+#
+# Scale shape: the corpus-sized work is ONE (type, hour) count
+# aggregation; the sequential island then runs over the AGGREGATED
+# series, so its cost is bounded by wall-clock hours × #types, not by
+# event rows — the same "fold over the rollup, not the corpus" move
+# as w13's per-(station, month) islands.
+# --------------------------------------------------------------------
+_HW_M = 24
+
+HW_ORACLE = f"""
+WITH RECURSIVE h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS x
+  FROM events GROUP BY 1, 2
+),
+o AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+  FROM h
+),
+n AS (SELECT event_type AS et, max(rn) AS n_obs FROM o GROUP BY 1),
+s AS (
+  SELECT event_type, rn, CAST(x AS DOUBLE) AS l,
+         CAST(0.0 AS DOUBLE) AS b,
+         list_transform(range(1, {_HW_M} + 1),
+                        i -> CAST(0.0 AS DOUBLE)) AS sl
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.event_type, o.rn,
+         (o.x - s.sl[1]) / 2 + (s.l + s.b) / 2 AS l,
+         (((o.x - s.sl[1]) / 2 + (s.l + s.b) / 2 - s.l) + s.b) / 2
+           AS b,
+         s.sl[2:{_HW_M}]
+           || [((o.x - ((o.x - s.sl[1]) / 2 + (s.l + s.b) / 2))
+                + s.sl[1]) / 2] AS sl
+  FROM s JOIN o ON o.event_type = s.event_type AND o.rn = s.rn + 1
+)
+SELECT s.event_type, CAST(n.n_obs AS BIGINT) AS n_obs,
+       s.l AS level, s.b AS trend, s.sl[1] AS s_next,
+       s.l + s.b + s.sl[1] AS forecast
+FROM s JOIN n ON s.event_type = n.et AND s.rn = n.n_obs
+"""
+
+
+def _hw_per_type(pdf):
+    """Holt-Winters fold over ONE event type's hourly series. The
+    input is the pre-aggregated rollup (one row per hour), so the
+    scalar loop is bounded by wall-clock hours, not event rows; the
+    per-step expressions mirror the recursive-CTE oracle literally —
+    (x−s)/2 + (l+b)/2 etc. — for bit-identity."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("rn")
+    xs = [float(v) for v in pdf["x"]]
+    et = pdf["event_type"].iloc[0]
+    l, b = xs[0], 0.0
+    sl = [0.0] * _HW_M
+    for x in xs[1:]:
+        s_old = sl[0]
+        l_new = (x - s_old) / 2 + (l + b) / 2
+        b = ((l_new - l) + b) / 2
+        s_new = ((x - l_new) + s_old) / 2
+        sl = sl[1:] + [s_new]
+        l = l_new
+    return pd.DataFrame(
+        {
+            "event_type": [et],
+            "n_obs": [len(xs)],
+            "level": [l],
+            "trend": [b],
+            "s_next": [sl[0]],
+            "forecast": [l + b + sl[0]],
+        }
+    )
+
+
+@query("w26_holt_winters", HW_ORACLE)
+def w26_holt_winters(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    o = h.select(
+        "event_type", "x", F.row_number().over(w).alias("rn")
+    )
+    return o.groupBy("event_type").applyInPandas(
+        _hw_per_type,
+        "event_type string, n_obs bigint, level double, trend double,"
+        " s_next double, forecast double",
+    )

@@ -214,3 +214,38 @@ class TestLinkPrediction:
         for row, (j, a, b, common) in zip(got.itertuples(), want):
             assert (row.node_a, row.node_b, row.n_common) == (a, b, common)
             assert math.isclose(row.jaccard, j, abs_tol=1e-9)
+
+
+class TestHoltWinters:
+    def test_matches_oracle(self, spark, oracle_con):
+        assert_matches_oracle(spark, oracle_con, "w26_holt_winters")
+
+    def test_matches_scalar_fold(self, spark):
+        """Bit-identical to an independent pandas/python replay of the
+        additive HW recurrence (alpha=beta=gamma=1/2, m=24)."""
+        got = (
+            QUERIES["w26_holt_winters"](spark, SF_SMALL)
+            .toPandas()
+            .set_index("event_type")
+        )
+        ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+        ev = ev.assign(hr=ev.ts.dt.floor("h"))
+        h = ev.groupby(["event_type", "hr"]).size().reset_index(name="x")
+        for et, g in h.groupby("event_type"):
+            xs = [float(x) for x in g.sort_values("hr").x]
+            level, trend = xs[0], 0.0
+            sl = [0.0] * 24
+            for x in xs[1:]:
+                s_old = sl[0]
+                l_new = (x - s_old) / 2 + (level + trend) / 2
+                trend = ((l_new - level) + trend) / 2
+                s_new = ((x - l_new) + s_old) / 2
+                sl = sl[1:] + [s_new]
+                level = l_new
+            row = got.loc[et]
+            assert int(row.n_obs) == len(xs)
+            # bit-identity, not isclose: same IEEE ops in same order
+            assert row.level == level
+            assert row.trend == trend
+            assert row.s_next == sl[0]
+            assert row.forecast == level + trend + sl[0]
