@@ -238,7 +238,20 @@ def t_js_divergence(spark, sf_dir):
         .alias("b"),
     )
     pc = tk.groupBy("source", "b").agg(F.count(F.lit(1)).alias("pn"))
-    rows = pc.collect()
+    # report-sized contract: sources × 256 buckets. Past 64 k rows
+    # (≈256 sources) the collect stops being driver-cheap — the same
+    # ≤4096-local guard rail as similarity._assign_cells, raised here
+    # because the bit-stable CPython-ln scoring has no exact
+    # distributed fallback (JVM Math.log carries no libm guarantee);
+    # at that cardinality move the terms into a pandas_udf and accept
+    # tolerance-compare instead of hash-compare.
+    rows = pc.limit(65_537).collect()
+    if len(rows) > 65_536:
+        raise ValueError(
+            "t_js_divergence: source × bucket contingency exceeds the "
+            "driver-collect contract (>65536 rows); score in a "
+            "pandas_udf with tolerance-compare instead"
+        )
 
     qc: dict[int, int] = {}
     np_: dict[str, int] = {}
