@@ -1272,3 +1272,95 @@ def o23_fk_integrity(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --------------------------------------------------------------------
+# J16: temporal anti-join — "viewed but did NOT purchase within the
+# next hour", the absence-of-event pattern behind churn, abandoned-
+# cart, and SLA-breach analytics. The NOT EXISTS rides an equi-join on
+# user_id with a range residual (micros arithmetic on both engines),
+# i.e. one shuffle on the user key and a per-user interval scan —
+# never a cross join. Counts are exact BIGINTs; the unconverted rate
+# is one double division.
+#
+# Reference anchor: the reference's gap-marking infill
+# (hourly_standardization marks hours with NO observation,
+# QAQC_pipeline.py hourly stage) is the same absence-detection shape
+# over time.
+# --------------------------------------------------------------------
+J16_ORACLE = """
+WITH v AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+  WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+  WHERE event_type = 'purchase'
+),
+un AS (
+  SELECT v.user_id, v.event_id
+  FROM v
+  WHERE NOT EXISTS (
+    SELECT 1 FROM p
+    WHERE p.user_id = v.user_id
+      AND p.us > v.us AND p.us <= v.us + 3600000000
+  )
+),
+per AS (
+  SELECT v.user_id,
+         count(*) AS n_views,
+         (SELECT count(*) FROM un WHERE un.user_id = v.user_id)
+           AS n_unconverted
+  FROM v GROUP BY v.user_id
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(n_views AS BIGINT) AS n_views,
+       CAST(n_unconverted AS BIGINT) AS n_unconverted,
+       round(CAST(n_unconverted AS DOUBLE) / CAST(n_views AS DOUBLE), 6)
+         AS unconverted_rate
+FROM per
+"""
+
+
+@query("j16_view_no_purchase", J16_ORACLE)
+def j16_view_no_purchase(spark, sf_dir):
+    """Per-user count of view events with no purchase in the following
+    hour (temporal NOT EXISTS via left_anti with a range residual)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id", "event_id", "us"
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("us").alias("pus")
+    )
+    un = v.join(
+        p,
+        (F.col("pu") == F.col("user_id"))
+        & (F.col("pus") > F.col("us"))
+        & (F.col("pus") <= F.col("us") + F.lit(3600000000)),
+        "left_anti",
+    )
+    nv = v.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_views"))
+    nu = un.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_unconverted")
+    )
+    return (
+        nv.join(nu, "user_id", "left")
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("n_views").cast("long").alias("n_views"),
+            F.coalesce(F.col("n_unconverted"), F.lit(0))
+            .cast("long")
+            .alias("n_unconverted"),
+            F.round(
+                F.coalesce(F.col("n_unconverted"), F.lit(0)).cast("double")
+                / F.col("n_views").cast("double"),
+                6,
+            ).alias("unconverted_rate"),
+        )
+    )

@@ -761,3 +761,98 @@ def w26_holt_winters(spark, sf_dir):
         "event_type string, n_obs bigint, level double, trend double,"
         " s_next double, forecast double",
     )
+
+
+# --------------------------------------------------------------------
+# w27: lagged cross-correlation between the hourly 'view' and
+# 'purchase' count series (lags −3..+3) — the lead/lag discovery
+# statistic next to a26's autocorrelation. Every sum is an exact
+# BIGINT moment (counts are integers); r's numerator and the two
+# variance terms are computed in integers and cast to DOUBLE for ONE
+# division and ONE sqrt, so both engines evaluate the identical IEEE
+# tree. Hour index = epoch_us // 3.6e9 (integer floor on positive
+# epochs, matching DuckDB's ns→us narrowing).
+#
+# Scale shape: one hour-keyed count agg (corpus-sized work), then a
+# 7-lag explode-join on the HOURLY table — wall-clock-hours-sized,
+# like w26.
+# --------------------------------------------------------------------
+_CCF_LAGS = 3
+
+CCF_ORACLE = f"""
+WITH hv AS (
+  SELECT epoch_us(ts) // 3600000000 AS hi,
+         count(*) FILTER (WHERE event_type = 'view') AS v,
+         count(*) FILTER (WHERE event_type = 'purchase') AS p
+  FROM events GROUP BY 1
+),
+lags AS (SELECT unnest(range(-{_CCF_LAGS}, {_CCF_LAGS} + 1)) AS lag),
+pairs AS (
+  SELECT l.lag, a.v AS x, b.p AS y
+  FROM lags l
+  CROSS JOIN hv a
+  JOIN hv b ON b.hi = a.hi + l.lag
+),
+agg AS (
+  SELECT lag, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r
+FROM agg
+"""
+
+
+@query("w27_cross_correlation", CCF_ORACLE)
+def w27_cross_correlation(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    hv = (
+        ev.select(
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias("hi"),
+            "event_type",
+        )
+        .groupBy("hi")
+        .agg(
+            F.count_if(F.col("event_type") == "view").alias("v"),
+            F.count_if(F.col("event_type") == "purchase").alias("p"),
+        )
+    )
+    a = hv.select("hi", F.col("v").alias("x")).crossJoin(
+        F.broadcast(
+            spark.range(-_CCF_LAGS, _CCF_LAGS + 1).select(
+                F.col("id").alias("lag")
+            )
+        )
+    )
+    b = hv.select(F.col("hi").alias("hib"), F.col("p").alias("y"))
+    pairs = a.join(b, F.col("hib") == F.col("hi") + F.col("lag"))
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return agg.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            (
+                F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+            ).cast("double")
+            / F.sqrt(
+                (
+                    F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+                ).cast("double")
+                * (
+                    F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+                ).cast("double")
+            ),
+            6,
+        ).alias("r"),
+    )

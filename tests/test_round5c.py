@@ -249,3 +249,71 @@ class TestHoltWinters:
             assert row.trend == trend
             assert row.s_next == sl[0]
             assert row.forecast == level + trend + sl[0]
+
+
+class TestCrossCorrelation:
+    def test_matches_oracle(self, spark, oracle_con):
+        assert_matches_oracle(spark, oracle_con, "w27_cross_correlation")
+
+    def test_matches_numpy_corrcoef(self, spark):
+        got = (
+            QUERIES["w27_cross_correlation"](spark, SF_SMALL)
+            .toPandas()
+            .set_index("lag")
+            .sort_index()
+        )
+        ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+        hi = (
+            ev.ts.astype("int64") // 3_600_000_000
+        )  # datetime64[us] -> epoch hour
+        h = pd.DataFrame(
+            {
+                "hi": hi,
+                "v": (ev.event_type == "view").astype(int),
+                "p": (ev.event_type == "purchase").astype(int),
+            }
+        ).groupby("hi").sum()
+        for lag in range(-3, 4):
+            x, y = [], []
+            for hr, row in h.iterrows():
+                if hr + lag in h.index:
+                    x.append(row.v)
+                    y.append(h.loc[hr + lag, "p"])
+            r = np.corrcoef(x, y)[0, 1]
+            assert int(got.loc[lag, "n"]) == len(x)
+            assert math.isclose(
+                got.loc[lag, "r"], r, rel_tol=1e-6, abs_tol=1e-6
+            )
+        # zero-lag correlation of independent-ish series is small
+        assert abs(got.loc[0, "r"]) < 0.5
+
+
+class TestViewNoPurchase:
+    def test_matches_oracle(self, spark, oracle_con):
+        assert_matches_oracle(spark, oracle_con, "j16_view_no_purchase")
+
+    def test_matches_interval_scan(self, spark):
+        got = (
+            QUERIES["j16_view_no_purchase"](spark, SF_SMALL)
+            .toPandas()
+            .set_index("user_id")
+            .sort_index()
+        )
+        ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+        us = ev.ts.astype("int64")  # datetime64[us] epoch micros
+        ev = ev.assign(us=us)
+        views = ev[ev.event_type == "view"]
+        buys = ev[ev.event_type == "purchase"]
+        for uid, g in views.groupby("user_id"):
+            bu = buys[buys.user_id == uid].us.to_numpy()
+            unconv = 0
+            for t in g.us:
+                if not ((bu > t) & (bu <= t + 3_600_000_000)).any():
+                    unconv += 1
+            row = got.loc[uid]
+            assert int(row.n_views) == len(g)
+            assert int(row.n_unconverted) == unconv
+            assert math.isclose(
+                row.unconverted_rate, round(unconv / len(g), 6),
+                abs_tol=1e-9,
+            )
