@@ -472,3 +472,78 @@ def e_markov_transitions(spark, sf_dir):
             F.col("n").cast("double") / F.col("tn").cast("double"), 6
         ).alias("p"),
     )
+
+
+# ------------------------------------------------------------------ #
+# a34_markov_entropy_rate — conditional next-event entropy per state
+# ------------------------------------------------------------------ #
+A34_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+pairs AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+),
+tot AS (SELECT from_type, sum(n) AS tn FROM pairs GROUP BY from_type)
+SELECT p.from_type, CAST(any_value(t.tn) AS BIGINT) AS n,
+       round(list_reduce(
+         list(-(CAST(p.n AS DOUBLE) / CAST(t.tn AS DOUBLE))
+              * ln(CAST(p.n AS DOUBLE) / CAST(t.tn AS DOUBLE))
+              ORDER BY p.to_type),
+         (a, b) -> a + b), 6) AS h_nats
+FROM pairs p JOIN tot t USING (from_type)
+GROUP BY p.from_type
+"""
+
+
+@query("a34_markov_entropy_rate", A34_ORACLE)
+def a34_markov_entropy_rate(spark, sf_dir):
+    """Per-state conditional entropy H(next | current) of the user
+    event process — the predictability measure on top of
+    e_markov_transitions' transition matrix. The (from, to) count
+    table is vocabulary²-sized; it is collected and the -p·ln p terms
+    use CPython libm (bit-identical to DuckDB's ln, like DSIR/JS),
+    folded in to_type order.
+
+    Scale shape: one lead() per user + one vocabulary²-keyed count —
+    corpus-scale work is identical to e_markov_transitions; the
+    entropy arithmetic runs on the report-sized table.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    pairs = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # vocabulary²-sized by construction (event-type alphabet squared)
+    rows = pairs.limit(65_537).collect()
+    if len(rows) > 65_536:
+        raise ValueError(
+            "a34_markov_entropy_rate: event-type alphabet too large "
+            "for the driver-collect contract (>65536 transition "
+            "cells); score in a pandas_udf with tolerance-compare"
+        )
+    tn: dict[str, int] = {}
+    for r in rows:
+        tn[r["from_type"]] = tn.get(r["from_type"], 0) + r["n"]
+    out = []
+    for ft in tn:
+        acc = 0.0
+        cells = sorted(
+            (r["to_type"], r["n"]) for r in rows if r["from_type"] == ft
+        )
+        for _, n in cells:
+            p = float(n) / float(tn[ft])
+            acc = acc + (-(p) * math.log(p))
+        out.append((ft, tn[ft], round(acc, 6)))
+    return spark.createDataFrame(
+        out, "from_type string, n long, h_nats double"
+    )

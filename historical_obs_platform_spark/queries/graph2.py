@@ -310,3 +310,111 @@ def g_link_prediction(spark, sf_dir):
     return scored.orderBy(
         F.desc("jaccard"), F.asc("node_a"), F.asc("node_b")
     ).limit(_LP_TOPK)
+
+
+# ------------------------------------------------------------------ #
+# g_degree_assortativity — degree-degree Pearson correlation
+# ------------------------------------------------------------------ #
+ASSORT_ORACLE = f"""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey * 2 AS cust_node,
+                  l.l_suppkey * 2 + 1 AS supp_node
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_quantity >= {_MIN_QTY}
+),
+edges AS (
+  SELECT cust_node AS src, supp_node AS dst FROM pairs
+  UNION ALL
+  SELECT supp_node AS src, cust_node AS dst FROM pairs
+),
+deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+de AS (
+  SELECT ds.d AS x, dd.d AS y
+  FROM edges e
+  JOIN deg ds ON ds.node = e.src
+  JOIN deg dd ON dd.node = e.dst
+),
+agg AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM de
+)
+SELECT CAST(n AS BIGINT) AS n_edges,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+         AS assortativity
+FROM agg
+"""
+
+
+@query("g_degree_assortativity", ASSORT_ORACLE)
+def g_degree_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman 2002, PRL 89:208701): the Pearson
+    correlation of endpoint degrees over the directed edge list (both
+    directions, so the statistic is symmetric). Negative values =
+    hubs attach to leaves (disassortative), the typical bipartite
+    trade-graph signature.
+
+    Scale shape: one degree count + two node-keyed joins back to the
+    edge list + ONE global moment aggregation — all moments are exact
+    BIGINTs, with one double division + sqrt at the end.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.where(F.col("l_quantity") >= _MIN_QTY)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cust_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
+        )
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    de = (
+        edges.join(
+            deg.select(F.col("src").alias("node"), F.col("d").alias("x")),
+            edges.src == F.col("node"),
+        )
+        .drop("node")
+        .join(
+            deg.select(F.col("src").alias("node"), F.col("d").alias("y")),
+            F.col("dst") == F.col("node"),
+        )
+        .select("x", "y")
+    )
+    agg = de.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_edges"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / F.sqrt(
+                (
+                    F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+                ).cast("double")
+                * (
+                    F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+                ).cast("double")
+            ),
+            6,
+        ).alias("assortativity"),
+    )

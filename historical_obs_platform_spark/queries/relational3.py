@@ -1364,3 +1364,89 @@ def j16_view_no_purchase(spark, sf_dir):
             ).alias("unconverted_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# RFM quintile scoring — the classic customer-value segmentation:
+# recency (latest event), frequency (event count), monetary (exact
+# decimal purchase value), each ntile(5)-scored with deterministic
+# (metric, user_id) orderings so both engines assign identical
+# quintiles (SQL-standard ntile: equal buckets, larger first). Scores
+# read 1 = best.
+# --------------------------------------------------------------------
+RFM_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         max(epoch_us(ts)) AS last_us,
+         count(*) AS freq,
+         CAST(COALESCE(sum(CAST(value AS DECIMAL(18,2)))
+                       FILTER (WHERE event_type = 'purchase'),
+                       0) AS DECIMAL(18,2)) AS monetary
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT user_id, last_us, freq, monetary,
+         ntile(5) OVER (ORDER BY last_us DESC, user_id) AS r,
+         ntile(5) OVER (ORDER BY freq DESC, user_id) AS f,
+         ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m
+  FROM u
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(freq AS BIGINT) AS freq,
+       CAST(monetary AS DOUBLE) AS monetary,
+       CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+       CAST(r * 100 + f * 10 + m AS INT) AS rfm
+FROM s
+"""
+
+
+@query("e_rfm_scores", RFM_ORACLE)
+def e_rfm_scores(spark, sf_dir):
+    """Per-user RFM quintile segmentation over the event log.
+
+    Scale shape: one per-user aggregation (shuffle on user_id), then
+    three ntile windows over the USER table — customer-cardinality-
+    sized, not event-sized; at larger user counts the ntile boundary
+    is the a31-style range-partition + driver-offset two-stage rank.
+    Monetary sums in DECIMAL (order-free exact), surfaced as double.
+    """
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias(
+            "last_us"
+        ),
+        F.count(F.lit(1)).alias("freq"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    dec("value"),
+                )
+            ),
+            F.lit(0).cast("decimal(18,2)"),
+        )
+        .cast("decimal(18,2)")
+        .alias("monetary"),
+    )
+    r_w = Window.orderBy(F.desc("last_us"), F.asc("user_id"))
+    f_w = Window.orderBy(F.desc("freq"), F.asc("user_id"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("user_id"))
+    s = u.select(
+        "user_id",
+        "freq",
+        "monetary",
+        F.ntile(5).over(r_w).alias("r"),
+        F.ntile(5).over(f_w).alias("f"),
+        F.ntile(5).over(m_w).alias("m"),
+    )
+    return s.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("freq").cast("long").alias("freq"),
+        F.col("monetary").cast("double").alias("monetary"),
+        F.col("r").cast("int").alias("r"),
+        F.col("f").cast("int").alias("f"),
+        F.col("m").cast("int").alias("m"),
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+        .cast("int")
+        .alias("rfm"),
+    )

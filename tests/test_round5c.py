@@ -317,3 +317,103 @@ class TestViewNoPurchase:
                 row.unconverted_rate, round(unconv / len(g), 6),
                 abs_tol=1e-9,
             )
+
+
+class TestDegreeAssortativity:
+    def test_matches_oracle(self, spark, oracle_con):
+        assert_matches_oracle(spark, oracle_con, "g_degree_assortativity")
+
+    def test_matches_numpy(self, spark):
+        row = (
+            QUERIES["g_degree_assortativity"](spark, SF_SMALL)
+            .toPandas()
+            .iloc[0]
+        )
+        li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")[
+            ["l_orderkey", "l_suppkey", "l_quantity"]
+        ]
+        od = pd.read_parquet(f"{SF_SMALL}/orders.parquet")[
+            ["o_orderkey", "o_custkey"]
+        ]
+        li = li[li.l_quantity >= 48].merge(
+            od, left_on="l_orderkey", right_on="o_orderkey"
+        )
+        pairs = {
+            (int(c), int(s))
+            for c, s in zip(li.o_custkey * 2, li.l_suppkey * 2 + 1)
+        }
+        edges = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+        deg: dict[int, int] = {}
+        for a, _ in edges:
+            deg[a] = deg.get(a, 0) + 1
+        xs = np.array([deg[a] for a, _ in edges], dtype=float)
+        ys = np.array([deg[b] for _, b in edges], dtype=float)
+        r = np.corrcoef(xs, ys)[0, 1]
+        assert int(row.n_edges) == len(edges)
+        assert math.isclose(
+            row.assortativity, r, rel_tol=1e-6, abs_tol=1e-6
+        )
+        # bipartite hub-leaf trade graphs are disassortative
+        assert row.assortativity < 0
+
+
+class TestMarkovEntropyRate:
+    def test_matches_oracle(self, spark, oracle_con):
+        assert_matches_oracle(spark, oracle_con, "a34_markov_entropy_rate")
+
+    def test_matches_direct_entropy(self, spark):
+        got = (
+            QUERIES["a34_markov_entropy_rate"](spark, SF_SMALL)
+            .toPandas()
+            .set_index("from_type")
+        )
+        ev = pd.read_parquet(f"{SF_SMALL}/events.parquet").sort_values(
+            ["user_id", "ts", "event_id"]
+        )
+        cnt: dict[tuple[str, str], int] = {}
+        for _, g in ev.groupby("user_id"):
+            ets = g.event_type.tolist()
+            for a, b in zip(ets, ets[1:]):
+                cnt[(a, b)] = cnt.get((a, b), 0) + 1
+        froms = {a for a, _ in cnt}
+        for ft in froms:
+            tot = sum(n for (a, _), n in cnt.items() if a == ft)
+            h = -sum(
+                (n / tot) * math.log(n / tot)
+                for (a, _), n in cnt.items()
+                if a == ft
+            )
+            assert int(got.loc[ft, "n"]) == tot
+            assert math.isclose(
+                got.loc[ft, "h_nats"], h, rel_tol=1e-6, abs_tol=1e-6
+            )
+            # entropy bounded by ln(alphabet)
+            assert 0.0 <= got.loc[ft, "h_nats"] <= math.log(5) + 1e-9
+
+
+class TestRfmScores:
+    def test_matches_oracle(self, spark, oracle_con):
+        assert_matches_oracle(spark, oracle_con, "e_rfm_scores")
+
+    def test_quintile_properties(self, spark):
+        got = QUERIES["e_rfm_scores"](spark, SF_SMALL).toPandas()
+        ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+        assert len(got) == ev.user_id.nunique()
+        for c in ("r", "f", "m"):
+            sizes = got[c].value_counts()
+            assert set(sizes.index) == {1, 2, 3, 4, 5}
+            assert sizes.max() - sizes.min() <= 1  # ntile balance
+        # frequency quintile 1 really holds the most-active users
+        f1_min = got.loc[got.f == 1, "freq"].min()
+        f5_max = got.loc[got.f == 5, "freq"].max()
+        assert f1_min >= f5_max
+        # monetary matches an exact pandas recount for a few users
+        buys = ev[ev.event_type == "purchase"]
+        mon = buys.groupby("user_id").value.apply(
+            lambda s: float(round(s.sum(), 2))
+        )
+        sample = got.nlargest(5, "monetary")
+        for r in sample.itertuples():
+            assert math.isclose(
+                r.monetary, mon.get(r.user_id, 0.0), abs_tol=0.01
+            )
