@@ -29,6 +29,7 @@ import math
 
 from pyspark.sql import functions as F
 
+from ..functions.textfns import tokens
 from ..registry import query
 from .common import table
 from .textops import NORM, TOKS
@@ -38,12 +39,6 @@ from .textops import NORM, TOKS
 # ------------------------------------------------------------------ #
 _STOPS = ("the", "a", "of", "and", "to", "in", "is", "it")
 _BOILER_MIN_DOCS = 20  # a 3-gram seen in >= this many distinct docs
-
-
-def _tok_arr():
-    return F.split(
-        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
-    )
 
 
 # ------------------------------------------------------------------ #
@@ -89,7 +84,7 @@ def t_boilerplate_spans(spark, sf_dir):
     docs = (
         table(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
-        .select("doc_id", _tok_arr().alias("t"))
+        .select("doc_id", tokens(F.col("text")).alias("t"))
         .where(F.size("t") >= 3)
     )
     grams = docs.select(
@@ -189,7 +184,7 @@ def p_dsir_selection(spark, sf_dir):
     docs = (
         table(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
-        .select("doc_id", "lang", _tok_arr().alias("t"))
+        .select("doc_id", "lang", tokens(F.col("text")).alias("t"))
         .where(F.size("t") >= 1)
     )
     tk = docs.select(
@@ -286,7 +281,7 @@ def report_calibration_bins(spark, sf_dir):
     docs = (
         table(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
-        .select("doc_id", "lang", _tok_arr().alias("t"))
+        .select("doc_id", "lang", tokens(F.col("text")).alias("t"))
         .where(F.size("t") >= 1)
     )
     stops = F.array(*[F.lit(s) for s in _STOPS])
@@ -353,7 +348,7 @@ def t_domain_top_ngrams(spark, sf_dir):
     docs = (
         table(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
-        .select("source", _tok_arr().alias("t"))
+        .select("source", tokens(F.col("text")).alias("t"))
         .where(F.size("t") >= 2)
     )
     g = docs.select(
@@ -1011,7 +1006,7 @@ def t_bpe_train_encode(spark, sf_dir):
     docs = (
         table(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
-        .select("doc_id", _tok_arr().alias("t"))
+        .select("doc_id", tokens(F.col("text")).alias("t"))
         .where(F.size("t") >= 1)
         .select(
             "doc_id",

@@ -36,6 +36,7 @@ import math
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.textfns import tokens
 from ..operators.similarity import dot
 from ..registry import query
 from .common import table
@@ -203,12 +204,6 @@ FROM contrib GROUP BY source
 """
 
 
-def _tok_arr():
-    return F.split(
-        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
-    )
-
-
 @query("t_js_divergence", T_JS_ORACLE)
 def t_js_divergence(spark, sf_dir):
     """Per-source Jensen-Shannon divergence to the corpus unigram
@@ -225,7 +220,7 @@ def t_js_divergence(spark, sf_dir):
     docs = (
         table(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
-        .select("source", _tok_arr().alias("t"))
+        .select("source", tokens(F.col("text")).alias("t"))
         .where(F.size("t") >= 1)
     )
     tk = docs.select(
@@ -425,8 +420,26 @@ def p_mmr_select(spark, sf_dir):
 # ------------------------------------------------------------------ #
 # e_markov_transitions
 # ------------------------------------------------------------------ #
-E_MARKOV_ORACLE = """
-WITH seq AS (
+
+def _transition_pairs(spark, sf_dir):
+    """Shared (from_type, to_type, n) transition counts: one lead()
+    per user (ordered by ts, event_id) over the event log — the
+    single corpus-scale pass behind e_markov_transitions AND
+    a34_markov_entropy_rate, defined once so the sequence key can
+    never silently diverge between the two."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    return seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+_SEQ_SQL = """
+seq AS (
   SELECT user_id, event_type AS from_type,
          lead(event_type) OVER (
            PARTITION BY user_id ORDER BY ts, event_id) AS to_type
@@ -437,7 +450,11 @@ pairs AS (
   FROM seq WHERE to_type IS NOT NULL
   GROUP BY from_type, to_type
 ),
-tot AS (SELECT from_type, sum(n) AS tn FROM pairs GROUP BY from_type)
+tot AS (SELECT from_type, sum(n) AS tn FROM pairs GROUP BY from_type)"""
+
+
+E_MARKOV_ORACLE = f"""
+WITH {_SEQ_SQL}
 SELECT p.from_type, p.to_type, CAST(p.n AS BIGINT) AS n,
        round(CAST(p.n AS DOUBLE) / CAST(t.tn AS DOUBLE), 6) AS p
 FROM pairs p JOIN tot t USING (from_type)
@@ -454,15 +471,7 @@ def e_markov_transitions(spark, sf_dir):
     vocabulary squared. Counts are BIGINT; p is a single double
     division of exact integers (identical on both engines).
     """
-    ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        F.col("event_type").alias("from_type"),
-        F.lead("event_type").over(w).alias("to_type"),
-    ).where(F.col("to_type").isNotNull())
-    pairs = seq.groupBy("from_type", "to_type").agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    pairs = _transition_pairs(spark, sf_dir)
     tot = pairs.groupBy("from_type").agg(F.sum("n").alias("tn"))
     return pairs.join(F.broadcast(tot), "from_type").select(
         "from_type",
@@ -477,19 +486,8 @@ def e_markov_transitions(spark, sf_dir):
 # ------------------------------------------------------------------ #
 # a34_markov_entropy_rate — conditional next-event entropy per state
 # ------------------------------------------------------------------ #
-A34_ORACLE = """
-WITH seq AS (
-  SELECT user_id, event_type AS from_type,
-         lead(event_type) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id) AS to_type
-  FROM events
-),
-pairs AS (
-  SELECT from_type, to_type, count(*) AS n
-  FROM seq WHERE to_type IS NOT NULL
-  GROUP BY from_type, to_type
-),
-tot AS (SELECT from_type, sum(n) AS tn FROM pairs GROUP BY from_type)
+A34_ORACLE = f"""
+WITH {_SEQ_SQL}
 SELECT p.from_type, CAST(any_value(t.tn) AS BIGINT) AS n,
        round(list_reduce(
          list(-(CAST(p.n AS DOUBLE) / CAST(t.tn AS DOUBLE))
@@ -514,15 +512,7 @@ def a34_markov_entropy_rate(spark, sf_dir):
     corpus-scale work is identical to e_markov_transitions; the
     entropy arithmetic runs on the report-sized table.
     """
-    ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        F.col("event_type").alias("from_type"),
-        F.lead("event_type").over(w).alias("to_type"),
-    ).where(F.col("to_type").isNotNull())
-    pairs = seq.groupBy("from_type", "to_type").agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    pairs = _transition_pairs(spark, sf_dir)
     # vocabulary²-sized by construction (event-type alphabet squared)
     rows = pairs.limit(65_537).collect()
     if len(rows) > 65_536:

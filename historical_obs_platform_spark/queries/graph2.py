@@ -1,24 +1,32 @@
-"""Connected components, Spark-first: fixed-round min-label
-propagation over the sparsified customer↔supplier trade graph.
+"""Second graph wave over the SPARSIFIED customer↔supplier trade
+graph (only rare high-quantity line items, so the graph has many
+nontrivial components instead of one giant one):
 
-With a FIXED round count R the algorithm is SQL-expressible — the
-label of a node after R rounds is the minimum node id within R hops,
-and the oracle unrolls the same R sweeps as chained CTEs. Each Spark
-round is one join (propagate labels along edges) + one min-agg, i.e.
-two shuffles on the node key; labels are BIGINTs so every engine
-computes identical results (no floats anywhere).
+- g_components_fixed — fixed-round min-label (hash-min) connected
+  components; the registered face of dedup.connected_components.
+- g_label_prop — synchronous label propagation communities
+  (most-frequent-neighbor label, deterministic tie-breaks).
+- g_link_prediction — Jaccard link scores on the bipartite form
+  (customer pairs sharing suppliers), top-20.
+- g_degree_assortativity — Newman's degree-degree Pearson r.
 
-Connected components is the backbone of duplicate clustering
-(operators/dedup.connected_components drives d_dup_clusters /
-chain_neardup_removal); this registers the primitive itself under an
-exact oracle on a graph with many nontrivial components (the trade
-graph restricted to rare high-quantity line items — the full graph is
-one giant component, which would make the check vacuous).
+With a FIXED round count the iterative algorithms are
+SQL-expressible — each sweep is one shuffle on the node key, and the
+oracles unroll the same sweeps as chained CTEs. Everything is BIGINT
+except one final double division per statistic, so every engine
+computes identical results.
 
-Reference anchor: the reference groups co-located stations into
-merge clusters (scripts/4_merge_data/merge_prep.py) — the same
-"transitive grouping of pairwise links" shape this primitive solves
-at corpus scale.
+The graph definition is built ONCE (`_trade_pairs` / `_trade_edges`,
+mirrored by the `_PAIRS_SQL`/`_EDGES_SQL` fragments every oracle
+embeds) and localCheckpoint'ed, and each propagation round re-
+checkpoints its state — Spark plans are TREES, so a loop whose round
+references the previous state twice doubles the plan per round (the
+g_kcore_peel lesson: 35.8 s → 1.8 s from exactly this discipline).
+
+Reference anchor: the reference groups co-located stations into merge
+clusters (scripts/4_merge_data/merge_prep.py) — the same "transitive
+grouping of pairwise links" shape these primitives solve at corpus
+scale.
 """
 
 from __future__ import annotations
@@ -30,8 +38,85 @@ from .common import table
 
 _MIN_QTY = 48  # keep only rare high-quantity trades → many components
 _ROUNDS = 4
+_LPA_ROUNDS = 3
+_LP_TOPK = 20
+
+# one definition of the sparsified graph, embedded by every oracle:
+# namespaced node ids (customers even 2k, suppliers odd 2k+1) …
+_PAIRS_SQL = f"""
+pairs AS (
+  SELECT DISTINCT o.o_custkey * 2 AS cust_node,
+                  l.l_suppkey * 2 + 1 AS supp_node
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_quantity >= {_MIN_QTY}
+)"""
+
+_EDGES_SQL = (
+    _PAIRS_SQL
+    + """,
+edges AS (
+  SELECT cust_node AS src, supp_node AS dst FROM pairs
+  UNION ALL
+  SELECT supp_node AS src, cust_node AS dst FROM pairs
+)"""
+)
+
+# … and the raw bipartite (customer, supplier) key form for the
+# neighborhood-overlap query, same predicate.
+_BIPAIRS_SQL = f"""
+pairs AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_quantity >= {_MIN_QTY}
+)"""
 
 
+def _trade_pairs(spark, sf_dir, namespaced: bool = True):
+    """Distinct pairs of the sparsified trade graph — namespaced
+    (cust_node, supp_node) or raw bipartite (c, s) keys —
+    localCheckpoint'ed so multi-reference consumers don't re-execute
+    the lineitem⋈orders build per reference."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    joined = li.where(F.col("l_quantity") >= _MIN_QTY).join(
+        od, li.l_orderkey == od.o_orderkey
+    )
+    if namespaced:
+        cols = [
+            (F.col("o_custkey") * 2).alias("cust_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+        ]
+    else:
+        cols = [
+            F.col("o_custkey").alias("c"),
+            F.col("l_suppkey").alias("s"),
+        ]
+    return joined.select(*cols).distinct().localCheckpoint(eager=False)
+
+
+def _trade_edges(spark, sf_dir):
+    """Symmetric directed edge list over `_trade_pairs` (both
+    directions), localCheckpoint'ed for loop consumers."""
+    pairs = _trade_pairs(spark, sf_dir)
+    return (
+        pairs.select(
+            F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+        )
+        .unionByName(
+            pairs.select(
+                F.col("supp_node").alias("src"),
+                F.col("cust_node").alias("dst"),
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+# ------------------------------------------------------------------ #
+# g_components_fixed — fixed-round min-label connected components
+# ------------------------------------------------------------------ #
 def _cc_oracle(rounds: int = _ROUNDS) -> str:
     ctes = []
     for r in range(1, rounds + 1):
@@ -48,17 +133,7 @@ lab{r} AS (
 )"""
         )
     return f"""
-WITH pairs AS (
-  SELECT DISTINCT o.o_custkey * 2 AS cust_node,
-                  l.l_suppkey * 2 + 1 AS supp_node
-  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-  WHERE l.l_quantity >= {_MIN_QTY}
-),
-edges AS (
-  SELECT cust_node AS src, supp_node AS dst FROM pairs
-  UNION ALL
-  SELECT supp_node AS src, cust_node AS dst FROM pairs
-),
+WITH {_EDGES_SQL},
 nodes AS (SELECT DISTINCT src AS node FROM edges),
 lab0 AS (SELECT node, node AS label FROM nodes),
 {",".join(ctes)}
@@ -69,36 +144,18 @@ FROM lab{rounds}
 
 @query("g_components_fixed", _cc_oracle())
 def g_components_fixed(spark, sf_dir):
-    """Min-label propagation, {_ROUNDS} rounds: label(v) = min node id
+    """Min-label propagation, _ROUNDS rounds: label(v) = min node id
     within R hops of v (= the component id once R ≥ diameter).
 
     Scale shape: R × (edge-join + min-agg), both shuffling on the node
     key — the classic hash-min CC; production runs use the large-star /
     small-star contraction (Kiveris et al. 2014) to cut R to
     O(log log n), but each round's plan is exactly this one. Labels
-    never grow: state is one row per node per round.
+    never grow: state is one row per node per round, re-checkpointed
+    each round because the next round references it TWICE (union +
+    propagate) — without the cut the plan tree doubles per round.
     """
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_quantity"
-    )
-    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pairs = (
-        li.where(F.col("l_quantity") >= _MIN_QTY)
-        .join(od, li.l_orderkey == od.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("cust_node"),
-            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
-        )
-        .distinct()
-    )
-    fwd = pairs.select(
-        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
-    )
-    edges = fwd.unionByName(
-        pairs.select(
-            F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
-        )
-    )
+    edges = _trade_edges(spark, sf_dir)
     lab = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -112,6 +169,7 @@ def g_components_fixed(spark, sf_dir):
             .unionByName(prop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)
         )
     return lab.select(
         F.col("node").cast("long").alias("node"),
@@ -122,9 +180,6 @@ def g_components_fixed(spark, sf_dir):
 # ------------------------------------------------------------------ #
 # g_label_prop — synchronous label propagation communities
 # ------------------------------------------------------------------ #
-_LPA_ROUNDS = 3
-
-
 def _lpa_oracle(rounds: int = _LPA_ROUNDS) -> str:
     ctes = []
     for r in range(1, rounds + 1):
@@ -142,17 +197,7 @@ lp{r} AS (
 )"""
         )
     return f"""
-WITH pairs AS (
-  SELECT DISTINCT o.o_custkey * 2 AS cust_node,
-                  l.l_suppkey * 2 + 1 AS supp_node
-  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-  WHERE l.l_quantity >= {_MIN_QTY}
-),
-edges AS (
-  SELECT cust_node AS src, supp_node AS dst FROM pairs
-  UNION ALL
-  SELECT supp_node AS src, cust_node AS dst FROM pairs
-),
+WITH {_EDGES_SQL},
 lp0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
 {",".join(ctes)}
 SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
@@ -163,7 +208,7 @@ FROM lp{rounds}
 @query("g_label_prop", _lpa_oracle())
 def g_label_prop(spark, sf_dir):
     """Synchronous label propagation (Raghavan et al. 2007,
-    arXiv:0709.2938), {_LPA_ROUNDS} fixed rounds: each node adopts its
+    arXiv:0709.2938), _LPA_ROUNDS fixed rounds: each node adopts its
     neighborhood's most frequent label, ties broken by smallest label
     — deterministic, so the fixed-round state is SQL-expressible and
     the oracle unrolls the same sweeps. Complements g_components_fixed
@@ -172,28 +217,10 @@ def g_label_prop(spark, sf_dir):
 
     Scale shape: per round one edge-label join + one (node, label)
     count + one per-node argmax — two shuffles on the node key; state
-    is one row per node.
+    is one row per node, re-checkpointed per round against lineage
+    growth.
     """
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_quantity"
-    )
-    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pairs = (
-        li.where(F.col("l_quantity") >= _MIN_QTY)
-        .join(od, li.l_orderkey == od.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("cust_node"),
-            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
-        )
-        .distinct()
-    )
-    edges = pairs.select(
-        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
-    ).unionByName(
-        pairs.select(
-            F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
-        )
-    )
+    edges = _trade_edges(spark, sf_dir)
     lab = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -214,6 +241,7 @@ def g_label_prop(spark, sf_dir):
                 ).alias("b")
             )
             .select("node", (-F.col("b.neg")).alias("label"))
+            .localCheckpoint(eager=False)
         )
     return lab.select(
         F.col("node").cast("long").alias("node"),
@@ -224,14 +252,8 @@ def g_label_prop(spark, sf_dir):
 # ------------------------------------------------------------------ #
 # g_link_prediction — common-neighbor / Jaccard link scores
 # ------------------------------------------------------------------ #
-_LP_TOPK = 20
-
 LINKPRED_ORACLE = f"""
-WITH pairs AS (
-  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
-  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-  WHERE l.l_quantity >= {_MIN_QTY}
-),
+WITH {_BIPAIRS_SQL},
 deg AS (SELECT c, count(*) AS d FROM pairs GROUP BY c),
 wedge AS (
   SELECT a.c AS ca, b.c AS cb, count(*) AS n_common
@@ -264,19 +286,11 @@ def g_link_prediction(spark, sf_dir):
     so work is Σ deg(s)² over suppliers — bounded by the max supplier
     degree (55 at sf0.1), the same per-key-bounded quadratic as
     g_triangle_count's wedge census; production caps hub degrees the
-    same way. Degrees broadcast; jaccard is one double division of
-    exact integers.
+    same way. The pairs table is checkpointed (three consumers);
+    degrees broadcast; jaccard is one double division of exact
+    integers.
     """
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_quantity"
-    )
-    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pairs = (
-        li.where(F.col("l_quantity") >= _MIN_QTY)
-        .join(od, li.l_orderkey == od.o_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
+    pairs = _trade_pairs(spark, sf_dir, namespaced=False)
     deg = pairs.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
     a = pairs.select(F.col("c").alias("ca"), "s")
     b = pairs.select(F.col("c").alias("cb"), "s")
@@ -287,11 +301,15 @@ def g_link_prediction(spark, sf_dir):
     )
     scored = (
         wedge.join(
-            F.broadcast(deg.select(F.col("c").alias("ca"), F.col("d").alias("da"))),
+            F.broadcast(
+                deg.select(F.col("c").alias("ca"), F.col("d").alias("da"))
+            ),
             "ca",
         )
         .join(
-            F.broadcast(deg.select(F.col("c").alias("cb"), F.col("d").alias("db"))),
+            F.broadcast(
+                deg.select(F.col("c").alias("cb"), F.col("d").alias("db"))
+            ),
             "cb",
         )
         .select(
@@ -316,17 +334,7 @@ def g_link_prediction(spark, sf_dir):
 # g_degree_assortativity — degree-degree Pearson correlation
 # ------------------------------------------------------------------ #
 ASSORT_ORACLE = f"""
-WITH pairs AS (
-  SELECT DISTINCT o.o_custkey * 2 AS cust_node,
-                  l.l_suppkey * 2 + 1 AS supp_node
-  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-  WHERE l.l_quantity >= {_MIN_QTY}
-),
-edges AS (
-  SELECT cust_node AS src, supp_node AS dst FROM pairs
-  UNION ALL
-  SELECT supp_node AS src, cust_node AS dst FROM pairs
-),
+WITH {_EDGES_SQL},
 deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
 de AS (
   SELECT ds.d AS x, dd.d AS y
@@ -356,30 +364,12 @@ def g_degree_assortativity(spark, sf_dir):
     hubs attach to leaves (disassortative), the typical bipartite
     trade-graph signature.
 
-    Scale shape: one degree count + two node-keyed joins back to the
-    edge list + ONE global moment aggregation — all moments are exact
-    BIGINTs, with one double division + sqrt at the end.
+    Scale shape: the checkpointed edge list feeds one degree count +
+    two node-keyed joins back + ONE global moment aggregation — all
+    moments are exact BIGINTs, with one double division + sqrt at the
+    end.
     """
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_quantity"
-    )
-    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pairs = (
-        li.where(F.col("l_quantity") >= _MIN_QTY)
-        .join(od, li.l_orderkey == od.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("cust_node"),
-            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
-        )
-        .distinct()
-    )
-    edges = pairs.select(
-        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
-    ).unionByName(
-        pairs.select(
-            F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
-        )
-    )
+    edges = _trade_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     de = (
         edges.join(

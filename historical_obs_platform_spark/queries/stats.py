@@ -39,6 +39,7 @@ import math
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.textfns import tokens
 from ..registry import query
 from .common import table
 from .textops import TOKS
@@ -347,16 +348,10 @@ def t_zipf_slope(spark, sf_dir):
     rank order.
     """
 
-    def _tok_arr():
-        return F.split(
-            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
-            " ",
-        )
-
     docs = (
         table(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
-        .select(_tok_arr().alias("t"))
+        .select(tokens(F.col("text")).alias("t"))
         .where(F.size("t") >= 1)
     )
     tc = docs.select(F.explode("t").alias("w")).groupBy("w").agg(

@@ -193,12 +193,12 @@ def test_bpe_merges_reduce_symbol_count(spark):
     from pyspark.sql import functions as F
 
     from historical_obs_platform_spark.queries.common import table
-    from historical_obs_platform_spark.queries.curation6 import _tok_arr
+    from historical_obs_platform_spark.functions.textfns import tokens
 
     before = (
         table(spark, SF_DIR, "documents")
         .where(F.col("text").isNotNull())
-        .select("doc_id", F.size(_tok_arr()).alias("n0"))
+        .select("doc_id", F.size(tokens(F.col("text"))).alias("n0"))
         .where(F.col("n0") >= 1)
     )
     after = registry.QUERIES["t_bpe_train_encode"](spark, SF_DIR)
