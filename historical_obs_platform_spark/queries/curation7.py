@@ -537,3 +537,166 @@ def a34_markov_entropy_rate(spark, sf_dir):
     return spark.createDataFrame(
         out, "from_type string, n long, h_nats double"
     )
+
+
+# ------------------------------------------------------------------ #
+# d_cdc_chunking — content-defined chunking dedup estimate
+# ------------------------------------------------------------------ #
+D_CDC_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {TOKS} AS t FROM documents
+  WHERE text IS NOT NULL AND len({TOKS}) >= 1
+),
+b AS (
+  SELECT doc_id, t, len(t) AS L,
+         list_filter(range(1, len(t) + 1),
+                     j -> substr(md5(t[j]), 1, 1) = '0') AS bnd
+  FROM d
+),
+ch AS (
+  SELECT doc_id,
+         CASE WHEN len(bnd) = 0 THEN [array_to_string(t, ' ')]
+              ELSE list_concat(
+                list_transform(range(1, len(bnd) + 1),
+                  j -> array_to_string(
+                         t[CASE WHEN j = 1 THEN 1
+                               ELSE bnd[j - 1] + 1 END : bnd[j]], ' ')),
+                CASE WHEN bnd[-1] < L
+                     THEN [array_to_string(t[bnd[-1] + 1 : L], ' ')]
+                     ELSE [] END) END
+           AS chunks
+  FROM b
+),
+h AS (
+  SELECT md5(c) AS ch, len(c) AS cl
+  FROM (SELECT unnest(chunks) AS c FROM ch)
+),
+agg AS (
+  SELECT count(*) AS total_chunks,
+         count(DISTINCT ch) AS distinct_chunks,
+         sum(cl) AS total_bytes
+  FROM h
+),
+sav AS (
+  SELECT sum((cnt - 1) * cl) AS saved
+  FROM (SELECT ch, count(*) AS cnt, min(cl) AS cl FROM h GROUP BY ch)
+)
+SELECT (SELECT count(*) FROM d) AS n_docs,
+       CAST(total_chunks AS BIGINT) AS total_chunks,
+       CAST(distinct_chunks AS BIGINT) AS distinct_chunks,
+       CAST((total_chunks - distinct_chunks) * 1000000 // total_chunks
+            AS BIGINT) AS dup_chunk_ppm,
+       CAST(total_bytes AS BIGINT) AS total_bytes,
+       CAST(COALESCE(saved, 0) * 1000000 // total_bytes AS BIGINT)
+         AS savings_ppm
+FROM agg, sav
+"""
+
+
+@query("d_cdc_chunking", D_CDC_ORACLE)
+def d_cdc_chunking(spark, sf_dir):
+    """Content-defined chunking (Muthitacharoen et al. SOSP'01, the
+    LBFS/rsync-family primitive) at WORD granularity: cut after every
+    token whose md5 starts with nibble '0' (p = 1/16 → ~16-word
+    expected chunks), then measure corpus-level chunk duplication —
+    the byte-savings estimate a storage-dedup layer would realize.
+    Because cut points depend only on LOCAL content, an insertion
+    shifts only the chunk it lands in — the property fixed-size
+    blocking lacks, and the reason CDC finds shared spans across
+    near-duplicate documents. (Byte-level CDC is the same plan with a
+    rolling window as the boundary function; word granularity keeps
+    the boundary test one md5 per TOKEN, not per character.)
+
+    Scale shape: boundary detection and chunk slicing are per-row
+    Catalyst expressions (map-only); the only shuffle is the
+    chunk-hash aggregation, keyed on content hashes like every dedup
+    query — only (hash, length) rides it, never chunk text, at scale.
+
+    Guard: Spark's `sequence(a, b)` auto-descends when b < a (DuckDB
+    `range` is empty there), so the chunk-index sequence is
+    CASE-guarded for boundary-free documents; chunk reassembly
+    (join of chunks == normalized text) is asserted in tests.
+    """
+    # the corpus ships as ONE parquet file, so without a redistribute
+    # the (interpreted, non-codegen) nested-lambda chunker runs in a
+    # single task; spreading rows across the executor threads is the
+    # difference between 86 s and ~4 s at sf0.1 (map-only after it).
+    d = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", tokens(F.col("text")).alias("t"))
+        .where(F.size("t") >= 1)
+    )
+    b = d.select(
+        "doc_id",
+        "t",
+        F.expr(
+            "filter(sequence(1, size(t)), "
+            "j -> substring(md5(element_at(t, CAST(j AS INT))), 1, 1) = '0')"
+        ).alias("bnd"),
+    )
+    ch = b.select(
+        F.expr(
+            "CASE WHEN size(bnd) = 0 THEN array(concat_ws(' ', t)) "
+            "ELSE concat("
+            "  transform(sequence(1, size(bnd)), "
+            "    j -> concat_ws(' ', slice(t, "
+            "      CAST(CASE WHEN j = 1 THEN 1 "
+            "           ELSE element_at(bnd, CAST(j - 1 AS INT)) + 1 END AS INT), "
+            "      CAST(element_at(bnd, CAST(j AS INT)) "
+            "           - CASE WHEN j = 1 THEN 0 "
+            "                  ELSE element_at(bnd, CAST(j - 1 AS INT)) END AS INT)))), "
+            "  CASE WHEN element_at(bnd, -1) < size(t) "
+            "       THEN array(concat_ws(' ', slice(t, "
+            "            CAST(element_at(bnd, -1) + 1 AS INT), size(t)))) "
+            "       ELSE CAST(array() AS ARRAY<STRING>) END) END"
+        ).alias("chunks"),
+    )
+    # explode_OUTER on purpose: plain explode triggers the
+    # InferFiltersFromGenerate rule, whose inferred size(chunks) > 0
+    # predicate — containing the whole nested-lambda chunk expression —
+    # gets pushed below the repartition into the SINGLE pre-exchange
+    # scan task (measured 85 s vs 6 s at sf0.1). `chunks` is non-empty
+    # for every surviving doc by construction, so outer adds no rows.
+    h = ch.select(F.explode_outer("chunks").alias("c")).select(
+        F.md5("c").alias("ch"), F.length("c").alias("cl")
+    )
+    # ONE pass over the (interpreted-lambda) chunker: every statistic
+    # derives from the chunk-hash rollup — a second consumer of `h`
+    # would re-run the whole chunk pipeline (measured 90 s vs 5.7 s
+    # at sf0.1 for the two-consumer spelling).
+    stats = (
+        h.groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("cl").alias("cl"))
+        .agg(
+            F.sum("cnt").alias("total_chunks"),
+            F.count(F.lit(1)).alias("distinct_chunks"),
+            F.sum(F.col("cnt") * F.col("cl")).alias("total_bytes"),
+            F.sum((F.col("cnt") - 1) * F.col("cl")).alias("saved"),
+        )
+    )
+    nd = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .where(F.size(tokens(F.col("text"))) >= 1)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(nd))
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_chunks").cast("long").alias("total_chunks"),
+            F.col("distinct_chunks").cast("long").alias("distinct_chunks"),
+            F.expr(
+                "(total_chunks - distinct_chunks) * 1000000"
+                " DIV total_chunks"
+            )
+            .cast("long")
+            .alias("dup_chunk_ppm"),
+            F.col("total_bytes").cast("long").alias("total_bytes"),
+            F.expr("COALESCE(saved, 0) * 1000000 DIV total_bytes")
+            .cast("long")
+            .alias("savings_ppm"),
+        )
+    )

@@ -417,3 +417,50 @@ class TestRfmScores:
             assert math.isclose(
                 r.monetary, mon.get(r.user_id, 0.0), abs_tol=0.01
             )
+
+
+class TestCdcChunking:
+    def test_matches_oracle(self, spark, oracle_con):
+        assert_matches_oracle(spark, oracle_con, "d_cdc_chunking")
+
+    def test_chunks_reassemble_and_savings_bound(self, spark):
+        """Pure-python CDC replay: same boundary rule, chunks must
+        reassemble to the normalized text, and the corpus stats must
+        match the query exactly."""
+        import hashlib as hl
+
+        row = QUERIES["d_cdc_chunking"](spark, SF_SMALL).toPandas().iloc[0]
+        d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+        d = d[d.text.notna()]
+        total = 0
+        hashes: dict[str, tuple[int, int]] = {}
+        n_docs = 0
+        for text in d.text:
+            norm = " ".join(text.strip().lower().split())
+            toks = norm.split(" ")
+            if len(toks) < 1 or norm == "":
+                if norm == "":
+                    continue
+            n_docs += 1
+            chunks, cur = [], []
+            for w in toks:
+                cur.append(w)
+                if hl.md5(w.encode()).hexdigest()[0] == "0":
+                    chunks.append(" ".join(cur))
+                    cur = []
+            if cur:
+                chunks.append(" ".join(cur))
+            assert " ".join(chunks) == norm
+            for c in chunks:
+                total += 1
+                h = hl.md5(c.encode()).hexdigest()
+                cnt, cl = hashes.get(h, (0, len(c)))
+                hashes[h] = (cnt + 1, cl)
+        assert int(row.n_docs) == n_docs
+        assert int(row.total_chunks) == total
+        assert int(row.distinct_chunks) == len(hashes)
+        saved = sum((cnt - 1) * cl for cnt, cl in hashes.values())
+        tb = sum(cnt * cl for cnt, cl in hashes.values())
+        assert int(row.total_bytes) == tb
+        assert int(row.savings_ppm) == saved * 1_000_000 // tb
+        assert 0 <= row.savings_ppm < 1_000_000
