@@ -103,6 +103,13 @@ def main() -> None:
     sidecar = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json"
     )
+    # Host uptime: bench numbers shift ~25% across host boots (see
+    # README bench notes), so record which boot produced this run.
+    try:
+        with open("/proc/uptime") as fh:
+            uptime_sec = round(float(fh.read().split()[0]), 1)
+    except Exception:
+        uptime_sec = -1.0
     with open(sidecar, "w") as fh:
         json.dump(
             {
@@ -110,6 +117,7 @@ def main() -> None:
                 "total": total,
                 "wall_total": wall_total,
                 "reps": reps,
+                "host_uptime_sec": uptime_sec,
                 "queries": timings,
                 "queries_all_reps": all_reps,
             },

@@ -232,14 +232,41 @@ def cosine_topk(
     # Norms are precomputed per side BEFORE the join: inside the join
     # they would be re-evaluated (interpreted higher-order lambdas)
     # for every (query, corpus) pair — measured ~9× slower at sf0.1.
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        as_double_array(vec_col).alias("__qv"),
-    ).withColumn("__qn", norm(F.col("__qv")))
-    c = corpus.select(
+    return cosine_topk_prepped(
+        prep_corpus(corpus, id_col, vec_col),
+        prep_queries(queries, id_col, vec_col),
+        k=k,
+        round_to=round_to,
+    )
+
+
+def prep_corpus(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(neighbor_id, __cv double-array, __cn norm) — the corpus-side
+    projection every LSH/exact arm needs. Factored out so a harness
+    comparing several retrieval strategies can ``persist()`` ONE prep
+    and share it (one parquet scan + one norm fold for all arms)."""
+    return corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(vec_col).alias("__cv"),
     ).withColumn("__cn", norm(F.col("__cv")))
+
+
+def prep_queries(
+    queries: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(query_id, __qv, __qn) — query-side twin of ``prep_corpus``."""
+    return queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec_col).alias("__qv"),
+    ).withColumn("__qn", norm(F.col("__qv")))
+
+
+def cosine_topk_prepped(
+    c: DataFrame, q: DataFrame, k: int = 5, round_to: int = 6
+) -> DataFrame:
+    """Exact top-k over ALREADY-PREPPED sides (see ``prep_corpus``)."""
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
@@ -382,29 +409,126 @@ def lsh_ann_topk(
     (map-only), shuffled once on bucket, and queries broadcast — the
     corpus never self-joins.
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double_array(vec_col).alias("__cv"),
-    ).withColumn("__cn", norm(F.col("__cv")))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        as_double_array(vec_col).alias("__qv"),
-    ).withColumn("__qn", norm(F.col("__qv")))
-    cand = None
+    c = prep_corpus(corpus, id_col, vec_col)
+    q = prep_queries(queries, id_col, vec_col)
+    cand = lsh_candidates(
+        lsh_corpus_buckets(c, dim, n_planes, n_tables),
+        lsh_query_keys(q, dim, n_planes, n_tables, n_probes=0),
+    )
+    return score_candidates_topk(cand, c, q, k=k, round_to=round_to)
+
+
+def lsh_corpus_buckets(
+    c: DataFrame, dim: int, n_planes: int = 4, n_tables: int = 2
+) -> DataFrame:
+    """One (neighbor_id, __b) row per (corpus vector, hash table) over
+    a PREPPED corpus (``prep_corpus``). Bucket keys carry the ``t<i>:``
+    prefix, so the union across tables can never collide cross-table.
+    This is the corpus-side hashing pass — the expensive side at
+    100 TB — factored out so a recall harness comparing plain LSH with
+    multi-probe builds (and persists) it ONCE for both arms."""
+    out = None
     for t in range(n_tables):
         cb = c.select(
             "neighbor_id",
             lsh_bucket_expr(F.col("__cv"), dim, n_planes, t).alias("__b"),
         )
-        qb = q.select(
-            "query_id",
-            lsh_bucket_expr(F.col("__qv"), dim, n_planes, t).alias("__b"),
-        )
-        pairs = cb.join(F.broadcast(qb), "__b").select(
-            "query_id", "neighbor_id"
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.where(F.col("query_id") != F.col("neighbor_id")).distinct()
+        out = cb if out is None else out.unionByName(cb)
+    return out
+
+
+def lsh_query_keys(
+    q: DataFrame,
+    dim: int,
+    n_planes: int = 4,
+    n_tables: int = 2,
+    n_probes: int = 0,
+) -> DataFrame:
+    """(query_id, __b) probe keys over a PREPPED query set: the base
+    bucket per table, plus — when ``n_probes`` > 0 — the multi-probe
+    Hamming-1 buckets from flipping the ``n_probes`` lowest-|margin|
+    sign bits (Lv et al., VLDB'07). Plain LSH and multi-probe differ
+    ONLY in this (broadcast-sized) key list; the corpus-side buckets
+    are identical."""
+    out = None
+    for t in range(n_tables):
+        if n_probes <= 0:
+            qb = q.select(
+                "query_id",
+                lsh_bucket_expr(F.col("__qv"), dim, n_planes, t).alias(
+                    "__b"
+                ),
+            )
+        else:
+            qdots = [
+                _const_dot(
+                    F.col("__qv"),
+                    _hyperplane_consts(dim, t * n_planes + p),
+                )
+                for p in range(n_planes)
+            ]
+            qbits = [
+                F.when(d > 0, F.lit("1")).otherwise(F.lit("0"))
+                for d in qdots
+            ]
+            flips = [
+                F.when(d > 0, F.lit("0")).otherwise(F.lit("1"))
+                for d in qdots
+            ]
+            # probe order: ascending |dot| (margin), plane index
+            # breaks exact ties — sort_array on (margin, plane)
+            order = F.sort_array(
+                F.array(
+                    *[
+                        F.struct(
+                            F.abs(qdots[p]).alias("m"),
+                            F.lit(p).alias("p"),
+                        )
+                        for p in range(n_planes)
+                    ]
+                )
+            )
+            keys = [F.concat(F.lit(f"t{t}:"), *qbits)]
+            for j in range(min(n_probes, n_planes)):
+                flip_p = F.element_at(order, j + 1).getField("p")
+                keys.append(
+                    F.concat(
+                        F.lit(f"t{t}:"),
+                        *[
+                            F.when(flip_p == pos, flips[pos]).otherwise(
+                                qbits[pos]
+                            )
+                            for pos in range(n_planes)
+                        ],
+                    )
+                )
+            qb = q.select(
+                "query_id", F.explode(F.array(*keys)).alias("__b")
+            ).distinct()
+        out = qb if out is None else out.unionByName(qb)
+    return out
+
+
+def lsh_candidates(cb: DataFrame, qkeys: DataFrame) -> DataFrame:
+    """Bucket-equality candidate pairs: corpus buckets ⋈ broadcast
+    query keys. Self-pairs and cross-table duplicates are dropped."""
+    return (
+        cb.join(F.broadcast(qkeys), "__b")
+        .select("query_id", "neighbor_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .distinct()
+    )
+
+
+def score_candidates_topk(
+    cand: DataFrame,
+    c: DataFrame,
+    q: DataFrame,
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact-cosine re-rank of a candidate pair set against prepped
+    sides; per-query window top-k."""
     scored = (
         cand.join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
@@ -454,91 +578,16 @@ def lsh_multiprobe_topk(
     (|dot|, plane index) — the oracle replays plane dots, flip
     selection, bucket join, exact cosine, rank.
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double_array(vec_col).alias("__cv"),
-    ).withColumn("__cn", norm(F.col("__cv")))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        as_double_array(vec_col).alias("__qv"),
-    ).withColumn("__qn", norm(F.col("__qv")))
-    cand = None
-    for t in range(n_tables):
-        # corpus side hashes through the SAME helper as lsh_ann_topk
-        # — the recall comparison assumes both paths bucket the
-        # corpus identically
-        cb = c.select(
-            "neighbor_id",
-            lsh_bucket_expr(F.col("__cv"), dim, n_planes, t).alias(
-                "__b"
-            ),
-        )
-        qdots = [
-            _const_dot(
-                F.col("__qv"), _hyperplane_consts(dim, t * n_planes + p)
-            )
-            for p in range(n_planes)
-        ]
-        qbits = [
-            F.when(d > 0, F.lit("1")).otherwise(F.lit("0")) for d in qdots
-        ]
-        flips = [
-            F.when(d > 0, F.lit("0")).otherwise(F.lit("1")) for d in qdots
-        ]
-        # probe order: ascending |dot| (margin), plane index breaks
-        # exact ties — sort_array on (margin, plane) structs
-        order = F.sort_array(
-            F.array(
-                *[
-                    F.struct(
-                        F.abs(qdots[p]).alias("m"), F.lit(p).alias("p")
-                    )
-                    for p in range(n_planes)
-                ]
-            )
-        )
-        keys = [F.concat(F.lit(f"t{t}:"), *qbits)]
-        for j in range(min(n_probes, n_planes)):
-            flip_p = F.element_at(order, j + 1).getField("p")
-            keys.append(
-                F.concat(
-                    F.lit(f"t{t}:"),
-                    *[
-                        F.when(flip_p == pos, flips[pos]).otherwise(
-                            qbits[pos]
-                        )
-                        for pos in range(n_planes)
-                    ],
-                )
-            )
-        qb = q.select(
-            "query_id", F.explode(F.array(*keys)).alias("__b")
-        ).distinct()
-        pairs = cb.join(F.broadcast(qb), "__b").select(
-            "query_id", "neighbor_id"
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.where(F.col("query_id") != F.col("neighbor_id")).distinct()
-    scored = (
-        cand.join(c, "neighbor_id")
-        .join(F.broadcast(q), "query_id")
-        .withColumn(
-            "cosine_sim",
-            F.round(
-                dot(F.col("__qv"), F.col("__cv"))
-                / (F.col("__qn") * F.col("__cn")),
-                round_to,
-            ),
-        )
+    # corpus side hashes through the SAME helper as lsh_ann_topk —
+    # the recall comparison assumes both paths bucket the corpus
+    # identically
+    c = prep_corpus(corpus, id_col, vec_col)
+    q = prep_queries(queries, id_col, vec_col)
+    cand = lsh_candidates(
+        lsh_corpus_buckets(c, dim, n_planes, n_tables),
+        lsh_query_keys(q, dim, n_planes, n_tables, n_probes=n_probes),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", "rank")
-    )
+    return score_candidates_topk(cand, c, q, k=k, round_to=round_to)
 
 
 # ------------------------------------------------------------ IVF ANN

