@@ -574,7 +574,7 @@ h AS (
 agg AS (
   SELECT count(*) AS total_chunks,
          count(DISTINCT ch) AS distinct_chunks,
-         sum(cl) AS total_bytes
+         sum(cl) AS total_chars
   FROM h
 ),
 sav AS (
@@ -586,9 +586,9 @@ SELECT (SELECT count(*) FROM d) AS n_docs,
        CAST(distinct_chunks AS BIGINT) AS distinct_chunks,
        CAST((total_chunks - distinct_chunks) * 1000000 // total_chunks
             AS BIGINT) AS dup_chunk_ppm,
-       CAST(total_bytes AS BIGINT) AS total_bytes,
-       CAST(COALESCE(saved, 0) * 1000000 // total_bytes AS BIGINT)
-         AS savings_ppm
+       CAST(total_chars AS BIGINT) AS total_chars,
+       CAST(COALESCE(saved, 0) * 1000000 // total_chars AS BIGINT)
+         AS char_savings_ppm
 FROM agg, sav
 """
 
@@ -599,7 +599,10 @@ def d_cdc_chunking(spark, sf_dir):
     LBFS/rsync-family primitive) at WORD granularity: cut after every
     token whose md5 starts with nibble '0' (p = 1/16 → ~16-word
     expected chunks), then measure corpus-level chunk duplication —
-    the byte-savings estimate a storage-dedup layer would realize.
+    the savings estimate a storage-dedup layer would realize, measured
+    in CHARACTERS (both engines' length() counts codepoints, not
+    octets — for the zh documents in the corpus bytes != chars, so
+    the columns say what they measure).
     Because cut points depend only on LOCAL content, an insertion
     shifts only the chunk it lands in — the property fixed-size
     blocking lacks, and the reason CDC finds shared spans across
@@ -672,7 +675,7 @@ def d_cdc_chunking(spark, sf_dir):
         .agg(
             F.sum("cnt").alias("total_chunks"),
             F.count(F.lit(1)).alias("distinct_chunks"),
-            F.sum(F.col("cnt") * F.col("cl")).alias("total_bytes"),
+            F.sum(F.col("cnt") * F.col("cl")).alias("total_chars"),
             F.sum((F.col("cnt") - 1) * F.col("cl")).alias("saved"),
         )
     )
@@ -694,9 +697,9 @@ def d_cdc_chunking(spark, sf_dir):
             )
             .cast("long")
             .alias("dup_chunk_ppm"),
-            F.col("total_bytes").cast("long").alias("total_bytes"),
-            F.expr("COALESCE(saved, 0) * 1000000 DIV total_bytes")
+            F.col("total_chars").cast("long").alias("total_chars"),
+            F.expr("COALESCE(saved, 0) * 1000000 DIV total_chars")
             .cast("long")
-            .alias("savings_ppm"),
+            .alias("char_savings_ppm"),
         )
     )

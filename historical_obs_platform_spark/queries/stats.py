@@ -76,7 +76,13 @@ sfold AS (
            (a, b) -> a + b) AS s
   FROM rg
 ),
-tie AS (SELECT sum(cnt * cnt * cnt - cnt) AS tsum FROM cv)
+tie AS (
+  -- cube in DECIMAL: BIGINT cnt^3 overflows (silently, on Spark's
+  -- non-ANSI side) once a single value bin exceeds ~2.1M rows; the
+  -- exact decimal sum is order-independent and holds to cnt ~ 1e12
+  SELECT sum(CAST(cnt AS DECIMAL(12,0)) * CAST(cnt AS DECIMAL(12,0))
+             * CAST(cnt AS DECIMAL(12,0)) - cnt) AS tsum
+  FROM cv)
 SELECT CAST(tot.n AS BIGINT) AS n, CAST(sfold.k AS BIGINT) AS k,
        round(12.0e0 * sfold.s / (CAST(tot.n AS DOUBLE) * (tot.n + 1))
              - 3.0e0 * (tot.n + 1), 6) AS h,
@@ -152,10 +158,10 @@ def a32_kruskal_wallis(spark, sf_dir):
         ).alias("s"),
     )
     tot = v.agg(F.count(F.lit(1)).alias("n"))
+    # decimal cube (not BIGINT): see the oracle's tie CTE comment
+    cnt_dec = F.col("cnt").cast("decimal(12,0)")
     tie = cv.agg(
-        F.sum(
-            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
-        ).alias("tsum")
+        F.sum(cnt_dec * cnt_dec * cnt_dec - F.col("cnt")).alias("tsum")
     )
     n_d = F.col("n").cast("double")
     h = F.lit(12.0) * F.col("s") / (n_d * (F.col("n") + 1)) - F.lit(
@@ -193,16 +199,16 @@ u AS (
            AS converted
   FROM fe WHERE rn = 1
 ),
-g AS (
-  SELECT variant, count(*) AS n, sum(converted) AS conv
-  FROM u GROUP BY variant
-),
 ab AS (
-  SELECT
-    (SELECT n FROM g WHERE variant = 0) AS n_a,
-    (SELECT n FROM g WHERE variant = 1) AS n_b,
-    (SELECT conv FROM g WHERE variant = 0) AS conv_a,
-    (SELECT conv FROM g WHERE variant = 1) AS conv_b
+  -- ONE conditional aggregate, not per-variant scalar subqueries: a
+  -- grand aggregate emits exactly one row even when a variant (or the
+  -- whole corpus) is empty, so both engines agree on the row count
+  -- and surface NULL metrics instead of diverging
+  SELECT count(*) FILTER (WHERE variant = 0) AS n_a,
+         count(*) FILTER (WHERE variant = 1) AS n_b,
+         sum(converted) FILTER (WHERE variant = 0) AS conv_a,
+         sum(converted) FILTER (WHERE variant = 1) AS conv_b
+  FROM u
 )
 SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        CAST(conv_a AS BIGINT) AS conv_a, CAST(conv_b AS BIGINT) AS conv_b,
@@ -248,19 +254,18 @@ def a33_ab_test_z(spark, sf_dir):
             .alias("converted"),
         )
     )
-    g = u.groupBy("variant").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
-    )
-    ab = (
-        g.where(F.col("variant") == 0)
-        .select(F.col("n").alias("n_a"), F.col("conv").alias("conv_a"))
-        .crossJoin(
-            F.broadcast(
-                g.where(F.col("variant") == 1).select(
-                    F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
-                )
-            )
-        )
+    # one conditional aggregate (not a variant-0 × variant-1 cross
+    # join): always exactly one row, NULL metrics when a variant is
+    # empty — matching the oracle's FILTER aggregate row-for-row
+    ab = u.agg(
+        F.count(F.when(F.col("variant") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("variant") == 1, 1)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted"))).alias(
+            "conv_a"
+        ),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted"))).alias(
+            "conv_b"
+        ),
     )
     pa = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
     pb = F.col("conv_b").cast("double") / F.col("n_b").cast("double")

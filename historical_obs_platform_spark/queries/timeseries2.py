@@ -770,8 +770,12 @@ def w26_holt_winters(spark, sf_dir):
 # BIGINT moment (counts are integers); r's numerator and the two
 # variance terms are computed in integers and cast to DOUBLE for ONE
 # division and ONE sqrt, so both engines evaluate the identical IEEE
-# tree. Hour index = epoch_us // 3.6e9 (integer floor on positive
-# epochs, matching DuckDB's ns→us narrowing).
+# tree. Hour index = FLOOR(epoch_us / 3.6e9), spelled as exact integer
+# arithmetic ((us - posmod(us, 3.6e9)) / 3.6e9) on BOTH engines:
+# Spark DIV and DuckDB's integer // each truncate toward zero, which
+# binned pre-1970 timestamps wrong (hour -0.5 and +0.5 merged into
+# bin 0) — the positive-mod subtraction gives true floor division
+# with no double-rounding at hour boundaries.
 #
 # Scale shape: one hour-keyed count agg (corpus-sized work), then a
 # 7-lag explode-join on the HOURLY table — wall-clock-hours-sized,
@@ -781,7 +785,9 @@ _CCF_LAGS = 3
 
 CCF_ORACLE = f"""
 WITH hv AS (
-  SELECT epoch_us(ts) // 3600000000 AS hi,
+  SELECT (epoch_us(ts)
+          - ((epoch_us(ts) % 3600000000) + 3600000000) % 3600000000)
+         // 3600000000 AS hi,
          count(*) FILTER (WHERE event_type = 'view') AS v,
          count(*) FILTER (WHERE event_type = 'purchase') AS p
   FROM events GROUP BY 1
@@ -812,7 +818,11 @@ def w27_cross_correlation(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     hv = (
         ev.select(
-            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias("hi"),
+            F.expr(
+                "(unix_micros(CAST(ts AS TIMESTAMP))"
+                " - pmod(unix_micros(CAST(ts AS TIMESTAMP)), 3600000000))"
+                " DIV 3600000000"
+            ).alias("hi"),
             "event_type",
         )
         .groupBy("hi")

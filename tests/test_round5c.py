@@ -461,6 +461,6 @@ class TestCdcChunking:
         assert int(row.distinct_chunks) == len(hashes)
         saved = sum((cnt - 1) * cl for cnt, cl in hashes.values())
         tb = sum(cnt * cl for cnt, cl in hashes.values())
-        assert int(row.total_bytes) == tb
-        assert int(row.savings_ppm) == saved * 1_000_000 // tb
-        assert 0 <= row.savings_ppm < 1_000_000
+        assert int(row.total_chars) == tb
+        assert int(row.char_savings_ppm) == saved * 1_000_000 // tb
+        assert 0 <= row.char_savings_ppm < 1_000_000
