@@ -67,8 +67,7 @@ contrib AS (
   FROM cells
 ),
 chi AS (
-  SELECT any_value(n) AS n,
-         list_reduce(list(x ORDER BY lang, source), (a, b) -> a + b)
+  SELECT list_reduce(list(x ORDER BY lang, source), (a, b) -> a + b)
            AS chi2
   FROM contrib
 ),
@@ -76,13 +75,19 @@ dims AS (
   SELECT (SELECT count(*) FROM rt) AS nl,
          (SELECT count(*) FROM ct) AS ns
 )
-SELECT CAST(chi.n AS BIGINT) AS n,
-       CAST((dims.nl - 1) * (dims.ns - 1) AS BIGINT) AS dof,
-       round(chi.chi2, 6) AS chi2,
-       round(sqrt(chi.chi2
-                  / (chi.n * least(dims.nl - 1, dims.ns - 1))), 6)
-         AS cramers_v
-FROM chi CROSS JOIN dims
+-- degenerate corpora emit typed NULLs, not NaN/div-zero: an empty
+-- corpus NULLs every statistic; a single-lang or single-source table
+-- has dof = 0, where chi2 is identically 0 and V is undefined
+SELECT CAST(tot.n AS BIGINT) AS n,
+       CASE WHEN tot.n = 0 THEN NULL
+            ELSE CAST((dims.nl - 1) * (dims.ns - 1) AS BIGINT) END AS dof,
+       CASE WHEN tot.n = 0 THEN NULL ELSE round(chi.chi2, 6) END AS chi2,
+       CASE WHEN tot.n = 0 OR least(dims.nl - 1, dims.ns - 1) = 0
+            THEN NULL
+            ELSE round(sqrt(chi.chi2
+                       / (tot.n * least(dims.nl - 1, dims.ns - 1))), 6)
+            END AS cramers_v
+FROM chi CROSS JOIN dims CROSS JOIN tot
 """
 
 
@@ -133,7 +138,6 @@ def a30_cramers_v(spark, sf_dir):
     nl = rt.agg(F.count(F.lit(1)).alias("nl"))
     ns = ct.agg(F.count(F.lit(1)).alias("ns"))
     chi = contrib.agg(
-        F.first("n").alias("n"),
         F.aggregate(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("lang", "source", "x"))),
@@ -143,21 +147,25 @@ def a30_cramers_v(spark, sf_dir):
             lambda a, b: a + b,
         ).alias("chi2"),
     )
+    # typed NULLs on degenerate input (empty corpus / dof = 0) —
+    # mirrors the oracle's CASE guards instead of NaN from 0/0
+    empty = F.col("n") == 0
+    mindim = F.least(F.col("nl") - 1, F.col("ns") - 1)
     return (
         chi.crossJoin(F.broadcast(nl))
         .crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(tot))
         .select(
             F.col("n").cast("long").alias("n"),
-            ((F.col("nl") - 1) * (F.col("ns") - 1))
-            .cast("long")
-            .alias("dof"),
-            F.round("chi2", 6).alias("chi2"),
-            F.round(
-                F.sqrt(
-                    F.col("chi2")
-                    / (F.col("n") * F.least(F.col("nl") - 1, F.col("ns") - 1))
+            F.when(
+                ~empty, ((F.col("nl") - 1) * (F.col("ns") - 1)).cast("long")
+            ).alias("dof"),
+            F.when(~empty, F.round("chi2", 6)).alias("chi2"),
+            F.when(
+                (~empty) & (mindim > 0),
+                F.round(
+                    F.sqrt(F.col("chi2") / (F.col("n") * mindim)), 6
                 ),
-                6,
             ).alias("cramers_v"),
         )
     )
@@ -205,17 +213,26 @@ FROM contrib GROUP BY source
 
 
 @query("t_js_divergence", T_JS_ORACLE)
-def t_js_divergence(spark, sf_dir):
+def t_js_divergence(spark, sf_dir, exact=True):
     """Per-source Jensen-Shannon divergence to the corpus unigram
     distribution over 256 md5 buckets.
 
-    The (sources × 256) contingency table is collected to the driver —
+    Exact mode (default, the registered/oracled path): the
+    (sources × 256) contingency table is collected to the driver —
     report-sized, like report_flag_rates — and the log terms use
     CPython's libm (bit-identical to DuckDB's ln; JVM Math.log is
     not), folded in ascending bucket order. Scale shape: one explode →
     one bucket-keyed count agg; the driver never sees row-level data,
-    only the report table. For unbounded source cardinality the same
-    terms move into a pandas_udf at the cost of exact-hash parity.
+    only the report table.
+
+    ``exact=False`` is the coded escape hatch for past-contract source
+    cardinality (>64 k contingency rows): per-source scoring moves
+    into a grouped ``applyInPandas`` (vectorized numpy, only the
+    256-bucket CORPUS distribution rides the closure), so the driver
+    holds O(256) state regardless of source count. Same statistic to
+    ~1e-12 (numpy sums in a different order than the ordered fold);
+    tolerance-compared against exact mode in
+    tests/test_hardening_r6.py.
     """
     docs = (
         table(spark, sf_dir, "documents")
@@ -233,19 +250,22 @@ def t_js_divergence(spark, sf_dir):
         .alias("b"),
     )
     pc = tk.groupBy("source", "b").agg(F.count(F.lit(1)).alias("pn"))
+    if not exact:
+        return _js_divergence_pandas(spark, pc)
     # report-sized contract: sources × 256 buckets. Past 64 k rows
     # (≈256 sources) the collect stops being driver-cheap — the same
     # ≤4096-local guard rail as similarity._assign_cells, raised here
     # because the bit-stable CPython-ln scoring has no exact
     # distributed fallback (JVM Math.log carries no libm guarantee);
-    # at that cardinality move the terms into a pandas_udf and accept
-    # tolerance-compare instead of hash-compare.
+    # past that cardinality, call with exact=False — the
+    # applyInPandas path below with tolerance-compare semantics.
     rows = pc.limit(65_537).collect()
     if len(rows) > 65_536:
         raise ValueError(
             "t_js_divergence: source × bucket contingency exceeds the "
-            "driver-collect contract (>65536 rows); score in a "
-            "pandas_udf with tolerance-compare instead"
+            "driver-collect contract (>65536 rows); rerun with "
+            "exact=False (distributed applyInPandas scoring, "
+            "tolerance-compare instead of hash-compare)"
         )
 
     qc: dict[int, int] = {}
@@ -272,6 +292,47 @@ def t_js_divergence(spark, sf_dir):
         out.append((src, np_[src], round(acc, 6)))
     return spark.createDataFrame(
         out, "source string, n_tokens long, js double"
+    )
+
+
+def _js_divergence_pandas(spark, pc):
+    """Distributed JS scoring: grouped applyInPandas over the
+    (source, bucket, count) cells. Only the 256-double corpus
+    distribution crosses the driver; per-source work is one numpy
+    pass. Buckets absent from a source contribute 0.5·q·ln2 each —
+    folded in via the closed-form correction 0.5·ln2·(1 − Σ_present q)
+    so groups never need the absent cells materialized."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = pc.groupBy("b").agg(F.sum("pn").alias("qn")).collect()
+    nq = float(sum(r["qn"] for r in qrows))
+    qarr = np.zeros(256)
+    for r in qrows:
+        qarr[int(r["b"])] = r["qn"] / nq
+    ln2 = math.log(2.0)
+
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pn = pdf["pn"].to_numpy(dtype=float)
+        b = pdf["b"].to_numpy(dtype=int)
+        ntok = pn.sum()
+        p = pn / ntok
+        q = qarr[b]
+        # p > 0 for every present cell; q may be 0 (source-only token)
+        x = 0.5 * p * np.log(2.0 * p / (p + q))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xq = np.where(q > 0.0, 0.5 * q * np.log(2.0 * q / (p + q)), 0.0)
+        js = float((x + xq).sum()) + 0.5 * ln2 * (1.0 - float(q.sum()))
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "n_tokens": [int(ntok)],
+                "js": [round(js, 6)],
+            }
+        )
+
+    return pc.groupBy("source").applyInPandas(
+        score, "source string, n_tokens long, js double"
     )
 
 
@@ -500,7 +561,7 @@ GROUP BY p.from_type
 
 
 @query("a34_markov_entropy_rate", A34_ORACLE)
-def a34_markov_entropy_rate(spark, sf_dir):
+def a34_markov_entropy_rate(spark, sf_dir, exact=True):
     """Per-state conditional entropy H(next | current) of the user
     event process — the predictability measure on top of
     e_markov_transitions' transition matrix. The (from, to) count
@@ -510,16 +571,23 @@ def a34_markov_entropy_rate(spark, sf_dir):
 
     Scale shape: one lead() per user + one vocabulary²-keyed count —
     corpus-scale work is identical to e_markov_transitions; the
-    entropy arithmetic runs on the report-sized table.
+    entropy arithmetic runs on the report-sized table. For
+    past-contract alphabets (>64 k transition cells), ``exact=False``
+    scores each from-state in a grouped ``applyInPandas`` instead —
+    no driver collect at any cardinality, same statistic to ~1e-12
+    (tolerance-compared in tests/test_hardening_r6.py).
     """
     pairs = _transition_pairs(spark, sf_dir)
+    if not exact:
+        return _markov_entropy_pandas(pairs)
     # vocabulary²-sized by construction (event-type alphabet squared)
     rows = pairs.limit(65_537).collect()
     if len(rows) > 65_536:
         raise ValueError(
             "a34_markov_entropy_rate: event-type alphabet too large "
             "for the driver-collect contract (>65536 transition "
-            "cells); score in a pandas_udf with tolerance-compare"
+            "cells); rerun with exact=False (distributed "
+            "applyInPandas scoring, tolerance-compare)"
         )
     tn: dict[str, int] = {}
     for r in rows:
@@ -536,6 +604,31 @@ def a34_markov_entropy_rate(spark, sf_dir):
         out.append((ft, tn[ft], round(acc, 6)))
     return spark.createDataFrame(
         out, "from_type string, n long, h_nats double"
+    )
+
+
+def _markov_entropy_pandas(pairs):
+    """Distributed per-state entropy: grouped applyInPandas over the
+    (from_type, to_type, n) transition cells — one numpy -Σp·ln p per
+    from-state group, zero driver-side state."""
+    import numpy as np
+    import pandas as pd
+
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = pdf["n"].to_numpy(dtype=float)
+        tn = n.sum()
+        p = n / tn
+        h = float(-(p * np.log(p)).sum())
+        return pd.DataFrame(
+            {
+                "from_type": [pdf["from_type"].iloc[0]],
+                "n": [int(tn)],
+                "h_nats": [round(h, 6)],
+            }
+        )
+
+    return pairs.groupBy("from_type").applyInPandas(
+        score, "from_type string, n long, h_nats double"
     )
 
 

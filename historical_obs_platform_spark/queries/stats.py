@@ -82,19 +82,28 @@ tie AS (
   -- exact decimal sum is order-independent and holds to cnt ~ 1e12
   SELECT sum(CAST(cnt AS DECIMAL(12,0)) * CAST(cnt AS DECIMAL(12,0))
              * CAST(cnt AS DECIMAL(12,0)) - cnt) AS tsum
-  FROM cv)
+  FROM cv),
+nv AS (SELECT count(*) AS c FROM cv)
+-- degenerate corpora emit typed NULLs: the test is undefined with no
+-- rows or fewer than two groups, and the tie-corrected H divides by
+-- tie_c = 0 when every value is identical (nv.c <= 1)
 SELECT CAST(tot.n AS BIGINT) AS n, CAST(sfold.k AS BIGINT) AS k,
-       round(12.0e0 * sfold.s / (CAST(tot.n AS DOUBLE) * (tot.n + 1))
-             - 3.0e0 * (tot.n + 1), 6) AS h,
-       round(1.0e0 - CAST(tie.tsum AS DOUBLE)
-             / (CAST(tot.n AS DOUBLE) * tot.n * tot.n - tot.n), 6)
-         AS tie_c,
-       round((12.0e0 * sfold.s / (CAST(tot.n AS DOUBLE) * (tot.n + 1))
-              - 3.0e0 * (tot.n + 1))
-             / (1.0e0 - CAST(tie.tsum AS DOUBLE)
-                / (CAST(tot.n AS DOUBLE) * tot.n * tot.n - tot.n)), 6)
-         AS h_adj
-FROM sfold, tot, tie
+       CASE WHEN tot.n = 0 OR sfold.k < 2 THEN NULL
+            ELSE round(12.0e0 * sfold.s
+                       / (CAST(tot.n AS DOUBLE) * (tot.n + 1))
+                       - 3.0e0 * (tot.n + 1), 6) END AS h,
+       CASE WHEN tot.n = 0 OR sfold.k < 2 THEN NULL
+            ELSE round(1.0e0 - CAST(tie.tsum AS DOUBLE)
+                       / (CAST(tot.n AS DOUBLE) * tot.n * tot.n - tot.n), 6)
+            END AS tie_c,
+       CASE WHEN tot.n = 0 OR sfold.k < 2 OR nv.c <= 1 THEN NULL
+            ELSE round((12.0e0 * sfold.s
+                        / (CAST(tot.n AS DOUBLE) * (tot.n + 1))
+                        - 3.0e0 * (tot.n + 1))
+                       / (1.0e0 - CAST(tie.tsum AS DOUBLE)
+                          / (CAST(tot.n AS DOUBLE) * tot.n * tot.n - tot.n)),
+                       6) END AS h_adj
+FROM sfold, tot, tie, nv
 """
 
 
@@ -163,6 +172,7 @@ def a32_kruskal_wallis(spark, sf_dir):
     tie = cv.agg(
         F.sum(cnt_dec * cnt_dec * cnt_dec - F.col("cnt")).alias("tsum")
     )
+    nv = cv.agg(F.count(F.lit(1)).alias("nvals"))
     n_d = F.col("n").cast("double")
     h = F.lit(12.0) * F.col("s") / (n_d * (F.col("n") + 1)) - F.lit(
         3.0
@@ -170,15 +180,21 @@ def a32_kruskal_wallis(spark, sf_dir):
     tie_c = F.lit(1.0) - F.col("tsum").cast("double") / (
         n_d * F.col("n") * F.col("n") - F.col("n")
     )
+    # typed NULLs on degenerate input (empty / <2 groups / constant
+    # values), mirroring the oracle's CASE guards — see the oracle
+    defined = (F.col("n") > 0) & (F.col("k") >= 2)
     return (
         sfold.crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(tie))
+        .crossJoin(F.broadcast(nv))
         .select(
             F.col("n").cast("long").alias("n"),
             F.col("k").cast("long").alias("k"),
-            F.round(h, 6).alias("h"),
-            F.round(tie_c, 6).alias("tie_c"),
-            F.round(h / tie_c, 6).alias("h_adj"),
+            F.when(defined, F.round(h, 6)).alias("h"),
+            F.when(defined, F.round(tie_c, 6)).alias("tie_c"),
+            F.when(
+                defined & (F.col("nvals") > 1), F.round(h / tie_c, 6)
+            ).alias("h_adj"),
         )
     )
 
