@@ -957,9 +957,9 @@ def _bpe_corpus_sql() -> str:
     ).format(toks=TOKS)
 
 
-def _bpe_oracle() -> str:
+def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
     parts = [f"c0 AS MATERIALIZED ({_bpe_corpus_sql()})"]
-    for r in range(1, _BPE_ROUNDS + 1):
+    for r in range(1, rounds + 1):
         prev = f"c{r - 1}"
         parts.append(
             f"""p{r} AS MATERIALIZED (
@@ -990,19 +990,38 @@ c{r} AS MATERIALIZED (
 SELECT doc_id,
        CAST(len(string_split(s, '><')) AS BIGINT) AS n_symbols,
        md5(s) AS encoded_md5
-FROM c{_BPE_ROUNDS}
+FROM c{rounds}
 """
     )
 
 
+# truncate lineage every this many merge rounds: the persist rotation
+# below bounds STORAGE at O(1) in rounds, but the logical plan still
+# gains one replace() node per round — at production merge counts
+# (10k+) Catalyst analysis would go quadratic without periodic cuts.
+# 8-round default never hits this, so the registered pairing is
+# unaffected.
+_BPE_TRUNC_EVERY = 64
+
+
 @query("t_bpe_train_encode", _bpe_oracle())
-def t_bpe_train_encode(spark, sf_dir):
-    """Train 8 BPE merges on the corpus and encode every document with
-    them; emit the post-merge symbol count and a fingerprint of the
-    encoded sequence. Each round: one integer pair-count aggregation
-    (the winner collected driver-side, 1 row), one map-only string
-    rewrite. The oracle unrolls the same rounds with scalar-subquery
-    winners — training AND encoding are hash-checked end-to-end."""
+def t_bpe_train_encode(spark, sf_dir, rounds: int = _BPE_ROUNDS):
+    """Train ``rounds`` BPE merges on the corpus and encode every
+    document with them; emit the post-merge symbol count and a
+    fingerprint of the encoded sequence. Each round: one integer
+    pair-count aggregation (the winner collected driver-side, 1 row),
+    one map-only string rewrite. The oracle unrolls the same rounds
+    with scalar-subquery winners — training AND encoding are
+    hash-checked end-to-end.
+
+    Storage discipline (the p_coreset_kcenter rotation, r5 brief #4):
+    round r's count job materializes the persisted round-r corpus,
+    after which round r-1's blocks are freed — live storage is at most
+    TWO corpus copies at any merge count, not one per round (the lazy
+    localCheckpoint chain this replaces held every round's blocks;
+    tests/test_hardening_r6.py asserts the bound). The final encode
+    releases the last cache too and recomputes as one map-only chain —
+    scan + ``rounds`` string replaces — when collected."""
     docs = (
         table(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
@@ -1016,17 +1035,20 @@ def t_bpe_train_encode(spark, sf_dir):
         )
     )
     # each round: split ONCE per row (zip_with over shifted slices —
-    # re-splitting per element made the pair scan O(len^2) per doc),
-    # and checkpoint the rewrite so round r's count job and the final
-    # encode don't re-execute rounds 1..r-1 (measured 47 s -> ~4 s at
-    # sf0.1)
-    cur = docs.localCheckpoint(eager=False)
+    # re-splitting per element made the pair scan O(len^2) per doc);
+    # the persist on the round's input keeps the count job and the
+    # next rewrite from re-executing rounds 1..r-1 (measured
+    # 47 s -> ~4 s at sf0.1 vs no reuse at all)
     pair_expr = F.expr(
         "zip_with(slice(l, 1, size(l) - 1), slice(l, 2, size(l) - 1),"
         " (x, y) -> concat('<', x, '><', y, '>'))"
     )
-    for _ in range(_BPE_ROUNDS):
-        sp = cur.select(
+    cur = docs
+    cached = None  # the one materialized round held for reuse
+    since_trunc = 0
+    for _ in range(rounds):
+        nxt = cur.persist()
+        sp = nxt.select(
             F.split(
                 F.expr("substring(s, 2, length(s) - 2)"), "><"
             ).alias("l")
@@ -1039,18 +1061,35 @@ def t_bpe_train_encode(spark, sf_dir):
             .limit(1)
             .collect()
         )
+        # the collect above materialized nxt — the previous round's
+        # blocks are now safe to free (rotation keeps live sets <= 2)
+        if cached is not None:
+            cached.unpersist()
+        cached = nxt
+        since_trunc += 1
         if not best:
             break
         pair = best[0]["pair"]
         merged = "<" + pair.replace("><", "").replace("<", "").replace(">", "") + ">"
-        cur = cur.select(
+        base = nxt
+        if since_trunc >= _BPE_TRUNC_EVERY:
+            # eager cut: materializes NOW, so the cache behind it can
+            # drop and the logical plan restarts from a leaf
+            base = nxt.localCheckpoint(eager=True)
+            cached.unpersist()
+            cached = None
+            since_trunc = 0
+        cur = base.select(
             "doc_id", F.replace(F.col("s"), F.lit(pair), F.lit(merged)).alias("s")
-        ).localCheckpoint(eager=False)
-    return cur.select(
+        )
+    out = cur.select(
         "doc_id",
         F.size(F.split("s", "><")).cast("long").alias("n_symbols"),
         F.md5("s").alias("encoded_md5"),
     )
+    if cached is not None:
+        cached.unpersist()
+    return out
 
 
 # ------------------------------------------------------------------ #

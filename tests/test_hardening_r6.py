@@ -207,3 +207,70 @@ def test_markov_entropy_escape_matches_exact(spark):
     assert list(exact.sort_values("from_type").n) == list(
         approx.sort_values("from_type").n
     )
+
+
+# ------------------------------------------------------------------ #
+# BPE trainer: persist rotation bounds live storage at O(1) in rounds
+# (r5 brief #4 — the coreset discipline applied to the merge loop)
+# ------------------------------------------------------------------ #
+def test_bpe_live_persisted_blocks_bounded(spark, monkeypatch):
+    import pyspark
+
+    from historical_obs_platform_spark.queries.curation6 import (
+        t_bpe_train_encode,
+    )
+
+    live: set[int] = set()
+    peak = {"v": 0}
+    orig_persist = pyspark.sql.DataFrame.persist
+    orig_unpersist = pyspark.sql.DataFrame.unpersist
+
+    def persist(self, *a, **kw):
+        live.add(id(self))
+        peak["v"] = max(peak["v"], len(live))
+        return orig_persist(self, *a, **kw)
+
+    def unpersist(self, *a, **kw):
+        live.discard(id(self))
+        return orig_unpersist(self, *a, **kw)
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "persist", persist)
+    monkeypatch.setattr(pyspark.sql.DataFrame, "unpersist", unpersist)
+
+    out = t_bpe_train_encode(spark, SF_SMALL, rounds=8)
+    assert peak["v"] <= 2, f"held {peak['v']} persisted corpora at once"
+    assert live == set(), "persisted blocks leaked past the train loop"
+    assert out.count() > 0
+
+
+def test_bpe_rounds_parameterized_matches_oracle(spark):
+    """A non-default merge count must still be hash-exact against a
+    same-rounds DuckDB unroll (the rounds knob is real, not
+    cosmetic)."""
+    import duckdb
+
+    from historical_obs_platform_spark.queries.curation6 import (
+        _bpe_oracle,
+        t_bpe_train_encode,
+    )
+    from historical_obs_platform_spark.tables import TABLE_NAMES
+
+    got = (
+        t_bpe_train_encode(spark, SF_SMALL, rounds=3)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    con = duckdb.connect()
+    try:
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{SF_SMALL}/documents.parquet'"
+        )
+        want = con.sql(_bpe_oracle(rounds=3)).df().sort_values(
+            "doc_id", ignore_index=True
+        )
+    finally:
+        con.close()
+    assert list(got.doc_id) == list(want.doc_id)
+    assert list(got.n_symbols) == list(want.n_symbols)
+    assert list(got.encoded_md5) == list(want.encoded_md5)
