@@ -1,18 +1,26 @@
-"""Measured scale checks for the dedup chain and the media chain.
+"""Measured scale checks: dedup/media chains, and the relational/
+stats family.
 
-Builds a deterministically scaled `documents` corpus (K jittered
-replicas per doc → planted K-way near-dup variant groups, the
-adversarial case for LSH dedup), then runs the REAL registered chains
-(`chain_neardup_removal`, `chain_media_curation`) at 1x and Kx and
-reports wall time plus the per-stage row counts that drive shuffle
+Default mode builds a deterministically scaled `documents` corpus
+(K jittered replicas per doc → planted K-way near-dup variant groups,
+the adversarial case for LSH dedup), then runs the REAL registered
+chains (`chain_neardup_removal`, `chain_media_curation`) at 1x and Kx
+and reports wall time plus the per-stage row counts that drive shuffle
 volume (shingles, LSH candidate pairs, confirmed pairs for dedup;
 decoded media rows and ahash buckets for media). The claims these
 numbers back: no stage is corpus-quadratic — candidates grow with
 genuine duplicate mass, pixels never shuffle.
 
-Usage:  python scripts/scale_check.py [K] [sf_dir]
-Defaults: K=10, sf_dir=/root/testdata/sf0.1. Results table goes in
-README "Scale checks".
+`rel` mode replicates lineitem/orders (key-offset replicas, join keys
+kept aligned) and events K× and runs the headline relational/stats set
+(q1, q9, q18, a27_exact_median, a29_weighted_median, e_rfm_scores,
+o13_table_profile) at 1x and Kx, reporting wall time AND the executed
+plan's shuffle-write bytes + spill (SQLMetrics, no UI needed) so
+super-linear shuffle growth can't hide behind wall noise.
+
+Usage:  python scripts/scale_check.py [rel] [K] [sf_dir]
+Defaults: dedup/media mode, K=10, sf_dir=/root/testdata/sf0.1.
+Results tables go in README "Scale checks".
 """
 
 from __future__ import annotations
@@ -89,10 +97,165 @@ def run_chain(spark, name: str, sf_dir: str):
     return registry.QUERIES[name](spark, sf_dir).collect()
 
 
+# ------------------------------------------------------------------ #
+# rel mode: relational/stats family at 1x vs Kx with shuffle metrics
+# ------------------------------------------------------------------ #
+REL_QUERIES = [
+    "q1_pricing_summary",
+    "q9_product_profit",
+    "q18_large_orders",
+    "a27_exact_median",
+    "a29_weighted_median",
+    "e_rfm_scores",
+    "o13_table_profile",
+]
+
+
+def build_scaled_rel_dir(spark, sf_dir: str, k: int) -> str:
+    """K replicas of lineitem/orders (orderkeys offset in lockstep so
+    joins stay aligned; customers/parts/suppliers unchanged → each
+    customer simply has K× the orders, the realistic growth mode) and
+    K replicas of events (event_id offset, ts +i seconds, same
+    users). Dimension tables symlink."""
+    out = tempfile.mkdtemp(prefix=f"hop_scale_rel_{k}x_")
+    off = 100_000_000
+
+    def reps(df, build):
+        parts = [build(df, i) for i in range(k)]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u
+
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    events = table(spark, sf_dir, "events")
+    reps(
+        orders,
+        lambda df, i: df.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(i * off)
+        ),
+    ).coalesce(8).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    reps(
+        lineitem,
+        lambda df, i: df.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(i * off)
+        ),
+    ).coalesce(16).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    reps(
+        events,
+        lambda df, i: df.withColumn(
+            "event_id", F.col("event_id") + F.lit(i * 1_000_000_000)
+        ).withColumn(
+            "ts", F.col("ts") + F.expr(f"INTERVAL {i} SECOND")
+        ),
+    ).coalesce(8).write.mode("overwrite").parquet(f"{out}/events.parquet")
+    for t in TABLE_NAMES:
+        if t not in ("orders", "lineitem", "events"):
+            os.symlink(f"{sf_dir}/{t}.parquet", f"{out}/{t}.parquet")
+    return out
+
+
+def _plan_metrics(df) -> dict:
+    """Sum shuffle-write bytes / spill over the EXECUTED plan
+    (AQE-final, SQLMetrics via py4j — works with the UI disabled)."""
+
+    def kids(node):
+        if node.nodeName().startswith("AdaptiveSparkPlan"):
+            return [node.executedPlan()]
+        try:
+            return [node.plan()]  # ShuffleQueryStage / BroadcastQueryStage
+        except Exception:
+            pass
+        out, it = [], node.children().iterator()
+        while it.hasNext():
+            out.append(it.next())
+        return out
+
+    def walk(node, acc):
+        m, it = {}, node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            m[kv._1()] = kv._2().value()
+        acc.append((node.nodeName(), m))
+        for c in kids(node):
+            walk(c, acc)
+        return acc
+
+    nodes = walk(df._jdf.queryExecution().executedPlan(), [])
+    return {
+        "shuffle_bytes": sum(
+            m.get("shuffleBytesWritten", 0) for _, m in nodes
+        ),
+        "spill_bytes": sum(m.get("spillSize", 0) for _, m in nodes),
+        "scan_rows": sum(
+            m.get("numOutputRows", 0)
+            for nm, m in nodes
+            if nm.startswith("Scan")
+        ),
+    }
+
+
+def run_rel(spark, k: int, sf: str) -> None:
+    scaled = build_scaled_rel_dir(spark, sf, k)
+    try:
+        results: dict[str, dict[str, dict]] = {}
+        for label, d in [("1x", sf), (f"{k}x", scaled)]:
+            for name in REL_QUERIES:
+                fn = registry.QUERIES[name]
+                walls = []
+                for _ in range(2):  # min-of-2, warm second
+                    t0 = time.time()  # fn() may work eagerly (a27)
+                    df = fn(spark, d)
+                    rows = df.collect()
+                    walls.append(time.time() - t0)
+                met = _plan_metrics(df)
+                met["wall"] = min(walls)
+                met["rows"] = len(rows)
+                results.setdefault(name, {})[label] = met
+                print(
+                    f"[{label}] {name}: {met['wall']:.2f}s "
+                    f"rows={met['rows']:,} "
+                    f"shuffle={met['shuffle_bytes']:,}B "
+                    f"spill={met['spill_bytes']:,}B",
+                    flush=True,
+                )
+        kx = f"{k}x"
+        print(
+            "\n| query | 1x wall | 1x shuffle | "
+            f"{kx} wall | {kx} shuffle | wall ratio | shuffle ratio |"
+        )
+        print("|---|---|---|---|---|---|---|")
+        for name in REL_QUERIES:
+            a, b = results[name]["1x"], results[name][kx]
+            wr = b["wall"] / a["wall"] if a["wall"] else float("inf")
+            sr = (
+                b["shuffle_bytes"] / a["shuffle_bytes"]
+                if a["shuffle_bytes"]
+                else float("inf")
+            )
+            flag = "  **> linear**" if wr > k else ""
+            print(
+                f"| {name} | {a['wall']:.2f} s | {a['shuffle_bytes']:,} B "
+                f"| {b['wall']:.2f} s | {b['shuffle_bytes']:,} B "
+                f"| {wr:.2f}x | {sr:.2f}x |{flag}"
+            )
+    finally:
+        shutil.rmtree(scaled, ignore_errors=True)
+
+
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    argv = sys.argv[1:]
+    mode = "dedup"
+    if argv and argv[0] in ("rel", "dedup"):
+        mode = argv[0]
+        argv = argv[1:]
+    k = int(argv[0]) if argv else 10
+    sf = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("scale-check")
+    if mode == "rel":
+        run_rel(spark, k, sf)
+        return
     scaled = build_scaled_dir(spark, sf, k)
     try:
         rows = []
