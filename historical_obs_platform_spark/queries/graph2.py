@@ -252,12 +252,17 @@ def g_label_prop(spark, sf_dir):
 # ------------------------------------------------------------------ #
 # g_link_prediction — common-neighbor / Jaccard link scores
 # ------------------------------------------------------------------ #
+_LP_HUB_DEG_CAP = 1000
+
 LINKPRED_ORACLE = f"""
 WITH {_BIPAIRS_SQL},
 deg AS (SELECT c, count(*) AS d FROM pairs GROUP BY c),
+sdeg AS (SELECT s, count(*) AS d FROM pairs GROUP BY s),
 wedge AS (
   SELECT a.c AS ca, b.c AS cb, count(*) AS n_common
   FROM pairs a JOIN pairs b ON a.s = b.s AND a.c < b.c
+  JOIN sdeg ON sdeg.s = a.s
+  WHERE sdeg.d <= {_LP_HUB_DEG_CAP}
   GROUP BY a.c, b.c
 ),
 scored AS (
@@ -283,17 +288,31 @@ def g_link_prediction(spark, sf_dir):
     (Liben-Nowell & Kleinberg 2003), top-20 deterministically.
 
     Scale shape: the wedge self-join is keyed on the shared supplier,
-    so work is Σ deg(s)² over suppliers — bounded by the max supplier
-    degree (55 at sf0.1), the same per-key-bounded quadratic as
-    g_triangle_count's wedge census; production caps hub degrees the
-    same way. The pairs table is checkpointed (three consumers);
-    degrees broadcast; jaccard is one double division of exact
-    integers.
+    so work is Σ deg(s)² over suppliers. That sum is only bounded if
+    no single supplier is a super-hub, so suppliers above
+    ``_LP_HUB_DEG_CAP`` are EXCLUDED from wedge generation (degrees in
+    the Jaccard denominator still count them): a hub touching f·N
+    customers contributes (f·N)²/2 pairs of near-zero evidence — the
+    same reason Adamic-Adar weights common neighbors by 1/log(deg)
+    and the dedup family caps shingle postings. The cap never binds
+    on the registered corpus (max supplier degree 55 at sf0.1, judged
+    hash-identical with and without); the measured hub stress
+    (`scripts/scale_check.py graphskew`, README) shows it is the
+    difference between flat and 12× wall under a planted 20%-of-
+    orders hub. Pairs checkpointed (three consumers); degrees
+    broadcast; jaccard is one double division of exact integers.
     """
     pairs = _trade_pairs(spark, sf_dir, namespaced=False)
     deg = pairs.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
-    a = pairs.select(F.col("c").alias("ca"), "s")
-    b = pairs.select(F.col("c").alias("cb"), "s")
+    keep_s = (
+        pairs.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("sd"))
+        .where(F.col("sd") <= _LP_HUB_DEG_CAP)
+        .select("s")
+    )
+    capped = pairs.join(F.broadcast(keep_s), "s", "left_semi")
+    a = capped.select(F.col("c").alias("ca"), "s")
+    b = capped.select(F.col("c").alias("cb"), "s")
     wedge = (
         a.join(b, (a.s == b.s) & (F.col("ca") < F.col("cb")))
         .groupBy("ca", "cb")

@@ -244,10 +244,157 @@ def run_rel(spark, k: int, sf: str) -> None:
         shutil.rmtree(scaled, ignore_errors=True)
 
 
+# ------------------------------------------------------------------ #
+# graphskew mode: planted power-law hub (one supplier in ~20% of
+# orders), 1x and Kx — the adversarial case for the wedge/triangle
+# guards (degree orientation, qty-threshold sparsification)
+# ------------------------------------------------------------------ #
+GRAPH_QUERIES = [
+    "g_triangle_count",
+    "g_link_prediction",
+    "g_kcore_peel",
+    "g_pagerank_fixed",
+]
+_HUB_MOD = 5  # l_orderkey % 5 == 0 -> hub supplier (~20% of orders)
+
+
+def build_hub_dir(spark, sf_dir: str, k: int, hub: bool = True) -> str:
+    """K replicas of lineitem/orders growing the GRAPH Kx: order,
+    customer AND supplier keys offset per replica (Kx nodes, flat
+    non-hub degrees — the original sf0.01→sf0.1 growth mode), then
+    every 5th order's lineitems rewritten to the ONE global supplier
+    1 — the hub keeps its 20% share at every K, so its degree grows
+    ~Kx on top of an otherwise-flat degree distribution (a planted
+    power-law head)."""
+    out = tempfile.mkdtemp(prefix=f"hop_scale_hub_{k}x_")
+    off = 100_000_000  # multiple of _HUB_MOD: replicas hub identically
+
+    def reps(df, build):
+        parts = [build(df, i) for i in range(k)]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u
+
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    reps(
+        orders,
+        lambda df, i: df.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(i * off)
+        ).withColumn(
+            "o_custkey", F.col("o_custkey") + F.lit(i * 10_000_000)
+        ),
+    ).coalesce(8).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    reps(
+        lineitem,
+        lambda df, i: df.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(i * off)
+        ).withColumn(
+            "l_suppkey", F.col("l_suppkey") + F.lit(i * 1_000_000)
+        ),
+    ).withColumn(
+        "l_suppkey",
+        F.when(
+            F.lit(hub) & (F.col("l_orderkey") % _HUB_MOD == 0), F.lit(1)
+        ).otherwise(F.col("l_suppkey")),
+    ).coalesce(16).write.mode("overwrite").parquet(
+        f"{out}/lineitem.parquet"
+    )
+    for t in TABLE_NAMES:
+        if t not in ("orders", "lineitem"):
+            os.symlink(f"{sf_dir}/{t}.parquet", f"{out}/{t}.parquet")
+    return out
+
+
+def graph_shape(spark, d: str) -> dict:
+    """Edge count, max supplier degree, and the ORIENTED wedge mass —
+    the rows the triangle join actually enumerates (sum over nodes of
+    C(out_deg, 2) under (deg, id) orientation), vs the quadratic
+    naive wedge mass C(deg, 2) a hub would explode."""
+    from historical_obs_platform_spark.queries import graph2 as G2
+
+    pairs = G2._trade_pairs(spark, d, namespaced=True)
+    edges = pairs.select(
+        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("supp_node").alias("src"),
+            F.col("cust_node").alias("dst"),
+        )
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    e = (
+        edges.join(deg.withColumnRenamed("src", "u"), F.col("src") == F.col("u"))
+        .select("src", "dst", F.col("d").alias("ds"))
+        .join(deg.withColumnRenamed("src", "v"), F.col("dst") == F.col("v"))
+        .select("src", "dst", "ds", F.col("d").alias("dd"))
+    )
+    oriented = e.where(
+        (F.col("ds") < F.col("dd"))
+        | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst")))
+    )
+    out_deg = oriented.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    o_wedges = out_deg.agg(
+        F.sum(F.expr("od * (od - 1) div 2")).cast("long").alias("w")
+    ).collect()[0]["w"]
+    naive_wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("w")
+    ).collect()[0]["w"]
+    max_supp = (
+        pairs.groupBy("supp_node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.max("d").alias("m"))
+        .collect()[0]["m"]
+    )
+    return {
+        "edges": pairs.count(),
+        "max_supp_deg": max_supp,
+        "oriented_wedges": int(o_wedges or 0),
+        "naive_wedges": int(naive_wedges or 0),
+    }
+
+
+def run_graphskew(spark, k: int, sf: str) -> None:
+    hub1 = build_hub_dir(spark, sf, 1)
+    basek = build_hub_dir(spark, sf, k, hub=False)
+    hubk = build_hub_dir(spark, sf, k)
+    try:
+        rows = []
+        for label, d in [
+            ("1x base", sf),
+            ("1x hub", hub1),
+            (f"{k}x base", basek),
+            (f"{k}x hub", hubk),
+        ]:
+            shape = graph_shape(spark, d)
+            walls = {}
+            for name in GRAPH_QUERIES:
+                w, _ = timed(run_chain, spark, name, d)
+                walls[name] = w
+            rows.append((label, shape, walls))
+            print(f"[{label}] {shape} walls={ {n: round(w,2) for n,w in walls.items()} }",
+                  flush=True)
+        hdr = " | ".join(n.replace("g_", "") for n in GRAPH_QUERIES)
+        print(f"\n| variant | edges | max supp deg | oriented wedges | naive wedges | {hdr} |")
+        print("|---|---|---|---|---|" + "---|" * len(GRAPH_QUERIES))
+        for label, shape, walls in rows:
+            cells = " | ".join(f"{walls[n]:.2f} s" for n in GRAPH_QUERIES)
+            print(
+                f"| {label} | {shape['edges']:,} | {shape['max_supp_deg']:,} "
+                f"| {shape['oriented_wedges']:,} | {shape['naive_wedges']:,} "
+                f"| {cells} |"
+            )
+    finally:
+        shutil.rmtree(hub1, ignore_errors=True)
+        shutil.rmtree(basek, ignore_errors=True)
+        shutil.rmtree(hubk, ignore_errors=True)
+
+
 def main() -> None:
     argv = sys.argv[1:]
     mode = "dedup"
-    if argv and argv[0] in ("rel", "dedup"):
+    if argv and argv[0] in ("rel", "dedup", "graphskew"):
         mode = argv[0]
         argv = argv[1:]
     k = int(argv[0]) if argv else 10
@@ -255,6 +402,9 @@ def main() -> None:
     spark = get_spark("scale-check")
     if mode == "rel":
         run_rel(spark, k, sf)
+        return
+    if mode == "graphskew":
+        run_graphskew(spark, k, sf)
         return
     scaled = build_scaled_dir(spark, sf, k)
     try:
