@@ -359,24 +359,33 @@ def frequent_values_check(
         F.month("time") == 12, F.lit(1)
     ).otherwise(F.lit(0))
 
-    annual_hist = valid.groupBy("station", "__bin").agg(
-        F.count(F.lit(1)).alias("__n")
-    )
-    annual_bad = bad_bins(annual_hist, [], annual_min_count)
-
-    seasonal_hist = valid.withColumn("__season", season).groupBy(
-        "station", "__season", "__bin"
-    ).agg(F.count(F.lit(1)).alias("__n"))
-    seasonal_bad = bad_bins(seasonal_hist, ["__season"], seasonal_min_count)
-
-    # per-year-per-season pass (threshold 15, qaqc_frequent.py:223-464)
-    yearly_hist = (
+    # ONE corpus pass builds the FINEST histogram; the annual and
+    # seasonal granularities roll up from it (counts are additive) on
+    # the bin-table-sized result. Three independent groupBys here
+    # meant three scans of the segment checkpoint per variable —
+    # measured 6 scans → 2 across (tas, tdps) in the battery. The
+    # checkpoint makes the finest hist a leaf for its three consumers
+    # (Spark plans are trees; without it each rollup re-executes the
+    # corpus aggregation).
+    finest = (
         valid.withColumn("__season", season)
         .withColumn("__syear", season_year)
         .groupBy("station", "__season", "__syear", "__bin")
         .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=False)
     )
-    yearly_bad = bad_bins(yearly_hist, ["__season", "__syear"], 15)
+    annual_hist = finest.groupBy("station", "__bin").agg(
+        F.sum("__n").alias("__n")
+    )
+    annual_bad = bad_bins(annual_hist, [], annual_min_count)
+
+    seasonal_hist = finest.groupBy("station", "__season", "__bin").agg(
+        F.sum("__n").alias("__n")
+    )
+    seasonal_bad = bad_bins(seasonal_hist, ["__season"], seasonal_min_count)
+
+    # per-year-per-season pass (threshold 15, qaqc_frequent.py:223-464)
+    yearly_bad = bad_bins(finest, ["__season", "__syear"], 15)
 
     out = df.withColumn("__bin", F.floor(F.col(var) / F.lit(width)))
     out = out.join(
@@ -560,6 +569,162 @@ def precip_gap_check(
         & ~(F.col("__lo").isNull() & F.col("__hi").isNull())
     ).select("station", "__day")
     return _flag_days(df, var, bad_days, FLAG_PR_GAP)
+
+
+# ---------------------------------------- multi-variable family fusion
+def _melt_valid(
+    df: DataFrame,
+    vars: list[str],
+    keep_yellow: bool = True,
+    extra_cols: tuple[str, ...] = ("station", "time"),
+) -> DataFrame:
+    """ONE corpus pass for a whole check family: explode each row into
+    (extra…, __var, __v) rows, keeping only rows valid for THAT
+    variable (per-var ``valid_mask``). The per-variable checks in the
+    battery each re-scanned the segment checkpoint to build their own
+    ``valid`` subset; a family melted this way scans it once — the
+    masks are per-var columns, so validity is exact per output row.
+
+    Safe to hoist across the variables of one family because no check
+    ever modifies VALUES (flags go to ``_eraqc`` columns) and a check
+    on var A never writes var B's flag column (the one exception,
+    synergistic_flag_copy, is its own chain step)."""
+    structs = [
+        F.struct(
+            F.lit(v).alias("var"),
+            F.col(v).alias("v"),
+            (
+                Q.valid_mask(v, keep_yellow=keep_yellow)
+                & F.col(v).isNotNull()
+            ).alias("ok"),
+        )
+        for v in vars
+    ]
+    return (
+        df.select(*extra_cols, F.explode(F.array(*structs)).alias("__m"))
+        .where(F.col("__m.ok"))
+        .select(
+            *extra_cols,
+            F.col("__m.var").alias("__var"),
+            F.col("__m.v").alias("__v"),
+        )
+    )
+
+
+def same_hour_streak_multi(
+    df: DataFrame, vars, min_days: int = 15
+) -> DataFrame:
+    """Flag 27 for a whole variable family in ONE corpus pass (melt →
+    one distinct → one sessionize keyed by (station, var, hour,
+    value)); per-variable back-joins are broadcast, bin-table-sized.
+    Flag-identical to applying ``same_hour_streak_check`` per var in
+    sequence: a var's streak clusters depend only on its own values
+    and its own prior flags, neither of which the other vars' passes
+    touch."""
+    vars = [v for v in vars if v in df.columns]
+    if not vars:
+        return df
+    days = (
+        _melt_valid(df, vars)
+        .select(
+            "station",
+            "__var",
+            F.hour("time").alias("__hh"),
+            F.to_date("time").alias("__day"),
+            "__v",
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("station", "__var", "__hh", "__v").orderBy(
+        "__day"
+    )
+    clustered = sessionize(
+        days.withColumn(
+            "__gap", F.datediff(F.col("__day"), F.lag("__day").over(w))
+        ),
+        ["station", "__var", "__hh", "__v"],
+        "__day",
+        F.col("__gap") > 1,
+        out="__cluster",
+    )
+    w_c = Window.partitionBy(
+        "station", "__var", "__hh", "__v", "__cluster"
+    )
+    # checkpointed: one consumer per variable below — without the cut
+    # each back-join would re-execute the melt + distinct + windows
+    bad = (
+        clustered.withColumn("__n_days", F.count(F.lit(1)).over(w_c))
+        .where(F.col("__n_days") > min_days)
+        .select("station", "__var", "__hh", "__v", "__day")
+        .localCheckpoint(eager=False)
+    )
+    out = df.withColumn("__hh", F.hour("time")).withColumn(
+        "__day", F.to_date("time")
+    )
+    for v in vars:
+        bad_v = (
+            bad.where(F.col("__var") == v)
+            .select("station", "__hh", "__v", "__day")
+            .withColumn("__bad_hour_day", F.lit(True))
+        )
+        out = (
+            out.withColumn("__v", F.col(v))
+            .join(
+                F.broadcast(bad_v),
+                ["station", "__hh", "__v", "__day"],
+                "left",
+            )
+        )
+        out = Q.write_flag(
+            out, v, F.col("__bad_hour_day").isNotNull(), FLAG_STREAK_HOUR
+        ).drop("__bad_hour_day", "__v")
+    return out.drop("__hh", "__day")
+
+
+def whole_day_streak_multi(
+    df: DataFrame, vars, min_days: int = 5, round_digits: int = 1
+) -> DataFrame:
+    """Flag 29 for a whole variable family in ONE corpus pass (melt →
+    one per-(station, var, day) vector aggregation); flag-identical to
+    the sequential per-var form (same independence argument as
+    ``same_hour_streak_multi``)."""
+    vars = [v for v in vars if v in df.columns]
+    if not vars:
+        return df
+    days = (
+        _melt_valid(df, vars)
+        .groupBy("station", "__var", F.to_date("time").alias("__day"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.round(F.col("__v"), round_digits))
+            ).alias("__vec")
+        )
+    )
+    w = ordered_window(["station", "__var"], "__day")
+    same = days.withColumn(
+        "__same",
+        (F.col("__vec") == F.lag("__vec").over(w))
+        & (F.datediff(F.col("__day"), F.lag("__day").over(w)) == 1),
+    )
+    runs = sessionize(
+        same, ["station", "__var"], "__day", ~F.col("__same"), out="__run"
+    )
+    w_run = Window.partitionBy("station", "__var", "__run")
+    bad_days = (
+        runs.withColumn("__len", F.count(F.lit(1)).over(w_run))
+        .where(F.col("__same") & (F.col("__len") >= min_days))
+        .select("station", "__var", "__day")
+        .localCheckpoint(eager=False)
+    )
+    out = df
+    for v in vars:
+        out = _flag_days(
+            out,
+            v,
+            bad_days.where(F.col("__var") == v).select("station", "__day"),
+            FLAG_STREAK_DAY,
+        )
+    return out
 
 
 # ------------------------------------------------- flag 27: hourly streaks

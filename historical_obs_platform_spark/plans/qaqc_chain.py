@@ -87,6 +87,55 @@ def value_resolution(df: DataFrame, var: str) -> DataFrame:
     return res
 
 
+def value_resolution_multi(df: DataFrame, vars) -> DataFrame:
+    """A12 for a variable family in ONE corpus pass: melted distinct
+    values per (station, var), one diff/mode window chain. Returns
+    (station, __var, resolution_tier). Tier-identical to calling
+    ``value_resolution`` per var — resolution depends only on the
+    variable's raw values, which no check ever modifies."""
+    structs = [
+        F.struct(F.lit(v).alias("var"), F.col(v).alias("v"))
+        for v in vars
+        if v in df.columns
+    ]
+    if not structs:
+        return df.sparkSession.createDataFrame(
+            [], "station string, __var string, resolution_tier double"
+        )
+    distinct_vals = (
+        df.select("station", F.explode(F.array(*structs)).alias("__m"))
+        .select(
+            "station",
+            F.col("__m.var").alias("__var"),
+            F.col("__m.v").alias("__v"),
+        )
+        .where(F.col("__v").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("station", "__var").orderBy("__v")
+    diffs = distinct_vals.withColumn(
+        "__d", F.round(F.col("__v") - F.lag("__v").over(w), 3)
+    ).where(F.col("__d") > 0)
+    counts = diffs.groupBy("station", "__var", "__d").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    pick = Window.partitionBy("station", "__var").orderBy(
+        F.desc("__n"), F.asc("__d")
+    )
+    return (
+        counts.withColumn("__rk", F.row_number().over(pick))
+        .where(F.col("__rk") == 1)
+        .select(
+            "station",
+            "__var",
+            F.when(F.col("__d") >= 1.0, F.lit(1.0))
+            .when(F.col("__d") >= 0.5, F.lit(0.5))
+            .otherwise(F.lit(0.1))
+            .alias("resolution_tier"),
+        )
+    )
+
+
 def spike_check(
     df: DataFrame,
     var: str,
@@ -140,12 +189,87 @@ def spike_check(
     return out.drop("__d", "__month", "__crit", "__spike")
 
 
+def spike_check_multi(
+    df: DataFrame,
+    vars,
+    factor: float = 6.0,
+    min_points: int = 50,
+    max_gap_hours: int = 12,
+) -> DataFrame:
+    """Flag 23 for a whole variable family: ONE window projection
+    computes every variable's first difference, ONE (station, month)
+    aggregation computes every variable's diff-IQR criterion, ONE
+    broadcast join attaches them, then the per-var confirmation logic
+    runs as stacked map layers. Flag-identical to ``spike_check`` per
+    var in sequence (diffs read raw values; write_flag gates on the
+    var's own mask) while touching the corpus once instead of
+    len(vars) times."""
+    vars = [v for v in vars if v in df.columns]
+    if not vars:
+        return df
+    w = Window.partitionBy("station").orderBy("time")
+    d = df
+    for v in vars:
+        d = d.withColumn(f"__d_{v}", F.col(v) - F.lag(v).over(w))
+    d = d.withColumn("__month", F.date_trunc("month", F.col("time")))
+    aggs = []
+    for v in vars:
+        aggs.append(F.count(f"__d_{v}").alias(f"__n_{v}"))
+        aggs.append(
+            F.expr(
+                f"percentile(__d_{v}, 0.75) - percentile(__d_{v}, 0.25)"
+            ).alias(f"__iqr_{v}")
+        )
+    crit = (
+        d.groupBy("station", "__month")
+        .agg(*aggs)
+        .select(
+            "station",
+            "__month",
+            *[
+                F.when(
+                    F.col(f"__n_{v}") > min_points,
+                    F.ceil(F.lit(factor) * F.col(f"__iqr_{v}")).cast(
+                        "double"
+                    ),
+                ).alias(f"__crit_{v}")
+                for v in vars
+            ],
+        )
+    )
+    out = d.join(F.broadcast(crit), ["station", "__month"], "left")
+    for v in vars:
+        out = detect_spikes_multi(
+            out,
+            "station",
+            "time",
+            v,
+            crit=F.col(f"__crit_{v}"),
+            max_gap_seconds=max_gap_hours * 3600,
+            max_len=3,
+            out=f"__spike_{v}",
+        )
+        out = Q.write_flag(
+            out,
+            v,
+            F.col(f"__spike_{v}") & F.col(f"__crit_{v}").isNotNull(),
+            Q.FLAG_SPIKE,
+        )
+    return out.drop(
+        "__month",
+        *[f"__d_{v}" for v in vars],
+        *[f"__crit_{v}" for v in vars],
+        *[f"__spike_{v}" for v in vars],
+    )
+
+
 def consecutive_streak_check(
     df: DataFrame,
     var: str,
     min_count: int = 20,
     min_span_days: float | None = 2.0,
     use_resolution_thresholds: bool = False,
+    resolution: DataFrame | None = None,
 ) -> DataFrame:
     """Flag 28: straight repeated-value streaks — runs of consecutive
     identical non-null values longer than the count threshold OR
@@ -155,13 +279,20 @@ def consecutive_streak_check(
     With ``use_resolution_thresholds`` the per-variable table keyed by
     the station's inferred value resolution picks the knobs
     (:44-122 via ``value_resolution``); otherwise the explicit
-    ``min_count``/``min_span_days`` apply to all stations.
+    ``min_count``/``min_span_days`` apply to all stations. Pass
+    ``resolution`` (a (station, resolution_tier) table, e.g. one
+    variable's slice of ``value_resolution_multi``) to reuse a
+    precomputed inference instead of re-scanning the corpus per var.
     """
     if var not in df.columns:
         return df
     if use_resolution_thresholds and var in STRAIGHT_REPEAT_THRESHOLDS:
         table = STRAIGHT_REPEAT_THRESHOLDS[var]
-        res = value_resolution(df, var)
+        res = (
+            resolution
+            if resolution is not None
+            else value_resolution(df, var)
+        )
         thresh = res.select(
             "station",
             *[
@@ -324,16 +455,30 @@ def run_qaqc(
             out = D.climatological_outlier_check(out, v)
         out = D.precip_clim_outlier_check(out, "pr")
         out = cut(out)
-        for v in streak_vars:
-            out = D.same_hour_streak_check(out, v)
+        # family-fused: one corpus pass for all streak vars (the
+        # sequential per-var loop re-scanned the segment checkpoint
+        # per variable; flags are provably identical — see the multi
+        # variants' docstrings)
+        out = D.same_hour_streak_multi(out, streak_vars)
+    # one melted resolution inference for the whole family (resolution
+    # reads raw values only, so hoisting it above the per-var flag
+    # writes changes nothing)
+    res_all = value_resolution_multi(out, streak_vars).localCheckpoint(
+        eager=False
+    )
     for v in streak_vars:
-        out = consecutive_streak_check(out, v, use_resolution_thresholds=True)
+        out = consecutive_streak_check(
+            out,
+            v,
+            use_resolution_thresholds=True,
+            resolution=res_all.where(F.col("__var") == v).select(
+                "station", "resolution_tier"
+            ),
+        )
     out = cut(out)
     if with_distribution:
-        for v in streak_vars:
-            out = D.whole_day_streak_check(out, v)
-    for v in spike_vars:
-        out = spike_check(out, v)
+        out = D.whole_day_streak_multi(out, streak_vars)
+    out = spike_check_multi(out, spike_vars)
     # Final lineage cut: downstream consumers fan the flagged table
     # into many plan branches (flag_counts alone explodes one branch
     # per _eraqc column; hourly_standardize adds another), and without
