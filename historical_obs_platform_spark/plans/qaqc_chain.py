@@ -19,11 +19,7 @@ from pyspark.sql.window import Window
 
 from ..operators import qaqc as Q
 from ..operators.aggregates import group_iqr
-from ..operators.windows import (
-    detect_spikes,
-    detect_spikes_multi,
-    sessionize_runs,
-)
+from ..operators.windows import detect_spikes_multi, sessionize_runs
 
 # Straight-repeat streak thresholds keyed by inferred value resolution
 # (qaqc_unusual_streaks.py:44-122): (max_count, max_days) — a run

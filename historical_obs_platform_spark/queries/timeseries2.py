@@ -866,3 +866,131 @@ def w27_cross_correlation(spark, sf_dir):
             6,
         ).alias("r"),
     )
+
+
+# --------------------------------------------------------------------
+# w28: STL-style seasonal decomposition of the hourly event-count
+# series (trend = centered 25-hour moving average, seasonal = mean
+# detrended value per hour-of-day, residual = remainder), surfacing
+# the top-10 |residual| anomalies. The decomposition sibling of the
+# smoothing family (w21 EWMA, w26 Holt-Winters): it EXPLAINS where a
+# count went (trend vs daily shape vs anomaly) instead of forecasting.
+#
+# Exact integer spine end-to-end: counts are BIGINT; the trend window
+# keeps (sum, count) as integers and only FULL 25-hour windows
+# qualify (tn = 25), so detrended25 = 25*cnt - tsum is an exact
+# BIGINT; the per-hour-of-day seasonal mean is one double division of
+# exact integers (sum25 / (25*n)); the residual subtraction is the
+# identical IEEE tree on both engines. |resid| ties break by hour
+# index. Hour index shares w27's floor-division spelling.
+#
+# Scale shape: one hour-keyed count agg (corpus-sized work, the same
+# shuffle as w27), then windows/joins on the wall-clock-hours-sized
+# series — the decomposition costs nothing more at 100 TB.
+# --------------------------------------------------------------------
+_STL_HALF = 12  # 25-hour centered window
+_STL_TOPK = 10
+
+_STL_HI = (
+    "(epoch_us(ts) - ((epoch_us(ts) % 3600000000) + 3600000000)"
+    " % 3600000000) // 3600000000"
+)
+
+STL_ORACLE = f"""
+WITH hv AS (
+  SELECT {_STL_HI} AS hi, count(*) AS cnt FROM events GROUP BY 1
+),
+tr AS (
+  SELECT hi, cnt,
+         sum(cnt) OVER w AS tsum,
+         count(*) OVER w AS tn
+  FROM hv
+  WINDOW w AS (ORDER BY hi
+               RANGE BETWEEN {_STL_HALF} PRECEDING
+                     AND {_STL_HALF} FOLLOWING)
+),
+full_w AS (
+  SELECT hi, cnt, tsum, 25 * cnt - tsum AS d25
+  FROM tr WHERE tn = {2 * _STL_HALF + 1}
+),
+seas AS (
+  SELECT hi % 24 AS hod,
+         CAST(sum(d25) AS DOUBLE) / (25.0e0 * count(*)) AS s
+  FROM full_w GROUP BY 1
+),
+dec AS (
+  SELECT f.hi, f.cnt,
+         CAST(f.tsum AS DOUBLE) / 25.0e0 AS trend,
+         seas.s AS seasonal,
+         CAST(f.d25 AS DOUBLE) / 25.0e0 - seas.s AS resid
+  FROM full_w f JOIN seas ON seas.hod = f.hi % 24
+)
+SELECT CAST(hi AS BIGINT) AS hi, CAST(cnt AS BIGINT) AS cnt,
+       round(trend, 6) AS trend, round(seasonal, 6) AS seasonal,
+       round(resid, 6) AS resid, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (ORDER BY abs(resid) DESC, hi) AS rnk
+  FROM dec
+) WHERE rnk <= {_STL_TOPK}
+"""
+
+
+@query("w28_stl_decompose", STL_ORACLE)
+def w28_stl_decompose(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    hv = (
+        ev.select(
+            F.expr(
+                "(unix_micros(CAST(ts AS TIMESTAMP))"
+                " - pmod(unix_micros(CAST(ts AS TIMESTAMP)), 3600000000))"
+                " DIV 3600000000"
+            ).alias("hi")
+        )
+        .groupBy("hi")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # hours-sized series: the unpartitioned range window is bounded by
+    # wall-clock hours, not corpus rows (same contract as w26/w27)
+    w = Window.orderBy("hi").rangeBetween(-_STL_HALF, _STL_HALF)
+    tr = hv.select(
+        "hi",
+        "cnt",
+        F.sum("cnt").over(w).alias("tsum"),
+        F.count(F.lit(1)).over(w).alias("tn"),
+    )
+    full_w = tr.where(F.col("tn") == 2 * _STL_HALF + 1).select(
+        "hi",
+        "cnt",
+        "tsum",
+        (F.lit(25) * F.col("cnt") - F.col("tsum")).alias("d25"),
+    )
+    seas = full_w.groupBy((F.col("hi") % 24).alias("hod")).agg(
+        (
+            F.sum("d25").cast("double")
+            / (F.lit(25.0) * F.count(F.lit(1)))
+        ).alias("s")
+    )
+    dec = full_w.join(
+        F.broadcast(seas), full_w.hi % 24 == seas.hod
+    ).select(
+        "hi",
+        "cnt",
+        (F.col("tsum").cast("double") / F.lit(25.0)).alias("trend"),
+        F.col("s").alias("seasonal"),
+        (
+            F.col("d25").cast("double") / F.lit(25.0) - F.col("s")
+        ).alias("resid"),
+    )
+    rw = Window.orderBy(F.desc(F.abs(F.col("resid"))), F.asc("hi"))
+    return (
+        dec.withColumn("rnk", F.row_number().over(rw))
+        .where(F.col("rnk") <= _STL_TOPK)
+        .select(
+            F.col("hi").cast("long").alias("hi"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round("resid", 6).alias("resid"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
