@@ -715,7 +715,13 @@ def s_ann_recall_multiprobe(spark, sf_dir):
     bucket build feeds both LSH arms — plain and multi-probe differ
     only in the broadcast-sized query key list. Top-k sets are
     query-count-bounded (≤ 10·k pairs), so the recall arithmetic runs
-    driver-side and storage is released before return."""
+    driver-side and storage is released before return.
+
+    NOTE: this callable executes EAGERLY (collects the three top-k
+    sets while building the result) — callers that only want a plan
+    (explain / plan-hygiene sweeps) still pay the retrieval jobs. On
+    a corpus with no query vectors (no vec_id < 10) the truth set is
+    empty and recall is reported as NULL rather than raising."""
     emb = table(spark, sf_dir, "embeddings")
     c = SIM.prep_corpus(emb, "vec_id", "embedding").persist()
     q = SIM.prep_queries(
@@ -747,7 +753,12 @@ def s_ann_recall_multiprobe(spark, sf_dir):
         c.unpersist()
 
     rows = [
-        (m, len(truth), len(truth & hits), round(len(truth & hits) / len(truth), 6))
+        (
+            m,
+            len(truth),
+            len(truth & hits),
+            round(len(truth & hits) / len(truth), 6) if truth else None,
+        )
         for m, hits in arms.items()
     ]
     return spark.createDataFrame(

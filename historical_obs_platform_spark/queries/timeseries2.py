@@ -914,7 +914,7 @@ full_w AS (
   FROM tr WHERE tn = {2 * _STL_HALF + 1}
 ),
 seas AS (
-  SELECT hi % 24 AS hod,
+  SELECT ((hi % 24) + 24) % 24 AS hod,
          CAST(sum(d25) AS DOUBLE) / (25.0e0 * count(*)) AS s
   FROM full_w GROUP BY 1
 ),
@@ -923,7 +923,7 @@ dec AS (
          CAST(f.tsum AS DOUBLE) / 25.0e0 AS trend,
          seas.s AS seasonal,
          CAST(f.d25 AS DOUBLE) / 25.0e0 - seas.s AS resid
-  FROM full_w f JOIN seas ON seas.hod = f.hi % 24
+  FROM full_w f JOIN seas ON seas.hod = ((f.hi % 24) + 24) % 24
 )
 SELECT CAST(hi AS BIGINT) AS hi, CAST(cnt AS BIGINT) AS cnt,
        round(trend, 6) AS trend, round(seasonal, 6) AS seasonal,
@@ -964,14 +964,14 @@ def w28_stl_decompose(spark, sf_dir):
         "tsum",
         (F.lit(25) * F.col("cnt") - F.col("tsum")).alias("d25"),
     )
-    seas = full_w.groupBy((F.col("hi") % 24).alias("hod")).agg(
+    seas = full_w.groupBy(F.pmod(F.col("hi"), F.lit(24)).alias("hod")).agg(
         (
             F.sum("d25").cast("double")
             / (F.lit(25.0) * F.count(F.lit(1)))
         ).alias("s")
     )
     dec = full_w.join(
-        F.broadcast(seas), full_w.hi % 24 == seas.hod
+        F.broadcast(seas), F.pmod(full_w.hi, F.lit(24)) == seas.hod
     ).select(
         "hi",
         "cnt",

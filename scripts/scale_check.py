@@ -47,6 +47,7 @@ registry.load_all()
 
 def build_scaled_dir(spark, sf_dir: str, k: int) -> str:
     """K jittered replicas of documents.parquet; other tables symlink."""
+    sf_dir = os.path.abspath(sf_dir)  # symlink targets must not resolve against tmp
     out = tempfile.mkdtemp(prefix=f"hop_scale_{k}x_")
     docs = table(spark, sf_dir, "documents")
     reps = []
@@ -117,6 +118,7 @@ def build_scaled_rel_dir(spark, sf_dir: str, k: int) -> str:
     customer simply has K× the orders, the realistic growth mode) and
     K replicas of events (event_id offset, ts +i seconds, same
     users). Dimension tables symlink."""
+    sf_dir = os.path.abspath(sf_dir)
     out = tempfile.mkdtemp(prefix=f"hop_scale_rel_{k}x_")
     off = 100_000_000
 
@@ -266,6 +268,7 @@ def build_hub_dir(spark, sf_dir: str, k: int, hub: bool = True) -> str:
     1 — the hub keeps its 20% share at every K, so its degree grows
     ~Kx on top of an otherwise-flat degree distribution (a planted
     power-law head)."""
+    sf_dir = os.path.abspath(sf_dir)
     out = tempfile.mkdtemp(prefix=f"hop_scale_hub_{k}x_")
     off = 100_000_000  # multiple of _HUB_MOD: replicas hub identically
 
