@@ -1,0 +1,339 @@
+"""Third graph wave over the customer↔supplier trade graph:
+
+- g_resource_allocation — Resource-Allocation link prediction (Zhou,
+  Lü & Zhang 2009): score customer pairs by Σ 1/deg(s) over shared
+  suppliers. The per-neighbor term is kept as the exact integer
+  1e12 DIV deg(s) ("RA micro-units"), so the wedge aggregation is a
+  BIGINT sum — no float ever crosses the shuffle.
+- g_modularity — Newman-Girvan modularity of the NATION partition on
+  the sparsified trade graph: Q = Σ_c (L_c/m − (d_c/2m)²), all-exact
+  integer edge/degree counts, one double division per community.
+- g_hits_fixed — two rounds of UNNORMALIZED HITS power iteration
+  (Kleinberg 1999) on the full bipartite graph: hubs = customers,
+  authorities = suppliers. Normalization is a positive per-round
+  scalar, so the unnormalized iteration ranks identically while
+  staying exact BIGINT end-to-end (score bound ≈ deg_max⁴ ≈ 1e11 on
+  this corpus; at degrees past ~40k per side the sums move to
+  DECIMAL(38,0) — same plan, wider type).
+
+Fixed round counts make the iterations SQL-expressible; the oracles
+unroll the same sweeps as chained CTEs (the g_pagerank_fixed /
+g_components_fixed pattern, graph.py:116, graph2.py).
+
+Reference anchor: the reference clusters co-located stations into
+merge groups (scripts/4_merge_data/merge_prep.py) and ranks stations
+by shared-neighborhood evidence when choosing merge order — link
+scores, partition quality, and mutual-reinforcement ranking are the
+corpus-scale versions of those decisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from .common import table
+from .graph2 import _BIPAIRS_SQL, _LP_HUB_DEG_CAP, _trade_pairs
+
+_RA_TOPK = 20
+_RA_UNIT = 1_000_000_000_000  # 1e12 integer micro-units per 1/deg
+_HITS_TOPK = 10
+
+# ------------------------------------------------------------------ #
+# g_resource_allocation
+# ------------------------------------------------------------------ #
+RA_ORACLE = f"""
+WITH {_BIPAIRS_SQL},
+sdeg AS (SELECT s, count(*) AS d FROM pairs GROUP BY s),
+wedge AS (
+  SELECT a.c AS ca, b.c AS cb,
+         count(*) AS n_common,
+         sum({_RA_UNIT} // sdeg.d) AS ra_e12
+  FROM pairs a JOIN pairs b ON a.s = b.s AND a.c < b.c
+  JOIN sdeg ON sdeg.s = a.s
+  WHERE sdeg.d <= {_LP_HUB_DEG_CAP}
+  GROUP BY a.c, b.c
+)
+SELECT CAST(ca AS BIGINT) AS node_a, CAST(cb AS BIGINT) AS node_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(ra_e12 AS BIGINT) AS ra_e12,
+       round(CAST(ra_e12 AS DOUBLE) / {_RA_UNIT}, 6) AS ra_score
+FROM (
+  SELECT *, row_number() OVER (ORDER BY ra_e12 DESC, ca, cb) AS rnk
+  FROM wedge
+) WHERE rnk <= {_RA_TOPK}
+"""
+
+
+@query("g_resource_allocation", RA_ORACLE)
+def g_resource_allocation(spark, sf_dir):
+    """Resource-Allocation link prediction, top-20 customer pairs.
+
+    Scale shape: identical wedge plan to g_link_prediction (work =
+    Σ deg(s)² over suppliers, hub-capped at 1000) but the score is
+    an exact BIGINT sum of 1e12 DIV deg(s) micro-units — RA's
+    1/deg(z) weighting is also WHY the hub cap costs nothing here: a
+    million-degree hub contributes 1e12/1e6 = 1e6 micro-units of
+    near-noise per pair while generating (f·N)² pairs of work.
+    """
+    pairs = _trade_pairs(spark, sf_dir, namespaced=False)
+    sdeg = pairs.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    capped = pairs.join(
+        F.broadcast(sdeg.where(F.col("d") <= _LP_HUB_DEG_CAP)), "s"
+    )
+    a = capped.select(F.col("c").alias("ca"), "s", "d")
+    b = pairs.join(
+        F.broadcast(
+            sdeg.where(F.col("d") <= _LP_HUB_DEG_CAP).select("s")
+        ),
+        "s",
+        "left_semi",
+    ).select(F.col("c").alias("cb"), F.col("s").alias("sb"))
+    wedge = (
+        a.join(b, (a.s == F.col("sb")) & (F.col("ca") < F.col("cb")))
+        .groupBy("ca", "cb")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(F.expr(f"{_RA_UNIT} div d")).alias("ra_e12"),
+        )
+    )
+    rw = Window.orderBy(F.desc("ra_e12"), F.asc("ca"), F.asc("cb"))
+    return (
+        wedge.withColumn("rnk", F.row_number().over(rw))
+        .where(F.col("rnk") <= _RA_TOPK)
+        .select(
+            F.col("ca").cast("long").alias("node_a"),
+            F.col("cb").cast("long").alias("node_b"),
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("ra_e12").cast("long").alias("ra_e12"),
+            F.round(
+                F.col("ra_e12").cast("double") / _RA_UNIT, 6
+            ).alias("ra_score"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ #
+# g_modularity — nation-partition modularity
+# ------------------------------------------------------------------ #
+MOD_ORACLE = f"""
+WITH {_BIPAIRS_SQL},
+ce AS (
+  SELECT p.c, p.s, cu.c_nationkey AS cn, su.s_nationkey AS sn
+  FROM pairs p
+  JOIN customer cu ON cu.c_custkey = p.c
+  JOIN supplier su ON su.s_suppkey = p.s
+),
+m AS (SELECT count(*) AS m FROM ce),
+lin AS (
+  SELECT cn AS nat, count(*) AS l_in FROM ce WHERE cn = sn GROUP BY cn
+),
+dsum AS (
+  SELECT nat, sum(d) AS d_tot FROM (
+    SELECT cn AS nat, count(*) AS d FROM ce GROUP BY cn
+    UNION ALL
+    SELECT sn AS nat, count(*) AS d FROM ce GROUP BY sn
+  ) GROUP BY nat
+),
+comm AS (
+  SELECT d.nat, coalesce(l.l_in, 0) AS l_in, d.d_tot
+  FROM dsum d LEFT JOIN lin l ON l.nat = d.nat
+),
+contrib AS (
+  SELECT nat, l_in, d_tot,
+         CAST(l_in AS DOUBLE) / m.m
+         - (CAST(d_tot AS DOUBLE) / (2 * m.m))
+           * (CAST(d_tot AS DOUBLE) / (2 * m.m)) AS q_c
+  FROM comm, m WHERE m.m > 0
+),
+qt AS (
+  SELECT list_reduce(list(q_c ORDER BY nat), (a, b) -> a + b) AS q
+  FROM contrib
+)
+SELECT n.n_name AS community, CAST(c.l_in AS BIGINT) AS l_in,
+       CAST(c.d_tot AS BIGINT) AS d_tot,
+       round(c.q_c, 6) AS q_contrib, round(qt.q, 6) AS q_total
+FROM contrib c JOIN nation n ON n.n_nationkey = c.nat, qt
+"""
+
+
+@query("g_modularity", MOD_ORACLE)
+def g_modularity(spark, sf_dir):
+    """Newman-Girvan modularity of the NATION partition on the
+    sparsified trade graph (does trade stay within nations?).
+
+    Scale shape: two broadcast dim joins tag each edge with both
+    endpoint communities; intra-edge and degree sums are one partial
+    aggregation each; the Q fold runs over ≤25 community rows in
+    nation order — all-integer until one double division per
+    community.
+    """
+    pairs = _trade_pairs(spark, sf_dir, namespaced=False)
+    cu = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("c"), F.col("c_nationkey").alias("cn")
+    )
+    su = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("s"), F.col("s_nationkey").alias("sn")
+    )
+    ce = pairs.join(F.broadcast(cu), "c").join(
+        F.broadcast(su), "s"
+    ).localCheckpoint(eager=False)
+    m = ce.agg(F.count(F.lit(1)).alias("m"))
+    lin = (
+        ce.where(F.col("cn") == F.col("sn"))
+        .groupBy(F.col("cn").alias("nat"))
+        .agg(F.count(F.lit(1)).alias("l_in"))
+    )
+    dsum = (
+        ce.groupBy(F.col("cn").alias("nat"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .unionByName(
+            ce.groupBy(F.col("sn").alias("nat")).agg(
+                F.count(F.lit(1)).alias("d")
+            )
+        )
+        .groupBy("nat")
+        .agg(F.sum("d").alias("d_tot"))
+    )
+    comm = dsum.join(lin, "nat", "left").select(
+        "nat",
+        F.coalesce("l_in", F.lit(0)).alias("l_in"),
+        "d_tot",
+    )
+    md = F.col("m")
+    q_c = F.col("l_in").cast("double") / md - (
+        F.col("d_tot").cast("double") / (2 * md)
+    ) * (F.col("d_tot").cast("double") / (2 * md))
+    contrib = (
+        comm.crossJoin(F.broadcast(m))
+        .where(md > 0)
+        .select("nat", "l_in", "d_tot", q_c.alias("q_c"))
+    )
+    qt = contrib.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("nat", F.col("q_c")))
+                ),
+                lambda s: s["q_c"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("q")
+    )
+    nat = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nat"), "n_name"
+    )
+    return (
+        contrib.join(F.broadcast(nat), "nat")
+        .crossJoin(F.broadcast(qt))
+        .select(
+            F.col("n_name").alias("community"),
+            F.col("l_in").cast("long").alias("l_in"),
+            F.col("d_tot").cast("long").alias("d_tot"),
+            F.round("q_c", 6).alias("q_contrib"),
+            F.round("q", 6).alias("q_total"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ #
+# g_hits_fixed — 2-round unnormalized HITS on the full bipartite graph
+# ------------------------------------------------------------------ #
+HITS_ORACLE = f"""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+a1 AS (SELECT s, count(*) AS a1 FROM pairs GROUP BY s),
+h1 AS (
+  SELECT p.c, sum(a1.a1) AS h1
+  FROM pairs p JOIN a1 ON a1.s = p.s GROUP BY p.c
+),
+a2 AS (
+  SELECT p.s, sum(h1.h1) AS a2
+  FROM pairs p JOIN h1 ON h1.c = p.c GROUP BY p.s
+),
+h2 AS (
+  SELECT p.c, sum(a2.a2) AS h2
+  FROM pairs p JOIN a2 ON a2.s = p.s GROUP BY p.c
+),
+tops AS (
+  SELECT 'authority' AS node_type, s AS node, a2 AS score,
+         row_number() OVER (ORDER BY a2 DESC, s) AS rnk
+  FROM a2
+  UNION ALL
+  SELECT 'hub' AS node_type, c AS node, h2 AS score,
+         row_number() OVER (ORDER BY h2 DESC, c) AS rnk
+  FROM h2
+)
+SELECT node_type, CAST(node AS BIGINT) AS node,
+       CAST(score AS BIGINT) AS score, CAST(rnk AS INT) AS rnk
+FROM tops WHERE rnk <= {_HITS_TOPK}
+"""
+
+
+@query("g_hits_fixed", HITS_ORACLE)
+def g_hits_fixed(spark, sf_dir):
+    """Two-round HITS hub/authority ranking, top-10 per side.
+
+    Unnormalized power iteration: h0 ≡ 1, a1 = Aᵀh0 (= supplier
+    degree), h1 = Aa1, a2 = Aᵀh1, h2 = Aa2 — per-round normalization
+    is a positive scalar, so ranks match normalized HITS while every
+    score stays an exact BIGINT (bound deg_max⁴; see module note).
+
+    Scale shape: the edge list is built once and checkpointed; each
+    half-round is one broadcast-or-shuffle join + partial-agg on the
+    node key (the g_pagerank_fixed plan), iteration count × one
+    exchange, no quadratic stage, no driver state.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a1 = pairs.groupBy("s").agg(F.count(F.lit(1)).alias("a1"))
+    h1 = (
+        pairs.join(a1, "s")
+        .groupBy("c")
+        .agg(F.sum("a1").alias("h1"))
+        .localCheckpoint(eager=False)
+    )
+    a2 = (
+        pairs.join(h1, "c")
+        .groupBy("s")
+        .agg(F.sum("h1").alias("a2"))
+        .localCheckpoint(eager=False)
+    )
+    h2 = pairs.join(a2, "s").groupBy("c").agg(F.sum("a2").alias("h2"))
+    wa = Window.orderBy(F.desc("a2"), F.asc("s"))
+    wh = Window.orderBy(F.desc("h2"), F.asc("c"))
+    tops = (
+        a2.select(
+            F.lit("authority").alias("node_type"),
+            F.col("s").alias("node"),
+            F.col("a2").alias("score"),
+            F.row_number().over(wa).alias("rnk"),
+        )
+    ).unionByName(
+        h2.select(
+            F.lit("hub").alias("node_type"),
+            F.col("c").alias("node"),
+            F.col("h2").alias("score"),
+            F.row_number().over(wh).alias("rnk"),
+        )
+    )
+    return tops.where(F.col("rnk") <= _HITS_TOPK).select(
+        "node_type",
+        F.col("node").cast("long").alias("node"),
+        F.col("score").cast("long").alias("score"),
+        F.col("rnk").cast("int").alias("rnk"),
+    )

@@ -44,6 +44,7 @@ def load_all() -> None:
         datasetops2,
         graph,
         graph2,
+        graph3,
         networks_demo,
         qaqc_demo,
         qaqc_parity,
@@ -57,8 +58,10 @@ def load_all() -> None:
         sketches,
         sources_demo,
         stats,
+        stats2,
         streaming_demo,
         textops,
         timeseries,
         timeseries2,
+        timeseries3,
     )
