@@ -610,7 +610,14 @@ _B_REPS = 24
 # P(0)=P(1)=e^-1≈94/256, P(2)≈47/256, P(3)≈16/256, tail→4
 _W_T0, _W_T1, _W_T2, _W_T3 = 94, 188, 235, 251
 
-_A39_H = "md5(CAST(event_id AS VARCHAR) || ':' || CAST(t.b AS VARCHAR))"
+# one md5 per (row, hash-group) yields TWELVE replicate weights (one
+# hex byte-pair per replicate slot), so B=24 costs 2 hashes per row,
+# not 24 — the hashing is the bootstrap's only per-row CPU at scale
+_A39_H = "md5(CAST(event_id AS VARCHAR) || ':' || CAST(t.b // 12 AS VARCHAR))"
+_A39_BYTE = (
+    f"((instr('{_HEX}', substr({_A39_H}, 2 * (t.b % 12) + 1, 1)) - 1) * 16"
+    f" + (instr('{_HEX}', substr({_A39_H}, 2 * (t.b % 12) + 2, 1)) - 1))"
+)
 
 A39_ORACLE = f"""
 WITH c AS (
@@ -623,10 +630,10 @@ pt AS (
   FROM c GROUP BY event_type),
 wts AS (
   SELECT c.event_type, t.b, c.x,
-         CASE WHEN {_duck_byte(_A39_H)} < {_W_T0} THEN 0
-              WHEN {_duck_byte(_A39_H)} < {_W_T1} THEN 1
-              WHEN {_duck_byte(_A39_H)} < {_W_T2} THEN 2
-              WHEN {_duck_byte(_A39_H)} < {_W_T3} THEN 3
+         CASE WHEN {_A39_BYTE} < {_W_T0} THEN 0
+              WHEN {_A39_BYTE} < {_W_T1} THEN 1
+              WHEN {_A39_BYTE} < {_W_T2} THEN 2
+              WHEN {_A39_BYTE} < {_W_T3} THEN 3
               ELSE 4 END AS w
   FROM c, range({_B_REPS}) t(b)),
 rep AS (
@@ -681,34 +688,41 @@ def a39_bootstrap_ci(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("x").cast("decimal(38,0)")).cast("double").alias("s1"),
     )
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    ":",
-                    F.col("event_id").cast("string"),
-                    F.col("b").cast("string"),
-                )
-            ),
-            1,
-            2,
+    # two md5s computed BEFORE the explode (one per 12-replicate
+    # hash group); after the explode each replicate reads its own
+    # byte-pair slot — 2 hashes per corpus row instead of 24
+    hashed = c.select(
+        "event_type",
+        "x",
+        F.md5(
+            F.concat_ws(":", F.col("event_id").cast("string"), F.lit("0"))
+        ).alias("h0"),
+        F.md5(
+            F.concat_ws(":", F.col("event_id").cast("string"), F.lit("1"))
+        ).alias("h1"),
+    )
+    hh = F.conv(
+        F.expr(
+            "substring(CASE WHEN b < 12 THEN h0 ELSE h1 END,"
+            " 2 * pmod(b, 12) + 1, 2)"
         ),
         16,
         10,
     ).cast("int")
-    wts = c.select(
+    wts = hashed.select(
         "event_type",
         "x",
-        "event_id",
+        "h0",
+        "h1",
         F.explode(F.sequence(F.lit(0), F.lit(_B_REPS - 1))).alias("b"),
     ).select(
         "event_type",
         "b",
         "x",
-        F.when(h < _W_T0, 0)
-        .when(h < _W_T1, 1)
-        .when(h < _W_T2, 2)
-        .when(h < _W_T3, 3)
+        F.when(hh < _W_T0, 0)
+        .when(hh < _W_T1, 1)
+        .when(hh < _W_T2, 2)
+        .when(hh < _W_T3, 3)
         .otherwise(4)
         .alias("w"),
     )
