@@ -109,6 +109,10 @@ REL_QUERIES = [
     "a29_weighted_median",
     "e_rfm_scores",
     "o13_table_profile",
+    # round-7 stats/resampling wave (events also scale Kx in rel mode)
+    "a36_mann_whitney",
+    "a39_bootstrap_ci",
+    "g_hits_fixed",
 ]
 
 
@@ -206,7 +210,10 @@ def run_rel(spark, k: int, sf: str) -> None:
             for name in REL_QUERIES:
                 fn = registry.QUERIES[name]
                 walls = []
-                for _ in range(2):  # min-of-2, warm second
+                # min-of-3: this host shows multi-second VM-throttle /
+                # full-GC stalls that land on random queries (README
+                # bench note) — two reps are not enough to dodge one
+                for _ in range(3):
                     t0 = time.time()  # fn() may work eagerly (a27)
                     df = fn(spark, d)
                     rows = df.collect()
