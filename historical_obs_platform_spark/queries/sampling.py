@@ -354,3 +354,200 @@ def p_rendezvous_shard(spark, sf_dir):
         F.max("weight").cast("long").alias("weight"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),
     )
+
+
+# --------------------------------------------------------------------
+# Quota sample — largest-remainder (Hamilton) apportionment of a
+# fixed budget k across sources, then deterministic per-source picks.
+# The data-mixing planner's missing piece next to p_domain_reweight
+# (which emits WEIGHTS): this emits an integer ALLOCATION that sums
+# to exactly k, with the standard apportionment rule, all-integer.
+# --------------------------------------------------------------------
+_QUOTA_K = 120
+
+QUOTA_ORACLE = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_docs) AS n FROM per),
+base AS (
+  SELECT source, n_docs,
+         ({_QUOTA_K} * n_docs) // tot.n AS base_q,
+         ({_QUOTA_K} * n_docs) % tot.n AS rem
+  FROM per, tot
+),
+seats AS (SELECT {_QUOTA_K} - sum(base_q) AS extra FROM base),
+alloc AS (
+  SELECT source, n_docs,
+         base_q + CASE WHEN row_number() OVER
+                         (ORDER BY rem DESC, source) <= seats.extra
+                       THEN 1 ELSE 0 END AS alloc
+  FROM base, seats
+),
+picked AS (
+  SELECT d.source, d.doc_id
+  FROM (
+    SELECT source, doc_id,
+           row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+    FROM documents) d
+  JOIN alloc a ON a.source = d.source AND d.rn <= a.alloc
+)
+SELECT a.source, CAST(a.n_docs AS BIGINT) AS n_docs,
+       CAST(a.alloc AS BIGINT) AS alloc,
+       CAST(coalesce(p.id_sum, 0) AS BIGINT) AS picked_id_sum
+FROM alloc a
+LEFT JOIN (SELECT source, sum(doc_id) AS id_sum FROM picked
+           GROUP BY source) p
+  ON p.source = a.source
+"""
+
+
+@query("p_quota_sample", QUOTA_ORACLE)
+def p_quota_sample(spark, sf_dir):
+    """Hamilton largest-remainder quota sampling: apportion a budget
+    of k=120 docs across sources proportionally (floor quotas, then
+    one extra seat to the largest remainders), then pick each
+    source's allocation deterministically by smallest md5(doc_id).
+    ``picked_id_sum`` pins the exact survivor set without shipping
+    the id list through the comparator (the d_semdedup trick).
+
+    Scale shape: apportionment runs on the per-source count table
+    (sources-sized, broadcast); the pick is one per-source top-k
+    window over a corpus partitioned by source. All integer: floor
+    quotas and remainders are exact on both engines, and Σ alloc = k
+    by construction.
+    """
+    docs = table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.agg(F.sum("n_docs").alias("n"))
+    base = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.expr(f"({_QUOTA_K} * n_docs) div n").alias("base_q"),
+        F.expr(f"({_QUOTA_K} * n_docs) % n").alias("rem"),
+    )
+    seats = base.agg(
+        (F.lit(_QUOTA_K) - F.sum("base_q")).alias("extra")
+    )
+    from pyspark.sql.window import Window as W
+
+    rw = W.orderBy(F.desc("rem"), F.asc("source"))
+    alloc = (
+        base.crossJoin(F.broadcast(seats))
+        .withColumn("rnk", F.row_number().over(rw))
+        .select(
+            "source",
+            "n_docs",
+            (
+                F.col("base_q")
+                + F.when(F.col("rnk") <= F.col("extra"), 1).otherwise(0)
+            ).alias("alloc"),
+        )
+    )
+    pw = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    picked = (
+        docs.select("source", "doc_id")
+        .withColumn("rn", F.row_number().over(pw))
+        .join(F.broadcast(alloc.select("source", "alloc")), "source")
+        .where(F.col("rn") <= F.col("alloc"))
+        .groupBy("source")
+        .agg(F.sum("doc_id").alias("id_sum"))
+    )
+    return alloc.join(picked, "source", "left").select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("alloc").cast("long").alias("alloc"),
+        F.coalesce("id_sum", F.lit(0)).cast("long").alias(
+            "picked_id_sum"
+        ),
+    )
+
+
+# --------------------------------------------------------------------
+# Group-aware k-fold assignment — every event of a user lands in ONE
+# fold (the leakage-safe split generalized to cross-validation), fold
+# chosen by a hash byte so the assignment is stable under corpus
+# growth (adding events never moves a user between folds).
+# --------------------------------------------------------------------
+_KFOLDS = 5
+
+_KF_BYTE = (
+    f"((strpos('{HEX}', substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1)"
+    f" * 16"
+    f" + (strpos('{HEX}', substring(md5(CAST(user_id AS VARCHAR)), 2, 1))"
+    f" - 1))"
+)
+
+KFOLD_ORACLE = f"""
+WITH e AS (
+  SELECT {_KF_BYTE} % {_KFOLDS} AS fold, user_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL
+),
+tot AS (SELECT count(*) AS n FROM e)
+SELECT CAST(fold AS INT) AS fold,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST((1000000 * count(*)) // tot.n AS BIGINT) AS share_ppm,
+       round(CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE)
+             / count(*) / 100, 6) AS mean_value
+FROM e, tot GROUP BY fold, tot.n
+"""
+
+
+@query("p_kfold_assign", KFOLD_ORACLE)
+def p_kfold_assign(spark, sf_dir):
+    """Group-aware k-fold cross-validation assignment audit: users
+    hash into one of 5 folds (all their events follow — no
+    train/test leakage through a shared user), and the audit reports
+    each fold's user/event counts, exact ppm share, and mean value
+    (so covariate balance is checkable before training).
+
+    Scale shape: fold assignment is a per-row hash expression (no
+    shuffle); the audit is one partial aggregation to 5 cells.
+    """
+    ev = table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    byte = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 2),
+            16,
+            10,
+        )
+        .cast("int")
+    )
+    e = ev.select(
+        F.pmod(byte, F.lit(_KFOLDS)).alias("fold"),
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("x"),
+    )
+    tot = e.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        e.crossJoin(F.broadcast(tot))
+        .groupBy("fold", "n")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("x").cast("decimal(38,0)"))
+            .cast("double")
+            .alias("sx"),
+        )
+        .select(
+            F.col("fold").cast("int").alias("fold"),
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.expr("(1000000 * n_events) div n")
+            .cast("long")
+            .alias("share_ppm"),
+            F.round(F.col("sx") / F.col("n_events") / 100, 6).alias(
+                "mean_value"
+            ),
+        )
+    )

@@ -770,3 +770,149 @@ def a39_bootstrap_ci(spark, sf_dir):
             F.col("n_reps").cast("long").alias("n_reps"),
         )
     )
+
+
+# ------------------------------------------------------------------ #
+# t_cooccur_pmi — windowed token co-occurrence PMI
+# ------------------------------------------------------------------ #
+_PMI_WIN = 2  # co-occurrence window: positions 1..2 apart
+_PMI_MIN_N = 5
+_PMI_TOPK = 20
+_PMI_MAX_CELLS = 65536  # vocab² contract (same as t_js_divergence)
+
+_PMI_PAIRS_SQL = f"""
+tok AS (
+  SELECT doc_id, pos, ws[pos + 1] AS w
+  FROM (
+    SELECT doc_id, ws, unnest(range(len(ws))) AS pos
+    FROM (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)),
+                                         '\\s+', ' ', 'g'), ' ') AS ws
+      FROM documents))
+  WHERE ws[pos + 1] <> ''
+),
+pc AS (
+  SELECT least(a.w, b.w) AS ta, greatest(a.w, b.w) AS tb,
+         count(*) AS n_pair
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id
+   AND b.pos - a.pos BETWEEN 1 AND {_PMI_WIN}
+  GROUP BY 1, 2
+)"""
+
+PMI_ORACLE = f"""
+WITH {_PMI_PAIRS_SQL},
+marg AS (
+  SELECT w, sum(n_pair) AS m FROM (
+    SELECT ta AS w, n_pair FROM pc
+    UNION ALL
+    SELECT tb AS w, n_pair FROM pc
+  ) GROUP BY w
+),
+tot AS (SELECT sum(n_pair) AS t FROM pc),
+scored AS (
+  SELECT pc.ta, pc.tb, pc.n_pair,
+         round(ln(CAST(pc.n_pair AS DOUBLE) * (2 * tot.t)
+                  / (CAST(ma.m AS DOUBLE) * mb.m)), 6) AS pmi
+  FROM pc
+  JOIN marg ma ON ma.w = pc.ta
+  JOIN marg mb ON mb.w = pc.tb, tot
+  WHERE pc.n_pair >= {_PMI_MIN_N}
+)
+SELECT ta AS tok_a, tb AS tok_b, CAST(n_pair AS BIGINT) AS n_pair, pmi,
+       CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (ORDER BY pmi DESC, ta, tb) AS rnk
+  FROM scored
+) WHERE rnk <= {_PMI_TOPK}
+"""
+
+
+@query("t_cooccur_pmi", PMI_ORACLE)
+def t_cooccur_pmi(spark, sf_dir):
+    """Pointwise mutual information of token pairs co-occurring
+    within a ±2-position window (Church & Hanks 1990) — the
+    association statistic feeding collocation mining, feature
+    engineering, and embedding sanity checks. PMI uses the symmetric
+    convention pmi = ln(n_ab · 2T / (m_a · m_b)) with marginals from
+    the pair table itself.
+
+    Scale shape: tokenize+posexplode is map-only; the windowed
+    self-join is keyed on doc_id with a ≤2-position band, so work is
+    Σ len(doc)·window — linear in corpus tokens; the pair table is
+    vocabulary²-bounded. The ln() fold runs DRIVER-side on the
+    ≤{_PMI_MAX_CELLS}-cell pair table with CPython libm (bit-identical
+    to DuckDB's ln — the t_zipf_slope / t_js_divergence precedent);
+    past the contract bound it raises rather than collecting a
+    corpus-sized table.
+    """
+    import math
+
+    from ..functions.textfns import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.posexplode(tokens(F.col("text"))).alias("pos", "w"),
+        )
+        .where(F.col("w") != "")
+    )
+    a = tok.select("doc_id", F.col("pos").alias("pa"), F.col("w").alias("wa"))
+    b = tok.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pb"),
+        F.col("w").alias("wb"),
+    )
+    pc = (
+        a.join(
+            b,
+            (a.doc_id == F.col("doc_b"))
+            & (F.col("pb") - F.col("pa") >= 1)
+            & (F.col("pb") - F.col("pa") <= _PMI_WIN),
+        )
+        .groupBy(
+            F.least("wa", "wb").alias("ta"),
+            F.greatest("wa", "wb").alias("tb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    rows = pc.collect()
+    if len(rows) > _PMI_MAX_CELLS:
+        raise ValueError(
+            f"t_cooccur_pmi: pair table {len(rows)} exceeds the "
+            f"{_PMI_MAX_CELLS}-cell driver contract; shrink the "
+            "vocabulary or score in a pandas_udf"
+        )
+    total = sum(r["n_pair"] for r in rows)
+    marg: dict[str, int] = {}
+    for r in rows:
+        marg[r["ta"]] = marg.get(r["ta"], 0) + r["n_pair"]
+        marg[r["tb"]] = marg.get(r["tb"], 0) + r["n_pair"]
+    scored = [
+        (
+            r["ta"],
+            r["tb"],
+            r["n_pair"],
+            round(
+                math.log(
+                    float(r["n_pair"])
+                    * (2 * total)
+                    / (float(marg[r["ta"]]) * marg[r["tb"]])
+                ),
+                6,
+            ),
+        )
+        for r in rows
+        if r["n_pair"] >= _PMI_MIN_N
+    ]
+    scored.sort(key=lambda t: (-t[3], t[0], t[1]))
+    out = [
+        (ta, tb, n, p, i + 1)
+        for i, (ta, tb, n, p) in enumerate(scored[:_PMI_TOPK])
+    ]
+    return spark.createDataFrame(
+        out,
+        "tok_a string, tok_b string, n_pair long, pmi double, rnk int",
+    )

@@ -1885,3 +1885,216 @@ def d_prefix_jaccard_pairs(spark, sf_dir):
     return DD.jaccard_pairs(
         shingles, "doc_id", min_jaccard=_PFX_THRESHOLD, candidates=cand
     )
+
+
+# --------------------------------------------------------------------
+# s_ivf_nprobe_curve — the IVF operating-curve harness: recall@5 at
+# nprobe ∈ {1,2,4,8} from ONE corpus build (one centroid fit, one
+# cell assignment, persisted), against exact-cosine ground truth.
+# s_ivf_ann_topk registers one operating point; this measures the
+# whole knob — expected scan fraction is nprobe/n_cells, so the row
+# set IS the recall-vs-cost design table an index operator needs.
+# --------------------------------------------------------------------
+_CURVE_PROBES = (1, 2, 4, 8)
+
+
+def _ivf_curve_oracle(dim=64, n_cells=16, k=5) -> str:
+    dot = "list_dot_product({a}, {b})"
+    arms = []
+    recalls = []
+    for n in _CURVE_PROBES:
+        arms.append(f"""
+q_probe_{n} AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT u.vec_id, c1.cell,
+           row_number() OVER (PARTITION BY u.vec_id
+             ORDER BY {dot.format(a='u.uv', b='c1.cent')} DESC, c1.cell) AS r
+    FROM u CROSS JOIN cent1 c1 WHERE u.vec_id < 10) WHERE r <= {n}
+),
+topk_{n} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT s.query_id, s.neighbor_id,
+           row_number() OVER (
+             PARTITION BY s.query_id
+             ORDER BY s.cosine_sim DESC, s.neighbor_id) AS rank
+    FROM (
+      SELECT cand.query_id, cand.neighbor_id,
+             round({dot.format(a='qe.e', b='ce.e')}
+                   / (sqrt({dot.format(a='qe.e', b='qe.e')})
+                      * sqrt({dot.format(a='ce.e', b='ce.e')})), 6)
+               AS cosine_sim
+      FROM (
+        SELECT DISTINCT q.query_id, cc.neighbor_id
+        FROM c_cells cc JOIN q_probe_{n} q USING (cell)
+        WHERE cc.neighbor_id <> q.query_id) cand
+      JOIN c qe ON qe.vec_id = cand.query_id
+      JOIN c ce ON ce.vec_id = cand.neighbor_id) s
+  ) WHERE rank <= {k})""")
+        recalls.append(f"""
+SELECT 'ivf_nprobe{n}' AS method, {n} AS nprobe,
+       CAST(t.n AS BIGINT) AS n_truth, CAST(h.n AS BIGINT) AS n_hit,
+       round(CAST(h.n AS DOUBLE) / t.n, 6) AS recall
+FROM (SELECT count(*) AS n FROM truth) t,
+     (SELECT count(*) AS n FROM truth JOIN topk_{n}
+        USING (query_id, neighbor_id)) h""")
+    return f"""
+WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+u AS (SELECT vec_id, list_transform(e, x -> x / sqrt({dot.format(a='e', b='e')})) AS uv
+      FROM c),
+cent0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+         uv AS cent
+  FROM (SELECT * FROM u ORDER BY vec_id LIMIT {n_cells})
+),
+assign0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT u.vec_id, c0.cell,
+           row_number() OVER (PARTITION BY u.vec_id
+             ORDER BY {dot.format(a='u.uv', b='c0.cent')} DESC, c0.cell) AS r
+    FROM u CROSS JOIN cent0 c0) WHERE r = 1
+),
+means AS (
+  SELECT a.cell, t.i AS pos, round(avg(u.uv[t.i + 1]), 9) AS val
+  FROM u JOIN assign0 a USING (vec_id), range({dim}) t(i)
+  GROUP BY a.cell, t.i
+),
+cent1 AS (
+  SELECT cell, list_transform(m, x -> x / sqrt({dot.format(a='m', b='m')})) AS cent
+  FROM (SELECT cell, list(val ORDER BY pos) AS m FROM means GROUP BY cell)
+),
+c_cells AS (
+  SELECT vec_id AS neighbor_id, cell FROM (
+    SELECT u.vec_id, c1.cell,
+           row_number() OVER (PARTITION BY u.vec_id
+             ORDER BY {dot.format(a='u.uv', b='c1.cent')} DESC, c1.cell) AS r
+    FROM u CROSS JOIN cent1 c1) WHERE r = 1
+),
+tscored AS (
+  SELECT q.vec_id AS query_id, ce.vec_id AS neighbor_id,
+         round({dot.format(a='q.e', b='ce.e')}
+               / (sqrt({dot.format(a='q.e', b='q.e')})
+                  * sqrt({dot.format(a='ce.e', b='ce.e')})), 6) AS cosine_sim
+  FROM c q, c ce WHERE q.vec_id < 10 AND ce.vec_id <> q.vec_id),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY cosine_sim DESC, neighbor_id) AS rank
+    FROM tscored) WHERE rank <= {k}),{",".join(arms)}
+{" UNION ALL ".join(recalls)}
+"""
+
+
+@query("s_ivf_nprobe_curve", _ivf_curve_oracle())
+def s_ivf_nprobe_curve(spark, sf_dir):
+    """Recall@5 across the IVF nprobe knob (1, 2, 4, 8 of 16 cells)
+    from ONE shared index build: one centroid fit, one corpus cell
+    assignment (persisted), one query prep — the arms differ only in
+    how many probe cells each query's broadcast key list admits (the
+    shared-build contract the multiprobe harness established; never
+    N independent corpus passes for an N-point curve).
+
+    NOTE: executes eagerly (collects the query-bounded top-k sets to
+    do driver-side recall arithmetic) and unpersists before return.
+
+    Scale shape: candidate volume per arm ≈ corpus·nprobe/n_cells —
+    the measured rows show what each extra scan fraction buys; the
+    exact-truth pass is the same one-shot brute-force every recall
+    harness in the family uses.
+    """
+    from pyspark.sql.window import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    cent = SIM.ivf_centroids(emb, "vec_id", "embedding", 16, 1)
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        SIM.as_double_array("embedding").alias("__cv"),
+    ).withColumn("__cn", SIM.norm(F.col("__cv")))
+    c = c.withColumn(
+        "__uv", F.transform("__cv", lambda x: x / F.col("__cn"))
+    )
+    c_cells = SIM.attach_cells(c, cent).persist()
+    q = (
+        emb.where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            SIM.as_double_array("embedding").alias("__qv"),
+        )
+        .withColumn("__qn", SIM.norm(F.col("__qv")))
+    )
+    q_scored = (
+        q.withColumn(
+            "__uv", F.transform("__qv", lambda x: x / F.col("__qn"))
+        )
+        .crossJoin(F.broadcast(cent))
+        .withColumn("__s", SIM.dot(F.col("__uv"), F.col("__cent")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("__s"), F.asc("cell")
+    )
+    probe_all = q_scored.withColumn(
+        "__r", F.row_number().over(wq)
+    ).persist()
+
+    def pairs(df):
+        return {
+            (r["query_id"], r["neighbor_id"])
+            for r in df.select("query_id", "neighbor_id").collect()
+        }
+
+    try:
+        cp = SIM.prep_corpus(emb, "vec_id", "embedding")
+        qp = SIM.prep_queries(
+            emb.where(F.col("vec_id") < 10), "vec_id", "embedding"
+        )
+        truth = pairs(SIM.cosine_topk_prepped(cp, qp, k=5))
+        wk = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine_sim"), F.asc("neighbor_id")
+        )
+        arms = {}
+        for n in _CURVE_PROBES:
+            q_probe = probe_all.where(F.col("__r") <= n).select(
+                "query_id", "cell"
+            )
+            scored = (
+                c_cells.join(F.broadcast(q_probe), "cell")
+                .where(F.col("query_id") != F.col("neighbor_id"))
+                .select("query_id", "neighbor_id", "__cv", "__cn")
+                .join(
+                    F.broadcast(q.select("query_id", "__qv", "__qn")),
+                    "query_id",
+                )
+                .withColumn(
+                    "cosine_sim",
+                    F.round(
+                        SIM.dot(F.col("__qv"), F.col("__cv"))
+                        / (F.col("__qn") * F.col("__cn")),
+                        6,
+                    ),
+                )
+            )
+            arms[n] = pairs(
+                scored.withColumn("rank", F.row_number().over(wk))
+                .where(F.col("rank") <= 5)
+                .select("query_id", "neighbor_id")
+            )
+    finally:
+        probe_all.unpersist()
+        c_cells.unpersist()
+
+    rows = [
+        (
+            f"ivf_nprobe{n}",
+            n,
+            len(truth),
+            len(truth & hits),
+            round(len(truth & hits) / len(truth), 6) if truth else None,
+        )
+        for n, hits in arms.items()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "method string, nprobe int, n_truth long, n_hit long,"
+        " recall double",
+    )
