@@ -337,3 +337,146 @@ def g_hits_fixed(spark, sf_dir):
         F.col("score").cast("long").alias("score"),
         F.col("rnk").cast("int").alias("rnk"),
     )
+
+
+# ------------------------------------------------------------------ #
+# g_local_clustering — per-node clustering coefficient, top-20
+# ------------------------------------------------------------------ #
+_LCC_TOPK = 20
+
+LCC_ORACLE = f"""
+WITH li AS (
+  SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderpriority = '1-URGENT'
+),
+e AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+  ) GROUP BY node
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+            JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+nt AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS t FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b AS node FROM tri
+    UNION ALL SELECT c AS node FROM tri
+  ) GROUP BY node
+),
+lcc AS (
+  SELECT deg.node, deg.d, coalesce(nt.t, 0) AS t,
+         (2 * coalesce(nt.t, 0) * 1000000) // (deg.d * (deg.d - 1))
+           AS lcc_ppm
+  FROM deg LEFT JOIN nt ON nt.node = deg.node
+  WHERE deg.d >= 2
+)
+SELECT CAST(node AS BIGINT) AS node, d AS degree, t AS n_triangles,
+       CAST(lcc_ppm AS BIGINT) AS lcc_ppm, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (ORDER BY lcc_ppm DESC, node) AS rnk
+  FROM lcc
+) WHERE rnk <= {_LCC_TOPK}
+"""
+
+
+@query("g_local_clustering", LCC_ORACLE)
+def g_local_clustering(spark, sf_dir):
+    """Per-node local clustering coefficient over the urgent
+    co-purchase graph (Watts & Strogatz 1998), exact ppm, top-20.
+
+    Spark plan: triangles enumerate ONCE via degree orientation
+    (orient each edge from its (degree, id)-smaller endpoint; every
+    triangle has exactly one all-out apex, and wedge fan-out is
+    bounded by out-degree ≤ O(√m) for ANY degree distribution — the
+    g_triangle_count argument, here keeping per-node credit by
+    exploding each found triangle to its three corners). The oracle
+    is the independent canonical a<b<c triple join. lcc_ppm =
+    (2t·1e6) DIV d(d−1) stays exact BIGINT end to end.
+    """
+    from .graph import _urgent_copurchase
+
+    _, edges = _urgent_copurchase(spark, sf_dir)
+    edges = edges.localCheckpoint(eager=False)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ed = edges.join(du, "u").join(dv, "v")
+    lt = F.struct(F.col("du"), F.col("u")) < F.struct(
+        F.col("dv"), F.col("v")
+    )
+    oriented = ed.select(
+        F.when(lt, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lt, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(lt, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    ).localCheckpoint(eager=False)
+    o1 = oriented.select(
+        F.col("src").alias("a"),
+        F.col("dst").alias("b"),
+        F.col("ddst").alias("db"),
+    )
+    o2 = oriented.select(
+        F.col("src").alias("a2"),
+        F.col("dst").alias("c"),
+        F.col("ddst").alias("dc"),
+    )
+    wedge = o1.join(
+        o2,
+        (F.col("a") == F.col("a2"))
+        & (
+            F.struct(F.col("db"), F.col("b"))
+            < F.struct(F.col("dc"), F.col("c"))
+        ),
+    )
+    closing = oriented.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    tri = wedge.join(closing, ["b", "c"], "left_semi").select(
+        "a", "b", "c"
+    )
+    nt = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    lcc = (
+        deg.where(F.col("d") >= 2)
+        .join(nt, "node", "left")
+        .select(
+            "node",
+            "d",
+            F.coalesce("t", F.lit(0)).alias("t"),
+            F.expr(
+                "(2 * coalesce(t, 0) * 1000000)"
+                " div (d * (d - 1))"
+            ).alias("lcc_ppm"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    rw = Window.orderBy(F.desc("lcc_ppm"), F.asc("node"))
+    return (
+        lcc.withColumn("rnk", F.row_number().over(rw))
+        .where(F.col("rnk") <= _LCC_TOPK)
+        .select(
+            F.col("node").cast("long").alias("node"),
+            F.col("d").alias("degree"),
+            F.col("t").alias("n_triangles"),
+            F.col("lcc_ppm").cast("long").alias("lcc_ppm"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -916,3 +916,215 @@ def t_cooccur_pmi(spark, sf_dir):
         out,
         "tok_a string, tok_b string, n_pair long, pmi double, rnk int",
     )
+
+
+# ------------------------------------------------------------------ #
+# t_heaps_law — vocabulary-growth (Heaps/Herdan) fit
+# ------------------------------------------------------------------ #
+_HEAPS_POINTS = 8
+
+HEAPS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)),
+                                     '\\s+', ' ', 'g'), ' ')) AS w
+  FROM documents
+),
+tk AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+vfirst AS (SELECT w, min(doc_id) AS first_id FROM tk GROUP BY w),
+dcnt AS (SELECT doc_id, count(*) AS cnt FROM tk GROUP BY doc_id),
+mx AS (SELECT max(doc_id) AS mid FROM dcnt),
+ck AS (
+  -- empty corpus => zero checkpoint rows on both engines
+  SELECT CAST(i + 1 AS INT) AS i,
+         ((i + 1) * mx.mid) // {_HEAPS_POINTS} AS t
+  FROM range({_HEAPS_POINTS}) r(i), mx WHERE mx.mid IS NOT NULL
+),
+pts AS (
+  SELECT ck.i, ck.t,
+         (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM dcnt
+          WHERE doc_id <= ck.t) AS n_tokens,
+         (SELECT CAST(count(*) AS BIGINT) FROM vfirst
+          WHERE first_id <= ck.t) AS vocab
+  FROM ck
+),
+xy AS (
+  SELECT i, t, n_tokens, vocab,
+         ln(CAST(n_tokens AS DOUBLE)) AS x,
+         ln(CAST(vocab AS DOUBLE)) AS y
+  FROM pts WHERE n_tokens > 0 AND vocab > 0
+),
+m AS (
+  SELECT count(*) AS k,
+         list_reduce(list(x ORDER BY i), (a, b) -> a + b) / count(*)
+           AS xbar,
+         list_reduce(list(y ORDER BY i), (a, b) -> a + b) / count(*)
+           AS ybar
+  FROM xy
+),
+dev AS (
+  SELECT m.k,
+         list_reduce(list((x - xbar) * (y - ybar) ORDER BY i),
+                     (a, b) -> a + b) AS sxy,
+         list_reduce(list((x - xbar) * (x - xbar) ORDER BY i),
+                     (a, b) -> a + b) AS sxx,
+         any_value(xbar) AS xbar, any_value(ybar) AS ybar
+  FROM xy, m GROUP BY m.k
+)
+SELECT p.i, CAST(p.t AS BIGINT) AS threshold_id, p.n_tokens, p.vocab,
+       CASE WHEN dev.k >= 2 AND dev.sxx > 0
+            THEN round(dev.sxy / dev.sxx, 6) END AS beta,
+       CASE WHEN dev.k >= 2 AND dev.sxx > 0
+            THEN round(dev.ybar - (dev.sxy / dev.sxx) * dev.xbar, 6)
+       END AS ln_k
+FROM pts p, dev
+"""
+
+
+@query("t_heaps_law", HEAPS_ORACLE)
+def t_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit: V(N) ≈ K·N^β from 8 corpus
+    prefixes (by doc_id), the planning curve for tokenizer/vocab
+    sizing as a corpus scales — β well below 1 means new data stops
+    buying new vocabulary.
+
+    Scale shape: vocabulary growth WITHOUT rescanning per prefix —
+    one vocab-sized first-seen table (min doc_id per word) and one
+    docs-sized per-doc token count; each prefix point is then a
+    conditional aggregate over those two small tables, and the 8-point
+    log-log OLS folds driver-side with CPython libm (bit-identical to
+    DuckDB ln — the t_zipf_slope precedent).
+    """
+    import math
+
+    from ..functions.textfns import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    tk = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+        )
+        .where(F.col("w") != "")
+    )
+    vfirst = tk.groupBy("w").agg(F.min("doc_id").alias("first_id"))
+    dcnt = tk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("cnt"))
+    mid_row = dcnt.agg(F.max("doc_id").alias("mid")).collect()
+    mid = mid_row[0]["mid"] if mid_row else None
+    pts = []
+    if mid is not None:
+        thresholds = [
+            (i + 1, ((i + 1) * mid) // _HEAPS_POINTS)
+            for i in range(_HEAPS_POINTS)
+        ]
+        nt = dcnt.agg(
+            *[
+                F.sum(F.when(F.col("doc_id") <= t, F.col("cnt")))
+                .alias(f"n{i}")
+                for i, t in thresholds
+            ]
+        ).collect()[0]
+        vc = vfirst.agg(
+            *[
+                F.count(F.when(F.col("first_id") <= t, 1)).alias(
+                    f"v{i}"
+                )
+                for i, t in thresholds
+            ]
+        ).collect()[0]
+        pts = [
+            (i, t, int(nt[f"n{i}"] or 0), int(vc[f"v{i}"]))
+            for i, t in thresholds
+        ]
+    xy = [
+        (i, math.log(float(n)), math.log(float(v)))
+        for i, _, n, v in pts
+        if n > 0 and v > 0
+    ]
+    beta = lnk = None
+    if len(xy) >= 2:
+        k = len(xy)
+        xbar = sum(x for _, x, _ in xy) / k
+        ybar = sum(y for _, _, y in xy) / k
+        sxy = sum((x - xbar) * (y - ybar) for _, x, y in xy)
+        sxx = sum((x - xbar) * (x - xbar) for _, x, _ in xy)
+        if sxx > 0:
+            beta = round(sxy / sxx, 6)
+            lnk = round(ybar - (sxy / sxx) * xbar, 6)
+    rows = [
+        (i, t, n, v, beta, lnk) for i, t, n, v in pts
+    ]
+    return spark.createDataFrame(
+        rows,
+        "i int, threshold_id long, n_tokens long, vocab long,"
+        " beta double, ln_k double",
+    )
+
+
+# ------------------------------------------------------------------ #
+# e_cohort_ltv — acquisition-cohort revenue matrix
+# ------------------------------------------------------------------ #
+COHORT_ORACLE = """
+WITH p AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+              AS BIGINT) AS wk,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+first AS (SELECT user_id, min(wk) AS w0 FROM p GROUP BY user_id)
+SELECT strftime(DATE '1970-01-01' + CAST(f.w0 * 7 AS INT), '%Y-%m-%d')
+         AS cohort_week,
+       CAST(p.wk - f.w0 AS INT) AS week_offset,
+       CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users,
+       CAST(sum(p.v) AS DOUBLE) AS revenue
+FROM p JOIN first f ON f.user_id = p.user_id
+GROUP BY f.w0, p.wk - f.w0
+"""
+
+
+@query("e_cohort_ltv", COHORT_ORACLE)
+def e_cohort_ltv(spark, sf_dir):
+    """Acquisition-cohort revenue matrix: users cohorted by first
+    purchase WEEK, revenue and active-buyer counts by weeks since
+    acquisition — the LTV table every retention analysis starts from
+    (w18's user-retention generalized to revenue).
+
+    Scale shape: one per-user min (users-sized, broadcast back), one
+    (cohort, offset) partial aggregation; revenue sums in exact
+    DECIMAL so partial-agg order can't leak into the hash.
+    """
+    p = (
+        table(spark, sf_dir, "events")
+        .where(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.expr(
+                "CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01')"
+                " div 7 AS BIGINT)"
+            ).alias("wk"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+    )
+    first = p.groupBy("user_id").agg(F.min("wk").alias("w0"))
+    return (
+        p.join(F.broadcast(first), "user_id")
+        .groupBy("w0", (F.col("wk") - F.col("w0")).alias("off"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("v").cast("double").alias("revenue"),
+        )
+        .select(
+            F.date_format(
+                F.date_add(
+                    F.lit("1970-01-01").cast("date"),
+                    (F.col("w0") * 7).cast("int"),
+                ),
+                "yyyy-MM-dd",
+            ).alias("cohort_week"),
+            F.col("off").cast("int").alias("week_offset"),
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("revenue").alias("revenue"),
+        )
+    )

@@ -273,3 +273,308 @@ def w30_peak_prominence(spark, sf_dir):
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# ------------------------------------------------------------------ #
+# w31_pacf — partial autocorrelation at lags 1-3 (Durbin-Levinson)
+# ------------------------------------------------------------------ #
+PACF_ORACLE = f"""
+WITH hv AS (
+  SELECT {_HI_SQL} AS hi, count(*) AS cnt FROM events GROUP BY 1
+),
+st AS (SELECT count(*) AS n, sum(cnt) AS s FROM hv),
+led AS (
+  SELECT h.cnt AS y, st.n, st.s,
+         lead(h.cnt, 1) OVER w AS y1,
+         lead(h.cnt, 2) OVER w AS y2,
+         lead(h.cnt, 3) OVER w AS y3
+  FROM hv h, st
+  WINDOW w AS (ORDER BY h.hi)
+),
+acf AS (
+  SELECT
+    CAST(sum(CAST(n * y - s AS DECIMAL(38,0)) * (n * y - s))
+         AS DOUBLE) AS den,
+    CAST(sum(CASE WHEN y1 IS NOT NULL THEN
+           CAST(n * y - s AS DECIMAL(38,0)) * (n * y1 - s) END)
+         AS DOUBLE) AS n1,
+    CAST(sum(CASE WHEN y2 IS NOT NULL THEN
+           CAST(n * y - s AS DECIMAL(38,0)) * (n * y2 - s) END)
+         AS DOUBLE) AS n2,
+    CAST(sum(CASE WHEN y3 IS NOT NULL THEN
+           CAST(n * y - s AS DECIMAL(38,0)) * (n * y3 - s) END)
+         AS DOUBLE) AS n3
+  FROM led
+),
+r AS (
+  SELECT CASE WHEN den > 0 THEN n1 / den END AS r1,
+         CASE WHEN den > 0 THEN n2 / den END AS r2,
+         CASE WHEN den > 0 THEN n3 / den END AS r3
+  FROM acf
+),
+dl AS (
+  SELECT r1, r2, r3,
+         CASE WHEN 1 - r1 * r1 <> 0
+              THEN (r2 - r1 * r1) / (1 - r1 * r1) END AS p22
+  FROM r
+),
+dl2 AS (
+  SELECT r1, r2, r3, p22, r1 * (1 - p22) AS p21 FROM dl
+)
+SELECT CAST(lag AS INT) AS lag, round(acf, 6) AS acf,
+       round(pacf, 6) AS pacf
+FROM (
+  SELECT 1 AS lag, r1 AS acf, r1 AS pacf FROM dl2
+  UNION ALL
+  SELECT 2 AS lag, r2 AS acf, p22 AS pacf FROM dl2
+  UNION ALL
+  SELECT 3 AS lag, r3 AS acf,
+         CASE WHEN 1 - p21 * r1 - p22 * r2 <> 0
+              THEN (r3 - p21 * r2 - p22 * r1)
+                   / (1 - p21 * r1 - p22 * r2) END AS pacf
+  FROM dl2
+)
+"""
+
+
+@query("w31_pacf", PACF_ORACLE)
+def w31_pacf(spark, sf_dir):
+    """ACF + PACF at lags 1-3 of the hourly count series: the
+    Durbin-Levinson recursion unrolled in closed form (φ11 = r1,
+    φ22 = (r2−r1²)/(1−r1²), φ33 from the level-2 coefficients) — the
+    AR-order identification table next to a26's per-station ACF.
+
+    Exactness: centered cross-products are exact DECIMAL integers
+    (the a26 accumulator move); r1..r3 are then single divisions, so
+    the recursion's float tree is identical on both engines; every
+    denominator is CASE-guarded (constant series → NULL ACF/PACF).
+
+    Scale shape: one hour-keyed count shuffle; the lead window and
+    the grand aggregate run on the hours-sized series.
+    """
+    ev = table(spark, sf_dir, "events")
+    hv = (
+        ev.select(F.expr(_HI_SPARK).alias("hi"))
+        .groupBy("hi")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    st = hv.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cnt").alias("s")
+    )
+    w = Window.orderBy("hi")
+    led = hv.crossJoin(F.broadcast(st)).select(
+        F.col("cnt").alias("y"),
+        "n",
+        "s",
+        *[F.lead("cnt", k).over(w).alias(f"y{k}") for k in (1, 2, 3)],
+    )
+    big = "decimal(38,0)"
+    cent = (F.col("n") * F.col("y") - F.col("s")).cast(big)
+    acf = led.agg(
+        F.sum(cent * (F.col("n") * F.col("y") - F.col("s")))
+        .cast("double")
+        .alias("den"),
+        *[
+            F.sum(
+                F.when(
+                    F.col(f"y{k}").isNotNull(),
+                    cent * (F.col("n") * F.col(f"y{k}") - F.col("s")),
+                )
+            )
+            .cast("double")
+            .alias(f"n{k}")
+            for k in (1, 2, 3)
+        ],
+    )
+    den = F.col("den")
+    r = acf.select(
+        *[
+            F.when(den > 0, F.col(f"n{k}") / den).alias(f"r{k}")
+            for k in (1, 2, 3)
+        ]
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    dl = r.select(
+        r1,
+        r2,
+        r3,
+        F.when(
+            1 - r1 * r1 != 0, (r2 - r1 * r1) / (1 - r1 * r1)
+        ).alias("p22"),
+    )
+    p22 = F.col("p22")
+    dl2 = dl.select(r1, r2, r3, p22, (r1 * (1 - p22)).alias("p21"))
+    p21 = F.col("p21")
+    p33den = 1 - p21 * r1 - p22 * r2
+    rows = dl2.select(
+        F.lit(1).alias("lag"), r1.alias("acf"), r1.alias("pacf")
+    ).unionByName(
+        dl2.select(F.lit(2).alias("lag"), r2.alias("acf"), p22.alias("pacf"))
+    ).unionByName(
+        dl2.select(
+            F.lit(3).alias("lag"),
+            r3.alias("acf"),
+            F.when(
+                p33den != 0, (r3 - p21 * r2 - p22 * r1) / p33den
+            ).alias("pacf"),
+        )
+    )
+    return rows.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.round("acf", 6).alias("acf"),
+        F.round("pacf", 6).alias("pacf"),
+    )
+
+
+# ------------------------------------------------------------------ #
+# w32_seasonal_strength — Hyndman trend/seasonal strength measures
+# ------------------------------------------------------------------ #
+_W32_FIX = 1000000  # floor fixed-point: identical doubles -> exact ints
+
+W32_ORACLE = f"""
+WITH hv AS (
+  SELECT {_HI_SQL} AS hi, count(*) AS cnt FROM events GROUP BY 1
+),
+tr AS (
+  SELECT hi, cnt,
+         sum(cnt) OVER w AS tsum,
+         count(*) OVER w AS tn
+  FROM hv
+  WINDOW w AS (ORDER BY hi RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+full_w AS (
+  SELECT hi, cnt, tsum, 25 * cnt - tsum AS d25
+  FROM tr WHERE tn = 25
+),
+seas AS (
+  SELECT ((hi % 24) + 24) % 24 AS hod,
+         CAST(sum(d25) AS DOUBLE) / (25.0e0 * count(*)) AS s
+  FROM full_w GROUP BY 1
+),
+fx AS (
+  SELECT
+    CAST(floor((CAST(f.d25 AS DOUBLE) / 25.0e0 - seas.s) * {_W32_FIX})
+         AS BIGINT) AS rf,
+    CAST(floor((CAST(f.d25 AS DOUBLE) / 25.0e0) * {_W32_FIX})
+         AS BIGINT) AS dtf,
+    CAST(floor((CAST(f.cnt AS DOUBLE) - seas.s) * {_W32_FIX})
+         AS BIGINT) AS saf
+  FROM full_w f JOIN seas ON seas.hod = ((f.hi % 24) + 24) % 24
+),
+v AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(rf AS DECIMAL(38,0))) AS DOUBLE) AS s1r,
+         CAST(sum(CAST(rf AS DECIMAL(19,0)) * CAST(rf AS DECIMAL(19,0)))
+              AS DOUBLE) AS s2r,
+         CAST(sum(CAST(dtf AS DECIMAL(38,0))) AS DOUBLE) AS s1d,
+         CAST(sum(CAST(dtf AS DECIMAL(19,0)) * CAST(dtf AS DECIMAL(19,0)))
+              AS DOUBLE) AS s2d,
+         CAST(sum(CAST(saf AS DECIMAL(38,0))) AS DOUBLE) AS s1a,
+         CAST(sum(CAST(saf AS DECIMAL(19,0)) * CAST(saf AS DECIMAL(19,0)))
+              AS DOUBLE) AS s2a
+  FROM fx
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CASE WHEN n >= 2 THEN
+         CASE WHEN s2d - (s1d / n) * s1d > 0
+              THEN round(greatest(0.0e0,
+                     1 - (s2r - (s1r / n) * s1r)
+                         / (s2d - (s1d / n) * s1d)), 6) END
+       END AS f_seasonal,
+       CASE WHEN n >= 2 THEN
+         CASE WHEN s2a - (s1a / n) * s1a > 0
+              THEN round(greatest(0.0e0,
+                     1 - (s2r - (s1r / n) * s1r)
+                         / (s2a - (s1a / n) * s1a)), 6) END
+       END AS f_trend
+FROM v
+"""
+
+
+@query("w32_seasonal_strength", W32_ORACLE)
+def w32_seasonal_strength(spark, sf_dir):
+    """Hyndman-style trend/seasonal strength of the hourly series
+    from the w28 decomposition: F_seasonal = max(0, 1 −
+    var(resid)/var(detrended)), F_trend = max(0, 1 −
+    var(resid)/var(seasonally adjusted)) — the one-row series
+    diagnostic a forecasting pipeline gates models on.
+
+    Determinism: the decomposition components are bit-identical
+    doubles (exact-integer w28 machinery), then FLOOR fixed-point
+    (1e-6 units) lifts them to exact BIGINT before any variance sum —
+    floor (not round) because both engines floor identically while
+    double→int CASTs disagree (Spark truncates, DuckDB rounds).
+
+    Scale shape: identical to w28 — one corpus-sized hour count, then
+    hours-sized windows and one grand aggregate.
+    """
+    ev = table(spark, sf_dir, "events")
+    hv = (
+        ev.select(F.expr(_HI_SPARK).alias("hi"))
+        .groupBy("hi")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("hi").rangeBetween(-12, 12)
+    tr = hv.select(
+        "hi",
+        "cnt",
+        F.sum("cnt").over(w).alias("tsum"),
+        F.count(F.lit(1)).over(w).alias("tn"),
+    )
+    full_w = tr.where(F.col("tn") == 25).select(
+        "hi", "cnt", (F.lit(25) * F.col("cnt") - F.col("tsum")).alias("d25")
+    )
+    seas = full_w.groupBy(
+        F.pmod(F.col("hi"), F.lit(24)).alias("hod")
+    ).agg(
+        (
+            F.sum("d25").cast("double") / (F.lit(25.0) * F.count(F.lit(1)))
+        ).alias("s")
+    )
+    detr = F.col("d25").cast("double") / F.lit(25.0)
+    fx = full_w.join(
+        F.broadcast(seas), F.pmod(full_w.hi, F.lit(24)) == seas.hod
+    ).select(
+        F.floor((detr - F.col("s")) * _W32_FIX).cast("long").alias("rf"),
+        F.floor(detr * _W32_FIX).cast("long").alias("dtf"),
+        F.floor((F.col("cnt").cast("double") - F.col("s")) * _W32_FIX)
+        .cast("long")
+        .alias("saf"),
+    )
+
+    def sums(c):
+        d19 = F.col(c).cast("decimal(19,0)")
+        return [
+            F.sum(F.col(c).cast("decimal(38,0)"))
+            .cast("double")
+            .alias(f"s1{c[0]}"),
+            F.sum(d19 * d19).cast("double").alias(f"s2{c[0]}"),
+        ]
+
+    v = fx.agg(
+        F.count(F.lit(1)).alias("n"),
+        *sums("rf"),
+        *sums("dtf"),
+        *sums("saf"),
+    )
+    n = F.col("n")
+
+    def var(p):
+        return F.col(f"s2{p}") - (F.col(f"s1{p}") / n) * F.col(f"s1{p}")
+
+    def strength(p):
+        return F.when(
+            n >= 2,
+            F.when(
+                var(p) > 0,
+                F.round(
+                    F.greatest(F.lit(0.0), 1 - var("r") / var(p)), 6
+                ),
+            ),
+        )
+
+    return v.select(
+        n.cast("long").alias("n"),
+        strength("d").alias("f_seasonal"),
+        strength("s").alias("f_trend"),
+    )

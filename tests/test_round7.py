@@ -431,3 +431,78 @@ def test_ivf_nprobe_curve_monotone(spark):
     # candidates (same build, same scoring)
     assert (out.recall.diff().dropna() >= -1e-12).all()
     assert (out.n_truth == out.n_truth.iloc[0]).all()
+
+
+# ------------------------------------------------------------------ #
+# wave 3: pacf / seasonal strength / lcc / heaps / cohort ltv
+# ------------------------------------------------------------------ #
+def test_pacf_lag1_equals_acf1(spark):
+    out = registry.QUERIES["w31_pacf"](spark, SF_SMALL).toPandas()
+    assert len(out) == 3
+    r = out.set_index("lag")
+    assert r.loc[1].acf == r.loc[1].pacf  # Durbin-Levinson level 1
+    assert (out.acf.abs() <= 1.0 + 1e-9).all()
+
+
+def test_seasonal_strength_bounds(spark):
+    out = registry.QUERIES["w32_seasonal_strength"](
+        spark, "/root/testdata/sf0.01"
+    ).toPandas()
+    row = out.iloc[0]
+    assert 0.0 <= row.f_seasonal <= 1.0
+    assert 0.0 <= row.f_trend <= 1.0
+
+
+def test_w32_constant_series_nulls(spark, tmp_path):
+    # constant hourly counts: detrended/seasadj variance 0 -> NULLs
+    _write_events(
+        tmp_path,
+        [(i, i, 1, "view", 1.0) for i in range(60)],
+        minutes_scale=60,
+    )
+    out = _check(spark, tmp_path, "w32_seasonal_strength")
+    row = out.iloc[0]
+    assert pd.isna(row.f_seasonal) and pd.isna(row.f_trend)
+
+
+def test_lcc_bounds_and_planted_triangle(spark):
+    out = registry.QUERIES["g_local_clustering"](
+        spark, SF_SMALL
+    ).toPandas()
+    assert len(out) > 0
+    assert (out.lcc_ppm <= 1_000_000).all()
+    assert (out.lcc_ppm >= 0).all()
+    assert (out.degree >= 2).all()
+    # clustering identity: t <= d(d-1)/2
+    assert (
+        out.n_triangles <= out.degree * (out.degree - 1) / 2
+    ).all()
+
+
+def test_heaps_monotone_and_beta_range(spark):
+    out = (
+        registry.QUERIES["t_heaps_law"](spark, SF_SMALL)
+        .toPandas()
+        .sort_values("i")
+    )
+    assert len(out) == 8
+    assert (out.n_tokens.diff().dropna() >= 0).all()
+    assert (out.vocab.diff().dropna() >= 0).all()
+    beta = out.beta.iloc[0]
+    # tiny closed vocabulary: growth saturates, beta well below 1
+    assert 0.0 <= beta < 1.0
+    assert (out.beta == beta).all()
+
+
+def test_cohort_ltv_first_offset_has_all_users(spark):
+    out = registry.QUERIES["e_cohort_ltv"](
+        spark, "/root/testdata/sf0.01"
+    ).toPandas()
+    assert len(out) > 3  # a real matrix, not one cell
+    assert (out.week_offset >= 0).all()
+    assert (out.revenue > 0).all()
+    # within a cohort, active buyers can never exceed the offset-0
+    # cohort size
+    for wk, g in out.groupby("cohort_week"):
+        base = g[g.week_offset == 0].n_users.iloc[0]
+        assert (g.n_users <= base).all()
