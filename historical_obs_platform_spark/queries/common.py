@@ -46,3 +46,21 @@ def davg(col: str | Column, scale: int = 2, round_to: int = 6) -> Column:
     return F.round(
         F.sum(dec(c, 18, scale)).cast("double") / F.count(c), round_to
     )
+
+
+def round_half_away(x: float | None, ndigits: int = 6) -> float | None:
+    """Driver-side rounding matching DuckDB's round(DOUBLE, n).
+
+    CPython's round() is banker's (half-to-even) on the binary double,
+    while DuckDB rounds half AWAY from zero (std::round of the scaled
+    value) — a latent tie divergence on exact .xxxxxx5 doubles in any
+    query that folds its final scores on the driver (r8 advice fix).
+    Verified bit-identical to DuckDB on tie values in
+    tests/test_hardening_r8.py.
+    """
+    if x is None:
+        return None
+    import math
+
+    p = 10.0 ** ndigits
+    return math.copysign(math.floor(abs(x * p) + 0.5), x) / p

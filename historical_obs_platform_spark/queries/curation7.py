@@ -39,7 +39,7 @@ from pyspark.sql.window import Window
 from ..functions.textfns import tokens
 from ..operators.similarity import dot
 from ..registry import query
-from .common import table
+from .common import round_half_away, table
 from .textops import TOKS
 
 # ------------------------------------------------------------------ #
@@ -289,7 +289,7 @@ def t_js_divergence(spark, sf_dir, exact=True):
             if q > 0.0:
                 x += 0.5 * q * math.log(q / (0.5 * (p + q)))
             acc = acc + x
-        out.append((src, np_[src], round(acc, 6)))
+        out.append((src, np_[src], round_half_away(acc, 6)))
     return spark.createDataFrame(
         out, "source string, n_tokens long, js double"
     )
@@ -327,7 +327,7 @@ def _js_divergence_pandas(spark, pc):
             {
                 "source": [pdf["source"].iloc[0]],
                 "n_tokens": [int(ntok)],
-                "js": [round(js, 6)],
+                "js": [round_half_away(js, 6)],
             }
         )
 
@@ -454,7 +454,7 @@ def p_mmr_select(spark, sf_dir):
 
     for i, (ia, _, va) in enumerate(cands):
         for ib, _, vb in cands[i + 1 :]:
-            s = round(_dot(va, vb), 6)
+            s = round_half_away(_dot(va, vb), 6)
             sims[(ia, ib)] = s
             sims[(ib, ia)] = s
 
@@ -466,7 +466,7 @@ def p_mmr_select(spark, sf_dir):
             r = remaining[vid]
             if selected:
                 mx = max(sims[(vid, s[1])] for s in selected)
-                score = round(r - mx, 6)
+                score = round_half_away(r - mx, 6)
             else:
                 score = r
             if best is None or score > best[1]:
@@ -601,7 +601,7 @@ def a34_markov_entropy_rate(spark, sf_dir, exact=True):
         for _, n in cells:
             p = float(n) / float(tn[ft])
             acc = acc + (-(p) * math.log(p))
-        out.append((ft, tn[ft], round(acc, 6)))
+        out.append((ft, tn[ft], round_half_away(acc, 6)))
     return spark.createDataFrame(
         out, "from_type string, n long, h_nats double"
     )
@@ -623,7 +623,7 @@ def _markov_entropy_pandas(pairs):
             {
                 "from_type": [pdf["from_type"].iloc[0]],
                 "n": [int(tn)],
-                "h_nats": [round(h, 6)],
+                "h_nats": [round_half_away(h, 6)],
             }
         )
 

@@ -12,9 +12,11 @@
   (Kleinberg 1999) on the full bipartite graph: hubs = customers,
   authorities = suppliers. Normalization is a positive per-round
   scalar, so the unnormalized iteration ranks identically while
-  staying exact BIGINT end-to-end (score bound ≈ deg_max⁴ ≈ 1e11 on
-  this corpus; at degrees past ~40k per side the sums move to
-  DECIMAL(38,0) — same plan, wider type).
+  staying exact integer end-to-end. The accumulators are
+  DECIMAL(38,0) from round 1 (same plan, wider type — r8 advice
+  fix: a LONG chain would raise under ANSI at extreme degrees while
+  the oracle's HUGEINT promotion returned a value); the top-k
+  scores cast back to BIGINT on both engines.
 
 Fixed round counts make the iterations SQL-expressible; the oracles
 unroll the same sweeps as chained CTEs (the g_pagerank_fixed /
@@ -300,7 +302,13 @@ def g_hits_fixed(spark, sf_dir):
         .distinct()
         .localCheckpoint(eager=False)
     )
-    a1 = pairs.groupBy("s").agg(F.count(F.lit(1)).alias("a1"))
+    # accumulators widen to DECIMAL(38,0) from round 1 (r8 advice fix):
+    # a LONG chain would RAISE under ANSI at extreme degrees while the
+    # oracle's sum()→HUGEINT kept returning a value — same plan, wider
+    # type; the final top-k scores still cast to BIGINT on both engines
+    a1 = pairs.groupBy("s").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("a1")
+    )
     h1 = (
         pairs.join(a1, "s")
         .groupBy("c")

@@ -41,7 +41,7 @@ from pyspark.sql.window import Window
 
 from ..functions.textfns import tokens
 from ..registry import query
-from .common import table
+from .common import round_half_away, table
 from .textops import TOKS
 
 # ------------------------------------------------------------------ #
@@ -401,9 +401,9 @@ def t_zipf_slope(spark, sf_dir):
         [
             (
                 k,
-                round(slope, 6),
-                round(ybar - slope * xbar, 6),
-                round((sxy * sxy) / (sxx * syy), 6),
+                round_half_away(slope, 6),
+                round_half_away(ybar - slope * xbar, 6),
+                round_half_away((sxy * sxy) / (sxx * syy), 6),
             )
         ],
         "k long, slope double, intercept double, r2 double",

@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import query
-from .common import table
+from .common import round_half_away, table
 
 _GRP_A = "click"
 _GRP_B = "view"
@@ -197,7 +197,8 @@ gv AS (SELECT grp, value, count(*) AS n_gv FROM v GROUP BY 1, 2),
 rg AS (
   SELECT sum(CASE WHEN g.grp = 1 THEN g.n_gv END) AS n1,
          sum(CASE WHEN g.grp = 2 THEN g.n_gv END) AS n2,
-         sum(CASE WHEN g.grp = 1 THEN g.n_gv * cr.rank2 END) AS r2_1
+         sum(CASE WHEN g.grp = 1
+                  THEN CAST(g.n_gv AS HUGEINT) * cr.rank2 END) AS r2_1
   FROM gv g JOIN cr ON cr.value = g.value
 ),
 tie AS (
@@ -236,8 +237,12 @@ def a36_mann_whitney(spark, sf_dir):
     Scale shape: ranks come from the value-DISTINCT table (bounded by
     measurement resolution, not rows — the a32 move), so there is no
     global per-row sort; the per-row work is one join keyed on value.
-    The doubled-rank sum r2_1 stays exact BIGINT to ~1e9 rows (2n²
-    per term); the only floats are the final z expression.
+    The doubled-rank sum r2_1 accumulates as DECIMAL(38,0) on the
+    Spark side and HUGEINT in the oracle (r8 advice fix: a LONG
+    accumulator would *raise* under ANSI past ~1e9 qualifying rows
+    while DuckDB's sum-promotion kept succeeding — an asymmetric
+    exception-vs-result divergence, not just wrong numbers); the
+    only floats are the final z expression.
     """
     v = (
         table(spark, sf_dir, "events")
@@ -270,7 +275,11 @@ def a36_mann_whitney(spark, sf_dir):
         F.sum(F.when(F.col("grp") == 1, F.col("n_gv"))).alias("n1"),
         F.sum(F.when(F.col("grp") == 2, F.col("n_gv"))).alias("n2"),
         F.sum(
-            F.when(F.col("grp") == 1, F.col("n_gv") * F.col("rank2"))
+            F.when(
+                F.col("grp") == 1,
+                F.col("n_gv").cast("decimal(18,0)")
+                * F.col("rank2").cast("decimal(19,0)"),
+            )
         ).alias("r2_1"),
     )
     cnt_dec = F.col("cnt").cast("decimal(12,0)")
@@ -279,7 +288,10 @@ def a36_mann_whitney(spark, sf_dir):
     )
     n1 = F.coalesce(F.col("n1"), F.lit(0))
     n2 = F.coalesce(F.col("n2"), F.lit(0))
-    u2 = (F.col("r2_1") - F.col("n1") * (F.col("n1") + 1)).cast("double")
+    u2 = (
+        F.col("r2_1")
+        - F.col("n1").cast("decimal(19,0)") * (F.col("n1") + 1)
+    ).cast("double")
     sigma2 = (F.col("n1").cast("double") * F.col("n2") / F.lit(12.0)) * (
         (F.col("n1") + F.col("n2") + 1)
         - F.col("tsum").cast("double")
@@ -623,7 +635,7 @@ A39_ORACLE = f"""
 WITH c AS (
   SELECT event_type, event_id,
          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
-  FROM events WHERE value IS NOT NULL),
+  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
 pt AS (
   SELECT event_type, count(*) AS n,
          CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS s1
@@ -679,9 +691,13 @@ def a39_bootstrap_ci(spark, sf_dir):
     statistics are k×B-sized — driver-free, corpus-scan count: 2.
     """
     x = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    # event_id participates in the replicate hash: a NULL id would be
+    # silently skipped by concat_ws on the Spark side but NULL-propagate
+    # through the oracle's `||` (→ ELSE weight) — filter it in BOTH
+    # engines so the weight function is identical (r8 advice fix)
     c = (
         table(spark, sf_dir, "events")
-        .where(F.col("value").isNotNull())
+        .where(F.col("value").isNotNull() & F.col("event_id").isNotNull())
         .select("event_type", "event_id", x.alias("x"))
     )
     pt = c.groupBy("event_type").agg(
@@ -895,7 +911,7 @@ def t_cooccur_pmi(spark, sf_dir):
             r["ta"],
             r["tb"],
             r["n_pair"],
-            round(
+            round_half_away(
                 math.log(
                     float(r["n_pair"])
                     * (2 * total)
@@ -1047,8 +1063,8 @@ def t_heaps_law(spark, sf_dir):
         sxy = sum((x - xbar) * (y - ybar) for _, x, y in xy)
         sxx = sum((x - xbar) * (x - xbar) for _, x, _ in xy)
         if sxx > 0:
-            beta = round(sxy / sxx, 6)
-            lnk = round(ybar - (sxy / sxx) * xbar, 6)
+            beta = round_half_away(sxy / sxx, 6)
+            lnk = round_half_away(ybar - (sxy / sxx) * xbar, 6)
     rows = [
         (i, t, n, v, beta, lnk) for i, t, n, v in pts
     ]
@@ -1063,12 +1079,19 @@ def t_heaps_law(spark, sf_dir):
 # e_cohort_ltv — acquisition-cohort revenue matrix
 # ------------------------------------------------------------------ #
 COHORT_ORACLE = """
-WITH p AS (
+WITH d AS (
   SELECT user_id,
-         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
-              AS BIGINT) AS wk,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dd,
          CAST(value AS DECIMAL(18,2)) AS v
   FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+p AS (
+  -- floor (not truncate-toward-zero) week binning via the pmod
+  -- spelling, matching the repo's hour-index convention: pre-1970
+  -- days -6..-1 land in week -1, not folded into a 13-day week 0
+  SELECT user_id,
+         CAST((dd - ((dd % 7 + 7) % 7)) // 7 AS BIGINT) AS wk, v
+  FROM d
 ),
 first AS (SELECT user_id, min(wk) AS w0 FROM p GROUP BY user_id)
 SELECT strftime(DATE '1970-01-01' + CAST(f.w0 * 7 AS INT), '%Y-%m-%d')
@@ -1101,7 +1124,8 @@ def e_cohort_ltv(spark, sf_dir):
         .select(
             "user_id",
             F.expr(
-                "CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01')"
+                "CAST((datediff(CAST(ts AS DATE), DATE'1970-01-01')"
+                " - pmod(datediff(CAST(ts AS DATE), DATE'1970-01-01'), 7))"
                 " div 7 AS BIGINT)"
             ).alias("wk"),
             F.col("value").cast("decimal(18,2)").alias("v"),
