@@ -38,6 +38,7 @@ corpus scale.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -846,7 +847,7 @@ FROM (
 
 
 @query("t_cooccur_pmi", PMI_ORACLE)
-def t_cooccur_pmi(spark, sf_dir):
+def t_cooccur_pmi(spark, sf_dir, exact=True, max_cells=None):
     """Pointwise mutual information of token pairs co-occurring
     within a ±2-position window (Church & Hanks 1990) — the
     association statistic feeding collocation mining, feature
@@ -854,14 +855,30 @@ def t_cooccur_pmi(spark, sf_dir):
     convention pmi = ln(n_ab · 2T / (m_a · m_b)) with marginals from
     the pair table itself.
 
+    Exact mode (default, the registered/oracled path): the ln() fold
+    runs DRIVER-side on the ≤{_PMI_MAX_CELLS}-cell pair table with
+    CPython libm (bit-identical to DuckDB's ln — the t_zipf_slope /
+    t_js_divergence precedent); past the contract bound it raises
+    rather than collecting a corpus-sized table.
+
+    ``exact=False`` is the coded escape hatch for past-contract pair
+    vocabularies (the r7-verdict scale-killer): marginals are computed
+    RELATIONALLY (pair counts unpivoted → one word-keyed partial agg,
+    joined back on each side's word), the scalar pair total rides a
+    broadcast, and ln+round run in a vectorized pandas_udf; top-k is a
+    distributed TakeOrdered, never a single-partition window. The
+    driver holds O(k) state regardless of vocabulary. Same statistic
+    to float-noise (numpy libm vs CPython libm agree on every cell in
+    the tolerance tests); compared cell-by-cell against exact mode AND
+    against DuckDB on a past-contract synthetic corpus in
+    tests/test_hardening_r8.py.
+
     Scale shape: tokenize+posexplode is map-only; the windowed
     self-join is keyed on doc_id with a ≤2-position band, so work is
     Σ len(doc)·window — linear in corpus tokens; the pair table is
-    vocabulary²-bounded. The ln() fold runs DRIVER-side on the
-    ≤{_PMI_MAX_CELLS}-cell pair table with CPython libm (bit-identical
-    to DuckDB's ln — the t_zipf_slope / t_js_divergence precedent);
-    past the contract bound it raises rather than collecting a
-    corpus-sized table.
+    vocabulary²-bounded; the exact=False scoring adds two word-keyed
+    joins (AQE broadcasts the marginal side when it fits) and one
+    top-k reduction.
     """
     import math
 
@@ -894,12 +911,16 @@ def t_cooccur_pmi(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_pair"))
     )
-    rows = pc.collect()
-    if len(rows) > _PMI_MAX_CELLS:
+    if not exact:
+        return _cooccur_pmi_distributed(pc)
+    cells = max_cells if max_cells is not None else _PMI_MAX_CELLS
+    rows = pc.limit(cells + 1).collect()
+    if len(rows) > cells:
         raise ValueError(
-            f"t_cooccur_pmi: pair table {len(rows)} exceeds the "
-            f"{_PMI_MAX_CELLS}-cell driver contract; shrink the "
-            "vocabulary or score in a pandas_udf"
+            f"t_cooccur_pmi: pair table exceeds the "
+            f"{cells}-cell driver contract; rerun with "
+            "exact=False (distributed marginal joins + pandas_udf "
+            "scoring, tolerance-compare instead of hash-compare)"
         )
     total = sum(r["n_pair"] for r in rows)
     marg: dict[str, int] = {}
@@ -931,6 +952,65 @@ def t_cooccur_pmi(spark, sf_dir):
     return spark.createDataFrame(
         out,
         "tok_a string, tok_b string, n_pair long, pmi double, rnk int",
+    )
+
+
+def _cooccur_pmi_distributed(pc):
+    """Distributed PMI scoring over a past-contract pair table.
+
+    Marginals come from ONE word-keyed partial aggregation of the
+    unpivoted pair counts (each (ta,tb,n) contributes n to both
+    words), joined back on each side's word — vocabulary-sized
+    shuffles, never driver-sized collects. The scalar total rides a
+    1-row broadcast. ln + half-away rounding run vectorized in a
+    pandas_udf (numpy libm). Top-k is orderBy().limit(k) — Spark
+    plans TakeOrderedAndProject, a per-partition heap + k-row merge,
+    NOT a single-partition global sort; ranks are then numbered on
+    the k-row result.
+    """
+    import numpy as np
+    import pandas as pd
+
+    @F.pandas_udf("double")
+    def _pmi6(arg: pd.Series) -> pd.Series:
+        v = np.log(arg.to_numpy(dtype=float))
+        return pd.Series(
+            np.copysign(np.floor(np.abs(v * 1e6) + 0.5), v) / 1e6
+        )
+
+    marg = (
+        pc.select(F.col("ta").alias("w"), "n_pair")
+        .unionByName(pc.select(F.col("tb").alias("w"), "n_pair"))
+        .groupBy("w")
+        .agg(F.sum("n_pair").alias("m"))
+    )
+    tot = pc.agg(F.sum("n_pair").alias("t"))
+    scored = (
+        pc.where(F.col("n_pair") >= _PMI_MIN_N)
+        .join(marg.select(F.col("w").alias("ta"), F.col("m").alias("ma")), "ta")
+        .join(marg.select(F.col("w").alias("tb"), F.col("m").alias("mb")), "tb")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "ta",
+            "tb",
+            "n_pair",
+            _pmi6(
+                F.col("n_pair").cast("double")
+                * (2 * F.col("t"))
+                / (F.col("ma").cast("double") * F.col("mb"))
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(
+        F.desc("pmi"), F.asc("ta"), F.asc("tb")
+    ).limit(_PMI_TOPK)
+    w = Window.orderBy(F.desc("pmi"), F.asc("ta"), F.asc("tb"))
+    return top.select(
+        F.col("ta").alias("tok_a"),
+        F.col("tb").alias("tok_b"),
+        F.col("n_pair").cast("long").alias("n_pair"),
+        "pmi",
+        F.row_number().over(w).cast("int").alias("rnk"),
     )
 
 
