@@ -21,6 +21,15 @@ from pyspark.sql.window import Window
 
 HEX = "0123456789abcdef"
 
+# Cell-count bound for the driver-local centroid regime: at or below
+# it, centroid tables are collected once and scored by the Arrow
+# kernel (map-only, no join); above it, the value-identical
+# distributed form (broadcast crossJoin + struct-max) takes over so
+# "grow n_cells with the corpus" keeps working at any cell count.
+# Module-level so the equivalence tests can shrink it and exercise
+# the distributed path on small fixtures.
+MAX_LOCAL_CELLS = 4096
+
 
 def as_double_array(col) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -613,8 +622,10 @@ def _assign_cells(
     original distributed form takes over (broadcast crossJoin +
     struct-max, value-identical) — so the documented "grow n_cells
     with the corpus" recipe keeps working at any cell count."""
-    rows = centroids.select("cell", "__cent").limit(4097).collect()
-    if len(rows) > 4096:
+    rows = centroids.select("cell", "__cent").limit(
+        MAX_LOCAL_CELLS + 1
+    ).collect()
+    if len(rows) > MAX_LOCAL_CELLS:
         scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
             "__s", dot(F.col("__uv"), F.col("__cent"))
         )
@@ -642,8 +653,10 @@ def attach_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     corpus scale that join is a corpus⋈corpus shuffle the map-only
     form never pays. Same ≤4096-local / distributed-fallback split,
     value-identical assignments (same kernel); expects ``__uv``."""
-    rows = centroids.select("cell", "__cent").limit(4097).collect()
-    if len(rows) > 4096:
+    rows = centroids.select("cell", "__cent").limit(
+        MAX_LOCAL_CELLS + 1
+    ).collect()
+    if len(rows) > MAX_LOCAL_CELLS:
         scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
             "__s", dot(F.col("__uv"), F.col("__cent"))
         )
@@ -682,7 +695,7 @@ def ivf_centroids(
         F.col(id_col).alias("__id"),
         _unit(as_double_array(vec_col)).alias("__uv"),
     )
-    if n_cells > 4096:
+    if n_cells > MAX_LOCAL_CELLS:
         # past the local-rows contract: distributed seed + Lloyd (the
         # original form — value-identical, centroids stay a lineage)
         w = Window.orderBy("__id")

@@ -578,3 +578,213 @@ def w32_seasonal_strength(spark, sf_dir):
         strength("d").alias("f_seasonal"),
         strength("s").alias("f_trend"),
     )
+
+
+# ------------------------------------------------------------------ #
+# w33_pacf_lag8 — parameterized Durbin-Levinson PACF (lag K)
+# ------------------------------------------------------------------ #
+_PACF_K = 8
+
+
+def _pacf_lagk_oracle(k: int) -> str:
+    """Recursive-CTE Durbin-Levinson oracle at arbitrary lag K: the
+    ACF r1..rK comes from the w31 exact-DECIMAL machinery; the
+    recursion carries the level-k coefficient vector as a DOUBLE[]
+    column, updating it with indexed list_transform lambdas and
+    scoring the reflection coefficient with an explicit left-fold
+    list_reduce — the same operation order the Spark island replays,
+    so every float is bit-identical."""
+    leads = ",\n         ".join(
+        f"lead(h.cnt, {i}) OVER w AS y{i}" for i in range(1, k + 1)
+    )
+    accs = ",\n    ".join(
+        f"CAST(sum(CASE WHEN y{i} IS NOT NULL THEN\n"
+        f"           CAST(n * y - s AS DECIMAL(38,0)) * (n * y{i} - s) END)\n"
+        f"         AS DOUBLE) AS n{i}"
+        for i in range(1, k + 1)
+    )
+    rlist = ", ".join(f"n{i} / den" for i in range(1, k + 1))
+    a_expr = (
+        "CASE WHEN (1 - list_reduce(list_transform(phi,"
+        " (xd, j) -> xd * r[j]), (a, b) -> a + b)) <> 0\n"
+        "           THEN (r[k+1] - list_reduce(list_transform(phi,"
+        " (xn, j) -> xn * r[k+1-j]), (a, b) -> a + b))\n"
+        "                / (1 - list_reduce(list_transform(phi,"
+        " (xd2, j) -> xd2 * r[j]), (a, b) -> a + b))\n"
+        "      END"
+    )
+    return f"""
+WITH RECURSIVE hv AS (
+  SELECT {_HI_SQL} AS hi, count(*) AS cnt FROM events GROUP BY 1
+),
+st AS (SELECT count(*) AS n, sum(cnt) AS s FROM hv),
+led AS (
+  SELECT h.cnt AS y, st.n, st.s,
+         {leads}
+  FROM hv h, st
+  WINDOW w AS (ORDER BY h.hi)
+),
+acf AS (
+  SELECT
+    CAST(sum(CAST(n * y - s AS DECIMAL(38,0)) * (n * y - s))
+         AS DOUBLE) AS den,
+    {accs}
+  FROM led
+),
+rl AS (
+  SELECT CASE WHEN den > 0 THEN [{rlist}] END AS r FROM acf
+),
+dl AS (
+  SELECT 1 AS k, r, [r[1]] AS phi FROM rl
+  UNION ALL
+  SELECT k + 1, r,
+    list_append(
+      list_transform(phi, (x, i) -> x - ({a_expr}) * phi[k+1-i]),
+      {a_expr})
+  FROM dl WHERE k < {k}
+)
+SELECT CAST(k AS INT) AS lag, round(r[k], 6) AS acf,
+       round(phi[k], 6) AS pacf
+FROM dl
+"""
+
+
+W33_ORACLE = _pacf_lagk_oracle(_PACF_K)
+
+
+@query("w33_pacf_lag8", W33_ORACLE)
+def w33_pacf_lag8(spark, sf_dir, k: int = _PACF_K):
+    """PACF at lags 1..K (default 8) of the hourly count series via
+    the FULL Durbin-Levinson recursion — the parameterized successor
+    to w31's closed-form lag-3 unroll (which cannot extend): at each
+    level the reflection coefficient is
+        φ_kk = (r_k − Σ_j φ_{{k−1,j}} r_{{k−j}}) / (1 − Σ_j φ_{{k−1,j}} r_j)
+    and the coefficient vector updates φ_kj = φ_{{k−1,j}} − φ_kk·φ_{{k−1,k−j}}.
+
+    Exactness: r1..rK use w31's exact-DECIMAL centered cross-products
+    (one hour-keyed shuffle, one grand aggregate); the recursion runs
+    in a ONE-ROW applyInPandas island with plain-Python IEEE floats
+    whose fold order replays the oracle's list_reduce left fold
+    term-for-term, so every level is bit-identical cross-engine;
+    rounding is half-away (DuckDB round semantics). Degenerate
+    series (zero variance, short series) yield NULLs that propagate
+    level-to-level exactly as SQL NULL does.
+
+    Scale shape: identical to w31 — the corpus-sized work is the
+    hour-keyed count aggregation; the island sees ONE row of K
+    doubles, so lag depth is free at any corpus size.
+    """
+    ev = table(spark, sf_dir, "events")
+    hv = (
+        ev.select(F.expr(_HI_SPARK).alias("hi"))
+        .groupBy("hi")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    st = hv.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cnt").alias("s")
+    )
+    w = Window.orderBy("hi")
+    led = hv.crossJoin(F.broadcast(st)).select(
+        F.col("cnt").alias("y"),
+        "n",
+        "s",
+        *[
+            F.lead("cnt", i).over(w).alias(f"y{i}")
+            for i in range(1, k + 1)
+        ],
+    )
+    big = "decimal(38,0)"
+    cent = (F.col("n") * F.col("y") - F.col("s")).cast(big)
+    acf = led.agg(
+        F.sum(cent * (F.col("n") * F.col("y") - F.col("s")))
+        .cast("double")
+        .alias("den"),
+        *[
+            F.sum(
+                F.when(
+                    F.col(f"y{i}").isNotNull(),
+                    cent * (F.col("n") * F.col(f"y{i}") - F.col("s")),
+                )
+            )
+            .cast("double")
+            .alias(f"n{i}")
+            for i in range(1, k + 1)
+        ],
+    )
+    den = F.col("den")
+    r = acf.select(
+        *[
+            F.when(den > 0, F.col(f"n{i}") / den).alias(f"r{i}")
+            for i in range(1, k + 1)
+        ]
+    )
+
+    kk = k
+
+    def _dl(pdf):
+        import pandas as pd
+
+        from historical_obs_platform_spark.queries.common import (
+            round_half_away,
+        )
+
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "lag": pd.Series(dtype="int32"),
+                    "acf": pd.Series(dtype="float64"),
+                    "pacf": pd.Series(dtype="float64"),
+                }
+            )
+        row = pdf.iloc[0]
+        rv = [
+            None if pd.isna(row[f"r{i}"]) else float(row[f"r{i}"])
+            for i in range(1, kk + 1)
+        ]
+
+        def fold(terms):
+            acc = terms[0]
+            for t in terms[1:]:
+                acc = None if acc is None or t is None else acc + t
+            return acc
+
+        def mul(a, b):
+            return None if a is None or b is None else a * b
+
+        pacf = [rv[0]]
+        phi = [rv[0]]
+        for lvl in range(1, kk):  # building level lvl+1
+            dfold = fold([mul(phi[j], rv[j]) for j in range(lvl)])
+            nfold = fold(
+                [mul(phi[j], rv[lvl - 1 - j]) for j in range(lvl)]
+            )
+            den_e = None if dfold is None else 1 - dfold
+            if (
+                den_e is None
+                or den_e == 0
+                or rv[lvl] is None
+                or nfold is None
+            ):
+                a = None
+            else:
+                a = (rv[lvl] - nfold) / den_e
+            phi = [
+                None
+                if phi[j] is None or mul(a, phi[lvl - 1 - j]) is None
+                else phi[j] - a * phi[lvl - 1 - j]
+                for j in range(lvl)
+            ] + [a]
+            pacf.append(a)
+        return pd.DataFrame(
+            {
+                "lag": pd.Series(range(1, kk + 1), dtype="int32"),
+                "acf": [round_half_away(x) for x in rv],
+                "pacf": [round_half_away(x) for x in pacf],
+            }
+        )
+
+    return (
+        r.groupBy(F.lit(1).alias("__g"))
+        .applyInPandas(_dl, "lag int, acf double, pacf double")
+        .select("lag", "acf", "pacf")
+    )

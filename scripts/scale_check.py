@@ -99,6 +99,147 @@ def run_chain(spark, name: str, sf_dir: str):
 
 
 # ------------------------------------------------------------------ #
+# ann mode: IVFADC n_cells-growth contract at 1x vs Kx
+# ------------------------------------------------------------------ #
+def build_scaled_emb_dir(spark, sf_dir: str, k: int) -> str:
+    """K jittered replicas of embeddings.parquet (direction jitter —
+    the pipeline unit-normalizes, so a pure scale jitter would
+    collapse replicas onto the same point); other tables symlink."""
+    sf_dir = os.path.abspath(sf_dir)
+    out = tempfile.mkdtemp(prefix=f"hop_ann_{k}x_")
+    emb = table(spark, sf_dir, "embeddings")
+    rep = F.col("rep")
+    scaled = (
+        emb.crossJoin(
+            emb.sparkSession.range(k).withColumnRenamed("id", "rep")
+        )
+        .select(
+            (F.col("vec_id") + rep * 20_000_000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: (
+                    x
+                    + 0.02
+                    * (
+                        (
+                            F.pmod(
+                                F.col("vec_id") * 31 + i * 7 + rep * 13,
+                                F.lit(11),
+                            )
+                            - 5
+                        )
+                        / 5.0
+                    )
+                ).cast("float"),
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    scaled.coalesce(8).write.mode("overwrite").parquet(
+        f"{out}/embeddings.parquet"
+    )
+    for t in TABLE_NAMES:
+        if t != "embeddings":
+            os.symlink(f"{sf_dir}/{t}.parquet", f"{out}/{t}.parquet")
+    return out
+
+
+def run_ann(spark, k: int, sf: str) -> None:
+    """The production contract `operators/similarity.py` documents:
+    'grow n_cells with the corpus' (n_cells ≈ √N). At Kx corpus the
+    fixed-16-cell control's per-query candidate volume grows ∝ K
+    (each probed cell holds N/16 vectors), while the √N contract
+    keeps candidates ≈ nprobe·√N — serving stays near-fixed-cost.
+    Codes are persisted partitioned by cell (the §V inverted-list
+    layout), so the probed-cell restriction is physical partition
+    pruning; build wall is reported separately from serving wall."""
+    import math
+
+    from pyspark.sql.window import Window
+
+    from historical_obs_platform_spark.operators import (
+        similarity as SIM,
+    )
+
+    NPROBE, KNN = 4, 5
+
+    def one(sf_dir: str, n_cells: int, label: str):
+        emb = table(spark, sf_dir, "embeddings")
+        n = emb.count()
+        lay = tempfile.mkdtemp(prefix="hop_ann_layout_")
+        t0 = time.time()
+        cent, cb, codes = SIM.ivfpq_index(
+            emb, "vec_id", "embedding", n_cells=n_cells,
+            layout_dir=f"{lay}/codes",
+        )
+        cent = cent.localCheckpoint(eager=True)
+        cb = cb.localCheckpoint(eager=True)
+        w_build = time.time() - t0
+        queries = emb.where(F.col("vec_id") < 10)
+
+        # per-arm candidate volume: Σ over (query, probed cell) of
+        # that cell's inverted-list length
+        qvec = queries.select(
+            F.col("vec_id").alias("query_id"),
+            SIM._unit(SIM.as_double_array("embedding")).alias("__uv"),
+        )
+        qscored = qvec.crossJoin(F.broadcast(cent)).withColumn(
+            "__s", SIM.dot(F.col("__uv"), F.col("__cent"))
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.desc("__s"), F.asc("cell")
+        )
+        qprobe = (
+            qscored.withColumn("__rn", F.row_number().over(wq))
+            .where(F.col("__rn") <= NPROBE)
+            .select("query_id", "cell")
+        )
+        sizes = codes.groupBy("cell").agg(
+            F.countDistinct("neighbor_id").alias("n")
+        )
+        cand = (
+            qprobe.join(sizes, "cell").agg(F.sum("n")).collect()[0][0]
+        )
+
+        w_serve, res = timed(
+            lambda: SIM.ivfpq_query(
+                cent, cb, codes, queries, "vec_id", "embedding",
+                k=KNN, nprobe=NPROBE,
+            ).collect()
+        )
+        shutil.rmtree(lay, ignore_errors=True)
+        row = (label, n, n_cells, cand, w_build, w_serve, len(res))
+        print(
+            f"[{label}] N={n:,} n_cells={n_cells} cand={cand:,} "
+            f"build={w_build:.2f}s serve={w_serve:.2f}s rows={len(res)}",
+            flush=True,
+        )
+        return row
+
+    rows = []
+    for kk in (1, k):
+        d = build_scaled_emb_dir(spark, sf, kk)
+        try:
+            n = table(spark, d, "embeddings").count()
+            rows.append(one(d, 16, f"{kk}x fixed16"))
+            rows.append(
+                one(d, int(math.isqrt(n)), f"{kk}x sqrtN")
+            )
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    print(
+        "\n| config | N | n_cells | probed candidates "
+        "| build wall | serve wall |"
+    )
+    print("|---|---|---|---|---|---|")
+    for label, n, nc, cand, wb, ws, _ in rows:
+        print(
+            f"| {label} | {n:,} | {nc} | {cand:,} "
+            f"| {wb:.2f} s | {ws:.2f} s |"
+        )
+
+
+# ------------------------------------------------------------------ #
 # rel mode: relational/stats family at 1x vs Kx with shuffle metrics
 # ------------------------------------------------------------------ #
 REL_QUERIES = [
@@ -404,7 +545,7 @@ def run_graphskew(spark, k: int, sf: str) -> None:
 def main() -> None:
     argv = sys.argv[1:]
     mode = "dedup"
-    if argv and argv[0] in ("rel", "dedup", "graphskew"):
+    if argv and argv[0] in ("rel", "dedup", "graphskew", "ann"):
         mode = argv[0]
         argv = argv[1:]
     k = int(argv[0]) if argv else 10
@@ -415,6 +556,9 @@ def main() -> None:
         return
     if mode == "graphskew":
         run_graphskew(spark, k, sf)
+        return
+    if mode == "ann":
+        run_ann(spark, k, sf)
         return
     scaled = build_scaled_dir(spark, sf, k)
     try:

@@ -231,3 +231,93 @@ def test_bootstrap_ci_null_event_id_cross_engine(spark, tmp_path):
     ).toPandas()
     con.close()
     assert int(got["n"].sum()) == 39
+
+
+# ------------------------------------------------------------------ #
+# w33_pacf_lag8 — parameterized Durbin-Levinson (r7 brief #6)
+# ------------------------------------------------------------------ #
+def test_pacf_lag8_agrees_with_w31_at_lags_1_3(spark):
+    from .conftest import SF_DIR
+
+    w31 = {
+        r["lag"]: r
+        for r in registry.QUERIES["w31_pacf"](spark, SF_DIR).collect()
+    }
+    w33 = {
+        r["lag"]: r
+        for r in registry.QUERIES["w33_pacf_lag8"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert sorted(w33) == list(range(1, 9))
+    for lag in (1, 2, 3):
+        assert w33[lag]["acf"] == w31[lag]["acf"]
+        # same recursion, different (closed-form vs iterative) float
+        # trees: equal to rounding noise
+        assert w33[lag]["pacf"] == pytest.approx(
+            w31[lag]["pacf"], abs=2e-6
+        )
+
+
+def test_pacf_lag8_constant_series_all_null(spark, tmp_path):
+    # zero-variance series: den = 0 -> every acf/pacf NULL, cross-engine
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), 1, "view", 1.0)
+        for i in range(24)
+    ]
+    _write_events(str(tmp_path), rows)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS "
+        f"SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    assert_matches_oracle(
+        spark, con, "w33_pacf_lag8", sf_dir=str(tmp_path)
+    )
+    got = registry.QUERIES["w33_pacf_lag8"](
+        spark, str(tmp_path)
+    ).toPandas()
+    con.close()
+    assert len(got) == 8
+    assert got["acf"].isna().all() and got["pacf"].isna().all()
+
+
+def test_pacf_lag8_short_series_nulls_past_length(spark, tmp_path):
+    # 4 distinct hours with varying counts: lags past the series
+    # length have no pairs -> NULL acf, NULL propagates through DL
+    rows = []
+    eid = 0
+    for h, n in [(0, 1), (1, 3), (2, 2), (3, 5)]:
+        for _ in range(n):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h),
+                 1, "view", 1.0)
+            )
+    _write_events(str(tmp_path), rows)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS "
+        f"SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    assert_matches_oracle(
+        spark, con, "w33_pacf_lag8", sf_dir=str(tmp_path)
+    )
+    con.close()
+    got = registry.QUERIES["w33_pacf_lag8"](
+        spark, str(tmp_path)
+    ).toPandas()
+    assert len(got) == 8
+    byl = got.set_index("lag")
+    assert not pd.isna(byl.loc[1, "acf"])
+    for lag in (4, 5, 6, 7, 8):
+        assert pd.isna(byl.loc[lag, "acf"])
+
+
+def test_pacf_parameterized_lag_runs_at_other_k(spark):
+    from historical_obs_platform_spark.queries.timeseries3 import (
+        w33_pacf_lag8,
+    )
+
+    got = w33_pacf_lag8(spark, SF_SMALL, k=5).toPandas()
+    assert list(got["lag"]) == [1, 2, 3, 4, 5]
