@@ -598,3 +598,49 @@ def contamination_overlap(
         )
         .drop("__sz")
     )
+
+
+def lsh_star_pairs(
+    buckets: DataFrame,
+    id_col: str,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Star candidate pairs: within each (band, bucket) every member
+    pairs with the bucket's MINIMUM id — B−1 pairs per bucket instead
+    of the full join's B²/2. The production posting-cap move for
+    skewed corpora (boilerplate mega-buckets): candidate mass is
+    linear in bucket size, and the star keeps the downstream
+    connected-components diameter ≤ 2 per bucket, so min-label
+    propagation converges in a handful of iterations regardless of
+    duplicate-group size (a B-member identical group costs B−1
+    confirms, not B²/2).
+
+    Recall contract: CLUSTER-level recall is preserved whenever
+    buckets are similarity-pure (every member confirms against the
+    bucket min, chaining the whole bucket into one component) — the
+    planted-group and identical-boilerplate cases. PAIRWISE recall is
+    deliberately traded: a pair both of whose endpoints confirm only
+    against each other but not the bucket min can be missed — the
+    standard trade every capped production pipeline makes
+    (tests/test_hardening_r8.py proves removal-output equivalence
+    with the full pairing on the real corpus at two SFs).
+
+    ``max_bucket_size`` drops over-cap buckets entirely (same guard
+    as ``lsh_candidate_pairs``).
+    """
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__sz")
+        )
+        buckets = (
+            buckets.join(sizes, ["band", "bucket"])
+            .where(F.col("__sz") <= max_bucket_size)
+            .drop("__sz")
+        )
+    w = Window.partitionBy("band", "bucket")
+    m = buckets.withColumn("__m", F.min(id_col).over(w))
+    return (
+        m.where(F.col(id_col) != F.col("__m"))
+        .select(F.col("__m").alias("a"), F.col(id_col).alias("b"))
+        .distinct()
+    )

@@ -2098,3 +2098,71 @@ def s_ivf_nprobe_curve(spark, sf_dir):
         "method string, nprobe int, n_truth long, n_hit long,"
         " recall double",
     )
+
+
+# --------------------------------------------------------------------
+# Star-pruned near-dup confirm — the skew-proof candidate generation
+# (r7 brief #3): every bucket member pairs with the bucket MIN only,
+# so candidate mass is linear in bucket size (B−1, not B²/2) and the
+# components diameter stays ≤ 2 even for a B-member identical group.
+# Cluster-level recall is preserved for similarity-pure buckets;
+# removal-output equivalence with the full pairing is proven on the
+# real corpus in tests/test_hardening_r8.py, and the 100x skewed
+# measurement lives in scripts/scale_check.py dedupskew.
+# --------------------------------------------------------------------
+def _star_jaccard_oracle(
+    n_hashes: int = LSH_N_HASHES, bands: int = LSH_BANDS
+) -> str:
+    rows = n_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        cat = " || '|' || ".join(
+            f"minhash_{b * rows + r}" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cat}) AS bucket FROM sigs"
+        )
+    buckets = " UNION ALL ".join(band_selects)
+    return f"""
+WITH {_shingle_cte()}, {_minhash_cte(n_hashes)},
+buckets AS ({buckets}),
+starred AS (
+  SELECT min(doc_id) OVER (PARTITION BY band, bucket) AS a,
+         doc_id AS b
+  FROM buckets
+),
+cand AS (SELECT DISTINCT a, b FROM starred WHERE b <> a),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS n_common
+  FROM cand c
+  JOIN shingles x ON x.doc_id = c.a
+  JOIN shingles y ON y.doc_id = c.b AND y.shingle = x.shingle
+  GROUP BY c.a, c.b
+)
+SELECT a, b, n_common, sa.sz AS sz_a, sb.sz AS sz_b,
+       round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.a = sa.doc_id
+JOIN sizes sb ON inter.b = sb.doc_id
+WHERE round(n_common / (sa.sz + sb.sz - n_common), 6) >= 0.5
+"""
+
+
+@query("d_lsh_star_jaccard", _star_jaccard_oracle())
+def d_lsh_star_jaccard(spark, sf_dir):
+    """Confirmed near-dup pairs over STAR candidates (bucket-min
+    pairing) — the posting-cap production path for skewed corpora.
+    Same shingle/signature/bucket build as the d_* family (shared
+    persisted handle); only the pairing rule differs."""
+    shingles, _cand = _lsh_shared(spark, sf_dir)
+    sigs = DD.minhash_signatures(
+        shingles, "doc_id", n_hashes=LSH_N_HASHES
+    )
+    buckets = DD.lsh_buckets(
+        sigs, "doc_id", n_hashes=LSH_N_HASHES, bands=LSH_BANDS
+    )
+    cand = DD.lsh_star_pairs(buckets, "doc_id")
+    return DD.jaccard_pairs(
+        shingles, "doc_id", min_jaccard=0.5, candidates=cand
+    )

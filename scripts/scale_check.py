@@ -545,7 +545,9 @@ def run_graphskew(spark, k: int, sf: str) -> None:
 def main() -> None:
     argv = sys.argv[1:]
     mode = "dedup"
-    if argv and argv[0] in ("rel", "dedup", "graphskew", "ann"):
+    if argv and argv[0] in (
+        "rel", "dedup", "graphskew", "ann", "dedupskew"
+    ):
         mode = argv[0]
         argv = argv[1:]
     k = int(argv[0]) if argv else 10
@@ -559,6 +561,9 @@ def main() -> None:
         return
     if mode == "ann":
         run_ann(spark, k, sf)
+        return
+    if mode == "dedupskew":
+        run_dedupskew(spark, k, sf)
         return
     scaled = build_scaled_dir(spark, sf, k)
     try:
@@ -584,6 +589,182 @@ def main() -> None:
                   f"| {wm:.2f} s |")
     finally:
         shutil.rmtree(scaled, ignore_errors=True)
+
+
+
+
+# ------------------------------------------------------------------ #
+# dedupskew mode: 100x corpus, one source owning 50% of docs with a
+# planted boilerplate mega-bucket — the adversarial case for LSH
+# candidate generation. Measures the full-pairing candidate mass
+# (count only: at Kx the planted K-way groups alone make it
+# O(K²·docs)) against the star pairing's linear mass, and runs the
+# star-paired removal chain end-to-end.
+# ------------------------------------------------------------------ #
+_BOILER = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lambda mu nu xi omicron pi"
+)
+_SKEW_MOD = 20  # 1/20 of originals become boilerplate docs
+
+
+def build_skew_dir(spark, sf_dir: str, k: int) -> str:
+    """K jittered replicas (the planted near-dup groups), with the
+    top half of replicas owned by ONE source (`srchub`, 50% of docs)
+    and every `_SKEW_MOD`-th original's hub replicas rewritten to a
+    shared 16-token boilerplate + 8 per-(doc, rep)-unique tokens —
+    pairwise Jaccard ≈ 0.48 (below the 0.5 confirm threshold, so NOT
+    genuine dups) while ~2/3 of each minhash lands in the shared
+    shingles, so a large fraction of them collide into per-band
+    mega-buckets: candidate-pair junk the full pairing pays B²/2 for
+    and the star pairing pays B−1 for."""
+    sf_dir = os.path.abspath(sf_dir)
+    out = tempfile.mkdtemp(prefix=f"hop_skew_{k}x_")
+    docs = table(spark, sf_dir, "documents")
+    rep = F.col("rep")
+    uniq = F.concat_ws(
+        " ",
+        *[
+            F.concat(
+                F.lit(f"u{j}x"),
+                F.col("doc_id").cast("string"),
+                F.lit("r"),
+                rep.cast("string"),
+            )
+            for j in range(8)
+        ],
+    )
+    is_boiler = (F.col("doc_id") % _SKEW_MOD == 0) & (rep >= k // 2)
+    scaled = (
+        docs.crossJoin(
+            docs.sparkSession.range(k).withColumnRenamed("id", "rep")
+        )
+        .select(
+            (F.col("doc_id") + rep * 20_000_000).alias("doc_id"),
+            F.when(
+                is_boiler, F.concat(F.lit(_BOILER + " "), uniq)
+            )
+            .otherwise(
+                F.concat(
+                    F.col("text"),
+                    F.concat(F.lit(" variant"), rep.cast("string")),
+                )
+            )
+            .alias("text"),
+            F.when(rep >= k // 2, F.lit("srchub"))
+            .otherwise(F.col("source"))
+            .alias("source"),
+            *[
+                c
+                for c in docs.columns
+                if c not in ("doc_id", "text", "source")
+            ],
+        )
+    )
+    scaled.coalesce(16).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+    for t in TABLE_NAMES:
+        if t != "documents":
+            os.symlink(f"{sf_dir}/{t}.parquet", f"{out}/{t}.parquet")
+    return out
+
+
+def run_dedupskew(spark, k: int, sf: str) -> None:
+    from historical_obs_platform_spark.operators import dedup as DD
+    from historical_obs_platform_spark.queries import textops as TX
+
+    def one(label: str, d: str):
+        t0 = time.time()
+        corpus = TX._near_corpus_spark(spark, d)
+        n_docs = corpus.count()
+        shingles = DD.word_shingles(
+            corpus, "doc_id", "text", n=2
+        ).localCheckpoint(eager=True)
+        n_shingles = shingles.count()
+        sigs = DD.minhash_signatures(
+            shingles, "doc_id", n_hashes=TX.LSH_N_HASHES
+        )
+        buckets = DD.lsh_buckets(
+            sigs, "doc_id", n_hashes=TX.LSH_N_HASHES, bands=TX.LSH_BANDS
+        ).localCheckpoint(eager=True)
+        w_build = time.time() - t0
+
+        bs = buckets.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("sz")
+        )
+        mx = bs.agg(
+            F.max("sz").alias("mx"),
+            F.sum(
+                F.col("sz").cast("bigint")
+                * (F.col("sz") - 1)
+                / 2
+            ).cast("bigint").alias("full_pairs_prebands"),
+        ).collect()[0]
+        # full pairing mass: distinct pairs across bands (count only
+        # at Kx — materializing the confirm on O(K²·docs) pairs is
+        # exactly what this mode demonstrates you must not do)
+        t0 = time.time()
+        n_full = DD.lsh_candidate_pairs(buckets, "doc_id").count()
+        w_full_cand = time.time() - t0
+
+        t0 = time.time()
+        star = DD.lsh_star_pairs(buckets, "doc_id").localCheckpoint(
+            eager=True
+        )
+        n_star = star.count()
+        w_star_cand = time.time() - t0
+
+        t0 = time.time()
+        pairs = DD.jaccard_pairs(
+            shingles, "doc_id", min_jaccard=0.5, candidates=star
+        ).select("a", "b")
+        comp = DD.connected_components(pairs).withColumnRenamed(
+            "node", "doc_id"
+        )
+        joined = corpus.select("doc_id").join(comp, "doc_id", "left")
+        keep = F.col("component").isNull() | (
+            F.col("component") == F.col("doc_id")
+        )
+        res = joined.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(~keep).cast("long").alias("n_removed"),
+        ).collect()[0]
+        w_chain = time.time() - t0
+        row = (
+            label, n_docs, n_shingles, int(mx["mx"]), n_full,
+            n_star, int(res["n_removed"]), w_build, w_full_cand,
+            w_star_cand, w_chain,
+        )
+        print(
+            f"[{label}] docs={n_docs:,} shingles={n_shingles:,} "
+            f"max_bucket={mx['mx']:,} full_cand={n_full:,} "
+            f"star_cand={n_star:,} removed={res['n_removed']:,} "
+            f"build={w_build:.1f}s full_cand_count={w_full_cand:.1f}s "
+            f"star={w_star_cand:.1f}s chain={w_chain:.1f}s",
+            flush=True,
+        )
+        return row
+
+    rows = []
+    for kk in (1, k):
+        d = build_skew_dir(spark, sf, kk)
+        try:
+            rows.append(one(f"{kk}x", d))
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    print(
+        "\n| scale | docs | shingles | max bucket | full-pair cand "
+        "(count only) | star cand | removed | build | full-cand "
+        "count | star cand | star confirm+components+removal |"
+    )
+    print("|---|---|---|---|---|---|---|---|---|---|---|")
+    for (label, nd, ns, mb, nf, nst, nr, wb, wf, ws, wc) in rows:
+        print(
+            f"| {label} | {nd:,} | {ns:,} | {mb:,} | {nf:,} "
+            f"| {nst:,} | {nr:,} | {wb:.1f} s | {wf:.1f} s "
+            f"| {ws:.1f} s | {wc:.1f} s |"
+        )
 
 
 if __name__ == "__main__":

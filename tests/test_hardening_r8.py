@@ -321,3 +321,50 @@ def test_pacf_parameterized_lag_runs_at_other_k(spark):
 
     got = w33_pacf_lag8(spark, SF_SMALL, k=5).toPandas()
     assert list(got["lag"]) == [1, 2, 3, 4, 5]
+
+
+# ------------------------------------------------------------------ #
+# lsh_star_pairs — cluster-recall equivalence with full pairing
+# ------------------------------------------------------------------ #
+@pytest.mark.parametrize("sf", [SF_SMALL, "/root/testdata/sf0.01"])
+def test_star_pairing_same_removal_output(spark, sf):
+    """Survivor set from star candidates == survivor set from the
+    full B²/2 pairing on the real corpus: bucket-min chaining links
+    every cluster the full pairing finds (similarity-pure buckets),
+    so the keep/remove decision — the thing dedup exists for — is
+    identical while candidate mass drops to B−1 per bucket."""
+    from historical_obs_platform_spark.operators import dedup as DD
+    from historical_obs_platform_spark.queries import textops as TX
+
+    shingles, cand_full = TX._lsh_shared(spark, sf)
+    sigs = DD.minhash_signatures(shingles, "doc_id", n_hashes=TX.LSH_N_HASHES)
+    buckets = DD.lsh_buckets(
+        sigs, "doc_id", n_hashes=TX.LSH_N_HASHES, bands=TX.LSH_BANDS
+    )
+    cand_star = DD.lsh_star_pairs(buckets, "doc_id")
+
+    def survivors(cand):
+        pairs = DD.jaccard_pairs(
+            shingles, "doc_id", min_jaccard=0.5, candidates=cand
+        ).select("a", "b")
+        comp = DD.connected_components(pairs).withColumnRenamed(
+            "node", "doc_id"
+        )
+        corpus = TX._near_corpus_spark(spark, sf).select("doc_id")
+        joined = corpus.join(comp, "doc_id", "left")
+        import pyspark.sql.functions as F
+
+        return {
+            r["doc_id"]
+            for r in joined.where(
+                F.col("component").isNull()
+                | (F.col("component") == F.col("doc_id"))
+            ).collect()
+        }
+
+    full = survivors(cand_full)
+    star = survivors(cand_star)
+    n_full = cand_full.count()
+    n_star = cand_star.count()
+    assert star == full
+    assert n_star <= n_full
