@@ -59,6 +59,7 @@ def load_all() -> None:
         sources_demo,
         stats,
         stats2,
+        stats3,
         streaming_demo,
         textops,
         timeseries,
