@@ -788,3 +788,249 @@ def w33_pacf_lag8(spark, sf_dir, k: int = _PACF_K):
         .applyInPandas(_dl, "lag int, acf double, pacf double")
         .select("lag", "acf", "pacf")
     )
+
+
+# ------------------------------------------------------------------ #
+# w34_bollinger_breakouts — rolling-band outliers of the hourly series
+# ------------------------------------------------------------------ #
+_BB_WIN = 24  # trailing hours in the band
+_BB_K = 2.0  # band half-width in sd units
+_BB_TOPK = 15
+
+W34_ORACLE = f"""
+WITH hv AS (
+  SELECT {_HI_SQL} AS hi, count(*) AS cnt FROM events GROUP BY 1
+),
+r AS (
+  SELECT hi, cnt,
+         count(*) OVER w AS wn,
+         sum(cnt) OVER w AS ws,
+         sum(CAST(cnt AS DECIMAL(19,0)) * cnt) OVER w AS wq
+  FROM hv
+  WINDOW w AS (ORDER BY hi ROWS BETWEEN {_BB_WIN} PRECEDING
+               AND 1 PRECEDING)
+),
+b AS (
+  SELECT hi, cnt, wn,
+         CAST(ws AS DOUBLE) / wn AS mu,
+         CASE WHEN wn >= 2 THEN
+           (CAST(wq AS DOUBLE) - (CAST(ws AS DOUBLE) / wn)
+            * CAST(ws AS DOUBLE)) / (wn - 1) END AS var
+  FROM r WHERE wn = {_BB_WIN}
+),
+z AS (
+  SELECT hi, cnt, mu, var,
+         CASE WHEN var > 0
+              THEN (cnt - mu) / sqrt(var) END AS z
+  FROM b
+),
+hits AS (
+  SELECT hi, cnt, round(mu, 6) AS band_mean, round(z, 6) AS z_score
+  FROM z WHERE z IS NOT NULL AND abs(z) > {_BB_K}
+)
+SELECT CAST(hi AS BIGINT) AS hi, CAST(cnt AS BIGINT) AS cnt,
+       band_mean, z_score, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (ORDER BY abs(z_score) DESC, hi) AS rnk
+  FROM hits
+) WHERE rnk <= {_BB_TOPK}
+"""
+
+
+@query("w34_bollinger_breakouts", W34_ORACLE)
+def w34_bollinger_breakouts(spark, sf_dir):
+    """Bollinger-band breakouts of the hourly count series: each hour
+    scored against the TRAILING {_BB_WIN}-hour mean ± {_BB_K}σ band
+    (strictly prior rows, so the score is causal/streamable), top
+    |z| hours reported — the volatility-adaptive alternative to a
+    fixed spike threshold.
+
+    Exactness: window sums of BIGINT counts and DECIMAL squares are
+    exact; mean/var/z are identical float trees; rounding half-away
+    via round(…, 6) on both engines. Full-window rows only (wn = 24)
+    so partial-window variance never enters.
+
+    Scale shape: one corpus-sized hour aggregation, then hours-sized
+    rows-window work (the w27/w31 contract — the single-partition
+    window is over wall-clock hours, bounded).
+    """
+    ev = table(spark, sf_dir, "events")
+    hv = (
+        ev.select(F.expr(_HI_SPARK).alias("hi"))
+        .groupBy("hi")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.orderBy("hi")
+        .rowsBetween(-_BB_WIN, -1)
+    )
+    cd = F.col("cnt").cast("decimal(19,0)")
+    r = hv.select(
+        "hi",
+        "cnt",
+        F.count(F.lit(1)).over(w).alias("wn"),
+        F.sum("cnt").over(w).alias("ws"),
+        F.sum(cd * F.col("cnt")).over(w).alias("wq"),
+    )
+    wn = F.col("wn")
+    mu = F.col("ws").cast("double") / wn
+    var = F.when(
+        wn >= 2,
+        (
+            F.col("wq").cast("double")
+            - (F.col("ws").cast("double") / wn)
+            * F.col("ws").cast("double")
+        )
+        / (wn - 1),
+    )
+    b = r.where(wn == _BB_WIN).select(
+        "hi", "cnt", mu.alias("mu"), var.alias("var")
+    )
+    z = b.select(
+        "hi",
+        "cnt",
+        "mu",
+        F.when(
+            F.col("var") > 0,
+            (F.col("cnt") - F.col("mu")) / F.sqrt("var"),
+        ).alias("z"),
+    )
+    hits = z.where(
+        F.col("z").isNotNull() & (F.abs("z") > _BB_K)
+    ).select(
+        "hi",
+        "cnt",
+        F.round("mu", 6).alias("band_mean"),
+        F.round("z", 6).alias("z_score"),
+    )
+    wr = Window.orderBy(F.desc(F.abs("z_score")), F.asc("hi"))
+    return (
+        hits.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= _BB_TOPK)
+        .select(
+            F.col("hi").cast("long").alias("hi"),
+            F.col("cnt").cast("long").alias("cnt"),
+            "band_mean",
+            "z_score",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ #
+# w35_max_drawdown — worst peak-to-trough of cumulative daily revenue
+# ------------------------------------------------------------------ #
+W35_ORACLE = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+           AS rev
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY 1),
+t AS (SELECT count(*) AS nd, sum(rev) AS total FROM d),
+net AS (
+  -- n-scaled demeaning keeps every term an exact DECIMAL: flow is
+  -- n·rev − total (engine-identical integers in cents), so cumsum /
+  -- peak / drawdown / argmax are exact; division by n happens only
+  -- in the final presentation cast
+  SELECT day, CAST(t.nd AS DECIMAL(38,2)) * d.rev - t.total AS flow,
+         t.nd
+  FROM d, t),
+c AS (
+  SELECT day, nd,
+         sum(flow) OVER (ORDER BY day) AS cum
+  FROM net),
+rm AS (
+  SELECT day, nd, cum,
+         max(cum) OVER (ORDER BY day) AS peak
+  FROM c),
+dd AS (SELECT day, nd, cum, peak, peak - cum AS drawdown FROM rm),
+mx AS (SELECT max(drawdown) AS mdd FROM dd)
+SELECT CAST(strftime(d2.day, '%Y-%m-%d') AS VARCHAR) AS trough_day,
+       round(CAST(d2.peak AS DOUBLE) / d2.nd, 6) AS peak_cum,
+       round(CAST(d2.cum AS DOUBLE) / d2.nd, 6) AS trough_cum,
+       round(CAST(d2.drawdown AS DOUBLE) / d2.nd, 6) AS max_drawdown
+FROM dd d2, mx
+WHERE d2.drawdown = mx.mdd
+ORDER BY d2.day
+LIMIT 1
+"""
+
+
+@query("w35_max_drawdown", W35_ORACLE)
+def w35_max_drawdown(spark, sf_dir):
+    """Maximum drawdown of the demeaned cumulative daily revenue
+    series (revenue is nonnegative, so the raw cumulative sum never
+    draws down; subtracting the mean daily revenue turns it into the
+    net-position series a monitoring pipeline actually watches):
+    running peak minus current value, maximized, with the trough day.
+
+    Exactness: the demeaning is n-SCALED (flow = n·rev − total) so
+    every term — daily sums, cumulative sums, running max, the
+    drawdown and its argmax — is an exact DECIMAL in cents; the
+    single division by n happens in the final presentation cast with
+    an identical float tree. Ties break to the earliest day.
+
+    Scale shape: one corpus-sized day aggregation, then days-sized
+    window work (bounded single-partition window over calendar days).
+    """
+    d = (
+        table(spark, sf_dir, "events")
+        .where(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("rev")
+        )
+    )
+    t = d.agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("rev").alias("total")
+    )
+    net = d.crossJoin(F.broadcast(t)).select(
+        "day",
+        (
+            F.col("nd").cast("decimal(38,2)") * F.col("rev")
+            - F.col("total")
+        ).alias("flow"),
+        "nd",
+    )
+    wo = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = net.select(
+        "day", "nd", F.sum("flow").over(wo).alias("cum")
+    )
+    rm = c.select(
+        "day", "nd", "cum", F.max("cum").over(wo).alias("peak")
+    )
+    dd = rm.select(
+        "day",
+        "nd",
+        "cum",
+        "peak",
+        (F.col("peak") - F.col("cum")).alias("drawdown"),
+    )
+    mx = dd.agg(F.max("drawdown").alias("mdd"))
+    return (
+        dd.crossJoin(F.broadcast(mx))
+        .where(F.col("drawdown") == F.col("mdd"))
+        .orderBy("day")
+        .limit(1)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("trough_day"),
+            F.round(
+                F.col("peak").cast("double") / F.col("nd"), 6
+            ).alias("peak_cum"),
+            F.round(
+                F.col("cum").cast("double") / F.col("nd"), 6
+            ).alias("trough_cum"),
+            F.round(
+                F.col("drawdown").cast("double") / F.col("nd"), 6
+            ).alias("max_drawdown"),
+        )
+    )
