@@ -62,6 +62,7 @@ def load_all() -> None:
         stats3,
         streaming_demo,
         textops,
+        textops2,
         timeseries,
         timeseries2,
         timeseries3,
