@@ -488,3 +488,133 @@ def g_local_clustering(spark, sf_dir):
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# ------------------------------------------------------------------ #
+# g_harmonic_landmarks — landmark-based harmonic centrality (3 hops)
+# ------------------------------------------------------------------ #
+_HC_TOPK = 20
+
+HARMONIC_ORACLE = f"""
+WITH li AS (
+  SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderpriority = '1-URGENT'
+),
+e0 AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+),
+e AS (
+  SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+),
+h0 AS (
+  SELECT DISTINCT pk AS lm, pk AS node FROM li WHERE pk % 100 = 0
+),
+h1 AS (
+  SELECT DISTINCT h0.lm, e.v AS node FROM h0 JOIN e ON e.u = h0.node
+),
+h2 AS (
+  SELECT DISTINCT h1.lm, e.v AS node FROM h1 JOIN e ON e.u = h1.node
+),
+h3 AS (
+  SELECT DISTINCT h2.lm, e.v AS node FROM h2 JOIN e ON e.u = h2.node
+),
+md AS (
+  SELECT lm, node, min(hops) AS d
+  FROM (
+    SELECT lm, node, 0 AS hops FROM h0
+    UNION ALL SELECT lm, node, 1 FROM h1
+    UNION ALL SELECT lm, node, 2 FROM h2
+    UNION ALL SELECT lm, node, 3 FROM h3
+  ) GROUP BY lm, node
+),
+hc AS (
+  SELECT node,
+         sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS n2,
+         sum(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS n3,
+         sum(CASE WHEN d = 1 THEN 6
+                  WHEN d = 2 THEN 3
+                  WHEN d = 3 THEN 2 ELSE 0 END) AS num6
+  FROM md GROUP BY node
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(n1 AS BIGINT) AS n_d1,
+       CAST(n2 AS BIGINT) AS n_d2, CAST(n3 AS BIGINT) AS n_d3,
+       round(CAST(num6 AS DOUBLE) / 6, 6) AS harmonic,
+       CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (ORDER BY num6 DESC, node) AS rnk
+  FROM hc
+) WHERE rnk <= {_HC_TOPK}
+"""
+
+
+@query("g_harmonic_landmarks", HARMONIC_ORACLE)
+def g_harmonic_landmarks(spark, sf_dir):
+    """Landmark-restricted harmonic centrality, 3-hop truncated
+    (Eppstein & Wang 2004 pivot estimation shape): every node scores
+    Σ over landmarks at distance d ∈ {1,2,3} of 1/d — since d is one
+    of three values, the score's numerator 6·n1 + 3·n2 + 2·n3 is an
+    EXACT integer, so ranking ties are exact and the only float is
+    the presentation division by 6.
+
+    Scale shape: a labeled multi-source BFS — each hop is
+    (landmark, node) frontier ⋈ edges + distinct, ONE shuffle per
+    hop; state is (landmarks × reached) pairs, bounded by the
+    landmark budget (the knob a 100 TB run sizes: more landmarks =
+    better centrality estimate, linearly more frontier). Exact
+    all-pairs harmonic would be node²; landmarks make it
+    budget-linear — the HyperBall/pivot trade.
+    """
+    from .graph import _urgent_copurchase
+
+    items, e0 = _urgent_copurchase(spark, sf_dir)
+    edges = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    h0 = (
+        items.where(F.col("pk") % 100 == 0)
+        .select(F.col("pk").alias("lm"), F.col("pk").alias("node"))
+        .distinct()
+    )
+    reached = h0.withColumn("hops", F.lit(0))
+    frontier = h0
+    for hop in range(1, 4):
+        frontier = (
+            frontier.join(edges, frontier.node == edges.u)
+            .select("lm", F.col("v").alias("node"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        reached = reached.unionByName(
+            frontier.withColumn("hops", F.lit(hop))
+        )
+    md = reached.groupBy("lm", "node").agg(F.min("hops").alias("d"))
+    d = F.col("d")
+    hc = md.groupBy("node").agg(
+        F.sum(F.when(d == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(d == 2, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(d == 3, 1).otherwise(0)).alias("n3"),
+        F.sum(
+            F.when(d == 1, 6)
+            .when(d == 2, 3)
+            .when(d == 3, 2)
+            .otherwise(0)
+        ).alias("num6"),
+    )
+    wr = Window.orderBy(F.desc("num6"), F.asc("node"))
+    return (
+        hc.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= _HC_TOPK)
+        .select(
+            F.col("node").cast("long").alias("node"),
+            F.col("n1").cast("long").alias("n_d1"),
+            F.col("n2").cast("long").alias("n_d2"),
+            F.col("n3").cast("long").alias("n_d3"),
+            F.round(F.col("num6").cast("double") / 6, 6).alias(
+                "harmonic"
+            ),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
