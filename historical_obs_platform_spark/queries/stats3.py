@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import query
-from .common import table
+from .common import round_half_away, table
 
 
 # ------------------------------------------------------------------ #
@@ -725,4 +725,162 @@ def a44_revenue_deciles(spark, sf_dir):
                 ),
             ).alias("share"),
         )
+    )
+
+
+# ------------------------------------------------------------------ #
+# a45_capture_recapture
+# ------------------------------------------------------------------ #
+A45_ORACLE = """
+WITH a AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'click' AND user_id IS NOT NULL),
+b AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+s AS (
+  SELECT (SELECT count(*) FROM a) AS n1,
+         (SELECT count(*) FROM b) AS n2,
+         (SELECT count(*) FROM a JOIN b USING (user_id)) AS m)
+SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_purchase,
+       CAST(m AS BIGINT) AS n_both,
+       round((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1, 6)
+         AS chapman_estimate,
+       CASE WHEN m >= 1 THEN
+         round(sqrt((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)
+                     * (n1 - m) * (n2 - m))
+                    / ((CAST(m + 1 AS DOUBLE) * (m + 1)) * (m + 2))), 6)
+       END AS std_error
+FROM s
+"""
+
+
+@query("a45_capture_recapture", A45_ORACLE)
+def a45_capture_recapture(spark, sf_dir):
+    """Chapman capture-recapture estimate of the total user
+    population from two observation channels (clickers and
+    purchasers): N̂ = (n1+1)(n2+1)/(m+1) − 1 with its standard error
+    — the coverage estimator a pipeline uses to ask "how many users
+    exist that NEITHER channel saw".
+
+    Exactness: n1/n2/m are exact distinct counts (the only shuffles);
+    the estimator is one scalar float tree, identical on both
+    engines. Chapman's +1 correction keeps every divisor structurally
+    positive, so no guard is needed for the estimate itself.
+    """
+    ev = table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    a = (
+        ev.where(F.col("event_type") == "click")
+        .select("user_id")
+        .distinct()
+    )
+    b = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    s = (
+        a.agg(F.count(F.lit(1)).alias("n1"))
+        .crossJoin(b.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(
+            a.join(b, "user_id").agg(F.count(F.lit(1)).alias("m"))
+        )
+    )
+    n1, n2, m = F.col("n1"), F.col("n2"), F.col("m")
+    est = ((n1 + 1).cast("double") * (n2 + 1)) / (m + 1) - 1
+    se = F.sqrt(
+        ((n1 + 1).cast("double") * (n2 + 1) * (n1 - m) * (n2 - m))
+        / (((m + 1).cast("double") * (m + 1)) * (m + 2))
+    )
+    return s.select(
+        n1.cast("long").alias("n_click"),
+        n2.cast("long").alias("n_purchase"),
+        m.cast("long").alias("n_both"),
+        F.round(est, 6).alias("chapman_estimate"),
+        F.when(m >= 1, F.round(se, 6)).alias("std_error"),
+    )
+
+
+# ------------------------------------------------------------------ #
+# a46_theil_index
+# ------------------------------------------------------------------ #
+A46_ORACLE = """
+WITH s AS (
+  SELECT COALESCE(CAST(user_id % 10 AS VARCHAR), 'null') AS cohort,
+         CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS DECIMAL(38,0))
+           AS rev
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY 1),
+t AS (SELECT count(*) AS k, sum(rev) AS total FROM s WHERE rev > 0),
+e AS (
+  SELECT s.cohort, s.rev, t.k, t.total,
+         CAST(s.rev AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
+  FROM s, t WHERE s.rev > 0)
+SELECT CAST(k AS BIGINT) AS k,
+       CASE WHEN k >= 2 THEN
+         round(list_reduce(
+           list(share * ln(share * k) ORDER BY cohort),
+           (x, y) -> x + y), 6)
+       END AS theil_t
+FROM e GROUP BY k
+"""
+
+
+@query("a46_theil_index", A46_ORACLE)
+def a46_theil_index(spark, sf_dir):
+    """Theil T inequality index of purchase revenue across user
+    cohorts (user_id mod 10): Σ share·ln(share·k) — 0 for perfectly
+    even cohorts, ln(k) for total concentration; the
+    decomposable-inequality companion to a31's Gini.
+
+    The ln() fold runs DRIVER-side on the k ≤ 11-row cohort table
+    with CPython libm (bit-identical to DuckDB's ln — the
+    t_zipf_slope precedent; the oracle folds in cohort order, the
+    driver replays the same order). Cohort revenue sums are exact
+    DECIMAL cents; shares are identical double divisions.
+
+    Scale shape: one user-cohort aggregation (the corpus-sized work);
+    the driver holds k ≈ 10 rows regardless of corpus size.
+    """
+    import math
+
+    s = (
+        table(spark, sf_dir, "events")
+        .where(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
+        .groupBy(
+            F.coalesce(
+                (F.col("user_id") % 10).cast("string"), F.lit("null")
+            ).alias("cohort")
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)") * 100)
+            .cast("decimal(38,0)")
+            .alias("rev")
+        )
+    )
+    rows = sorted(
+        (
+            (r["cohort"], int(r["rev"]))
+            for r in s.where(F.col("rev") > 0).collect()
+        ),
+        key=lambda t: t[0],
+    )
+    k = len(rows)
+    total = sum(r for _, r in rows)
+    theil = None
+    if k >= 2:
+        acc = None
+        for _, rev in rows:
+            share = float(rev) / float(total)
+            term = share * math.log(share * k)
+            acc = term if acc is None else acc + term
+        theil = round_half_away(acc, 6)
+    return spark.createDataFrame(
+        [(k, theil)], "k bigint, theil_t double"
     )
