@@ -471,3 +471,98 @@ def t_textrank_keywords(spark, sf_dir):
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# ------------------------------------------------------------------ #
+# t_token_burstiness
+# ------------------------------------------------------------------ #
+_BURST_TOPK = 20
+
+BURST_ORACLE = f"""
+WITH {_TOK_CTE},
+nd AS (SELECT count(*) AS n_docs FROM documents),
+dc AS (
+  SELECT w, doc_id, count(*) AS c FROM tok GROUP BY 1, 2),
+ws AS (
+  SELECT w, sum(c) AS tf, count(*) AS df,
+         sum(CAST(c AS DECIMAL(19,0)) * c) AS c2
+  FROM dc GROUP BY 1),
+top AS (
+  SELECT w, tf, df, c2,
+         row_number() OVER (ORDER BY tf DESC, w) AS rnk
+  FROM ws),
+st AS (
+  SELECT t.w, t.tf, t.df, t.rnk, nd.n_docs,
+         CAST(t.tf AS DOUBLE) / nd.n_docs AS mu,
+         (CAST(t.c2 AS DOUBLE)
+          - (CAST(t.tf AS DOUBLE) / nd.n_docs) * t.tf) / nd.n_docs
+           AS var_p
+  FROM top t, nd WHERE t.rnk <= {_BURST_TOPK})
+SELECT w AS token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CASE WHEN mu > 0 THEN round(var_p / mu, 6) END AS fano,
+       CASE WHEN var_p + mu * mu > 0
+            THEN round((var_p - mu * mu)
+                       / (var_p + mu * mu), 6) END AS burstiness,
+       CAST(rnk AS INT) AS rnk
+FROM st
+"""
+
+
+@query("t_token_burstiness", BURST_ORACLE)
+def t_token_burstiness(spark, sf_dir):
+    """Burstiness of the corpus' top tokens: the Fano factor
+    (variance-to-mean ratio of per-document counts, zero docs
+    included — 1 for Poisson scatter, ≫1 for topical clumping) and
+    the Goh-Barabási burstiness (σ²−μ²)/(σ²+μ²) spelled on the
+    population variance — the content/function-word separator used in
+    keyword weighting.
+
+    Exactness: per-doc counts and their squares fold in exact
+    BIGINT/DECIMAL (zero-docs enter through the closed form
+    var = (Σc² − μ·Σc)/N with N the corpus doc count); ratios are
+    identical float trees, CASE-guarded.
+
+    Scale shape: one (word, doc) partial aggregation, one word fold;
+    top-k on the exact integer total frequency.
+    """
+    docs = table(spark, sf_dir, "documents")
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    dc = (
+        docs.select(
+            "doc_id", F.explode(F.expr(_NORM_SPARK_SPLIT)).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cd = F.col("c").cast("decimal(19,0)")
+    ws = dc.groupBy("w").agg(
+        F.sum("c").alias("tf"),
+        F.count(F.lit(1)).alias("df"),
+        F.sum(cd * F.col("c")).alias("c2"),
+    )
+    wr = Window.orderBy(F.desc("tf"), F.asc("w"))
+    top = ws.withColumn("rnk", F.row_number().over(wr)).where(
+        F.col("rnk") <= _BURST_TOPK
+    )
+    mu = F.col("tf").cast("double") / F.col("n_docs")
+    var_p = (
+        F.col("c2").cast("double")
+        - (F.col("tf").cast("double") / F.col("n_docs"))
+        * F.col("tf")
+    ) / F.col("n_docs")
+    st = top.crossJoin(F.broadcast(nd)).select(
+        "w", "tf", "df", "rnk", mu.alias("mu"), var_p.alias("var_p")
+    )
+    muc, vc = F.col("mu"), F.col("var_p")
+    return st.select(
+        F.col("w").alias("token"),
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.when(muc > 0, F.round(vc / muc, 6)).alias("fano"),
+        F.when(
+            vc + muc * muc > 0,
+            F.round((vc - muc * muc) / (vc + muc * muc), 6),
+        ).alias("burstiness"),
+        F.col("rnk").cast("int").alias("rnk"),
+    )
