@@ -566,3 +566,127 @@ def t_token_burstiness(spark, sf_dir):
         ).alias("burstiness"),
         F.col("rnk").cast("int").alias("rnk"),
     )
+
+
+# ------------------------------------------------------------------ #
+# p_greedy_cover — greedy vocabulary k-cover (facility location)
+# ------------------------------------------------------------------ #
+_COVER_ROUNDS = 5
+
+
+def _cover_oracle(rounds: int = _COVER_ROUNDS) -> str:
+    parts = [
+        f"WITH {_TOK_CTE},",
+        # cover the BIGRAM vocabulary: the synthetic corpus' unigram
+        # vocabulary is tiny enough that one document covers it, so
+        # the greedy rounds would degenerate; bigrams keep the
+        # universe large and the selection meaningfully diverse
+        "dt AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w AS w"
+        " FROM tok a JOIN tok b"
+        " ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),",
+        "p1 AS (SELECT doc_id, count(*) AS gain FROM dt GROUP BY 1),",
+        "s1 AS (SELECT doc_id, gain FROM p1"
+        " ORDER BY gain DESC, doc_id LIMIT 1),",
+        "c1 AS (SELECT DISTINCT dt.w FROM dt JOIN s1 USING (doc_id)),",
+    ]
+    for r in range(2, rounds + 1):
+        parts.append(
+            f"p{r} AS (SELECT dt.doc_id, count(*) AS gain"
+            f" FROM dt LEFT JOIN c{r-1} cc ON cc.w = dt.w"
+            f" WHERE cc.w IS NULL GROUP BY dt.doc_id),"
+        )
+        parts.append(
+            f"s{r} AS (SELECT doc_id, gain FROM p{r}"
+            f" ORDER BY gain DESC, doc_id LIMIT 1),"
+        )
+        parts.append(
+            f"c{r} AS (SELECT w FROM c{r-1} UNION"
+            f" SELECT dt.w FROM dt JOIN s{r} USING (doc_id)),"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT {r} AS round, doc_id, gain FROM s{r}"
+        for r in range(1, rounds + 1)
+    )
+    parts.append(f"picks AS ({sel})")
+    return "\n".join(parts) + """
+SELECT CAST(round AS INT) AS round, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(gain AS BIGINT) AS gain,
+       CAST(sum(gain) OVER (ORDER BY round) AS BIGINT)
+         AS covered_total
+FROM picks
+"""
+
+
+@query("p_greedy_cover", _cover_oracle())
+def p_greedy_cover(spark, sf_dir):
+    """Greedy vocabulary cover: pick the document covering the most
+    not-yet-covered distinct tokens, 5 rounds — the classic
+    (1−1/e)-approximate facility-location selection a curation
+    pipeline uses to seed a maximally-diverse subset.
+
+    Exactness: gains are exact distinct-token counts; every argmax
+    ties on (gain DESC, doc_id) — a total order; the running coverage
+    total is the exact sum of gains.
+
+    Scale shape: each round is one anti-join of the (doc, token)
+    table against the covered set plus one doc-keyed count and a
+    TakeOrdered(1) — rounds × three corpus-bounded stages, with the
+    covered set growing by one doc's vocabulary per round (broadcast
+    side). Lineage truncated between rounds.
+    """
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(F.expr(_NORM_SPARK_SPLIT)).alias("pos", "w"),
+        )
+        .where(F.col("w") != "")
+    )
+    a = toks.select("doc_id", "pos", F.col("w").alias("w1"))
+    b = toks.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("w").alias("w2")
+    )
+    dt = (
+        a.join(b, ["doc_id", "pos"])
+        .select(
+            "doc_id", F.concat_ws(" ", "w1", "w2").alias("w")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    covered = None
+    picks = []
+    for r in range(1, _COVER_ROUNDS + 1):
+        cand = dt
+        if covered is not None:
+            cand = dt.join(covered, "w", "left_anti")
+        gains = cand.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("gain")
+        )
+        pick = (
+            gains.orderBy(F.desc("gain"), F.asc("doc_id"))
+            .limit(1)
+            .withColumn("round", F.lit(r))
+            .localCheckpoint(eager=False)
+        )
+        picks.append(pick)
+        newly = dt.join(
+            pick.select("doc_id"), "doc_id"
+        ).select("w")
+        covered = (
+            newly
+            if covered is None
+            else covered.unionByName(newly).distinct()
+        ).localCheckpoint(eager=False)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    wr = Window.orderBy("round").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return out.select(
+        F.col("round").cast("int").alias("round"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("gain").cast("long").alias("gain"),
+        F.sum("gain").over(wr).cast("long").alias("covered_total"),
+    )
