@@ -166,6 +166,7 @@ def run_ann(spark, k: int, sf: str) -> None:
     def one(sf_dir: str, n_cells: int, label: str):
         emb = table(spark, sf_dir, "embeddings")
         n = emb.count()
+        print(f"[{label}] start N={n:,} n_cells={n_cells}", flush=True)
         lay = tempfile.mkdtemp(prefix="hop_ann_layout_")
         t0 = time.time()
         cent, cb, codes = SIM.ivfpq_index(
@@ -175,6 +176,7 @@ def run_ann(spark, k: int, sf: str) -> None:
         cent = cent.localCheckpoint(eager=True)
         cb = cb.localCheckpoint(eager=True)
         w_build = time.time() - t0
+        print(f"[{label}] index built {w_build:.1f}s", flush=True)
         queries = emb.where(F.col("vec_id") < 10)
 
         # per-arm candidate volume: Σ over (query, probed cell) of
@@ -546,7 +548,7 @@ def main() -> None:
     argv = sys.argv[1:]
     mode = "dedup"
     if argv and argv[0] in (
-        "rel", "dedup", "graphskew", "ann", "dedupskew"
+        "rel", "dedup", "graphskew", "ann", "dedupskew", "text"
     ):
         mode = argv[0]
         argv = argv[1:]
@@ -564,6 +566,9 @@ def main() -> None:
         return
     if mode == "dedupskew":
         run_dedupskew(spark, k, sf)
+        return
+    if mode == "text":
+        run_text(spark, k, sf)
         return
     scaled = build_scaled_dir(spark, sf, k)
     try:
@@ -769,3 +774,69 @@ def run_dedupskew(spark, k: int, sf: str) -> None:
 
 if __name__ == "__main__":
     main()
+
+
+# ------------------------------------------------------------------ #
+# text mode: text-analytics family at 1x vs Kx with shuffle metrics
+# (the last operator family without a published scale table)
+# ------------------------------------------------------------------ #
+TEXT_QUERIES = [
+    "t_cooccur_pmi",
+    "t_heaps_law",
+    "t_ngram_novelty",
+    "t_winnow_fingerprints",
+    "t_bpe_train_encode",
+    "t_tfidf_topterms",
+    "t_textrank_keywords",
+    "t_rake_keywords",
+    "t_token_burstiness",
+    "t_lexical_diversity",
+]
+
+
+def run_text(spark, k: int, sf: str) -> None:
+    scaled = build_scaled_dir(spark, sf, k)
+    try:
+        results: dict[str, dict[str, dict]] = {}
+        for label, d in [("1x", sf), (f"{k}x", scaled)]:
+            for name in TEXT_QUERIES:
+                fn = registry.QUERIES[name]
+                walls = []
+                for _ in range(3):
+                    t0 = time.time()
+                    df = fn(spark, d)
+                    rows = df.collect()
+                    walls.append(time.time() - t0)
+                met = _plan_metrics(df)
+                met["wall"] = min(walls)
+                met["rows"] = len(rows)
+                results.setdefault(name, {})[label] = met
+                print(
+                    f"[{label}] {name}: {met['wall']:.2f}s "
+                    f"rows={met['rows']:,} "
+                    f"shuffle={met['shuffle_bytes']:,}B "
+                    f"spill={met['spill_bytes']:,}B",
+                    flush=True,
+                )
+        kx = f"{k}x"
+        print(
+            "\n| query | 1x wall | 1x shuffle | "
+            f"{kx} wall | {kx} shuffle | wall ratio | shuffle ratio |"
+        )
+        print("|---|---|---|---|---|---|---|")
+        for name in TEXT_QUERIES:
+            a, b = results[name]["1x"], results[name][kx]
+            wr = b["wall"] / a["wall"] if a["wall"] else float("inf")
+            sr = (
+                b["shuffle_bytes"] / a["shuffle_bytes"]
+                if a["shuffle_bytes"]
+                else float("inf")
+            )
+            flag = "  **> linear**" if wr > k else ""
+            print(
+                f"| {name} | {a['wall']:.2f} s | {a['shuffle_bytes']:,} B "
+                f"| {b['wall']:.2f} s | {b['shuffle_bytes']:,} B "
+                f"| {wr:.2f}x | {sr:.2f}x |{flag}"
+            )
+    finally:
+        shutil.rmtree(scaled, ignore_errors=True)
