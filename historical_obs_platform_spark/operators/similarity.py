@@ -758,19 +758,25 @@ def ivf_centroids(
         for i, r in enumerate(sorted(seeds, key=lambda r: r["__id"]))
     ]
     for _ in range(iters):
-        # assignment rides INSIDE the aggregation scan (the Arrow
-        # kernel is map-only), so each Lloyd step is one job:
-        # scan → assign → posexplode → partial-agg shuffle → collect.
+        # assignment rides the aggregation scan (the Arrow kernel is
+        # map-only) but MUST be materialized behind a barrier before
+        # the posexplode: ExtractPythonUDFs hoists the pandas_udf
+        # above the Generate, so without the barrier the kernel
+        # re-evaluates once per exploded (row, dim) pair — dim× the
+        # work, measured 64× (25 min vs ~40 s) at 200k×447 cells.
         # round(avg, 9): Spark and DuckDB sum partial aggregates in
         # different orders; rounding the mean well above double-ulp
         # (but far below any signal) makes the refined centroids —
         # and everything downstream — bit-identical across engines.
+        assigned = vecs.select(
+            nearest_cell_arrow(
+                F.col("__uv"), cent_rows, normalize=False
+            ).alias("cell"),
+            "__uv",
+        ).localCheckpoint(eager=False)
         agg_rows = (
-            vecs.select(
-                nearest_cell_arrow(
-                    F.col("__uv"), cent_rows, normalize=False
-                ).alias("cell"),
-                F.posexplode("__uv").alias("pos", "val"),
+            assigned.select(
+                "cell", F.posexplode("__uv").alias("pos", "val")
             )
             .groupBy("cell", "pos")
             .agg(F.round(F.avg("val"), 9).alias("val"))

@@ -164,7 +164,10 @@ def run_ann(spark, k: int, sf: str) -> None:
     NPROBE, KNN = 4, 5
 
     def one(sf_dir: str, n_cells: int, label: str):
-        emb = table(spark, sf_dir, "embeddings")
+        # the scaled parquet lands in ~3 scan partitions (small local
+        # files); repartition so the map-only Arrow kernels actually
+        # use the cores — a real corpus has real partitioning
+        emb = table(spark, sf_dir, "embeddings").repartition(32)
         n = emb.count()
         print(f"[{label}] start N={n:,} n_cells={n_cells}", flush=True)
         lay = tempfile.mkdtemp(prefix="hop_ann_layout_")
