@@ -1183,3 +1183,519 @@ def climatological_outlier_check(
         ).otherwise(F.col(flag_col)),
     )
     return out.drop("__clim_bad")
+
+
+# ------------------------------------------------------------------ #
+# Round-8 cross-variable family fusions: the four remaining
+# corpus-sized battery branches (frequent values, monthly gap,
+# distribution gap, clim-outlier islands) each re-scanned the segment
+# checkpoint once PER VARIABLE; these run each family in ONE melted
+# corpus pass (the r6 same_hour/whole_day/spike precedent). Flag
+# output is provably identical to the sequential per-var calls: a
+# var's check reads only its own values and its own prior flags, and
+# writes only its own _eraqc column (the one cross-var writer,
+# synergistic_flag_copy, remains its own chain step AFTER the family).
+# ------------------------------------------------------------------ #
+def _width_expr(vars: list[str]):
+    e = F.lit(1.0)
+    for v in vars:
+        e = F.when(
+            F.col("__var") == v, F.lit(BIN_WIDTHS.get(v, 1.0))
+        ).otherwise(e)
+    return e
+
+
+def record_length_bypass_multi(
+    df: DataFrame, vars, min_years: int = 5
+) -> DataFrame:
+    """A11 (flags 19/20) for a variable family in one melted pass."""
+    vars = [v for v in vars if v in df.columns]
+    if not vars:
+        return df
+    years = (
+        _melt_valid(df, vars)
+        .groupBy("station", "__var", _moy().alias("__moy"))
+        .agg(F.countDistinct(F.year("time")).alias("__n_years"))
+    )
+    short = (
+        years.where(F.col("__n_years") < min_years)
+        .select("station", "__var", "__moy")
+        .localCheckpoint(eager=False)
+    )
+    out = df.withColumn("__moy", _moy())
+    for v in vars:
+        short_v = (
+            short.where(F.col("__var") == v)
+            .select("station", "__moy")
+            .withColumn("__too_short", F.lit(True))
+        )
+        out = out.join(
+            F.broadcast(short_v), ["station", "__moy"], "left"
+        )
+        out = Q.write_flag(
+            out,
+            v,
+            F.col("__too_short").isNotNull() & F.col(v).isNotNull(),
+            Q.FLAG_YELLOW_VARIABLE,
+        ).drop("__too_short")
+    return out.drop("__moy")
+
+
+def frequent_values_multi(
+    df: DataFrame,
+    vars,
+    annual_min_count: int = 30,
+    seasonal_min_count: int = 20,
+    dominance: float = 0.5,
+    neighborhood: int = 3,
+) -> DataFrame:
+    """Flags 24/25 for a variable family in ONE corpus pass: melted
+    finest histogram per (var, station, season, season-year, bin),
+    annual/seasonal granularities rolled up from it (the r6
+    finest-rollup move, now also across vars)."""
+    vars = [v for v in vars if v in df.columns]
+    if not vars:
+        return df
+    season = (
+        F.when(F.month("time").isin(12, 1, 2), "DJF")
+        .when(F.month("time").isin(3, 4, 5), "MAM")
+        .when(F.month("time").isin(6, 7, 8), "JJA")
+        .otherwise("SON")
+    )
+    season_year = F.year("time") + F.when(
+        F.month("time") == 12, F.lit(1)
+    ).otherwise(F.lit(0))
+    melted = _melt_valid(df, vars).select(
+        "station",
+        "__var",
+        season.alias("__season"),
+        season_year.alias("__syear"),
+        F.floor(F.col("__v") / _width_expr(vars)).alias("__bin"),
+    )
+    finest = (
+        melted.groupBy("station", "__var", "__season", "__syear", "__bin")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=False)
+    )
+
+    def bad_bins(grouped: DataFrame, keys: list[str], min_count: int):
+        w = (
+            Window.partitionBy("station", "__var", *keys)
+            .orderBy("__bin")
+            .rangeBetween(-neighborhood, neighborhood)
+        )
+        return (
+            grouped.withColumn("__block", F.sum("__n").over(w))
+            .where(
+                (F.col("__n") > F.col("__block") * dominance)
+                & (F.col("__n") > min_count)
+            )
+            .select("station", "__var", *keys, "__bin")
+        )
+
+    annual_bad = bad_bins(
+        finest.groupBy("station", "__var", "__bin").agg(
+            F.sum("__n").alias("__n")
+        ),
+        [],
+        annual_min_count,
+    ).localCheckpoint(eager=False)
+    seasonal_bad = bad_bins(
+        finest.groupBy("station", "__var", "__season", "__bin").agg(
+            F.sum("__n").alias("__n")
+        ),
+        ["__season"],
+        seasonal_min_count,
+    ).localCheckpoint(eager=False)
+    yearly_bad = bad_bins(
+        finest, ["__season", "__syear"], 15
+    ).localCheckpoint(eager=False)
+
+    out = df.withColumn("__season", season).withColumn(
+        "__syear", season_year
+    )
+    for v in vars:
+        width = BIN_WIDTHS.get(v, 1.0)
+        out = out.withColumn("__bin", F.floor(F.col(v) / F.lit(width)))
+        a_v = (
+            annual_bad.where(F.col("__var") == v)
+            .select("station", "__bin")
+            .withColumn("__freq_a", F.lit(True))
+        )
+        out = out.join(F.broadcast(a_v), ["station", "__bin"], "left")
+        out = Q.write_flag(
+            out, v, F.col("__freq_a").isNotNull(), FLAG_FREQ_ANNUAL
+        ).drop("__freq_a")
+        s_v = (
+            seasonal_bad.where(F.col("__var") == v)
+            .select("station", "__season", "__bin")
+            .withColumn("__freq_s", F.lit(True))
+        )
+        out = out.join(
+            F.broadcast(s_v), ["station", "__season", "__bin"], "left"
+        )
+        out = Q.write_flag(
+            out, v, F.col("__freq_s").isNotNull(), FLAG_FREQ_SEASONAL
+        ).drop("__freq_s")
+        y_v = (
+            yearly_bad.where(F.col("__var") == v)
+            .select("station", "__season", "__syear", "__bin")
+            .withColumn("__freq_y", F.lit(True))
+        )
+        out = out.join(
+            F.broadcast(y_v),
+            ["station", "__season", "__syear", "__bin"],
+            "left",
+        )
+        out = Q.write_flag(
+            out, v, F.col("__freq_y").isNotNull(), FLAG_FREQ_SEASONAL
+        ).drop("__freq_y")
+    return out.drop("__bin", "__season", "__syear")
+
+
+def monthly_median_gap_multi(
+    df: DataFrame, vars, iqr_thresh: float = 5.0
+) -> DataFrame:
+    """Flag 21 for a variable family in one melted pass (percentile
+    state folds per (var, station, month) in the same aggregation)."""
+    vars = [v for v in vars if v in df.columns]
+    if not vars:
+        return df
+    valid = _melt_valid(df, vars, keep_yellow=False)
+    clim = valid.groupBy("station", "__var", _moy().alias("__moy")).agg(
+        F.expr("percentile(__v, 0.5)").alias("__clim"),
+        (
+            F.expr("percentile(__v, 0.75)")
+            - F.expr("percentile(__v, 0.25)")
+        ).alias("__iqr"),
+    )
+    yearly = valid.groupBy(
+        "station",
+        "__var",
+        F.year("time").alias("__yr"),
+        _moy().alias("__moy"),
+    ).agg(F.expr("percentile(__v, 0.5)").alias("__med"))
+    bad_months = (
+        yearly.join(clim, ["station", "__var", "__moy"])
+        .where(
+            (
+                F.col("__med")
+                < F.col("__clim") - iqr_thresh * F.col("__iqr")
+            )
+            | (
+                F.col("__med")
+                > F.col("__clim") + iqr_thresh * F.col("__iqr")
+            )
+        )
+        .select("station", "__var", "__yr", "__moy")
+        .localCheckpoint(eager=False)
+    )
+    out = df.withColumn("__yr", F.year("time")).withColumn(
+        "__moy", _moy()
+    )
+    for v in vars:
+        b_v = (
+            bad_months.where(F.col("__var") == v)
+            .select("station", "__yr", "__moy")
+            .withColumn("__bad_month", F.lit(True))
+        )
+        out = out.join(
+            F.broadcast(b_v), ["station", "__yr", "__moy"], "left"
+        )
+        out = Q.write_flag(
+            out, v, F.col("__bad_month").isNotNull(), FLAG_GAP_MONTH
+        ).drop("__bad_month")
+    return out.drop("__yr", "__moy")
+
+
+def distribution_gap_multi(
+    df: DataFrame,
+    vars,
+    pdf_floor: float = 0.1,
+    min_gap_bins: int = 2,
+) -> DataFrame:
+    """Flag 22 for a variable family in one melted pass: the
+    standardized histogram + moment partials fold per (var, station,
+    month) exactly as the single-var form, with __var riding every
+    key."""
+    vars = [v for v in vars if v in df.columns]
+    if not vars:
+        return df
+    valid = _melt_valid(df, vars, keep_yellow=False)
+    stats = (
+        valid.groupBy("station", "__var", _moy().alias("__moy"))
+        .agg(
+            F.expr("percentile(__v, array(0.5, 0.25, 0.75))").alias(
+                "__p"
+            )
+        )
+        .select(
+            "station",
+            "__var",
+            "__moy",
+            F.col("__p")[0].alias("__med"),
+            F.greatest(
+                F.col("__p")[2] - F.col("__p")[1], F.lit(1e-9)
+            ).alias("__iqr"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    std = (
+        valid.withColumn("__moy", _moy())
+        .join(F.broadcast(stats), ["station", "__var", "__moy"])
+        .withColumn(
+            "__s", (F.col("__v") - F.col("__med")) / F.col("__iqr")
+        )
+        .withColumn("__bin", F.floor(F.col("__s") / F.lit(0.25)))
+    )
+    hist = std.groupBy("station", "__var", "__moy", "__bin").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__s").alias("__ss"),
+        F.sum(F.col("__s") * F.col("__s")).alias("__ss2"),
+    )
+    moments = hist.groupBy("station", "__var", "__moy").agg(
+        F.round(F.sum("__ss") / F.sum("__n"), 9).alias("__mu"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    F.sum("__ss2") / F.sum("__n")
+                    - F.pow(F.sum("__ss") / F.sum("__n"), 2),
+                    F.lit(0.0),
+                )
+            ),
+            9,
+        ).alias("__sigma"),
+    )
+    hist = hist.select("station", "__var", "__moy", "__bin", "__n")
+    w_up = Window.partitionBy("station", "__var", "__moy").orderBy(
+        "__bin"
+    )
+    w_dn = Window.partitionBy("station", "__var", "__moy").orderBy(
+        F.desc("__bin")
+    )
+    hist2 = (
+        hist.join(moments, ["station", "__var", "__moy"])
+        .withColumn(
+            "__z",
+            F.when(
+                F.lit(pdf_floor)
+                * F.col("__sigma")
+                * F.lit(math.sqrt(2 * math.pi))
+                < 1.0,
+                F.col("__sigma")
+                * F.sqrt(
+                    F.lit(-2.0)
+                    * F.log(
+                        F.lit(pdf_floor)
+                        * F.col("__sigma")
+                        * F.lit(math.sqrt(2 * math.pi))
+                    )
+                ),
+            ),
+        )
+        .withColumn(
+            "__gap_up", F.col("__bin") - F.lag("__bin").over(w_up)
+        )
+        .withColumn(
+            "__gap_dn", F.lag("__bin").over(w_dn) - F.col("__bin")
+        )
+    )
+    hi_bound = (F.col("__mu") + F.col("__z")) / 0.25
+    lo_bound = (F.col("__mu") - F.col("__z")) / 0.25
+    detached_hi = F.max(
+        F.when(
+            (F.col("__bin") > hi_bound)
+            & (F.col("__gap_up") > min_gap_bins),
+            F.col("__bin"),
+        )
+    ).over(
+        Window.partitionBy("station", "__var", "__moy")
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    detached_lo = F.min(
+        F.when(
+            (F.col("__bin") < lo_bound)
+            & (F.col("__gap_dn") > min_gap_bins),
+            F.col("__bin"),
+        )
+    ).over(
+        Window.partitionBy("station", "__var", "__moy")
+        .orderBy("__bin")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    bad_bins = (
+        hist2.withColumn("__dhi", detached_hi)
+        .withColumn("__dlo", detached_lo)
+        .where(
+            F.col("__z").isNotNull()
+            & (
+                (
+                    F.col("__dhi").isNotNull()
+                    & (F.col("__bin") >= F.col("__dhi"))
+                )
+                | (
+                    F.col("__dlo").isNotNull()
+                    & (F.col("__bin") <= F.col("__dlo"))
+                )
+            )
+        )
+        .select("station", "__var", "__moy", "__bin")
+        .localCheckpoint(eager=False)
+    )
+    out = df.withColumn("__moy", _moy())
+    for v in vars:
+        st_v = stats.where(F.col("__var") == v).drop("__var")
+        out = (
+            out.join(F.broadcast(st_v), ["station", "__moy"], "left")
+            .withColumn(
+                "__s", (F.col(v) - F.col("__med")) / F.col("__iqr")
+            )
+            .withColumn("__bin", F.floor(F.col("__s") / F.lit(0.25)))
+        )
+        bb_v = (
+            bad_bins.where(F.col("__var") == v)
+            .select("station", "__moy", "__bin")
+            .withColumn("__bad_bin", F.lit(True))
+        )
+        out = out.join(
+            F.broadcast(bb_v), ["station", "__moy", "__bin"], "left"
+        )
+        out = Q.write_flag(
+            out,
+            v,
+            F.col("__bad_bin").isNotNull()
+            & Q.valid_mask(v, keep_yellow=False)
+            & F.col(v).isNotNull(),
+            FLAG_GAP_DISTRIBUTION,
+        ).drop("__med", "__iqr", "__s", "__bin", "__bad_bin")
+    return out.drop("__moy")
+
+
+def climatological_outlier_multi(
+    df: DataFrame,
+    vars,
+    winsor_limits: tuple[float, float] = (0.05, 0.05),
+    iqr_floor: float = 1.5,
+    bin_size: float = 0.25,
+) -> DataFrame:
+    """Flag 26 for a variable family in ONE ``applyInPandas`` island:
+    the per-station group ships (station, time, var..., flag...) once
+    and runs each variable's winsorize → IQR-standardize → low-pass →
+    grid-gap pipeline inside the same pandas call — halving the
+    Arrow traffic and the per-station grouping shuffle that the
+    sequential per-var islands each paid. Flag-identical: each
+    variable's pipeline reads only its own values and its own prior
+    flags (fast-path only; the ``exact_mode`` variant stays per-var).
+    """
+    vars = [v for v in vars if v in df.columns]
+    if not vars:
+        return df
+    flag_cols = {v: Q.eraqc(v) for v in vars}
+    lo_lim, hi_lim = winsor_limits
+    cut_period_s = 3600.0 * 24 * 365 / 30
+    var_list = list(vars)
+    fc_list = [flag_cols[v] for v in var_list]
+
+    def per_station(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("time").reset_index(drop=True)
+        outs = []
+        empty = pdf.iloc[0:0][["station", "time"]].assign(
+            var=pd.Series(dtype="object")
+        )[["station", "time", "var"]]
+        for var, flag_col in zip(var_list, fc_list):
+            mask = pdf[flag_col].isnull() & pdf[var].notna()
+            if mask.sum() < 20:
+                continue
+            sub = pdf.loc[mask, ["time", var]].copy()
+            month = sub["time"].dt.month
+            hour = sub["time"].dt.hour
+            key = month * 100 + hour
+
+            def clim(group: pd.Series) -> float:
+                a = np.sort(group.to_numpy())
+                n = len(a)
+                lo, hi = int(lo_lim * n), int(hi_lim * n)
+                if lo:
+                    a[:lo] = a[lo]
+                if hi:
+                    a[n - hi:] = a[n - hi - 1]
+                return float(a.mean())
+
+            clim_map = sub[var].groupby(key).apply(clim)
+            anom = sub[var].values - clim_map.loc[key].values
+            iqr_map = (
+                pd.Series(anom, index=key.values)
+                .groupby(level=0)
+                .apply(
+                    lambda g: max(
+                        g.quantile(0.75) - g.quantile(0.25), iqr_floor
+                    )
+                )
+            )
+            std = anom / iqr_map.loc[key.values].values
+            s = (
+                pd.Series(std)
+                .interpolate(limit_direction="both")
+                .to_numpy()
+            )
+            cadence = (
+                sub["time"].diff().dt.total_seconds().dropna().mode()
+                .iloc[0]
+                if len(sub) > 1
+                else 3600.0
+            )
+            cutoff_frac = 2.0 * max(cadence, 1.0) / cut_period_s
+            if cutoff_frac >= 1.0:
+                continue
+            smooth = _butter_lowpass_order1(s, cutoff_frac)
+            resid = s - smooth
+            rmh = pd.DataFrame({"k": key.values, "r": resid})
+            flags = np.zeros(len(rmh), dtype=bool)
+            for _, g in rmh.groupby("k"):
+                if len(g) <= 5:
+                    continue
+                cut_lo, cut_hi = _grid_gap_bounds(
+                    g["r"].to_numpy(), bin_size
+                )
+                gm = np.zeros(len(g), dtype=bool)
+                if cut_lo is not None:
+                    gm |= g["r"].to_numpy() <= cut_lo
+                if cut_hi is not None:
+                    gm |= g["r"].to_numpy() >= cut_hi
+                flags[g.index.to_numpy()] = gm
+            if not flags.any():
+                continue
+            hit = pdf.iloc[np.flatnonzero(mask.values)[flags]]
+            outs.append(
+                hit[["station", "time"]].assign(var=var)
+            )
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True)[
+            ["station", "time", "var"]
+        ]
+
+    skinny = df.select("station", "time", *var_list, *fc_list)
+    bad_keys = skinny.groupBy("station").applyInPandas(
+        per_station,
+        schema="station string, time timestamp, var string",
+    ).localCheckpoint(eager=False)
+    out = df
+    for v in var_list:
+        flag_col = flag_cols[v]
+        bk = (
+            bad_keys.where(F.col("var") == v)
+            .select("station", "time")
+            .withColumn("__clim_bad", F.lit(True))
+        )
+        out = out.join(bk, ["station", "time"], "left")
+        out = out.withColumn(
+            flag_col,
+            F.when(
+                F.col("__clim_bad").isNotNull()
+                & F.col(flag_col).isNull(),
+                F.lit(float(FLAG_CLIM_OUTLIER)),
+            ).otherwise(F.col(flag_col)),
+        ).drop("__clim_bad")
+    return out
