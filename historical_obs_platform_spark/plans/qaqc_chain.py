@@ -389,6 +389,7 @@ def run_qaqc(
     dist_vars=("tas", "tdps"),
     with_distribution: bool = True,
     truncate_lineage: bool = True,
+    fuse_families: bool = True,
 ) -> DataFrame:
     """The full chain in reference order (QAQC_pipeline.py:579-965):
 
@@ -434,7 +435,7 @@ def run_qaqc(
     out = Q.precip_accum_ordering_check(out)
     out = Q.calm_wind_dir_check(out)
     out = cut(out)
-    if with_distribution:
+    if with_distribution and fuse_families:
         # round-8 family fusion: each check family runs in ONE melted
         # corpus pass across the variable family instead of one scan
         # per variable (r6 fused the streak/spike/resolution families;
@@ -442,6 +443,8 @@ def run_qaqc(
         # output is provably identical to the sequential per-var loop
         # — see the *_multi docstrings (each var's check reads only
         # its own values/flags and writes only its own _eraqc).
+        # ``fuse_families=False`` keeps the sequential loop for
+        # same-boot A/B measurement.
         out = D.record_length_bypass_multi(out, dist_vars)
         out = D.frequent_values_multi(out, dist_vars)
         out = D.synergistic_flag_copy(out, "tas", "tdps")
@@ -451,6 +454,23 @@ def run_qaqc(
         out = cut(out)
         out = D.distribution_gap_multi(out, dist_vars)
         out = D.climatological_outlier_multi(out, dist_vars)
+        out = D.precip_clim_outlier_check(out, "pr")
+        out = cut(out)
+    elif with_distribution:
+        for v in dist_vars:
+            out = D.record_length_bypass(out, v)
+        for v in dist_vars:
+            out = D.frequent_values_check(out, v)
+        out = D.synergistic_flag_copy(out, "tas", "tdps")
+        out = D.precip_frequent_check(out, "pr")
+        for v in dist_vars:
+            out = D.monthly_median_gap_check(out, v)
+        out = D.precip_gap_check(out, "pr")
+        out = cut(out)
+        for v in dist_vars:
+            out = D.distribution_gap_check(out, v)
+        for v in dist_vars:
+            out = D.climatological_outlier_check(out, v)
         out = D.precip_clim_outlier_check(out, "pr")
         out = cut(out)
         # family-fused: one corpus pass for all streak vars (the
