@@ -684,6 +684,14 @@ def _neardup_jaccard_stream(spark, sf_dir):
         ).alias("ev"),
         F.concat(F.col("text"), F.lit(" zzextra")).alias("text"),
     ).withWatermark("ev", "0 seconds")
+    # ONE shuffle of the skinny incoming rows right after the source:
+    # the parquet batch arrives as a single scan partition, and
+    # everything from here to the final aggregation is map-side
+    # (in-row md5 signatures + broadcast index joins) — without the
+    # spread the entire signature/confirm pipeline runs in one task
+    # (profiled: addBatch 12.6 s single-task → ~3 s at 32-way; the
+    # shuffled rows are (id, ev, text), trivially small).
+    incoming = incoming.repartition(32)
     toked = incoming.select(
         "new_id",
         "ev",
@@ -803,6 +811,7 @@ _ST_SEM_CELLS = 16
 # per-doc shingle sets), shared by the complete- and append-mode
 # near-dup ingest queries (see _neardup_jaccard_stream)
 _NEARDUP_STATIC: dict = {}
+_SEMDEDUP_STATIC: dict = {}
 _ST_SEM_THR = 0.95
 
 
@@ -914,30 +923,40 @@ def _semdedup_matches_stream(spark, sf_dir):
     from ..operators import similarity as SIM
 
     tune(spark)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cent = SIM.ivf_centroids(
-        emb, "vec_id", "embedding", n_cells=_ST_SEM_CELLS, iters=1
-    )
-    # ivf_centroids already returns local rows, so this collect is a
-    # local-relation scan; the rows feed the stream side's in-row
-    # Arrow assignment (no extra join on the stream)
-    cent_rows = sorted(
-        ((r["cell"], r["__cent"]) for r in cent.collect()),
-        key=lambda t: t[0],
-    )
+    # static index memoized per (session, corpus version) and
+    # MATERIALIZED (localCheckpoint): without the cut the stored
+    # side's centroid build + kernel assignment lineage re-executes
+    # once per micro-batch per query — profiled as most of the
+    # semdedup streams' wall (the _NEARDUP_STATIC move)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SEMDEDUP_STATIC:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cent = SIM.ivf_centroids(
+            emb, "vec_id", "embedding", n_cells=_ST_SEM_CELLS, iters=1
+        )
+        # ivf_centroids already returns local rows, so this collect
+        # is a local-relation scan; the rows feed the stream side's
+        # in-row Arrow assignment (no extra join on the stream)
+        rows = sorted(
+            ((r["cell"], r["__cent"]) for r in cent.collect()),
+            key=lambda t: t[0],
+        )
+        # cell assignment rides the stored rows in-map
+        # (attach_cells), so the static side is one scan — no
+        # (id, cell)⋈corpus join
+        st = SIM.attach_cells(
+            emb.select(
+                F.col("vec_id").alias("a"),
+                SIM.as_double_array("embedding").alias("__e_a"),
+                SIM._unit(SIM.as_double_array("embedding")).alias(
+                    "__uv"
+                ),
+            ),
+            cent,
+        ).select("a", "cell", "__e_a").localCheckpoint(eager=False)
+        _SEMDEDUP_STATIC[key] = (rows, st, emb.schema)
+    cent_rows, stored, schema = _SEMDEDUP_STATIC[key]
 
-    # cell assignment rides the stored rows in-map (attach_cells), so
-    # the static side is one scan — no (id, cell)⋈corpus join
-    stored = SIM.attach_cells(
-        emb.select(
-            F.col("vec_id").alias("a"),
-            SIM.as_double_array("embedding").alias("__e_a"),
-            SIM._unit(SIM.as_double_array("embedding")).alias("__uv"),
-        ),
-        cent,
-    ).select("a", "cell", "__e_a")
-
-    schema = emb.schema
     src = spark.readStream.schema(schema).parquet(
         f"{sf_dir}/embeddings*.parquet"
     )
@@ -950,6 +969,9 @@ def _semdedup_matches_stream(spark, sf_dir):
         ).alias("ev"),
         SIM.as_double_array("embedding").alias("__e_b"),
     ).withWatermark("ev", "0 seconds")
+    # spread the single-partition source batch before the map-side
+    # kernel work (same move as _neardup_jaccard_stream)
+    inc = inc.repartition(32)
     # in-row nearest centroid via the Arrow kernel (fold-order exact,
     # ties to the smallest cell — see nearest_cell_arrow for why the
     # literal-expression form is the wrong plan here)
