@@ -775,8 +775,6 @@ def run_dedupskew(spark, k: int, sf: str) -> None:
         )
 
 
-if __name__ == "__main__":
-    main()
 
 
 # ------------------------------------------------------------------ #
@@ -843,3 +841,7 @@ def run_text(spark, k: int, sf: str) -> None:
             )
     finally:
         shutil.rmtree(scaled, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
