@@ -456,6 +456,7 @@ def run_qaqc(
         out = D.climatological_outlier_multi(out, dist_vars)
         out = D.precip_clim_outlier_check(out, "pr")
         out = cut(out)
+        out = D.same_hour_streak_multi(out, streak_vars)
     elif with_distribution:
         for v in dist_vars:
             out = D.record_length_bypass(out, v)

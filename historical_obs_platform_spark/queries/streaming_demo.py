@@ -690,8 +690,9 @@ def _neardup_jaccard_stream(spark, sf_dir):
     # (in-row md5 signatures + broadcast index joins) — without the
     # spread the entire signature/confirm pipeline runs in one task
     # (profiled: addBatch 12.6 s single-task → ~3 s at 32-way; the
-    # shuffled rows are (id, ev, text), trivially small).
-    incoming = incoming.repartition(32)
+    # shuffled rows are (id, ev, text), trivially small). Width
+    # follows the executor core count, not a local-mode constant.
+    incoming = incoming.repartition(spark.sparkContext.defaultParallelism)
     toked = incoming.select(
         "new_id",
         "ev",
@@ -970,8 +971,9 @@ def _semdedup_matches_stream(spark, sf_dir):
         SIM.as_double_array("embedding").alias("__e_b"),
     ).withWatermark("ev", "0 seconds")
     # spread the single-partition source batch before the map-side
-    # kernel work (same move as _neardup_jaccard_stream)
-    inc = inc.repartition(32)
+    # kernel work (same move as _neardup_jaccard_stream); width
+    # follows the executor core count, not a local-mode constant
+    inc = inc.repartition(spark.sparkContext.defaultParallelism)
     # in-row nearest centroid via the Arrow kernel (fold-order exact,
     # ties to the smallest cell — see nearest_cell_arrow for why the
     # literal-expression form is the wrong plan here)

@@ -167,7 +167,9 @@ def run_ann(spark, k: int, sf: str) -> None:
         # the scaled parquet lands in ~3 scan partitions (small local
         # files); repartition so the map-only Arrow kernels actually
         # use the cores — a real corpus has real partitioning
-        emb = table(spark, sf_dir, "embeddings").repartition(32)
+        emb = table(spark, sf_dir, "embeddings").repartition(
+            spark.sparkContext.defaultParallelism
+        )
         n = emb.count()
         print(f"[{label}] start N={n:,} n_cells={n_cells}", flush=True)
         lay = tempfile.mkdtemp(prefix="hop_ann_layout_")
