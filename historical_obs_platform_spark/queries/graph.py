@@ -120,8 +120,16 @@ def g_pagerank_fixed(spark, sf_dir):
     distinct), degrees ride along as a broadcast-able aggregate; each
     sweep is contrib = rank div outdeg mapped over edges, then ONE
     shuffle on dst to re-aggregate — iteration count × one exchange,
-    no quadratic closure, no driver collect. localCheckpoint truncates
-    the growing lineage exactly like connected_components does.
+    no quadratic closure, no driver collect. Only the EDGE table is
+    checkpointed (it feeds deg/nodes/ed, i.e. multiple plan branches);
+    the per-iteration rank table is referenced exactly once per sweep,
+    so chaining it as a plain lineage avoids 3 extra driver-side
+    plan-compilations (`localCheckpoint` calls `toRdd` eagerly even
+    with eager=False) and 3 block materializations — measured
+    same-boot A/B at sf0.1: 4.4 s (per-iteration checkpoints) →
+    2.7 s (edges-only), identical output. At an iteration count where
+    lineage depth threatens the planner (>>10), re-introduce a
+    checkpoint every ~10 sweeps instead of every sweep.
     """
     edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
@@ -156,7 +164,6 @@ def g_pagerank_fixed(spark, sf_dir):
                 .cast("long")
                 .alias("rank"),
             )
-            .localCheckpoint(eager=False)
         )
     return ranks.select(
         "node",

@@ -61,17 +61,27 @@ def main() -> None:
         fn = registry.QUERIES[name]
         if explain_dir:
             os.makedirs(explain_dir, exist_ok=True)
+            import contextlib
+            import io
+
             df = fn(spark, sf_dir)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
             with open(os.path.join(explain_dir, f"{name}.txt"), "w") as fh:
-                fh.write(df._jdf.queryExecution().explainString("formatted"))
+                fh.write(buf.getvalue())
             spark.catalog.clearCache()
         runs = []
+        builds = []
         for _ in range(reps):
             t0 = time.perf_counter()
             try:
                 spark.sparkContext.setJobDescription(name)
-                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                df = fn(spark, sf_dir)
+                t1 = time.perf_counter()
+                df.write.mode("overwrite").format("noop").save()
                 runs.append(round(time.perf_counter() - t0, 4))
+                builds.append(round(t1 - t0, 4))
             except Exception as exc:
                 runs.append(-1.0)
                 print(f"# {name} FAILED: {exc}", file=sys.stderr)
@@ -84,7 +94,8 @@ def main() -> None:
             if runs[-1] < 0:
                 break
         out[name] = min(runs) if all(t >= 0 for t in runs) else -1.0
-        print(json.dumps({"query": name, "sec": out[name], "reps": runs}))
+        print(json.dumps({"query": name, "sec": out[name], "reps": runs,
+                          "build": builds}))
     print(json.dumps({"subset_total": round(sum(v for v in out.values() if v >= 0), 4)}))
     spark.stop()
 
