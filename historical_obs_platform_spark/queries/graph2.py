@@ -71,47 +71,69 @@ pairs AS (
 )"""
 
 
+# Session-scoped memo of the sparsified-graph builds (the graph.py
+# `_GRAPH_SHARED` / textops `_lsh_shared` discipline): six queries
+# across graph2/graph3 rebuild the identical lineitem ⋈ orders +
+# distinct pair table per invocation; the first consumer materializes
+# one lazily-localCheckpointed handle per (session, sf_dir) and the
+# family reuses it. Deterministic build → observation-free memo.
+_TRADE_SHARED: dict = {}
+
+
 def _trade_pairs(spark, sf_dir, namespaced: bool = True):
     """Distinct pairs of the sparsified trade graph — namespaced
     (cust_node, supp_node) or raw bipartite (c, s) keys —
-    localCheckpoint'ed so multi-reference consumers don't re-execute
-    the lineitem⋈orders build per reference."""
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_quantity"
+    localCheckpoint'ed + memoized so multi-reference consumers (and
+    repeat queries) don't re-execute the lineitem⋈orders build."""
+    key = (
+        spark.sparkContext.applicationId, sf_dir, "pairs", namespaced,
     )
-    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    joined = li.where(F.col("l_quantity") >= _MIN_QTY).join(
-        od, li.l_orderkey == od.o_orderkey
-    )
-    if namespaced:
-        cols = [
-            (F.col("o_custkey") * 2).alias("cust_node"),
-            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
-        ]
-    else:
-        cols = [
-            F.col("o_custkey").alias("c"),
-            F.col("l_suppkey").alias("s"),
-        ]
-    return joined.select(*cols).distinct().localCheckpoint(eager=False)
+    if key not in _TRADE_SHARED:
+        li = table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey", "l_quantity"
+        )
+        od = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        joined = li.where(F.col("l_quantity") >= _MIN_QTY).join(
+            od, li.l_orderkey == od.o_orderkey
+        )
+        if namespaced:
+            cols = [
+                (F.col("o_custkey") * 2).alias("cust_node"),
+                (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+            ]
+        else:
+            cols = [
+                F.col("o_custkey").alias("c"),
+                F.col("l_suppkey").alias("s"),
+            ]
+        _TRADE_SHARED[key] = (
+            joined.select(*cols).distinct().localCheckpoint(eager=False)
+        )
+    return _TRADE_SHARED[key]
 
 
 def _trade_edges(spark, sf_dir):
     """Symmetric directed edge list over `_trade_pairs` (both
-    directions), localCheckpoint'ed for loop consumers."""
-    pairs = _trade_pairs(spark, sf_dir)
-    return (
-        pairs.select(
-            F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
-        )
-        .unionByName(
+    directions), localCheckpoint'ed + memoized for loop consumers."""
+    key = (spark.sparkContext.applicationId, sf_dir, "edges")
+    if key not in _TRADE_SHARED:
+        pairs = _trade_pairs(spark, sf_dir)
+        _TRADE_SHARED[key] = (
             pairs.select(
-                F.col("supp_node").alias("src"),
-                F.col("cust_node").alias("dst"),
+                F.col("cust_node").alias("src"),
+                F.col("supp_node").alias("dst"),
             )
+            .unionByName(
+                pairs.select(
+                    F.col("supp_node").alias("src"),
+                    F.col("cust_node").alias("dst"),
+                )
+            )
+            .localCheckpoint(eager=False)
         )
-        .localCheckpoint(eager=False)
-    )
+    return _TRADE_SHARED[key]
 
 
 # ------------------------------------------------------------------ #
@@ -151,25 +173,27 @@ def g_components_fixed(spark, sf_dir):
     key — the classic hash-min CC; production runs use the large-star /
     small-star contraction (Kiveris et al. 2014) to cut R to
     O(log log n), but each round's plan is exactly this one. Labels
-    never grow: state is one row per node per round, re-checkpointed
-    each round because the next round references it TWICE (union +
-    propagate) — without the cut the plan tree doubles per round.
+    never grow: state is one row per node per round. The keep-own-
+    label half of each round rides as a SELF-LOOP row per node in the
+    checkpointed edge table (min over in-neighbors ∪ self ≡ min over
+    prev ∪ propagate, the oracle's spelling), so every round
+    references the previous state exactly ONCE — no per-round
+    localCheckpoint (each one compiles a physical plan eagerly and
+    materializes blocks; the g_pagerank_fixed lesson) and the plan
+    stays linear in R.
     """
     edges = _trade_edges(spark, sf_dir)
-    lab = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    looped = edges.unionByName(
+        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+    ).localCheckpoint(eager=False)
+    lab = nodes.select("node", F.col("node").alias("label"))
     for _ in range(_ROUNDS):
-        prop = (
-            edges.join(lab, edges.src == lab.node)
-            .select(F.col("dst").alias("node"), "label")
-        )
         lab = (
-            lab.select("node", "label")
-            .unionByName(prop)
+            looped.join(lab, looped.src == lab.node)
+            .select(F.col("dst").alias("node"), "label")
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=False)
         )
     return lab.select(
         F.col("node").cast("long").alias("node"),
@@ -217,8 +241,11 @@ def g_label_prop(spark, sf_dir):
 
     Scale shape: per round one edge-label join + one (node, label)
     count + one per-node argmax — two shuffles on the node key; state
-    is one row per node, re-checkpointed per round against lineage
-    growth.
+    is one row per node, referenced exactly ONCE per round, so the
+    rounds chain as plain lineage (no per-round localCheckpoint —
+    each would eagerly compile a physical plan and materialize
+    blocks; the g_pagerank_fixed lesson) and the plan stays linear
+    in the round count.
     """
     edges = _trade_edges(spark, sf_dir)
     lab = edges.select(F.col("src").alias("node")).distinct().select(
@@ -241,7 +268,6 @@ def g_label_prop(spark, sf_dir):
                 ).alias("b")
             )
             .select("node", (-F.col("b.neg")).alias("label"))
-            .localCheckpoint(eager=False)
         )
     return lab.select(
         F.col("node").cast("long").alias("node"),

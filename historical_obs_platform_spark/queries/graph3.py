@@ -290,18 +290,12 @@ def g_hits_fixed(spark, sf_dir):
     node key (the g_pagerank_fixed plan), iteration count × one
     exchange, no quadratic stage, no driver state.
     """
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pairs = (
-        li.join(od, li.l_orderkey == od.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    from .graph import _bi_pairs
+
+    # the full-bipartite distinct pair table is the same build
+    # g_pagerank_fixed / g_kcore_peel namespace into node ids — share
+    # the one checkpointed handle instead of re-joining per query
+    pairs = _bi_pairs(spark, sf_dir)
     # accumulators widen to DECIMAL(38,0) from round 1 (r8 advice fix):
     # a LONG chain would RAISE under ANSI at extreme degrees while the
     # oracle's sum()→HUGEINT kept returning a value — same plan, wider
@@ -309,12 +303,12 @@ def g_hits_fixed(spark, sf_dir):
     a1 = pairs.groupBy("s").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("a1")
     )
-    h1 = (
-        pairs.join(a1, "s")
-        .groupBy("c")
-        .agg(F.sum("a1").alias("h1"))
-        .localCheckpoint(eager=False)
-    )
+    # h1 is referenced exactly once (the a2 join) — plain lineage, no
+    # checkpoint (each localCheckpoint compiles a physical plan
+    # eagerly and materializes blocks; the g_pagerank_fixed lesson).
+    # a2 keeps its checkpoint: it feeds BOTH the h2 sweep and the
+    # authority top-k.
+    h1 = pairs.join(a1, "s").groupBy("c").agg(F.sum("a1").alias("h1"))
     a2 = (
         pairs.join(h1, "c")
         .groupBy("s")
@@ -412,7 +406,6 @@ def g_local_clustering(spark, sf_dir):
     from .graph import _urgent_copurchase
 
     _, edges = _urgent_copurchase(spark, sf_dir)
-    edges = edges.localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
@@ -567,29 +560,41 @@ def g_harmonic_landmarks(spark, sf_dir):
     all-pairs harmonic would be node²; landmarks make it
     budget-linear — the HyperBall/pivot trade.
     """
-    from .graph import _urgent_copurchase
+    from .graph import _urgent_copurchase, _urgent_sym
 
-    items, e0 = _urgent_copurchase(spark, sf_dir)
-    edges = e0.unionByName(
-        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=False)
+    items, _e0 = _urgent_copurchase(spark, sf_dir)
+    edges = _urgent_sym(spark, sf_dir)
     h0 = (
         items.where(F.col("pk") % 100 == 0)
         .select(F.col("pk").alias("lm"), F.col("pk").alias("node"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    reached = h0.withColumn("hops", F.lit(0))
+    # DELTA multi-source BFS (the g_khop_reach move, per landmark):
+    # each hop expands only the (lm, node) pairs first reached last
+    # hop; an anti-join against the already-reached pairs stops
+    # bounce-back re-expansion — in a small-world graph the naive
+    # labeled frontier re-contains nearly the whole reach set from
+    # hop 2 on, and the (landmark ×) multiplier makes this query the
+    # family's most expensive. min(hops) per (lm, node) is unchanged:
+    # the BFS level of a pair IS the first hop that reaches it.
     frontier = h0
+    frontiers = [h0.withColumn("hops", F.lit(0))]
     for hop in range(1, 4):
+        seen = frontiers[0].select("lm", "node")
+        for f in frontiers[1:]:
+            seen = seen.unionByName(f.select("lm", "node"))
         frontier = (
             frontier.join(edges, frontier.node == edges.u)
             .select("lm", F.col("v").alias("node"))
             .distinct()
+            .join(seen, ["lm", "node"], "left_anti")
             .localCheckpoint(eager=False)
         )
-        reached = reached.unionByName(
-            frontier.withColumn("hops", F.lit(hop))
-        )
+        frontiers.append(frontier.withColumn("hops", F.lit(hop)))
+    reached = frontiers[0]
+    for f in frontiers[1:]:
+        reached = reached.unionByName(f)
     md = reached.groupBy("lm", "node").agg(F.min("hops").alias("d"))
     d = F.col("d")
     hc = md.groupBy("node").agg(

@@ -92,13 +92,32 @@ RUNTIME_CONF = {
 }
 
 
+_TUNED: set[str] = set()
+
+
 def tune(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable tuning to an existing session (idempotent)."""
+    """Apply runtime-settable tuning to an existing session (idempotent).
+
+    Memoized per applicationId: `table()` calls this on every base-table
+    reference, and each conf.set is a py4j round trip (~9 ms for the
+    full RUNTIME_CONF loop — ~0.2 s per bench rep of a multi-table
+    query). Nothing in the repo or the driver changes these confs
+    mid-session, so one application per session is enough.
+    """
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:  # pragma: no cover — context gone mid-shutdown
+        app_id = None
+    if app_id is not None and app_id in _TUNED:
+        ship_package(spark)
+        return spark
     for k, v in RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - conf may be static
             pass
+    if app_id is not None:
+        _TUNED.add(app_id)
     ship_package(spark)
     return spark
 
