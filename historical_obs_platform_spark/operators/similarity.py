@@ -107,7 +107,14 @@ def cosine_arrow(a: Column, b: Column) -> Column:
                     out[i] = d / ((na ** 0.5) * (nb ** 0.5))
         return pd.Series(out)
 
-    return _cos(a, b)
+    # asNondeterministic: the kernel IS deterministic, but without the
+    # marker a filter on its output (`cosine >= thr`) is pushed below
+    # the producing projection and the whole kernel re-evaluates per
+    # row — guide §4.4's duplicated BatchEvalPython, observed as two
+    # ArrowEvalPython nodes around the threshold Filter in the
+    # semdedup streams (plans/r08). The marker yields one evaluation;
+    # values are unchanged.
+    return _cos.asNondeterministic()(a, b)
 
 
 def nearest_cell_arrow(vec: Column, cent_rows, normalize: bool = True) -> Column:
@@ -177,7 +184,14 @@ def nearest_cell_arrow(vec: Column, cent_rows, normalize: bool = True) -> Column
         res[~ok] = pd.NA
         return res
 
-    return _cell(vec)
+    # asNondeterministic: deterministic kernel, but the cell column
+    # feeds equi-joins, and InferFiltersFromConstraints pushes the
+    # inferred `isnotnull(cell)` below the producing projection —
+    # re-evaluating the FULL kernel (plus the inlined norm fold) once
+    # per row before the real evaluation runs again above (two
+    # ArrowEvalPython `_cell` nodes in the s_ivf_ann_topk and
+    # st_semdedup plans, plans/r08). Guide §4.4; values unchanged.
+    return _cell.asNondeterministic()(vec)
 
 
 def dot_arrow(a: Column, b: Column) -> Column:

@@ -698,6 +698,16 @@ def _neardup_jaccard_stream(spark, sf_dir):
         "ev",
         F.split(DD.normalize_text("text"), " ").alias("__toks"),
     ).where(F.size("__toks") >= 2)
+    # NO size(__sh_b) > 0 guard here: it is provably dead — toked
+    # enforces size(__toks) >= 2, so sequence(1, size-1) has >= 1
+    # element, and every shingle is concat_ws(' ', t_i, t_i+1) of two
+    # non-NULL strings (split never yields NULLs), i.e. length >= 1
+    # and never '' — so the filtered, distinct array is never empty.
+    # The guard was also the whole pipeline's wall: Catalyst pushed it
+    # below this projection, substituting (and re-evaluating) the full
+    # interpreted HOF shingle build per row — measured 5.7 s with the
+    # guard vs 0.8 s without on the sf0.1 batch equivalent (min-of-2,
+    # noop sink), identical rows.
     shingled = toked.select(
         "new_id",
         "ev",
@@ -707,7 +717,7 @@ def _neardup_jaccard_stream(spark, sf_dir):
             "i -> concat_ws(' ', slice(__toks, i, 2)))), "
             "x -> x != '')"
         ).alias("__sh_b"),
-    ).where(F.size("__sh_b") > 0)
+    )
     signed = _inrow_signature(
         shingled.withColumn("sz_b", F.size("__sh_b")),
         "__sh_b",
