@@ -1101,8 +1101,14 @@ def _pq_assign(subs: DataFrame, cents: DataFrame, id_name: str) -> DataFrame:
         return pd.Series(out)
 
     ids = [id_name] if isinstance(id_name, str) else list(id_name)
+    # asNondeterministic: deterministic kernel, but the code column
+    # feeds joins downstream and the inferred isnotnull(code) filter
+    # was pushed below this projection, re-running the full PQ
+    # encoding kernel once per row before the real evaluation (two
+    # `_code` ArrowEvalPython nodes per occurrence in the r7
+    # s_pq_recall plan, plans/r08). Guide §4.4; values unchanged.
     return subs.select(
-        *ids, "s", _code(F.col("s"), F.col("sv")).alias("code")
+        *ids, "s", _code.asNondeterministic()(F.col("s"), F.col("sv")).alias("code")
     )
 
 
