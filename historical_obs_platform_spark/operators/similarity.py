@@ -818,6 +818,7 @@ def ivf_ann_topk(
     nprobe: int = 4,
     iters: int = 1,
     round_to: int = 6,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their nearest
     coarse-quantizer cell; each query probes its ``nprobe`` closest
@@ -827,8 +828,16 @@ def ivf_ann_topk(
     corpus is assigned once (map-only) and shuffled once on ``cell``;
     expected candidate volume per query is corpus·nprobe/n_cells —
     the knob trades recall for scan fraction, and no stage is
-    quadratic in the corpus."""
-    cent = ivf_centroids(corpus, id_col, vec_col, n_cells, iters)
+    quadratic in the corpus.
+
+    ``cents`` lets a caller supply an already-built centroid table
+    (e.g. a session-shared build) instead of refitting; it must come
+    from ``ivf_centroids`` with the same (corpus, n_cells, iters)."""
+    cent = (
+        cents
+        if cents is not None
+        else ivf_centroids(corpus, id_col, vec_col, n_cells, iters)
+    )
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

@@ -941,10 +941,12 @@ def _semdedup_matches_stream(spark, sf_dir):
     # semdedup streams' wall (the _NEARDUP_STATIC move)
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SEMDEDUP_STATIC:
+        from .textops import _ivf_cent_shared
+
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        cent = SIM.ivf_centroids(
-            emb, "vec_id", "embedding", n_cells=_ST_SEM_CELLS, iters=1
-        )
+        # same (corpus, n_cells, iters) fit as the batch IVF family —
+        # share the session build instead of refitting
+        cent = _ivf_cent_shared(spark, sf_dir, _ST_SEM_CELLS, 1)
         # ivf_centroids already returns local rows, so this collect
         # is a local-relation scan; the rows feed the stream side's
         # in-row Arrow assignment (no extra join on the stream)

@@ -368,3 +368,66 @@ def test_star_pairing_same_removal_output(spark, sf):
     n_star = cand_star.count()
     assert star == full
     assert n_star <= n_full
+
+
+# ------------------------------------------------------------------
+# Round-8 optimization: session-shared IVF centroid fit + kernel
+# non-determinism markers (single-evaluation plans).
+# ------------------------------------------------------------------
+def test_ivf_cent_shared_identical_to_direct_fit(spark):
+    """The session-shared coarse-quantizer build must return exactly
+    the rows a direct ivf_centroids fit produces (same corpus, same
+    knobs) — the sharing is a cache of a deterministic build, never a
+    semantic change."""
+    from historical_obs_platform_spark.operators import similarity as SIM
+    from historical_obs_platform_spark.queries.common import table
+    from historical_obs_platform_spark.queries.textops import (
+        _ivf_cent_shared,
+    )
+
+    sf_dir = SF_SMALL
+    emb = table(spark, sf_dir, "embeddings")
+    direct = sorted(
+        (r["cell"], tuple(r["__cent"]))
+        for r in SIM.ivf_centroids(
+            emb, "vec_id", "embedding", 16, 1
+        ).collect()
+    )
+    shared = sorted(
+        (r["cell"], tuple(r["__cent"]))
+        for r in _ivf_cent_shared(spark, sf_dir, 16, 1).collect()
+    )
+    assert shared == direct
+    # and the memo returns the SAME handle on a second request
+    assert _ivf_cent_shared(spark, sf_dir, 16, 1) is _ivf_cent_shared(
+        spark, sf_dir, 16, 1
+    )
+
+
+def test_kernel_nondeterministic_single_eval(spark):
+    """cosine_arrow under a threshold filter must appear exactly once
+    in the physical plan (the duplicated-ArrowEvalPython pattern the
+    asNondeterministic marker removes), and its values must be the
+    kernel's deterministic output."""
+    from historical_obs_platform_spark.operators import similarity as SIM
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0], [1.0, float(i)]) for i in range(50)],
+        "id long, a array<double>, b array<double>",
+    )
+    out = df.select(
+        "id", SIM.cosine_arrow(F.col("a"), F.col("b")).alias("c")
+    ).where(F.col("c") >= 0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    rows = {r["id"]: r["c"] for r in out.collect()}
+    import math
+
+    for i, c in rows.items():
+        a = [float(i), 1.0]
+        b = [1.0, float(i)]
+        d = a[0] * b[0] + a[1] * b[1]
+        na = a[0] * a[0] + a[1] * a[1]
+        nb = b[0] * b[0] + b[1] * b[1]
+        assert math.isclose(c, d / (math.sqrt(na) * math.sqrt(nb)))
