@@ -1905,7 +1905,15 @@ def d_prefix_jaccard_pairs(spark, sf_dir):
             F.concat(F.col("text"), F.lit(" zzextra")).alias("text"),
         )
     )
-    shingles = DD.word_shingles(corpus, "doc_id", "text", n=2)
+    # materialized once per run: the shingle build feeds FOUR plan
+    # branches (document-frequency ordering, the per-doc prefix pick,
+    # and both exact-confirm legs) and re-ran per branch without the
+    # cut (the d_substring_spans gram-table move; the _lsh_shared
+    # handle does the same for the main-family corpus — this query's
+    # decimated+doubled corpus is its own)
+    shingles = DD.word_shingles(
+        corpus, "doc_id", "text", n=2
+    ).localCheckpoint(eager=False)
     cand = DD.prefix_filter_candidates(
         shingles, "doc_id", threshold=_PFX_THRESHOLD
     )
