@@ -859,7 +859,7 @@ GROUP BY p.source
 
 @query("report_dup_rate_by_source", _dup_by_source_oracle())
 def report_dup_rate_by_source(spark, sf_dir):
-    from .textops import _lsh_shared
+    from .textops import _dup_components_shared
 
     docs = table(spark, sf_dir, "documents")
     planted = docs.select("doc_id", "source").unionByName(
@@ -867,11 +867,7 @@ def report_dup_rate_by_source(spark, sf_dir):
             (F.col("doc_id") + 1000000).alias("doc_id"), "source"
         )
     )
-    shingles, cand = _lsh_shared(spark, sf_dir)
-    pairs = DD.jaccard_pairs(
-        shingles, "doc_id", min_jaccard=0.5, candidates=cand
-    ).select("a", "b")
-    comp = DD.connected_components(pairs)
+    comp = _dup_components_shared(spark, sf_dir)
     is_dup = F.col("node").isNotNull() & (
         F.col("node") != F.col("component")
     )
@@ -949,7 +945,7 @@ FROM marked GROUP BY source
 
 @query("t_dedup_yield", _dedup_yield_oracle())
 def t_dedup_yield(spark, sf_dir):
-    from .textops import _lsh_shared, _near_corpus_spark
+    from .textops import _near_corpus_spark
 
     corpus = _near_corpus_spark(spark, sf_dir)
     norm = TX.normalize_text(F.col("text"))
@@ -959,11 +955,9 @@ def t_dedup_yield(spark, sf_dir):
         TX.token_count(F.col("text")).cast("long").alias("tok"),
     )
     ekeep = base.groupBy("nh").agg(F.min("doc_id").alias("keeper"))
-    shingles, cand = _lsh_shared(spark, sf_dir)
-    pairs = DD.jaccard_pairs(
-        shingles, "doc_id", min_jaccard=0.5, candidates=cand
-    ).select("a", "b")
-    comp = DD.connected_components(pairs).withColumnRenamed(
+    from .textops import _dup_components_shared
+
+    comp = _dup_components_shared(spark, sf_dir).withColumnRenamed(
         "node", "doc_id"
     )
     src = table(spark, sf_dir, "documents").select(

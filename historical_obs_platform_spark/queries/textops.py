@@ -322,6 +322,32 @@ WHERE round(n_common / (sa.sz + sb.sz - n_common), 6) >= 0.5
 """
 
 
+_DUP_COMP_SHARED: dict = {}
+
+
+def _dup_components_shared(spark, sf_dir):
+    """Session-shared (node, component) table of the confirmed
+    near-dup graph (LSH candidates → exact Jaccard ≥ 0.5 → min-label
+    connected components). FIVE queries consumed this identical
+    pipeline (d_dup_clusters, t_dedup_yield, chain_neardup_removal,
+    report_dup_rate_by_source, leakage_safe_split/chain_training_set)
+    and each re-ran the iterative label-propagation rounds — the most
+    expensive driver-driven loop in the dedup family. Min-label
+    propagation has a unique fixpoint (smallest id per component), so
+    the table is deterministic; the `_lsh_shared` discipline applies
+    one level deeper."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DUP_COMP_SHARED:
+        shingles, cand = _lsh_shared(spark, sf_dir)
+        pairs = DD.jaccard_pairs(
+            shingles, "doc_id", min_jaccard=0.5, candidates=cand
+        ).select("a", "b").localCheckpoint(eager=False)
+        _DUP_COMP_SHARED[key] = DD.connected_components(
+            pairs
+        ).localCheckpoint(eager=False)
+    return _DUP_COMP_SHARED[key]
+
+
 @query("d_ngram_jaccard_pairs", _jaccard_oracle())
 def d_ngram_jaccard_pairs(spark, sf_dir):
     # the shingle table feeds multiple plan branches (signatures,
@@ -1002,11 +1028,13 @@ FROM comp GROUP BY component
 
 @query("d_dup_clusters", _dup_clusters_oracle())
 def d_dup_clusters(spark, sf_dir):
-    shingles, cand = _lsh_shared(spark, sf_dir)
-    pairs = DD.jaccard_pairs(
-        shingles, "doc_id", min_jaccard=0.5, candidates=cand
-    ).select("a", "b")
-    return DD.dup_cluster_summary(pairs)
+    # dup_cluster_summary = connected components + per-component
+    # count; the components come from the shared handle, the
+    # aggregation is unchanged
+    comp = _dup_components_shared(spark, sf_dir)
+    return comp.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
 
 
 # --------------------------------------------------------------------
@@ -1363,11 +1391,7 @@ def chain_neardup_removal(spark, sf_dir):
     corpus against the (small) component table — at 100 TB the
     component table is proportional to the DUPLICATED subset, not the
     corpus, so it broadcasts or shuffles cheaply."""
-    shingles, cand = _lsh_shared(spark, sf_dir)
-    pairs = DD.jaccard_pairs(
-        shingles, "doc_id", min_jaccard=0.5, candidates=cand
-    ).select("a", "b")
-    comp = DD.connected_components(pairs).withColumnRenamed(
+    comp = _dup_components_shared(spark, sf_dir).withColumnRenamed(
         "node", "doc_id"
     )
     corpus = _near_corpus_spark(spark, sf_dir).select("doc_id")
@@ -1748,11 +1772,7 @@ FROM rep GROUP BY 1
 def leakage_safe_split(spark, sf_dir):
     """Per-document (doc_id, grp, split) assignment — the reusable
     building block; the registered query audits it per split."""
-    shingles, cand = _lsh_shared(spark, sf_dir)
-    pairs = DD.jaccard_pairs(
-        shingles, "doc_id", min_jaccard=0.5, candidates=cand
-    ).select("a", "b")
-    comp = DD.connected_components(pairs).withColumnRenamed(
+    comp = _dup_components_shared(spark, sf_dir).withColumnRenamed(
         "node", "doc_id"
     )
     docs = table(spark, sf_dir, "documents").select("doc_id")

@@ -431,3 +431,33 @@ def test_kernel_nondeterministic_single_eval(spark):
         na = a[0] * a[0] + a[1] * a[1]
         nb = b[0] * b[0] + b[1] * b[1]
         assert math.isclose(c, d / (math.sqrt(na) * math.sqrt(nb)))
+
+
+def test_dup_components_shared_identical_to_direct(spark):
+    """The session-shared near-dup component table must equal the
+    directly-computed connected components of the confirmed pair
+    graph (min-label propagation has a unique fixpoint, so sharing
+    the build cannot change any consumer's rows)."""
+    from historical_obs_platform_spark.operators import dedup as DD
+    from historical_obs_platform_spark.queries.textops import (
+        _dup_components_shared,
+        _lsh_shared,
+    )
+
+    sf_dir = SF_SMALL
+    shingles, cand = _lsh_shared(spark, sf_dir)
+    pairs = DD.jaccard_pairs(
+        shingles, "doc_id", min_jaccard=0.5, candidates=cand
+    ).select("a", "b")
+    direct = sorted(
+        (r["node"], r["component"])
+        for r in DD.connected_components(pairs).collect()
+    )
+    shared = sorted(
+        (r["node"], r["component"])
+        for r in _dup_components_shared(spark, sf_dir).collect()
+    )
+    assert shared == direct
+    assert _dup_components_shared(spark, sf_dir) is _dup_components_shared(
+        spark, sf_dir
+    )
