@@ -266,7 +266,11 @@ def _bucket_of_hex(hex_col: str, width: int) -> str:
 
 
 def cms_build(
-    tokens: DataFrame, value_col: str, depth: int = 4, width: int = 512
+    tokens: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build the count-min table: one row per (sketch row, bucket)
     with the summed count — ``depth × width`` rows total regardless
@@ -276,8 +280,21 @@ def cms_build(
 
     The d md5 digests are projected ONCE each before the digit
     polynomial runs (inlining ``cms_bucket_expr`` would re-evaluate
-    each md5 8× per row — measured 2× slower on the whole query)."""
+    each md5 8× per row — measured 2× slower on the whole query).
+
+    ``weight_col`` builds from a pre-aggregated (value, count) table:
+    the bucket counter is the sum of weights instead of the row
+    count. Since every occurrence of a value hashes identically,
+    building from per-value counts is EXACTLY the occurrence-stream
+    sketch while hashing each distinct value once — the guide §2.3
+    "aggregate before you shuffle" shape applied to the hash work."""
+    wexpr = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
     hashed = tokens.select(
+        wexpr.alias("__w"),
         *[
             F.expr(
                 f"md5(concat('r{r}:', cast({value_col} as string)))"
@@ -294,9 +311,9 @@ def cms_build(
         )
     ).alias("row", "bucket")
     return (
-        hashed.select(keys)
+        hashed.select("__w", keys)
         .groupBy("row", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("__w").alias("cnt"))
     )
 
 
@@ -314,10 +331,32 @@ def cms_heavy_hitters(
     candidate set would come from a space-saving pass or a sampled
     exact count; the sketch table itself never exceeds d·w rows).
     cms_estimate ≥ exact_count always (counters only over-count).
+
+    One corpus pass (r8): the occurrence stream folds to a per-value
+    count table first (one partial-aggregating shuffle), and BOTH the
+    sketch build and the exact top-k read that table — the d md5
+    digests run once per distinct value instead of once per
+    occurrence, and the corpus is scanned once instead of twice.
+    Bucket counters are sums of per-value counts, which is exactly
+    the occurrence-stream sketch (every occurrence hashes alike).
     """
-    table = cms_build(tokens, value_col, depth, width)
+    counts = (
+        tokens.groupBy(F.expr(value_col).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        # feeds two subtrees (sketch build + exact top-k); plans are
+        # trees, so without the cut the corpus explode+shuffle would
+        # run twice
+        .localCheckpoint(eager=False)
+    )
+    table = cms_build(counts, "__v", depth, width, weight_col="__cnt")
     return cms_probe_topk(
-        tokens, value_col, table, top=top, depth=depth, width=width
+        counts,
+        "__v",
+        table,
+        top=top,
+        depth=depth,
+        width=width,
+        weight_col="__cnt",
     )
 
 
@@ -329,14 +368,22 @@ def cms_probe_topk(
     depth: int = 4,
     width: int = 512,
     estimate_col: str = "cms_estimate",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Probe the exact top-``top`` tokens against a (pre-built or
     merged) count-min ``table``. The (depth, width) MUST match the
     parameters the table was built with — the probes hash into the
-    table's bucket space."""
+    table's bucket space. ``weight_col`` reads ``tokens`` as a
+    pre-aggregated (value, count) table (exact_count = sum of
+    weights), equal by construction to counting the raw stream."""
+    cnt_agg = (
+        F.sum(weight_col).cast("long")
+        if weight_col is not None
+        else F.count(F.lit(1))
+    )
     exact = (
         tokens.groupBy(F.expr(value_col).alias("token"))
-        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .agg(cnt_agg.alias("exact_count"))
         .orderBy(F.desc("exact_count"), F.asc("token"))
         .limit(top)
     )

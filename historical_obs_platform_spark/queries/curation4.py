@@ -725,6 +725,9 @@ def d_lsh_recall(spark, sf_dir):
             >= 0.5
         )
         .select("a", "b")
+        # referenced by the hit join AND the n_truth aggregate; the
+        # sample×corpus inverted-index join would otherwise run twice
+        .localCheckpoint(eager=False)
     )
     cand_norm = (
         cand.where(in_sample("a") | in_sample("b"))

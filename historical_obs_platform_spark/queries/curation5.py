@@ -785,15 +785,12 @@ FROM per_pair
 @query("d_minhash_estimate_error", _minhash_err_oracle())
 def d_minhash_estimate_error(spark, sf_dir):
     from ..operators import dedup as DD
-    from .textops import LSH_N_HASHES, _lsh_shared
+    from .textops import LSH_N_HASHES, _lsh_shared_full
 
-    shingles, cand = _lsh_shared(spark, sf_dir)
+    shingles, sigs, _buckets, cand = _lsh_shared_full(spark, sf_dir)
     pairs = DD.jaccard_pairs(
         shingles, "doc_id", min_jaccard=0.0, candidates=cand
     ).select("a", "b", "n_common", "sz_a", "sz_b")
-    sigs = DD.minhash_signatures(
-        shingles, "doc_id", n_hashes=LSH_N_HASHES
-    )
     sa = sigs.select(
         F.col("doc_id").alias("a"),
         *[

@@ -198,7 +198,9 @@ def p_dsir_selection(spark, sf_dir):
         F.conv(F.substring(F.md5("w"), 1, 2), 16, 10)
         .cast("long")
         .alias("b"),
-    )
+        # read twice: the driver-side bucket-weight fold and the
+        # per-doc scoring join — one explode+md5 pass, not two
+    ).localCheckpoint(eager=False)
     tb = (
         tk.groupBy("b")
         .agg(

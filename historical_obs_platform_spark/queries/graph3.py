@@ -411,6 +411,9 @@ def g_local_clustering(spark, sf_dir):
         .unionByName(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
+        # referenced three times (both orientation sides + the final
+        # lcc row build); one materialization
+        .localCheckpoint(eager=False)
     )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))

@@ -672,9 +672,14 @@ def w13_clim_outlier_unfiltered(spark, sf_dir):
             / F.any_value("n")
         ).alias("clim"),
     )
+    # ``a`` feeds both the IQR aggregation and the standardized-score
+    # join, and ``s`` below feeds both the moment fit and the final
+    # row build — each would otherwise re-run the whole
+    # window+climatology subtree (plans are trees); one
+    # materialization each
     a = o.join(clim.select(*grp, "clim"), grp).withColumn(
         "anom", F.col("tas") - F.col("clim")
-    )
+    ).localCheckpoint(eager=False)
     iq = a.groupBy(*grp).agg(
         F.greatest(
             F.round(
@@ -685,7 +690,7 @@ def w13_clim_outlier_unfiltered(spark, sf_dir):
     )
     s = a.join(iq, grp).withColumn(
         "std", F.round(F.col("anom") / F.col("denom"), 6)
-    )
+    ).localCheckpoint(eager=False)
     dstd = dec("std", 18, 6)
     mo = s.groupBy(*grp).agg(
         F.count(F.lit(1)).alias("n2"),

@@ -634,7 +634,7 @@ def _neardup_jaccard_stream(spark, sf_dir):
     to the final best-match aggregation — the complete-mode and
     append-mode queries differ only in how they aggregate this."""
     from ..operators import dedup as DD
-    from .textops import LSH_BANDS, LSH_N_HASHES, _lsh_shared
+    from .textops import LSH_BANDS, LSH_N_HASHES, _lsh_shared_full
 
     tune(spark)
     # static stored index: buckets + per-doc shingle sets of the
@@ -645,15 +645,15 @@ def _neardup_jaccard_stream(spark, sf_dir):
     # observation-free).
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _NEARDUP_STATIC:
-        shingles, _ = _lsh_shared(spark, sf_dir)
+        shingles, _sigs, buckets, _cand = _lsh_shared_full(spark, sf_dir)
         old_sh = shingles.where(F.col("doc_id") < 1000000)
-        sigs = DD.minhash_signatures(
-            old_sh, "doc_id", n_hashes=LSH_N_HASHES
-        )
+        # a document's minhash signature (hence its band buckets)
+        # depends only on that document's own shingles, so the
+        # stored-corpus bucket index == the shared full-corpus bucket
+        # table filtered to stored ids — reuse the checkpointed
+        # handle instead of re-running the signature aggregation
         _NEARDUP_STATIC[key] = (
-            DD.lsh_buckets(
-                sigs, "doc_id", n_hashes=LSH_N_HASHES, bands=LSH_BANDS
-            )
+            buckets.where(F.col("doc_id") < 1000000)
             .select(F.col("doc_id").alias("a"), "band", "bucket")
             .localCheckpoint(eager=False),
             old_sh.groupBy("doc_id")

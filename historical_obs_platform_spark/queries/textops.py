@@ -254,7 +254,21 @@ def _near_corpus_spark(spark, sf_dir):
 _LSH_SHARED: dict[tuple, tuple] = {}
 
 
-def _lsh_shared(spark, sf_dir):
+def _lsh_shared_full(spark, sf_dir):
+    """(shingles, sigs, buckets, cand) — every level of the shared
+    near-dup index, each localCheckpointed.
+
+    The signature and bucket tables are checkpointed too (r8):
+    ``lsh_buckets`` is a union of one projection per band, so an
+    unmaterialized ``sigs`` re-ran the whole minhash aggregation
+    once per band (4x) inside the first build, and the incremental /
+    star-pairing / estimate-error queries each re-derived sigs and
+    buckets from the shingle handle from scratch (twice, when both
+    self-join sides referenced them). Both tables are deterministic
+    (md5-derived hashes, exact BIGINT mins), doc-count-sized and
+    narrow — the production analog is that a stored LSH index keeps
+    its signature and bucket tables, not just its candidate pairs.
+    """
     # applicationId is stable for a context's lifetime and never
     # reused by a successor in-process (id() of the py4j wrapper can
     # be — CPython reuses addresses after GC)
@@ -264,13 +278,22 @@ def _lsh_shared(spark, sf_dir):
         shingles = DD.word_shingles(
             corpus, "doc_id", "text", n=2
         ).localCheckpoint(eager=False)
-        sigs = DD.minhash_signatures(shingles, "doc_id", n_hashes=LSH_N_HASHES)
-        buckets = DD.lsh_buckets(sigs, "doc_id", n_hashes=LSH_N_HASHES, bands=LSH_BANDS)
+        sigs = DD.minhash_signatures(
+            shingles, "doc_id", n_hashes=LSH_N_HASHES
+        ).localCheckpoint(eager=False)
+        buckets = DD.lsh_buckets(
+            sigs, "doc_id", n_hashes=LSH_N_HASHES, bands=LSH_BANDS
+        ).localCheckpoint(eager=False)
         cand = DD.lsh_candidate_pairs(
             buckets, "doc_id"
         ).localCheckpoint(eager=False)
-        _LSH_SHARED[key] = (shingles, cand)
+        _LSH_SHARED[key] = (shingles, sigs, buckets, cand)
     return _LSH_SHARED[key]
+
+
+def _lsh_shared(spark, sf_dir):
+    shingles, _sigs, _buckets, cand = _lsh_shared_full(spark, sf_dir)
+    return shingles, cand
 
 
 @query("d_minhash_lsh_pairs", _lsh_pairs_oracle())
@@ -388,10 +411,28 @@ SELECT doc_id, CAST({value} AS BIGINT) AS simhash FROM s
 """
 
 
+# The 32-bit signature table is consumed by d_simhash AND (twice, on
+# both sides of the banded self-join) by d_simhash_neardup — and the
+# explode + md5 + 32 bit-sum aggregation is the whole cost of either
+# query. One lazily-localCheckpointed handle per (session, data dir),
+# the `_lsh_shared` discipline: deterministic (md5-derived bits,
+# exact integer sums), never persisted across processes.
+_SIMHASH_SHARED: dict[tuple, "DataFrame"] = {}
+
+
+def _simhash_shared(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SIMHASH_SHARED:
+        docs = table(spark, sf_dir, "documents")
+        _SIMHASH_SHARED[key] = DD.simhash(
+            docs, "doc_id", "text", bits=32
+        ).localCheckpoint(eager=False)
+    return _SIMHASH_SHARED[key]
+
+
 @query("d_simhash", _simhash_oracle())
 def d_simhash(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents")
-    return DD.simhash(docs, "doc_id", "text", bits=32)
+    return _simhash_shared(spark, sf_dir)
 
 
 # --------------------------------------------------------------------
@@ -428,8 +469,7 @@ def d_simhash_neardup(spark, sf_dir):
     At web scale the signature and bands widen together (64-bit / 4×16
     keeps bucket populations ~n/65536), same knob family as MinHash
     LSH banding."""
-    docs = table(spark, sf_dir, "documents")
-    sig = DD.simhash(docs, "doc_id", "text", bits=32)
+    sig = _simhash_shared(spark, sf_dir)
     return DD.simhash_neardup_pairs(
         sig, "doc_id", "simhash", bits=32, bands=4, max_hamming=3
     )
@@ -1696,13 +1736,7 @@ def d_incremental_neardup(spark, sf_dir):
     incoming doc (max jaccard, smallest id breaks ties)."""
     from pyspark.sql.window import Window
 
-    shingles, _ = _lsh_shared(spark, sf_dir)
-    sigs = DD.minhash_signatures(
-        shingles, "doc_id", n_hashes=LSH_N_HASHES
-    )
-    buckets = DD.lsh_buckets(
-        sigs, "doc_id", n_hashes=LSH_N_HASHES, bands=LSH_BANDS
-    )
+    shingles, _sigs, buckets, _cand = _lsh_shared_full(spark, sf_dir)
     old_b = buckets.where(F.col("doc_id") < 1000000)
     new_b = buckets.where(F.col("doc_id") >= 1000000)
     cand = (
@@ -2210,13 +2244,7 @@ def d_lsh_star_jaccard(spark, sf_dir):
     pairing) — the posting-cap production path for skewed corpora.
     Same shingle/signature/bucket build as the d_* family (shared
     persisted handle); only the pairing rule differs."""
-    shingles, _cand = _lsh_shared(spark, sf_dir)
-    sigs = DD.minhash_signatures(
-        shingles, "doc_id", n_hashes=LSH_N_HASHES
-    )
-    buckets = DD.lsh_buckets(
-        sigs, "doc_id", n_hashes=LSH_N_HASHES, bands=LSH_BANDS
-    )
+    shingles, _sigs, buckets, _cand = _lsh_shared_full(spark, sf_dir)
     cand = DD.lsh_star_pairs(buckets, "doc_id")
     return DD.jaccard_pairs(
         shingles, "doc_id", min_jaccard=0.5, candidates=cand

@@ -407,19 +407,30 @@ def t_textrank_keywords(spark, sf_dir):
             F.posexplode(F.expr(_NORM_SPARK_SPLIT)).alias("pos", "w"),
         )
         .where((F.col("w") != "") & ~F.col("w").isin(*STOPWORDS))
+        # both sides of the window join read this; one materialization
+        .localCheckpoint(eager=False)
     )
     a = toks.select(
         "doc_id", F.col("pos").alias("pa"), F.col("w").alias("wa0")
     )
+    # banded EQUI-join (r8): fan each right-side token out to the
+    # _TR_WIN positions it co-occurs with and join on (doc_id, pa)
+    # EQUALITY — identical pair set to joining on doc_id alone and
+    # band-filtering pb-pa afterwards, but the join evaluates
+    # Σ len(doc)·window rows instead of Σ len(doc)² (the per-doc
+    # cross product the band filter used to prune post-hoc).
     b = toks.select(
-        "doc_id", F.col("pos").alias("pb"), F.col("w").alias("wb0")
+        "doc_id",
+        F.explode(
+            F.array(
+                *[F.col("pos") - d for d in range(1, _TR_WIN + 1)]
+            )
+        ).alias("pa"),
+        F.col("w").alias("wb0"),
     )
     pairs = (
-        a.join(b, "doc_id")
-        .where(
-            (F.col("pb") - F.col("pa")).between(1, _TR_WIN)
-            & (F.col("wa0") != F.col("wb0"))
-        )
+        a.join(b, ["doc_id", "pa"])
+        .where(F.col("wa0") != F.col("wb0"))
         .select(
             F.least("wa0", "wb0").alias("wa"),
             F.greatest("wa0", "wb0").alias("wb"),
@@ -436,7 +447,13 @@ def t_textrank_keywords(spark, sf_dir):
         .localCheckpoint(eager=False)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    nodes = edges.select(F.col("src").alias("w")).distinct()
+    # referenced by the rank init, every sweep's left join and the
+    # final row build — one distinct instead of five
+    nodes = (
+        edges.select(F.col("src").alias("w"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
     base = F.expr(f"(15 * ({_TR_SCALE} div n)) div 100")
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
@@ -450,6 +467,10 @@ def t_textrank_keywords(spark, sf_dir):
             .groupBy("dst")
             .agg(F.sum("contrib").alias("s"))
         )
+        # no per-sweep checkpoint (the g_pagerank_fixed r8 move):
+        # each sweep references the previous ranks exactly once, so
+        # nothing re-executes, and each eager=False checkpoint still
+        # compiled the physical plan at build time (~0.5 s/sweep)
         ranks = (
             nodes.join(contrib, nodes.w == contrib.dst, "left")
             .crossJoin(F.broadcast(nn))
@@ -459,7 +480,6 @@ def t_textrank_keywords(spark, sf_dir):
                 .cast("long")
                 .alias("rank"),
             )
-            .localCheckpoint(eager=False)
         )
     wr = Window.orderBy(F.desc("rank"), F.asc("w"))
     return (

@@ -512,7 +512,9 @@ def station_clean_audit(
         .otherwise(F.lit("Y"))
         .alias("Cleaned"),
         "Time_Cleaned",
-    )
+        # feeds the suffix/error branch AND the final report join —
+        # one materialization instead of two full-outer-join runs
+    ).localCheckpoint(eager=False)
     # native id = everything after the FIRST underscore (the
     # '<NETWORK>_' prefix) — split-last would truncate native ids
     # that themselves contain underscores
@@ -520,10 +522,30 @@ def station_clean_audit(
     stx = audited.select(
         "era_id", suffix.alias("__sfx"), "Time_Cleaned"
     )
-    matched = stx.join(
-        F.broadcast(errors),
-        F.instr(F.col("File"), F.col("__sfx")) > 0,
+    # containment as an EQUI-join (r8): ``sfx`` occurs in ``File``
+    # iff ``sfx`` equals one of File's distinct substrings, so
+    # enumerating them (lengths 0..len — length 0 keeps instr's
+    # empty-pattern-matches-everything semantics) turns the
+    # broadcast nested loop (|stations| x |errors| instr calls —
+    # ~150 M at sf0.1) into a hash join keyed on the substring.
+    # Filenames are bounded-length, so the per-error expansion is
+    # a few hundred short strings; ``array_distinct`` keeps the
+    # one-row-per-(station, error) multiplicity of the theta join.
+    err_subs = errors.select(
+        "File",
+        "Time",
+        "Error",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "flatten(transform(sequence(0, length(File)), "
+                    "l -> transform(sequence(1, length(File) - l + 1), "
+                    "i -> substring(File, i, l))))"
+                )
+            )
+        ).alias("__sfx"),
     )
+    matched = err_subs.join(F.broadcast(stx), "__sfx")
     w = Window.partitionBy("File", "Time", "Error").orderBy(
         F.length("__sfx").desc(), F.col("era_id").desc()
     )
