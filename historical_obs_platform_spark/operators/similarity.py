@@ -1226,6 +1226,31 @@ def pq_codebooks_sharded(
     return merged
 
 
+def pq_encode(
+    corpus: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    sub_dim: int = 16,
+) -> DataFrame:
+    """Encode the corpus against a prebuilt PQ codebook: the
+    (neighbor_id, s, code) table every ADC consumer scores against —
+    one broadcast join + deterministic nearest-code pick per
+    subvector, m codes/vector. This is the stored-index artifact of
+    a PQ deployment; factoring it out lets harnesses build it once
+    and pass it to ``pq_adc_topk(codes=...)``."""
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("__v"),
+    )
+    return _pq_assign(
+        _subvectors(cvecs, "neighbor_id", F.col("__v"), m, sub_dim),
+        cents,
+        "neighbor_id",
+    )
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1238,6 +1263,7 @@ def pq_adc_topk(
     iters: int = 1,
     round_to: int = 6,
     cents: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: the corpus is
     compressed to ``m`` one-byte codes per vector; each query builds
@@ -1257,21 +1283,26 @@ def pq_adc_topk(
 
     Returns (query_id, neighbor_id, approx_dist, rank). Pass
     ``cents`` to score against a prebuilt codebook (e.g. the
-    shard-merged one from ``pq_codebooks_sharded``).
+    shard-merged one from ``pq_codebooks_sharded``), and ``codes``
+    to score against an already-encoded corpus (the (id, s, code)
+    table ``_pq_assign`` produces for that codebook) — the
+    production shape, where the encoded corpus is a stored artifact
+    and only queries are scored fresh.
     """
     if cents is None:
         cents = pq_codebooks(
             corpus, id_col, vec_col, m, ksub, sub_dim, iters
         )
-    cvecs = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double_array(vec_col).alias("__v"),
-    )
-    codes = _pq_assign(
-        _subvectors(cvecs, "neighbor_id", F.col("__v"), m, sub_dim),
-        cents,
-        "neighbor_id",
-    )
+    if codes is None:
+        cvecs = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_array(vec_col).alias("__v"),
+        )
+        codes = _pq_assign(
+            _subvectors(cvecs, "neighbor_id", F.col("__v"), m, sub_dim),
+            cents,
+            "neighbor_id",
+        )
     qvecs = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("__v")
     )

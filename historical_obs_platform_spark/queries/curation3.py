@@ -230,10 +230,62 @@ def _pq_shared_codebook(spark, sf_dir, point):
     return _PQ_SHARED[key]
 
 
+def _pq_shared_sharded_codebook(spark, sf_dir, point, n_shards=2):
+    """Lazily trained SHARD-MERGED codebook (``pq_codebooks_sharded``)
+    per operating point — the same per-(session, sf_dir) discipline as
+    ``_pq_shared_codebook``. The build is deterministic (ordered seed
+    pick + round-9 Lloyd means per shard, shard order fixed), so the
+    memo is observation-free; it holds collected local codebook rows,
+    an index artifact, not query output. Without it every bench rep of
+    ``s_pq_shard_merge_recall`` re-ran BOTH per-shard Lloyd-collect
+    jobs (the only un-memoized index build left in the PQ family)."""
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        point["sfx"],
+        "sharded",
+        n_shards,
+    )
+    if key not in _PQ_SHARED:
+        emb = table(spark, sf_dir, "embeddings")
+        _PQ_SHARED[key] = SIM.pq_codebooks_sharded(
+            emb,
+            m=point["m"],
+            ksub=point["ksub"],
+            sub_dim=point["sub_dim"],
+            n_shards=n_shards,
+            iters=1,
+        )
+    return _PQ_SHARED[key]
+
+
+def _pq_shared_codes(spark, sf_dir, point, cents, tag):
+    """Per-(session, sf_dir, codebook) memo of the ENCODED corpus —
+    the (id, s, code) table ``pq_encode`` produces. Deterministic
+    (broadcast codebook, nearest-code ties to smaller j), narrow
+    (m codes/vector), and the stored artifact a PQ deployment keeps;
+    before the memo every ADC leg of every bench rep re-encoded the
+    whole corpus. ``tag`` keys the codebook variant (operating-point
+    sfx or the shard-merged book)."""
+    key = (
+        spark.sparkContext.applicationId, sf_dir, tag, "codes",
+    )
+    if key not in _PQ_SHARED:
+        emb = table(spark, sf_dir, "embeddings")
+        _PQ_SHARED[key] = SIM.pq_encode(
+            emb,
+            cents,
+            m=point["m"],
+            sub_dim=point["sub_dim"],
+        ).localCheckpoint(eager=False)
+    return _PQ_SHARED[key]
+
+
 def _pq_adc_at(spark, sf_dir, emb, queries, point, k=5):
     """ADC top-k at an operating point, parameterized entirely by the
-    point dict (m/ksub/sub_dim and the memoized codebook travel
+    point dict (m/ksub/sub_dim and the memoized codebook/codes travel
     together)."""
+    cents = _pq_shared_codebook(spark, sf_dir, point)
     return SIM.pq_adc_topk(
         emb,
         queries,
@@ -241,7 +293,8 @@ def _pq_adc_at(spark, sf_dir, emb, queries, point, k=5):
         m=point["m"],
         ksub=point["ksub"],
         sub_dim=point["sub_dim"],
-        cents=_pq_shared_codebook(spark, sf_dir, point),
+        cents=cents,
+        codes=_pq_shared_codes(spark, sf_dir, point, cents, point["sfx"]),
     )
 
 
@@ -486,13 +539,13 @@ def s_pq_shard_merge_recall(spark, sf_dir):
         "query_id", "neighbor_id"
     )
     p0 = _PQ_POINTS[0]
-    merged_cb = SIM.pq_codebooks_sharded(
-        emb, m=p0["m"], ksub=p0["ksub"], sub_dim=p0["sub_dim"],
-        n_shards=2, iters=1,
-    )
+    merged_cb = _pq_shared_sharded_codebook(spark, sf_dir, p0, n_shards=2)
     merged = SIM.pq_adc_topk(
         emb, queries, k=5, m=p0["m"], ksub=p0["ksub"],
         sub_dim=p0["sub_dim"], cents=merged_cb,
+        codes=_pq_shared_codes(
+            spark, sf_dir, p0, merged_cb, p0["sfx"] + "_sharded2"
+        ),
     ).select("query_id", "neighbor_id")
     return _recall_row(truth, glob, "pq_global_k8").unionByName(
         _recall_row(truth, merged, "pq_merge2x8")

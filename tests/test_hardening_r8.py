@@ -461,3 +461,180 @@ def test_dup_components_shared_identical_to_direct(spark):
     assert _dup_components_shared(spark, sf_dir) is _dup_components_shared(
         spark, sf_dir
     )
+
+
+def test_pq_sharded_codebook_shared_identical_to_direct(spark):
+    """The session-shared shard-merged PQ codebook must equal a direct
+    ``pq_codebooks_sharded`` fit (deterministic seeds + round-9 Lloyd
+    means per shard, fixed shard order) — sharing the build cannot
+    change the merge-recall harness's rows."""
+    from historical_obs_platform_spark.operators import similarity as SIM
+    from historical_obs_platform_spark.queries.common import table
+    from historical_obs_platform_spark.queries.curation3 import (
+        _PQ_POINTS,
+        _pq_shared_sharded_codebook,
+    )
+
+    sf_dir = SF_SMALL
+    p0 = _PQ_POINTS[0]
+    emb = table(spark, sf_dir, "embeddings")
+    direct = sorted(
+        (r["s"], r["j"], tuple(r["__cent"]))
+        for r in SIM.pq_codebooks_sharded(
+            emb,
+            m=p0["m"],
+            ksub=p0["ksub"],
+            sub_dim=p0["sub_dim"],
+            n_shards=2,
+            iters=1,
+        ).collect()
+    )
+    shared = sorted(
+        (r["s"], r["j"], tuple(r["__cent"]))
+        for r in _pq_shared_sharded_codebook(
+            spark, sf_dir, p0, n_shards=2
+        ).collect()
+    )
+    assert shared == direct
+    assert _pq_shared_sharded_codebook(
+        spark, sf_dir, p0, n_shards=2
+    ) is _pq_shared_sharded_codebook(spark, sf_dir, p0, n_shards=2)
+
+
+def test_cos_truth_shared_identical_to_direct(spark):
+    """The session-shared exact-cosine truth table must equal a direct
+    cosine_topk_prepped pass (round-6 similarity, neighbor_id tie
+    break — fully deterministic), so sharing it between the recall
+    harnesses cannot change their recall rows."""
+    from historical_obs_platform_spark.operators import similarity as SIM
+    from historical_obs_platform_spark.queries.common import table
+    from historical_obs_platform_spark.queries.textops import (
+        _cos_truth_shared,
+    )
+    from pyspark.sql import functions as F
+
+    sf_dir = SF_SMALL
+    emb = table(spark, sf_dir, "embeddings")
+    c = SIM.prep_corpus(emb, "vec_id", "embedding")
+    q = SIM.prep_queries(
+        emb.where(F.col("vec_id") < 10), "vec_id", "embedding"
+    )
+    direct = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"], r["rank"])
+        for r in SIM.cosine_topk_prepped(c, q, k=5).collect()
+    )
+    shared = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"], r["rank"])
+        for r in _cos_truth_shared(spark, sf_dir, k=5).collect()
+    )
+    assert shared == direct
+    assert _cos_truth_shared(spark, sf_dir, k=5) is _cos_truth_shared(
+        spark, sf_dir, k=5
+    )
+
+
+def test_contamination_shared_shingles_equal_fresh(spark):
+    """The shared near-dup shingle handle filtered to doc_id < 1e6
+    must equal a fresh word_shingles build over the documents table
+    (word_shingles is per-row; the shared corpus's low ids are the
+    documents verbatim)."""
+    from historical_obs_platform_spark.operators import dedup as DD
+    from historical_obs_platform_spark.queries.common import table
+    from historical_obs_platform_spark.queries.textops import _lsh_shared
+    from pyspark.sql import functions as F
+
+    sf_dir = SF_SMALL
+    docs = table(spark, sf_dir, "documents")
+    fresh = sorted(
+        (r["doc_id"], r["shingle"])
+        for r in DD.word_shingles(docs, "doc_id", "text", n=2).collect()
+    )
+    sh_all, _cand = _lsh_shared(spark, sf_dir)
+    shared = sorted(
+        (r["doc_id"], r["shingle"])
+        for r in sh_all.where(F.col("doc_id") < 1000000).collect()
+    )
+    assert shared == fresh
+
+
+def test_prefix_shared_shingles_equal_fresh(spark):
+    """The shared shingle handle filtered to pmod(id,1e6)%20==0 must
+    equal a fresh shingle build over d_prefix_jaccard_pairs'
+    decimated+doubled corpus (identical per-row construction)."""
+    from historical_obs_platform_spark.operators import dedup as DD
+    from historical_obs_platform_spark.queries.common import table
+    from historical_obs_platform_spark.queries.textops import _lsh_shared
+    from pyspark.sql import functions as F
+
+    sf_dir = SF_SMALL
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 20 == 0)
+        .select("doc_id", "text")
+    )
+    corpus = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzextra")).alias("text"),
+        )
+    )
+    fresh = sorted(
+        (r["doc_id"], r["shingle"])
+        for r in DD.word_shingles(corpus, "doc_id", "text", n=2).collect()
+    )
+    sh_all, _cand = _lsh_shared(spark, sf_dir)
+    shared = sorted(
+        (r["doc_id"], r["shingle"])
+        for r in sh_all.where(
+            F.pmod(F.col("doc_id"), F.lit(1000000)) % 20 == 0
+        ).collect()
+    )
+    assert shared == fresh
+
+
+def test_pq_shared_codes_identical_to_fresh_encode(spark):
+    """The session-shared encoded-corpus table must equal a fresh
+    pq_encode pass against the same codebook (deterministic nearest-
+    code pick), and pq_adc_topk(codes=shared) must return exactly the
+    rows of the self-encoding path."""
+    from historical_obs_platform_spark.operators import similarity as SIM
+    from historical_obs_platform_spark.queries.common import table
+    from historical_obs_platform_spark.queries.curation3 import (
+        _PQ_POINTS,
+        _pq_shared_codebook,
+        _pq_shared_codes,
+    )
+    from pyspark.sql import functions as F
+
+    sf_dir = SF_SMALL
+    p0 = _PQ_POINTS[0]
+    emb = table(spark, sf_dir, "embeddings")
+    cents = _pq_shared_codebook(spark, sf_dir, p0)
+    fresh = sorted(
+        (r["neighbor_id"], r["s"], r["code"])
+        for r in SIM.pq_encode(
+            emb, cents, m=p0["m"], sub_dim=p0["sub_dim"]
+        ).collect()
+    )
+    shared = sorted(
+        (r["neighbor_id"], r["s"], r["code"])
+        for r in _pq_shared_codes(
+            spark, sf_dir, p0, cents, p0["sfx"]
+        ).collect()
+    )
+    assert shared == fresh
+    queries = emb.where(F.col("vec_id") < 10)
+    self_enc = sorted(
+        tuple(r) for r in SIM.pq_adc_topk(
+            emb, queries, k=5, m=p0["m"], ksub=p0["ksub"],
+            sub_dim=p0["sub_dim"], cents=cents,
+        ).collect()
+    )
+    with_codes = sorted(
+        tuple(r) for r in SIM.pq_adc_topk(
+            emb, queries, k=5, m=p0["m"], ksub=p0["ksub"],
+            sub_dim=p0["sub_dim"], cents=cents,
+            codes=_pq_shared_codes(spark, sf_dir, p0, cents, p0["sfx"]),
+        ).collect()
+    )
+    assert with_codes == self_enc
