@@ -422,6 +422,8 @@ def lsh_ann_topk(
     n_planes: int = 4,
     n_tables: int = 2,
     round_to: int = 6,
+    prepped_corpus: DataFrame | None = None,
+    corpus_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing an LSH bucket
     with the query in ANY of ``n_tables`` hash tables (multi-table
@@ -431,11 +433,23 @@ def lsh_ann_topk(
     product. The 100 TB plan: the corpus is hashed once per table
     (map-only), shuffled once on bucket, and queries broadcast — the
     corpus never self-joins.
+
+    ``prepped_corpus`` / ``corpus_buckets`` let a caller supply the
+    stored index sides (``prep_corpus`` / ``lsh_corpus_buckets``
+    output for the same corpus and knobs) instead of rebuilding them
+    — the production shape, where the hashed corpus is a persisted
+    artifact and only queries hash fresh.
     """
-    c = prep_corpus(corpus, id_col, vec_col)
+    c = (
+        prepped_corpus
+        if prepped_corpus is not None
+        else prep_corpus(corpus, id_col, vec_col)
+    )
     q = prep_queries(queries, id_col, vec_col)
     cand = lsh_candidates(
-        lsh_corpus_buckets(c, dim, n_planes, n_tables),
+        corpus_buckets
+        if corpus_buckets is not None
+        else lsh_corpus_buckets(c, dim, n_planes, n_tables),
         lsh_query_keys(q, dim, n_planes, n_tables, n_probes=0),
     )
     return score_candidates_topk(cand, c, q, k=k, round_to=round_to)
@@ -585,6 +599,8 @@ def lsh_multiprobe_topk(
     n_tables: int = 2,
     n_probes: int = 2,
     round_to: int = 6,
+    prepped_corpus: DataFrame | None = None,
+    corpus_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-probe LSH top-k (Lv et al., VLDB'07): besides its own
     bucket, each query probes the ``n_probes`` Hamming-1 neighbor
@@ -603,11 +619,18 @@ def lsh_multiprobe_topk(
     """
     # corpus side hashes through the SAME helper as lsh_ann_topk —
     # the recall comparison assumes both paths bucket the corpus
-    # identically
-    c = prep_corpus(corpus, id_col, vec_col)
+    # identically; prepped_corpus/corpus_buckets supply the stored
+    # index sides exactly as in lsh_ann_topk
+    c = (
+        prepped_corpus
+        if prepped_corpus is not None
+        else prep_corpus(corpus, id_col, vec_col)
+    )
     q = prep_queries(queries, id_col, vec_col)
     cand = lsh_candidates(
-        lsh_corpus_buckets(c, dim, n_planes, n_tables),
+        corpus_buckets
+        if corpus_buckets is not None
+        else lsh_corpus_buckets(c, dim, n_planes, n_tables),
         lsh_query_keys(q, dim, n_planes, n_tables, n_probes=n_probes),
     )
     return score_candidates_topk(cand, c, q, k=k, round_to=round_to)
@@ -819,6 +842,7 @@ def ivf_ann_topk(
     iters: int = 1,
     round_to: int = 6,
     cents: DataFrame | None = None,
+    corpus_cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their nearest
     coarse-quantizer cell; each query probes its ``nprobe`` closest
@@ -832,21 +856,30 @@ def ivf_ann_topk(
 
     ``cents`` lets a caller supply an already-built centroid table
     (e.g. a session-shared build) instead of refitting; it must come
-    from ``ivf_centroids`` with the same (corpus, n_cells, iters)."""
+    from ``ivf_centroids`` with the same (corpus, n_cells, iters).
+    ``corpus_cells`` additionally supplies the cell-assigned prepped
+    corpus (the ``attach_cells`` output for those centroids) — the
+    inverted-list artifact an IVF deployment stores."""
     cent = (
         cents
         if cents is not None
         else ivf_centroids(corpus, id_col, vec_col, n_cells, iters)
     )
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double_array(vec_col).alias("__cv"),
-    ).withColumn("__cn", norm(F.col("__cv")))
-    c = c.withColumn("__uv", F.transform("__cv", lambda x: x / F.col("__cn")))
-    # cell rides the corpus rows (map-only kernel) so candidates carry
-    # their vectors — no (id, cell)⋈corpus join to recover them
-    c_cells = attach_cells(c, cent)
+    if corpus_cells is not None:
+        c_cells = corpus_cells
+    else:
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_array(vec_col).alias("__cv"),
+        ).withColumn("__cn", norm(F.col("__cv")))
+        c = c.withColumn(
+            "__uv", F.transform("__cv", lambda x: x / F.col("__cn"))
+        )
+        # cell rides the corpus rows (map-only kernel) so candidates
+        # carry their vectors — no (id, cell)⋈corpus join to recover
+        # them
+        c_cells = attach_cells(c, cent)
 
     q = queries.select(
         F.col(id_col).alias("query_id"),

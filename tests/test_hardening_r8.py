@@ -638,3 +638,138 @@ def test_pq_shared_codes_identical_to_fresh_encode(spark):
         ).collect()
     )
     assert with_codes == self_enc
+
+
+def test_vec_lsh_shared_tables_equal_fresh_builds(spark):
+    """The shared 3-table vector-LSH bucket build, and its 2-table
+    prefix-filtered view, must equal fresh lsh_corpus_buckets builds
+    at those table counts (hyperplanes are global-plane-indexed, so
+    tables 0..n-1 are construction-identical across builds)."""
+    from historical_obs_platform_spark.operators import similarity as SIM
+    from historical_obs_platform_spark.queries.common import table
+    from historical_obs_platform_spark.queries.textops import (
+        _vec_lsh_shared,
+        _vec_lsh_tables,
+    )
+
+    sf_dir = SF_SMALL
+    emb = table(spark, sf_dir, "embeddings")
+    c_fresh = SIM.prep_corpus(emb, "vec_id", "embedding")
+    c, cb3 = _vec_lsh_shared(spark, sf_dir)
+    for n in (2, 3):
+        fresh = sorted(
+            (r["neighbor_id"], r["__b"])
+            for r in SIM.lsh_corpus_buckets(
+                c_fresh, dim=64, n_planes=4, n_tables=n
+            ).collect()
+        )
+        shared = sorted(
+            (r["neighbor_id"], r["__b"])
+            for r in _vec_lsh_tables(cb3, n).collect()
+        )
+        assert shared == fresh, f"n_tables={n}"
+    # prepped corpus identical to a fresh prep
+    assert sorted(
+        (r["neighbor_id"], tuple(r["__cv"]), r["__cn"])
+        for r in c.collect()
+    ) == sorted(
+        (r["neighbor_id"], tuple(r["__cv"]), r["__cn"])
+        for r in c_fresh.collect()
+    )
+
+
+def test_ivf_cells_shared_identical_to_operator_internal(spark):
+    """The shared cell-assigned corpus must equal the construction
+    ivf_ann_topk performs internally (same prep expressions + the
+    shared centroid fit), and ivf_ann_topk(corpus_cells=shared) must
+    return exactly the self-assembling path's rows."""
+    from historical_obs_platform_spark.operators import similarity as SIM
+    from historical_obs_platform_spark.queries.common import table
+    from historical_obs_platform_spark.queries.textops import (
+        _ivf_cells_shared,
+        _ivf_cent_shared,
+    )
+    from pyspark.sql import functions as F
+
+    sf_dir = SF_SMALL
+    emb = table(spark, sf_dir, "embeddings")
+    cent = _ivf_cent_shared(spark, sf_dir, 16, 1)
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        SIM.as_double_array("embedding").alias("__cv"),
+    ).withColumn("__cn", SIM.norm(F.col("__cv")))
+    c = c.withColumn(
+        "__uv", F.transform("__cv", lambda x: x / F.col("__cn"))
+    )
+    fresh = sorted(
+        (r["neighbor_id"], r["cell"])
+        for r in SIM.attach_cells(c, cent).collect()
+    )
+    shared = sorted(
+        (r["neighbor_id"], r["cell"])
+        for r in _ivf_cells_shared(spark, sf_dir, 16, 1).collect()
+    )
+    assert shared == fresh
+    queries = emb.where(F.col("vec_id") < 10)
+    self_built = sorted(
+        tuple(r)
+        for r in SIM.ivf_ann_topk(
+            emb, queries, k=5, n_cells=16, nprobe=4, cents=cent
+        ).collect()
+    )
+    with_cells = sorted(
+        tuple(r)
+        for r in SIM.ivf_ann_topk(
+            emb, queries, k=5, n_cells=16, nprobe=4, cents=cent,
+            corpus_cells=_ivf_cells_shared(spark, sf_dir, 16, 1),
+        ).collect()
+    )
+    assert with_cells == self_built
+
+
+def test_lsh_topk_prebuilt_index_equals_self_built(spark):
+    """lsh_ann_topk / lsh_multiprobe_topk with the shared prebuilt
+    (prep, buckets) must return exactly the self-building path's
+    rows."""
+    from historical_obs_platform_spark.operators import similarity as SIM
+    from historical_obs_platform_spark.queries.common import table
+    from historical_obs_platform_spark.queries.textops import (
+        _vec_lsh_shared,
+        _vec_lsh_tables,
+    )
+    from pyspark.sql import functions as F
+
+    sf_dir = SF_SMALL
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    c, cb3 = _vec_lsh_shared(spark, sf_dir)
+    plain_self = sorted(
+        tuple(r)
+        for r in SIM.lsh_ann_topk(
+            emb, queries, dim=64, k=5, n_planes=4, n_tables=3
+        ).collect()
+    )
+    plain_pre = sorted(
+        tuple(r)
+        for r in SIM.lsh_ann_topk(
+            emb, queries, dim=64, k=5, n_planes=4, n_tables=3,
+            prepped_corpus=c, corpus_buckets=cb3,
+        ).collect()
+    )
+    assert plain_pre == plain_self
+    mp_self = sorted(
+        tuple(r)
+        for r in SIM.lsh_multiprobe_topk(
+            emb, queries, dim=64, k=5, n_planes=4, n_tables=2,
+            n_probes=2,
+        ).collect()
+    )
+    mp_pre = sorted(
+        tuple(r)
+        for r in SIM.lsh_multiprobe_topk(
+            emb, queries, dim=64, k=5, n_planes=4, n_tables=2,
+            n_probes=2, prepped_corpus=c,
+            corpus_buckets=_vec_lsh_tables(cb3, 2),
+        ).collect()
+    )
+    assert mp_pre == mp_self
