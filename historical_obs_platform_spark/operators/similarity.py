@@ -1696,6 +1696,31 @@ def ivfpq_rerank_topk(
     )
 
 
+def semdedup_prepped(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iters: int = 1,
+) -> DataFrame:
+    """The SemDeDup clustering artifact: the corpus with its k-means
+    cell attached — deterministic fit (``ivf_centroids`` recipe) +
+    map-only nearest-cell assignment, returned as
+    (id, __v double-array, cell). Factored out of ``semdedup`` so a
+    caller can build it once and pass ``prepped_cells=``."""
+    cent = ivf_centroids(corpus, id_col, vec_col, n_cells, iters)
+    vecs = corpus.select(
+        F.col(id_col).alias("__id"),
+        _unit(as_double_array(vec_col)).alias("__uv"),
+    )
+    assign = _assign_cells(vecs, cent, "__id").withColumnRenamed(
+        "__id", id_col
+    )
+    return corpus.select(
+        F.col(id_col), as_double_array(vec_col).alias("__v")
+    ).join(assign, id_col)
+
+
 def semdedup(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -1704,6 +1729,7 @@ def semdedup(
     iters: int = 1,
     threshold: float = 0.95,
     round_to: int = 6,
+    prepped_cells: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by k-means clustering + within-cluster cosine
@@ -1723,18 +1749,17 @@ def semdedup(
     ``n_cells`` with the corpus to hold cells constant.
 
     Returns (id, cell, dropped) for every corpus row.
+
+    ``prepped_cells`` lets a caller supply the cell-assigned corpus
+    (the ``semdedup_prepped`` output for the same corpus and knobs) —
+    the stored clustering artifact — instead of refitting and
+    re-assigning per call.
     """
-    cent = ivf_centroids(corpus, id_col, vec_col, n_cells, iters)
-    vecs = corpus.select(
-        F.col(id_col).alias("__id"),
-        _unit(as_double_array(vec_col)).alias("__uv"),
+    prepped = (
+        prepped_cells
+        if prepped_cells is not None
+        else semdedup_prepped(corpus, id_col, vec_col, n_cells, iters)
     )
-    assign = _assign_cells(vecs, cent, "__id").withColumnRenamed(
-        "__id", id_col
-    )
-    prepped = corpus.select(
-        F.col(id_col), as_double_array(vec_col).alias("__v")
-    ).join(assign, id_col)
     # the prefilter margin must cover the caller's rounding step: a
     # raw cosine up to 0.5·10^-round_to BELOW the threshold still
     # rounds up to it, so it must survive the kernel's early cut

@@ -777,3 +777,100 @@ def test_lsh_topk_prebuilt_index_equals_self_built(spark):
         ).collect()
     )
     assert mp_pre == mp_self
+
+
+def test_span_grams_shared_identical_to_inline_build(spark):
+    """The session-shared positional gram table must equal the inline
+    construction d_substring_spans previously performed per rep."""
+    from historical_obs_platform_spark.operators import dedup as DD
+    from historical_obs_platform_spark.queries.common import table
+    from historical_obs_platform_spark.queries.curation3 import (
+        _SPAN_GRAM,
+        _span_grams_shared,
+    )
+    from pyspark.sql import functions as F
+
+    sf_dir = SF_SMALL
+    docs = table(spark, sf_dir, "documents")
+    toks0 = docs.select(
+        "doc_id", F.split(DD.normalize_text("text"), " ").alias("t")
+    )
+    corpus = toks0.select(F.col("doc_id").alias("id"), "t").unionByName(
+        toks0.where(F.size("t") >= 40).select(
+            (F.col("doc_id") + 1000000).alias("id"),
+            F.slice("t", 6, 30).alias("t"),
+        )
+    )
+    n = _SPAN_GRAM
+    fresh = sorted(
+        (r["id"], r["p"], r["gram"])
+        for r in corpus.where(F.size("t") >= n)
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                    lambda p: F.struct(
+                        p.cast("long").alias("p"),
+                        F.md5(
+                            F.concat_ws(" ", F.slice("t", p, n))
+                        ).alias("gram"),
+                    ),
+                )
+            ).alias("__g"),
+        )
+        .select("id", F.col("__g.p").alias("p"), F.col("__g.gram").alias("gram"))
+        .collect()
+    )
+    shared = sorted(
+        (r["id"], r["p"], r["gram"])
+        for r in _span_grams_shared(spark, sf_dir).collect()
+    )
+    assert shared == fresh
+    assert _span_grams_shared(spark, sf_dir) is _span_grams_shared(
+        spark, sf_dir
+    )
+
+
+def test_semdedup_prepped_shared_identical_and_equivalent(spark):
+    """The session-shared SemDeDup clustering artifact must equal a
+    fresh semdedup_prepped build on the doubled-id corpus, and
+    semdedup(prepped_cells=shared) must return exactly the
+    self-building path's rows."""
+    from historical_obs_platform_spark.operators import similarity as SIM
+    from historical_obs_platform_spark.queries.common import table
+    from historical_obs_platform_spark.queries.curation3 import (
+        _N_CELLS,
+        _SEM_THRESHOLD,
+        _semdedup_corpus,
+        _semdedup_prepped_shared,
+    )
+
+    sf_dir = SF_SMALL
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = _semdedup_corpus(emb)
+    fresh = sorted(
+        (r["vec_id"], r["cell"])
+        for r in SIM.semdedup_prepped(
+            corpus, n_cells=_N_CELLS, iters=1
+        ).collect()
+    )
+    shared = sorted(
+        (r["vec_id"], r["cell"])
+        for r in _semdedup_prepped_shared(spark, sf_dir).collect()
+    )
+    assert shared == fresh
+    self_built = sorted(
+        tuple(r)
+        for r in SIM.semdedup(
+            corpus, n_cells=_N_CELLS, iters=1, threshold=_SEM_THRESHOLD
+        ).collect()
+    )
+    with_prepped = sorted(
+        tuple(r)
+        for r in SIM.semdedup(
+            corpus, n_cells=_N_CELLS, iters=1, threshold=_SEM_THRESHOLD,
+            prepped_cells=_semdedup_prepped_shared(spark, sf_dir),
+        ).collect()
+    )
+    assert with_prepped == self_built
