@@ -1327,15 +1327,9 @@ def pq_adc_topk(
             corpus, id_col, vec_col, m, ksub, sub_dim, iters
         )
     if codes is None:
-        cvecs = corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            as_double_array(vec_col).alias("__v"),
-        )
-        codes = _pq_assign(
-            _subvectors(cvecs, "neighbor_id", F.col("__v"), m, sub_dim),
-            cents,
-            "neighbor_id",
-        )
+        # single encode path — keep in lockstep with pq_encode so the
+        # inline branch cannot drift from the factored artifact build
+        codes = pq_encode(corpus, cents, id_col, vec_col, m, sub_dim)
     qvecs = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("__v")
     )

@@ -266,19 +266,29 @@ def _pq_shared_codes(spark, sf_dir, point, cents, tag):
     (m codes/vector), and the stored artifact a PQ deployment keeps;
     before the memo every ADC leg of every bench rep re-encoded the
     whole corpus. ``tag`` keys the codebook variant (operating-point
-    sfx or the shard-merged book)."""
+    sfx or the shard-merged book); the memo additionally pins the
+    codebook OBJECT it encoded against and rebuilds on mismatch, so a
+    future caller reusing a tag with a different ``cents`` cannot
+    silently score codes encoded against the wrong codebook (r8
+    ADVICE item 3). Holding the cents reference in the entry keeps it
+    alive, so the identity check cannot be confused by CPython id
+    reuse after GC."""
     key = (
         spark.sparkContext.applicationId, sf_dir, tag, "codes",
     )
-    if key not in _PQ_SHARED:
+    entry = _PQ_SHARED.get(key)
+    if entry is None or entry[0] is not cents:
         emb = table(spark, sf_dir, "embeddings")
-        _PQ_SHARED[key] = SIM.pq_encode(
-            emb,
+        _PQ_SHARED[key] = (
             cents,
-            m=point["m"],
-            sub_dim=point["sub_dim"],
-        ).localCheckpoint(eager=False)
-    return _PQ_SHARED[key]
+            SIM.pq_encode(
+                emb,
+                cents,
+                m=point["m"],
+                sub_dim=point["sub_dim"],
+            ).localCheckpoint(eager=False),
+        )
+    return _PQ_SHARED[key][1]
 
 
 def _pq_adc_at(spark, sf_dir, emb, queries, point, k=5):

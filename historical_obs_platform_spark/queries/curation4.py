@@ -689,31 +689,49 @@ def d_lsh_recall(spark, sf_dir):
     sample_sh = shingles.where(in_sample("doc_id")).select(
         F.col("doc_id").alias("s_doc"), "shingle"
     )
-    sizes = shingles.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("sz")
+    # referenced by BOTH size-attach legs — materialize the per-doc
+    # size table once instead of running the corpus-wide aggregation
+    # twice (plans are trees)
+    sizes = (
+        shingles.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .localCheckpoint(eager=False)
     )
+    # Broadcast the 100-doc sample's shingles: the inverted-index join
+    # becomes map-side over the corpus shingle table (no shuffle of the
+    # corpus side — guide §3.1), feeding the (a, b) partial agg
+    # directly. The former corpus-sized DISTINCT on (a, b, shingle) is
+    # replaced by an orientation filter proven equivalent:
+    # word_shingles is distinct per (doc, shingle), so a sample-vs-
+    # non-sample pair produces exactly one row, and a sample-vs-sample
+    # pair produces both orientations — keeping only s_doc < o_doc for
+    # those leaves every (a, b, shingle) exactly once (guide §2.4: a
+    # distinct on data that is already unique is a free shuffle).
     inter = (
-        sample_sh.join(
-            shingles.select(F.col("doc_id").alias("o_doc"), "shingle"),
-            "shingle",
-        )
+        shingles.select(F.col("doc_id").alias("o_doc"), "shingle")
+        .join(F.broadcast(sample_sh), "shingle")
         .where(F.col("s_doc") != F.col("o_doc"))
+        .where((~in_sample("o_doc")) | (F.col("s_doc") < F.col("o_doc")))
         .select(
             F.least("s_doc", "o_doc").alias("a"),
             F.greatest("s_doc", "o_doc").alias("b"),
-            "shingle",
         )
-        .distinct()
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # size attach: broadcast the PAIR-sized side (bounded by the
+    # sample), never the corpus-sized ``sizes`` table — each join is
+    # then one map-side pass over sizes at any scale
+    with_sza = F.broadcast(inter).join(
+        sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza")),
+        "a",
+    )
     truth = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza")),
-            "a",
-        )
+        F.broadcast(with_sza)
         .join(
-            sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb")),
+            sizes.select(
+                F.col("doc_id").alias("b"), F.col("sz").alias("szb")
+            ),
             "b",
         )
         .where(
@@ -725,9 +743,6 @@ def d_lsh_recall(spark, sf_dir):
             >= 0.5
         )
         .select("a", "b")
-        # referenced by the hit join AND the n_truth aggregate; the
-        # sample×corpus inverted-index join would otherwise run twice
-        .localCheckpoint(eager=False)
     )
     cand_norm = (
         cand.where(in_sample("a") | in_sample("b"))
@@ -736,17 +751,28 @@ def d_lsh_recall(spark, sf_dir):
         )
         .distinct()
     )
-    hit = truth.join(cand_norm, ["a", "b"])
-    return (
-        truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
-        .crossJoin(hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit")))
-        .select(
-            "n_truth",
-            "n_hit",
-            F.round(
-                F.col("n_hit") / F.greatest(F.col("n_truth"), F.lit(1)), 6
-            ).alias("recall"),
-        )
+    # n_truth and n_hit in ONE pass over truth: a left join against
+    # the (tiny, unique) candidate pair set marks each truth pair,
+    # count(*) vs count(mark) replaces the former two separate
+    # aggregates (which duplicated the whole truth subtree — plans
+    # are trees — and needed a checkpoint to stay single-build).
+    # truth pairs are unique (groupBy output), cand_norm is distinct,
+    # so the left join is row-preserving and count(mark) = |truth ∩
+    # cand| exactly as the old inner-join count.
+    marked = truth.join(
+        F.broadcast(cand_norm.withColumn("__c", F.lit(1))),
+        ["a", "b"],
+        "left",
+    )
+    return marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth"),
+        F.count("__c").cast("long").alias("n_hit"),
+    ).select(
+        "n_truth",
+        "n_hit",
+        F.round(
+            F.col("n_hit") / F.greatest(F.col("n_truth"), F.lit(1)), 6
+        ).alias("recall"),
     )
 
 

@@ -608,7 +608,13 @@ def o13_table_profile(spark, sf_dir):
     At 100 TB swap the exact distinct for the HLL registers as
     documented above."""
     li = table(spark, sf_dir, "lineitem")
-    total = li.agg(F.count(F.lit(1)).alias("__total"))
+    # NULL cells stay in the unpivot as (col, NULL) pairs, so the
+    # null count per column comes out of the SAME collapsed table —
+    # the previous separate total-count aggregate was a second full
+    # lineitem scan just to derive n_null = total - n_nonnull
+    # (guide §1.2: one pass where one pass suffices). Every input row
+    # contributes exactly one pair per column, so
+    # sum(cnt | value IS NULL) is exactly that column's null count.
     pairs = li.select(
         F.explode(
             F.array(
@@ -621,33 +627,26 @@ def o13_table_profile(spark, sf_dir):
             )
         ).alias("p")
     ).select("p.col", "p.value")
-    collapsed = (
-        pairs.where(F.col("value").isNotNull())
-        .groupBy("col", "value")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    collapsed = pairs.groupBy("col", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    stats = (
-        collapsed.groupBy("col")
-        .agg(
-            F.sum("cnt").alias("__n_nonnull"),
-            F.count(F.lit(1)).cast("long").alias("n_distinct"),
-            F.min("value").cast("double").alias("min_v"),
-            F.max("value").cast("double").alias("max_v"),
-            F.sum(F.col("value") * F.col("cnt"))
-            .cast("double")
-            .alias("sum_v"),
+    stats = collapsed.groupBy("col").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("value").isNull(), F.col("cnt"))),
+            F.lit(0),
         )
-        .crossJoin(F.broadcast(total))
-    )
-    return stats.select(
-        "col",
-        (F.col("__total") - F.col("__n_nonnull"))
         .cast("long")
         .alias("n_null"),
-        "n_distinct",
-        "min_v",
-        "max_v",
-        "sum_v",
+        # one collapsed row per distinct non-null value
+        F.count("value").cast("long").alias("n_distinct"),
+        F.min("value").cast("double").alias("min_v"),
+        F.max("value").cast("double").alias("max_v"),
+        F.sum(F.col("value") * F.col("cnt"))
+        .cast("double")
+        .alias("sum_v"),
+    )
+    return stats.select(
+        "col", "n_null", "n_distinct", "min_v", "max_v", "sum_v"
     )
 
 
@@ -1769,6 +1768,11 @@ def a22_mann_kendall(spark, sf_dir):
         .alias("s"),
         F.count(F.lit(1)).cast("long").alias("c"),
     )
+    # both self-join sides reference daily — materialize the tiny
+    # per-day aggregate once instead of executing the events
+    # aggregation twice (plans are trees); the known materialized size
+    # also lets the planner broadcast one join side when small
+    daily = daily.localCheckpoint(eager=False)
     a, b = daily.alias("a"), daily.alias("b")
     cross = F.col("b.s") * F.col("a.c") - F.col("a.s") * F.col("b.c")
     pairs = a.join(
@@ -1955,6 +1959,11 @@ def a23_theil_sen(spark, sf_dir):
         .alias("s"),
         F.count(F.lit(1)).cast("long").alias("c"),
     )
+    # both self-join sides reference daily — materialize the tiny
+    # per-day aggregate once instead of executing the events
+    # aggregation twice (plans are trees); the known materialized size
+    # also lets the planner broadcast one join side when small
+    daily = daily.localCheckpoint(eager=False)
     a, b = daily.alias("a"), daily.alias("b")
     slope = (
         (F.col("b.s").cast("double") / F.col("b.c"))
@@ -2374,39 +2383,58 @@ def a26_acf(spark, sf_dir):
         *[F.lead("y", k).over(w).alias(f"y{k}") for k in _ACF_LAGS],
     )
     big = "decimal(38,0)"
-    out = None
+    # ONE aggregation computes every lag's (n_pairs, num) plus the
+    # shared den, then an in-row explode unpivots to (station, lag)
+    # rows. The previous per-lag union re-executed the whole
+    # events-scan -> daily-agg -> window subtree once per lag (4
+    # corpus passes; Spark plans are trees) — same exact integer
+    # arithmetic, same HAVING, one pass (guide §2.4 / §1.2 "don't
+    # compute things twice").
+    den = F.sum(
+        (F.col("n") * F.col("y") - F.col("s")).cast(big)
+        * (F.col("n") * F.col("y") - F.col("s"))
+    ).cast(big)
+    aggs = [den.alias("__den")]
     for k in _ACF_LAGS:
-        num = F.sum(
-            F.when(
-                F.col(f"y{k}").isNotNull(),
-                (
-                    (F.col("n") * F.col("y") - F.col("s")).cast(big)
-                    * (F.col("n") * F.col(f"y{k}") - F.col("s"))
-                ),
-            )
-        ).cast(big)
-        den = F.sum(
-            (F.col("n") * F.col("y") - F.col("s")).cast(big)
-            * (F.col("n") * F.col("y") - F.col("s"))
-        ).cast(big)
-        row = (
-            led.groupBy("station")
-            .agg(
-                F.count(F.col(f"y{k}")).cast("long").alias("n_pairs"),
-                num.alias("__num"),
-                den.alias("__den"),
-            )
-            .where(F.col("n_pairs") > 0)
-            .select(
-                "station",
-                F.lit(k).cast("long").alias("lag"),
-                "n_pairs",
-                F.expr(f"CAST((__num * 1000000) DIV __den AS BIGINT)")
-                .alias("acf_ppm"),
-            )
+        aggs.append(
+            F.count(F.col(f"y{k}")).cast("long").alias(f"__np{k}")
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col(f"y{k}").isNotNull(),
+                    (
+                        (F.col("n") * F.col("y") - F.col("s")).cast(big)
+                        * (F.col("n") * F.col(f"y{k}") - F.col("s"))
+                    ),
+                )
+            )
+            .cast(big)
+            .alias(f"__num{k}")
+        )
+    wide = led.groupBy("station").agg(*aggs)
+    return (
+        wide.select(
+            "station",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).cast("long").alias("lag"),
+                            F.col(f"__np{k}").alias("n_pairs"),
+                            F.expr(
+                                f"CAST((__num{k} * 1000000) DIV __den"
+                                " AS BIGINT)"
+                            ).alias("acf_ppm"),
+                        )
+                        for k in _ACF_LAGS
+                    ]
+                )
+            ).alias("__r"),
+        )
+        .select("station", "__r.lag", "__r.n_pairs", "__r.acf_ppm")
+        .where(F.col("n_pairs") > 0)
+    )
 
 
 # --------------------------------------------------------------------

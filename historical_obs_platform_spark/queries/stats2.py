@@ -767,17 +767,31 @@ def a39_bootstrap_ci(spark, sf_dir):
             F.count(F.lit(1)).over(wc).alias("n_reps"),
         )
     )
-    lo = rm.where(F.col("rn") == 2).select(
-        "event_type",
-        F.col("mean_b").alias("lo_m"),
-        F.col("n_reps").alias("n_reps"),
-    )
-    hi = rm.where(F.col("rn") == F.col("n_reps") - 1).select(
-        "event_type", F.col("mean_b").alias("hi_m")
+    # ONE conditional aggregation picks both order statistics: the
+    # former separate lo/hi branches each re-executed the whole
+    # B×-exploded weighted-replicate aggregation (Spark plans are
+    # trees), doubling the dominant stage. max(when(...)) over the
+    # per-(event_type) band rows selects exactly the rn==2 and
+    # rn==n_reps-1 values the branches did.
+    band = (
+        rm.groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("rn") == 2, F.col("mean_b"))).alias(
+                "lo_m"
+            ),
+            F.max(
+                F.when(
+                    F.col("rn") == F.col("n_reps") - 1, F.col("mean_b")
+                )
+            ).alias("hi_m"),
+            F.max("n_reps").alias("n_reps"),
+        )
+        # n_reps == 1 leaves both picks NULL; the former inner joins
+        # dropped such groups — keep that contract
+        .where(F.col("lo_m").isNotNull() & F.col("hi_m").isNotNull())
     )
     return (
-        pt.join(F.broadcast(lo), "event_type")
-        .join(F.broadcast(hi), "event_type")
+        pt.join(F.broadcast(band), "event_type")
         .select(
             "event_type",
             F.col("n").cast("long").alias("n"),

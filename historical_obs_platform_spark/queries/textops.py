@@ -251,6 +251,15 @@ def _near_corpus_spark(spark, sf_dir):
 # candidate tables to a staging location once per corpus version
 # (localCheckpoint is executor-local; see dedup.connected_components
 # for the reliable-checkpoint variant).
+#
+# Storage note (r8 ADVICE): these handles live for the application
+# with no eviction, so storage grows with the number of (sf_dir,
+# artifact) combinations touched — several are corpus-sized (the
+# 3-table bucket index, cell-assigned corpus, decimated shingles).
+# Blocks spill MEMORY_AND_DISK, so growth degrades to disk rather
+# than OOM; long-lived sessions that switch corpora should call
+# ``historical_obs_platform_spark.artifacts.unshare_all()`` between
+# corpora to release every memo (consumers rebuild lazily).
 _LSH_SHARED: dict[tuple, tuple] = {}
 
 
@@ -2243,6 +2252,7 @@ def s_ivf_nprobe_curve(spark, sf_dir):
             for r in df.select("query_id", "neighbor_id").collect()
         }
 
+    scored = None
     try:
         truth = pairs(_cos_truth_shared(spark, sf_dir, k=5))
         wk = Window.partitionBy("query_id").orderBy(
@@ -2293,11 +2303,14 @@ def s_ivf_nprobe_curve(spark, sf_dir):
         arms = {n: set() for n in _CURVE_PROBES}
         for r in arm_union.collect():
             arms[r["__n"]].add((r["query_id"], r["neighbor_id"]))
-        scored.unpersist()
     finally:
         # probe_all/scored are this call's own persists; c_cells is
-        # the shared session handle and must stay materialized
+        # the shared session handle and must stay materialized.
+        # scored unpersists here too so a collect that raises cannot
+        # leak its persisted blocks (r8 ADVICE item 1).
         probe_all.unpersist()
+        if scored is not None:
+            scored.unpersist()
 
     rows = [
         (
