@@ -203,6 +203,7 @@ def jaccard_pairs(
     id_col: str,
     min_jaccard: float = 0.0,
     candidates: DataFrame | None = None,
+    doc_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for document pairs.
 
@@ -223,11 +224,20 @@ def jaccard_pairs(
         # collect_set / countDistinct (not list/count): array_intersect
         # dedups n_common, so sz must count distinct shingles too or a
         # caller passing non-distinct (id, shingle) rows would silently
-        # underestimate jaccard.
-        doc_arrays = shingles.groupBy(id_col).agg(
-            F.collect_set("shingle").alias("__sh"),
-            F.countDistinct("shingle").alias("sz"),
-        )
+        # underestimate jaccard. ``doc_arrays`` lets a caller pass the
+        # prebuilt (id, __sh, sz) table — both join legs otherwise
+        # re-run this corpus-wide aggregation (plans are trees), and
+        # the d_* family's consumers all confirm against the same
+        # shared corpus (textops._lsh_doc_arrays_shared).
+        if doc_arrays is None:
+            doc_arrays = shingles.groupBy(id_col).agg(
+                F.collect_set("shingle").alias("__sh"),
+                F.countDistinct("shingle").alias("sz"),
+            )
+        else:
+            doc_arrays = doc_arrays.select(
+                F.col(id_col), F.col("__sh"), F.col("sz")
+            )
         aa = doc_arrays.select(
             F.col(id_col).alias("a"),
             F.col("__sh").alias("__sh_a"),

@@ -1646,6 +1646,7 @@ def ivfpq_rerank_topk(
     m: int = 4,
     sub_dim: int = 16,
     round_to: int = 6,
+    cand: DataFrame | None = None,
 ) -> DataFrame:
     """Residual re-ranking on top of ADC (the standard second stage
     of a compressed-vector retriever, Jégou TPAMI'11 §V.D): take the
@@ -1659,11 +1660,15 @@ def ivfpq_rerank_topk(
     (broadcast); the exact pass is one map-only broadcast join over
     the corpus — corpus vectors are touched once, no shuffle, no
     quadratic stage. Returns (query_id, neighbor_id, exact_d2,
-    rank)."""
-    cand = ivfpq_query(
-        cent, cb, codes, queries, id_col, vec_col, kprime, nprobe, m,
-        sub_dim, round_to,
-    ).select("query_id", "neighbor_id")
+    rank). Pass ``cand`` (a (query_id, neighbor_id) table equal to
+    the ADC top-kprime) to re-rank a prebuilt candidate set instead
+    of re-running the whole ADC scoring pipeline — the ``codes=``
+    precedent one stage later."""
+    if cand is None:
+        cand = ivfpq_query(
+            cent, cb, codes, queries, id_col, vec_col, kprime, nprobe,
+            m, sub_dim, round_to,
+        ).select("query_id", "neighbor_id")
     cvec = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _unit(as_double_array(vec_col)).alias("__cu"),

@@ -1056,11 +1056,29 @@ def s_ivfpq_rerank_recall(spark, sf_dir):
     queries = emb.where(F.col("vec_id") < 10)
     cent, cb, codes = _ivfpq_shared(spark, sf_dir)
     truth = _ivfpq_truth_shared(spark, sf_dir)
-    adc5 = SIM.ivfpq_query(
-        cent, cb, codes, queries, k=5, nprobe=4
-    ).select("query_id", "neighbor_id")
+    # ONE ADC scoring pass at the widest cut serves both arms: the
+    # plain-ADC top-5 is exactly rank<=5 of the same ranked window
+    # the top-25 candidate set comes from (same ordering, same
+    # row_number), and the re-rank arm scores that candidate table
+    # via cand= instead of re-running the whole ADC pipeline — the
+    # before plan ran the probe-join-score chain twice (18 parquet
+    # scans; 2 after).
+    adc25 = SIM.ivfpq_query(
+        cent, cb, codes, queries, k=25, nprobe=4
+    ).localCheckpoint(eager=False)
+    adc5 = adc25.where(F.col("rank") <= 5).select(
+        "query_id", "neighbor_id"
+    )
     rr5 = SIM.ivfpq_rerank_topk(
-        cent, cb, codes, emb, queries, k=5, kprime=25, nprobe=4
+        cent,
+        cb,
+        codes,
+        emb,
+        queries,
+        k=5,
+        kprime=25,
+        nprobe=4,
+        cand=adc25.select("query_id", "neighbor_id"),
     ).select("query_id", "neighbor_id")
     return _recall_row(truth, adc5, "ivfpq_adc@5").unionByName(
         _recall_row(truth, rr5, "ivfpq_rerank25@5")

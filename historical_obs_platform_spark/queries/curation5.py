@@ -785,11 +785,16 @@ FROM per_pair
 @query("d_minhash_estimate_error", _minhash_err_oracle())
 def d_minhash_estimate_error(spark, sf_dir):
     from ..operators import dedup as DD
-    from .textops import LSH_N_HASHES, _lsh_shared_full
+    from .textops import (
+        LSH_N_HASHES,
+        _lsh_doc_arrays_shared,
+        _lsh_shared_full,
+    )
 
     shingles, sigs, _buckets, cand = _lsh_shared_full(spark, sf_dir)
     pairs = DD.jaccard_pairs(
-        shingles, "doc_id", min_jaccard=0.0, candidates=cand
+        shingles, "doc_id", min_jaccard=0.0, candidates=cand,
+        doc_arrays=_lsh_doc_arrays_shared(spark, sf_dir),
     ).select("a", "b", "n_common", "sz_a", "sz_b")
     sa = sigs.select(
         F.col("doc_id").alias("a"),

@@ -592,13 +592,24 @@ def g_harmonic_landmarks(spark, sf_dir):
             .select("lm", F.col("v").alias("node"))
             .distinct()
             .join(seen, ["lm", "node"], "left_anti")
-            .localCheckpoint(eager=False)
         )
+        # the LAST hop's frontier is never re-expanded or anti-joined
+        # against — it feeds only the scoring aggregation, so
+        # materializing it (the largest table of the whole BFS,
+        # ~1.8 M (lm, node) pairs at sf0.1) would be pure block-write
+        # cost; earlier hops stay checkpointed because each is read
+        # by every later hop's expansion AND the final union
+        if hop < 3:
+            frontier = frontier.localCheckpoint(eager=False)
         frontiers.append(frontier.withColumn("hops", F.lit(hop)))
     reached = frontiers[0]
     for f in frontiers[1:]:
         reached = reached.unionByName(f)
-    md = reached.groupBy("lm", "node").agg(F.min("hops").alias("d"))
+    # the delta BFS admits each (lm, node) pair in exactly ONE
+    # frontier (per-hop distinct + anti-join against all earlier
+    # hops), so the former min(hops) groupBy was an identity — its
+    # exchange is pure cost; hops IS the BFS level d
+    md = reached.select("lm", "node", F.col("hops").alias("d"))
     d = F.col("d")
     hc = md.groupBy("node").agg(
         F.sum(F.when(d == 1, 1).otherwise(0)).alias("n1"),

@@ -305,6 +305,28 @@ def _lsh_shared(spark, sf_dir):
     return shingles, cand
 
 
+def _lsh_doc_arrays_shared(spark, sf_dir):
+    """Session-shared (doc_id, __sh set-array, sz) table of the full
+    near-dup corpus — the confirm-side view every exact-Jaccard /
+    containment consumer probes. Five queries each ran the corpus-
+    wide collect_set aggregation TWICE per rep (both join legs of
+    jaccard_pairs reference it; plans are trees); one checkpointed
+    build serves them all. Deterministic up to array order, which no
+    consumer observes (array_intersect + size only)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "docarrays")
+    if key not in _LSH_SHARED:
+        shingles, _cand = _lsh_shared(spark, sf_dir)
+        _LSH_SHARED[key] = (
+            shingles.groupBy("doc_id")
+            .agg(
+                F.collect_set("shingle").alias("__sh"),
+                F.countDistinct("shingle").alias("sz"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return _LSH_SHARED[key]
+
+
 def _pfx_shingles_shared(spark, sf_dir):
     """Session-shared DECIMATED shingle table for the prefix-filter
     query: the shared full-corpus handle filtered to every 20th
@@ -388,7 +410,8 @@ def _dup_components_shared(spark, sf_dir):
     if key not in _DUP_COMP_SHARED:
         shingles, cand = _lsh_shared(spark, sf_dir)
         pairs = DD.jaccard_pairs(
-            shingles, "doc_id", min_jaccard=0.5, candidates=cand
+            shingles, "doc_id", min_jaccard=0.5, candidates=cand,
+            doc_arrays=_lsh_doc_arrays_shared(spark, sf_dir),
         ).select("a", "b").localCheckpoint(eager=False)
         _DUP_COMP_SHARED[key] = DD.connected_components(
             pairs
@@ -403,7 +426,8 @@ def d_ngram_jaccard_pairs(spark, sf_dir):
     # materializes it once for the whole d_* family
     shingles, cand = _lsh_shared(spark, sf_dir)
     return DD.jaccard_pairs(
-        shingles, "doc_id", min_jaccard=0.5, candidates=cand
+        shingles, "doc_id", min_jaccard=0.5, candidates=cand,
+        doc_arrays=_lsh_doc_arrays_shared(spark, sf_dir),
     )
 
 
@@ -1514,18 +1538,41 @@ aggregate(
 
 @query("t_char_entropy", ENTROPY_ORACLE)
 def t_char_entropy(spark, sf_dir):
+    """Explode + two-level codegen aggregation (the oracle's own
+    shape): the former in-row ``aggregate`` fold ran an INTERPRETED
+    lambda per character (~10 M evals at sf0.1, measured 2x the
+    wall); exploding to (doc_id, char) rows keeps everything in
+    whole-stage codegen with map-side partial aggregation. Float
+    note: acc = sum(n*ln n) is now summed in partial-agg order
+    instead of sorted-char order — the reordering error is ~1e-13
+    relative against the 5e-7 slack of the final round(6), the same
+    tolerance class the oracle pairing already relies on (DuckDB's
+    parallel sum is unordered too)."""
     docs = table(spark, sf_dir, "documents")
     norm_sql = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
-    t = docs.select(
-        "doc_id",
-        F.length(F.expr(norm_sql)).cast("long").alias("n_chars"),
-        F.expr(_ENTROPY_EXPR % norm_sql).alias("__acc"),
-    ).where(F.col("n_chars") >= 1)
-    tt = F.col("n_chars").cast("double")
+    cnt = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.expr(norm_sql), "")).alias("c"),
+        )
+        # split('') can emit an empty element (and an empty document
+        # must produce NO output row, like the old length>=1 gate)
+        .where(F.col("c") != "")
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    per = cnt.groupBy("doc_id").agg(
+        F.sum("n").alias("t"),
+        F.sum(F.col("n") * F.log("n")).alias("__acc"),
+    )
     ln2 = 0.6931471805599453
-    entropy = (F.log(tt) - F.col("__acc") / tt) / F.lit(ln2)
-    return t.select(
-        "doc_id", "n_chars", F.round(entropy, 6).alias("char_entropy")
+    entropy = (F.log(F.col("t")) - F.col("__acc") / F.col("t")) / F.lit(
+        ln2
+    )
+    return per.where(F.col("t") >= 1).select(
+        "doc_id",
+        F.col("t").cast("long").alias("n_chars"),
+        F.round(entropy, 6).alias("char_entropy"),
     )
 
 
@@ -1633,7 +1680,8 @@ def d_containment_pairs(spark, sf_dir):
     corpus-quadratic."""
     shingles, cand = _lsh_shared(spark, sf_dir)
     pairs = DD.jaccard_pairs(
-        shingles, "doc_id", min_jaccard=0.0, candidates=cand
+        shingles, "doc_id", min_jaccard=0.0, candidates=cand,
+        doc_arrays=_lsh_doc_arrays_shared(spark, sf_dir),
     )
     containment = F.round(
         F.col("n_common")
@@ -1770,8 +1818,16 @@ def t_bigram_prob(spark, sf_dir):
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
-    c2t = bg.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("long").alias("c2")
+    # c2t feeds FOUR branches (c1t, both vocab legs, the score join);
+    # plans are trees, so without a materialization each branch
+    # re-ran the corpus tokenize-explode-aggregate — 10 parquet scans
+    # of documents in the before plan, 2 after. The bigram count
+    # table is the trained LM artifact (vocab²-bounded), exactly what
+    # a production run would store.
+    c2t = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+        .localCheckpoint(eager=False)
     )
     c1t = c2t.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
     # vocabulary from the (already distinct) bigram-count table, not
@@ -1880,7 +1936,8 @@ def d_incremental_neardup(spark, sf_dir):
         .distinct()
     )
     pairs = DD.jaccard_pairs(
-        shingles, "doc_id", min_jaccard=0.8, candidates=cand
+        shingles, "doc_id", min_jaccard=0.8, candidates=cand,
+        doc_arrays=_lsh_doc_arrays_shared(spark, sf_dir),
     )
     w = Window.partitionBy("b").orderBy(F.desc("jaccard"), F.asc("a"))
     return (
@@ -2387,5 +2444,6 @@ def d_lsh_star_jaccard(spark, sf_dir):
     shingles, _sigs, buckets, _cand = _lsh_shared_full(spark, sf_dir)
     cand = DD.lsh_star_pairs(buckets, "doc_id")
     return DD.jaccard_pairs(
-        shingles, "doc_id", min_jaccard=0.5, candidates=cand
+        shingles, "doc_id", min_jaccard=0.5, candidates=cand,
+        doc_arrays=_lsh_doc_arrays_shared(spark, sf_dir),
     )

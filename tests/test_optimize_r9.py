@@ -93,3 +93,47 @@ def test_nprobe_curve_unpersists_on_error(spark, monkeypatch):
         QUERIES["s_ivf_nprobe_curve"](spark, sf_dir)
     monkeypatch.undo()
     assert n_persisted() <= before
+
+
+def test_ivfpq_rerank_cand_path_identical(spark):
+    """ivfpq_rerank_topk(cand=prebuilt ADC top-kprime) must return
+    exactly the rows of the self-computed path, and the plain-ADC
+    top-5 must equal rank<=5 of the top-25 window (the one-pass
+    rewrite of s_ivfpq_rerank_recall)."""
+    from historical_obs_platform_spark.operators import similarity as SIM
+    from historical_obs_platform_spark.queries.common import table
+    from historical_obs_platform_spark.queries.curation3 import (
+        _ivfpq_shared,
+    )
+    from pyspark.sql import functions as F
+
+    sf_dir = SF_SMALL
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    cent, cb, codes = _ivfpq_shared(spark, sf_dir)
+    self_path = sorted(
+        tuple(r)
+        for r in SIM.ivfpq_rerank_topk(
+            cent, cb, codes, emb, queries, k=5, kprime=25, nprobe=4
+        ).collect()
+    )
+    adc25 = SIM.ivfpq_query(cent, cb, codes, queries, k=25, nprobe=4)
+    cand_path = sorted(
+        tuple(r)
+        for r in SIM.ivfpq_rerank_topk(
+            cent, cb, codes, emb, queries, k=5, kprime=25, nprobe=4,
+            cand=adc25.select("query_id", "neighbor_id"),
+        ).collect()
+    )
+    assert cand_path == self_path
+    adc5_direct = sorted(
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.ivfpq_query(
+            cent, cb, codes, queries, k=5, nprobe=4
+        ).collect()
+    )
+    adc5_from25 = sorted(
+        (r["query_id"], r["neighbor_id"])
+        for r in adc25.where(F.col("rank") <= 5).collect()
+    )
+    assert adc5_from25 == adc5_direct
