@@ -1014,6 +1014,12 @@ def mips_lsh_topk(
                 ),
             ),
         )
+        # referenced by every table's bucket build AND the exact
+        # rescore (plans are trees — each reference re-ran the corpus
+        # scan + the max-norm aggregate); one materialization. This
+        # augmented table is the stored artifact of a MIPS-LSH
+        # deployment anyway.
+        .localCheckpoint(eager=False)
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),

@@ -914,19 +914,36 @@ def o20_stats_maintenance(spark, sf_dir):
     dec = "decimal(38,4)"
 
     def stats(df, part):
-        out = None
-        for col in ["l_quantity", "l_extendedprice"]:
-            one = df.agg(
-                F.count(col).alias("cnt"),
-                F.sum(F.col(col).cast(dec)).cast(dec).alias("sm"),
-                F.min(col).cast("double").alias("mn"),
-                F.max(col).cast("double").alias("mx"),
-            ).select(
-                F.lit(part).alias("part"), F.lit(col).alias("col"),
-                "cnt", "sm", "mn", "mx",
-            )
-            out = one if out is None else out.unionByName(one)
-        return out
+        # ONE aggregation computes both columns' stats, unpivoted
+        # in-row — the per-column union re-scanned the input once per
+        # column (6 lineitem scans across the three parts; 3 after)
+        cols = ["l_quantity", "l_extendedprice"]
+        aggs = []
+        for i, col in enumerate(cols):
+            aggs += [
+                F.count(col).alias(f"__cnt{i}"),
+                F.sum(F.col(col).cast(dec)).cast(dec).alias(f"__sm{i}"),
+                F.min(col).cast("double").alias(f"__mn{i}"),
+                F.max(col).cast("double").alias(f"__mx{i}"),
+            ]
+        wide = df.agg(*aggs)
+        return wide.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(part).alias("part"),
+                            F.lit(col).alias("col"),
+                            F.col(f"__cnt{i}").alias("cnt"),
+                            F.col(f"__sm{i}").alias("sm"),
+                            F.col(f"__mn{i}").alias("mn"),
+                            F.col(f"__mx{i}").alias("mx"),
+                        )
+                        for i, col in enumerate(cols)
+                    ]
+                )
+            ).alias("__r")
+        ).select("__r.*")
 
     base = li.where(F.col("l_orderkey") % 10 != 0)
     delta = li.where(F.col("l_orderkey") % 10 == 0)

@@ -106,10 +106,20 @@ def a30_cramers_v(spark, sf_dir):
         .where(F.col("lang").isNotNull() & F.col("source").isNotNull())
         .select("lang", "source")
     )
-    obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
-    rt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("r"))
-    ct = d.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
-    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    # ONE corpus aggregation: the contingency cells partition the
+    # corpus, so the row/column/grand totals fold exactly from the
+    # materialized cell table (was 4 separate corpus passes, with the
+    # row/column tables each evaluated twice more for nl/ns)
+    obs = (
+        d.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=False)
+    )
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("c"))
+    # coalesce: the old count(*) returned 0 on an empty corpus, sum
+    # would return NULL — keep the degenerate-input contract exact
+    tot = obs.agg(F.coalesce(F.sum("o"), F.lit(0)).cast("long").alias("n"))
     cells = (
         rt.crossJoin(F.broadcast(ct))
         .crossJoin(F.broadcast(tot))

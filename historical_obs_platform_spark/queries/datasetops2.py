@@ -135,15 +135,21 @@ def a14_mad_outliers(spark, sf_dir):
     ev = table(spark, sf_dir, "events").select(
         "event_type", F.col("value").cast("double").alias("v")
     )
-    med = ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(v, 0.5)"), 6).alias("med")
+    # med feeds the MAD pass AND the final count pass, mad feeds the
+    # final pass — materialize the tiny per-group stats so each exact
+    # percentile (a sort aggregate over events) runs exactly once
+    # instead of med 3x / mad 2x (plans are trees)
+    med = (
+        ev.groupBy("event_type")
+        .agg(F.round(F.expr("percentile(v, 0.5)"), 6).alias("med"))
+        .localCheckpoint(eager=False)
     )
     dev = ev.join(F.broadcast(med), "event_type")
     mad = dev.groupBy("event_type").agg(
         F.round(F.expr("percentile(abs(v - med), 0.5)"), 6).alias(
             "mad"
         )
-    )
+    ).localCheckpoint(eager=False)
     both = ev.join(F.broadcast(med), "event_type").join(
         F.broadcast(mad), "event_type"
     )
@@ -820,6 +826,12 @@ def w17_funnel(spark, sf_dir):
         "event_type",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
     )
+    # each per-user stage table is referenced by the NEXT stage's
+    # filtered-min join and by the final counting pass; without a
+    # materialization the cascade re-evaluated stage 1 five times,
+    # stage 2 four times, ... (14 events scans in the before plan —
+    # plans are trees). Four tiny checkpointed per-user tables, each
+    # events pass runs once.
     stage_frames = []
     prev = None
     for i, stage in enumerate(_FUNNEL_STAGES, start=1):
@@ -832,26 +844,36 @@ def w17_funnel(spark, sf_dir):
                     <= F.col(f"t{i - 1}") + _FUNNEL_WINDOW_US
                 )
             )
-        cur = cur.groupBy("user_id").agg(
-            F.min("us").alias(f"t{i}")
+        cur = (
+            cur.groupBy("user_id")
+            .agg(F.min("us").alias(f"t{i}"))
+            .localCheckpoint(eager=False)
         )
         stage_frames.append(cur)
         prev = cur
-    counts = [
-        sf.agg(
-            F.count(F.lit(1)).alias(f"n_{stage}")
+    # survivors nest (s4 ⊆ s3 ⊆ s2 ⊆ s1, each one row per user), so
+    # ONE left-join chain + one aggregate replaces the four separate
+    # count branches and their crossJoins: count(t_i) = |s_i|
+    chain = stage_frames[0]
+    for nxt in stage_frames[1:]:
+        chain = chain.join(nxt, "user_id", "left")
+    return chain.agg(
+        *[
+            F.count(f"t{i}").alias(f"n_{stage}")
+            for i, stage in enumerate(_FUNNEL_STAGES, start=1)
+        ],
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col(f"t{len(_FUNNEL_STAGES)}").isNotNull(),
+                    F.col("user_id"),
+                )
+            ),
+            F.lit(0),
         )
-        for sf, stage in zip(stage_frames, _FUNNEL_STAGES)
-    ]
-    checksum = stage_frames[-1].agg(
-        F.coalesce(F.sum("user_id"), F.lit(0))
         .cast("long")
-        .alias("converted_checksum")
+        .alias("converted_checksum"),
     )
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.crossJoin(F.broadcast(c))
-    return out.crossJoin(F.broadcast(checksum))
 
 
 # -------------------------------------------------------------- retention

@@ -434,6 +434,11 @@ def p_quota_sample(spark, sf_dir):
     from pyspark.sql.window import Window as W
 
     rw = W.orderBy(F.desc("rem"), F.asc("source"))
+    # alloc is referenced by the pick join AND the final report row —
+    # its lineage embeds the whole per/tot/base/seats chain, so
+    # without a materialization the per-source counting ran several
+    # times over (9 documents scans in the before plan; 2 after).
+    # Sources-sized table, trivial blocks.
     alloc = (
         base.crossJoin(F.broadcast(seats))
         .withColumn("rnk", F.row_number().over(rw))
@@ -445,6 +450,7 @@ def p_quota_sample(spark, sf_dir):
                 + F.when(F.col("rnk") <= F.col("extra"), 1).otherwise(0)
             ).alias("alloc"),
         )
+        .localCheckpoint(eager=False)
     )
     pw = W.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")

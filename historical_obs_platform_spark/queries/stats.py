@@ -121,7 +121,14 @@ def a32_kruskal_wallis(spark, sf_dir):
         .where(F.col("value").isNotNull())
         .select("event_type", "value")
     )
-    cv = v.groupBy("value").agg(F.count(F.lit(1)).alias("cnt"))
+    # cv feeds THREE branches (rank table, tie correction, distinct
+    # count) and tot is derivable from it — one materialized grid
+    # aggregation instead of four corpus passes
+    cv = (
+        v.groupBy("value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     w = Window.orderBy("value").rangeBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -166,7 +173,8 @@ def a32_kruskal_wallis(spark, sf_dir):
             lambda a, b: a + b,
         ).alias("s"),
     )
-    tot = v.agg(F.count(F.lit(1)).alias("n"))
+    # total rows = sum of per-value counts — no second corpus pass
+    tot = cv.agg(F.sum("cnt").alias("n"))
     # decimal cube (not BIGINT): see the oracle's tie CTE comment
     cnt_dec = F.col("cnt").cast("decimal(12,0)")
     tie = cv.agg(

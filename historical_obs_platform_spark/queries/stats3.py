@@ -423,8 +423,12 @@ def a42_grubbs(spark, sf_dir):
         .where(F.col("value").isNotNull())
         .select("event_type", x.alias("x"))
     )
-    gv = c.groupBy("event_type", "x").agg(
-        F.count(F.lit(1)).alias("n_gv")
+    # gv feeds the power-sum aggregation AND the deviation scan —
+    # one materialized grid table instead of two corpus passes
+    gv = (
+        c.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("n_gv"))
+        .localCheckpoint(eager=False)
     )
     xd = F.col("x").cast("decimal(19,0)")
     s = gv.groupBy("event_type").agg(

